@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fx
+
+/** Trend-store operators: Minerva's time-series core, Spark-first.
+  *
+  * Reference semantics (minerva trend stores): metrics keyed by
+  * `(entity_id, timestamp)` at a granularity; *time aggregation*
+  * rolls a store to a coarser granularity, *entity aggregation* rolls
+  * metrics up a relation to parent entities.
+  *
+  * Scale notes: `rollup` is a single hash aggregation — Spark plans a
+  * map-side partial agg, so the shuffle carries (entity, bucket)
+  * partials, not raw rows. `reRollup` consumes those partials, so a
+  * 15m→1h→1d chain scans the raw data exactly once. Entity rollup
+  * broadcasts the relation (entity registries are small next to
+  * trend data).
+  */
+object TrendStore {
+
+  /** Sum/count/max partials for one value column, bucketed by
+    * `granularity` (any `date_trunc` unit). Keeps the exact DECIMAL
+    * sum so downstream re-aggregation stays exact. */
+  def rollup(trend: DataFrame, entity: Column, ts: Column, value: Column,
+             granularity: String): DataFrame =
+    trend.groupBy(entity.as("entity_id"),
+        date_trunc(granularity, ts).as("bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(Fx.dec(value)).as("sum_dec"),
+        max(value).as("max_value"))
+
+  /** Re-aggregate a finer rollup to a coarser granularity without
+    * touching raw rows: sum-of-sums (exact decimal), sum-of-counts,
+    * max-of-maxes. */
+  def reRollup(rolled: DataFrame, granularity: String): DataFrame =
+    rolled.groupBy(col("entity_id"),
+        date_trunc(granularity, col("bucket")).as("bucket"))
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum_dec")).as("sum_dec"),
+        max(col("max_value")).as("max_value"))
+
+  /** Present a rollup with user-facing columns (double sums, mean). */
+  def present(rolled: DataFrame): DataFrame =
+    rolled.select(
+      col("entity_id"),
+      Fx.tsStr(col("bucket")).as("bucket"),
+      col("cnt"),
+      col("sum_dec").cast("double").as("sum_value"),
+      (col("sum_dec").cast("double") / col("cnt")).as("avg_value"),
+      col("max_value"))
+
+  /** Entity aggregation: roll metrics up `relation(child → parent)`.
+    * The relation is broadcast — entity registries are ~10⁶ rows while
+    * trend data is ~10¹² at 100 TB. */
+  def entityRollup(trend: DataFrame, entity: Column, value: Column,
+                   relation: DataFrame, childCol: String, parentCol: String): DataFrame =
+    trend.join(broadcast(relation),
+        entity === relation(childCol), "inner")
+      .groupBy(relation(parentCol).as("parent"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        Fx.dsum(value).as("sum_value"))
+
+  /** Wide trend-store part: one column per metric name (Minerva's
+    * physical trend table layout). Conditional aggregation — a single
+    * shuffle, no per-metric passes. */
+  def pivotWide(trend: DataFrame, entity: Column, ts: Column,
+                nameCol: Column, value: Column, granularity: String,
+                metricNames: Seq[String]): DataFrame = {
+    val aggs = metricNames.map { m =>
+      sum(when(nameCol === m, Fx.dec(value)).otherwise(lit(null)))
+        .cast("double").as(s"${m}_sum")
+    } :+ count(lit(1)).as("cnt")
+    trend.groupBy(entity.as("entity_id"),
+        date_trunc(granularity, ts).as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Buckets with no data per entity (Minerva's data-presence / gap
+    * check). Expected buckets derive from the global [min, max] span;
+    * the per-entity expected set is a broadcast-sized cross join
+    * (entities × buckets), anti-joined against observed buckets. */
+  def gaps(trend: DataFrame, entity: Column, ts: Column,
+           granularity: String): DataFrame = {
+    val span = trend.select(
+      date_trunc(granularity, min(ts)).as("lo"),
+      date_trunc(granularity, max(ts)).as("hi"))
+    val buckets = span.select(explode(
+      sequence(col("lo"), col("hi"),
+        expr(s"interval 1 $granularity"))).as("bucket"))
+    val entities = trend.select(entity.as("entity_id")).distinct()
+    val observed = trend.select(entity.as("entity_id"),
+      date_trunc(granularity, ts).as("bucket")).distinct()
+    entities.crossJoin(broadcast(buckets))
+      .join(observed, Seq("entity_id", "bucket"), "left_anti")
+  }
+
+  /** Modified log: last-written timestamp + row count per entity —
+    * what Minerva's materialization daemon consults to find dirty
+    * (store, timestamp) pairs for incremental re-aggregation. */
+  def modifiedLog(trend: DataFrame, entity: Column, ts: Column): DataFrame =
+    trend.groupBy(entity.as("entity_id"))
+      .agg(max(ts).as("last_modified"), count(lit(1)).as("n_rows"))
+}

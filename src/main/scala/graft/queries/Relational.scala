@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fx
+import graft.sources.TableCatalog
+
+/** Relational engine core q01–q10: the table-stakes query shapes
+  * (agg, multi-join, semi/anti, windows, pivot) every Minerva query
+  * ultimately lowers to.
+  *
+  * Oracle-parity rules (see SURVEY §5): decimal-exact double sums,
+  * string timestamps, full deterministic ORDER BY, identical aliases.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Seq[(String, Q)] = Seq(
+    "q01_pricing_summary" -> { (s, dir) =>
+      val li = TableCatalog(s, dir).lineitem
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Fx.dsum(col("l_quantity")).as("sum_qty"),
+          Fx.dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(Fx.dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - Fx.dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          Fx.davg(col("l_quantity")).as("avg_qty"),
+          Fx.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    "q02_region_revenue" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      c.lineitem
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(c.supplier), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(c.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(c.region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(Fx.dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - Fx.dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    "q03_top_unshipped" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      c.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(c.orders, col("c_custkey") === col("o_custkey"))
+        .join(c.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp") &&
+          col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        .groupBy(col("l_orderkey"), Fx.dateStr(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(Fx.dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - Fx.dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    "q04_exists_semi" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      c.orders
+        .join(c.lineitem.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")), col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    "q05_no_orders_anti" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      c.customer
+        .join(c.orders.select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          Fx.dsum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    "q06_selective_filter" -> { (s, dir) =>
+      TableCatalog(s, dir).lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(Fx.dec(col("l_extendedprice")) * Fx.dec(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    "q07_window_rank" -> { (s, dir) =>
+      val o = TableCatalog(s, dir).orders
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    "q08_running_sum" -> { (s, dir) =>
+      val li = TableCatalog(s, dir).lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(Fx.dec(col("l_extendedprice"))).over(w).cast("double").as("running_price"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+
+    "q09_union_distinct" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val fromCust = c.customer.join(broadcast(c.nation),
+        col("c_nationkey") === col("n_nationkey")).select(col("n_name"))
+      val fromSupp = c.supplier.join(broadcast(c.nation),
+        col("s_nationkey") === col("n_nationkey")).select(col("n_name"))
+      fromCust.union(fromSupp).distinct().orderBy(col("n_name"))
+    },
+
+    "q10_event_pivot" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val aggs = types.map(t =>
+        sum(when(col("event_type") === t, Fx.dec(col("value"))))
+          .cast("double").as(s"${t}_sum")) :+ count(lit(1)).as("n_events")
+      ev.groupBy(col("user_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("user_id"))
+    }
+  )
+
+  private val disc = "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($disc) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+         |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_region_revenue" ->
+      s"""SELECT r_name, n_name, CAST(sum($disc) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q03_top_unshipped" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |  CAST(sum($disc) AS DOUBLE) AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q04_exists_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_no_orders_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_selective_filter" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q07_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q08_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q09_union_distinct" ->
+      """SELECT n_name FROM (
+        |  SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION
+        |  SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |ORDER BY n_name""".stripMargin,
+
+    "q10_event_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS click_sum,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS view_sum,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase_sum,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS signup_sum,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS error_sum,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

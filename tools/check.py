@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Reads the Verify output dir (parquet per query + oracle_sql.json),
+runs each oracle SQL in DuckDB over the same sf tables, and compares:
+row count, sorted-by-name columns, and a hash of all values. Strict
+equality for non-floats; exact bit equality for floats too (graft
+engineers determinism — see SURVEY §5), with a reported max-abs-diff
+fallback so near-misses are visible.
+
+Dev tool only — the shipped Scala library has no Python dependency.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for compare
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.reset_index(drop=True)
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        pdir = f"{out_dir}/{name}"
+        if not os.path.isdir(pdir):
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        files = glob.glob(f"{pdir}/*.parquet")
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); n_fail += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
+        # row-order-insensitive compare (sort by all columns), like a hash of sorted values
+        g2 = g.sort_values(list(g.columns), kind="mergesort").reset_index(drop=True)
+        e2 = e.sort_values(list(e.columns), kind="mergesort").reset_index(drop=True)
+        ok = True
+        for c in g2.columns:
+            gv, ev = g2[c].values, e2[c].values
+            if np.issubdtype(g2[c].dtype, np.floating) or np.issubdtype(e2[c].dtype, np.floating):
+                gq = pd.to_numeric(g2[c]).values.astype(float)
+                eq = pd.to_numeric(e2[c]).values.astype(float)
+                both_nan = np.isnan(gq) & np.isnan(eq)
+                exact = (gq == eq) | both_nan
+                if not exact.all():
+                    mx = np.nanmax(np.abs(np.where(both_nan, 0, gq - eq)))
+                    print(f"FAIL {name}: float col {c} max_abs_diff={mx}")
+                    ok = False; break
+            else:
+                if not (gv == ev).all():
+                    i = int(np.argmax(gv != ev))
+                    print(f"FAIL {name}: col {c} first diff row {i}: {gv[i]!r} vs {ev[i]!r}")
+                    ok = False; break
+        if ok:
+            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    sys.exit(main(sf, out))
