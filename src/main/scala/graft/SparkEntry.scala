@@ -8,7 +8,8 @@ object SparkEntry {
 
   private val groups: Seq[(Seq[(String, (SparkSession, String) => DataFrame)], Seq[(String, String)])] =
     Seq(
-      (Relational.defs, Relational.oracles)
+      (Relational.defs, Relational.oracles),
+      (Trend.defs, Trend.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

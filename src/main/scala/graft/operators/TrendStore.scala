@@ -81,20 +81,17 @@ object TrendStore {
   }
 
   /** Buckets with no data per entity (Minerva's data-presence / gap
-    * check). Expected buckets derive from the global [min, max] span;
-    * the per-entity expected set is a broadcast-sized cross join
-    * (entities × buckets), anti-joined against observed buckets. */
+    * check). The expected bucket set is every bucket observed for ANY
+    * entity (peers define presence); the per-entity expected set is a
+    * broadcast-sized cross join (entities × buckets), anti-joined
+    * against observed buckets. Buckets and entities are tiny next to
+    * the trend data, so only the distinct-scan shuffles. */
   def gaps(trend: DataFrame, entity: Column, ts: Column,
            granularity: String): DataFrame = {
-    val span = trend.select(
-      date_trunc(granularity, min(ts)).as("lo"),
-      date_trunc(granularity, max(ts)).as("hi"))
-    val buckets = span.select(explode(
-      sequence(col("lo"), col("hi"),
-        expr(s"interval 1 $granularity"))).as("bucket"))
-    val entities = trend.select(entity.as("entity_id")).distinct()
     val observed = trend.select(entity.as("entity_id"),
       date_trunc(granularity, ts).as("bucket")).distinct()
+    val buckets = observed.select(col("bucket")).distinct()
+    val entities = observed.select(col("entity_id")).distinct()
     entities.crossJoin(broadcast(buckets))
       .join(observed, Seq("entity_id", "bucket"), "left_anti")
   }

@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fx
+import graft.operators.{AsOf, AttributeStore, TrendStore}
+import graft.sources.TableCatalog
+
+/** Trend-store (t01–t08), attribute-store (a01–a04) and notification
+  * (n01) queries — the Minerva core, over the `events` table
+  * (user_id = entity, ts = timestamp, event_type/value = counters,
+  * props = notification payload).
+  */
+object Trend {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TS = "yyyy-MM-dd HH:mm:ss"
+  private val types = Seq("click", "view", "purchase", "signup", "error")
+
+  val defs: Seq[(String, Q)] = Seq(
+    "t01_rollup_hour" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      TrendStore.present(
+          TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "hour"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
+    "t02_rollup_day" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val hourly = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "hour")
+      TrendStore.present(TrendStore.reRollup(hourly, "day"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
+    "t03_entity_rollup" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val relation = c.customer.select(col("c_custkey"), col("c_mktsegment"))
+      TrendStore.entityRollup(c.events, col("user_id"), col("value"),
+          relation, "c_custkey", "c_mktsegment")
+        .orderBy(col("parent"))
+    },
+
+    "t04_trend_wide" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val wide = TrendStore.pivotWide(ev, col("user_id"), col("ts"),
+        col("event_type"), col("value"), "day", types)
+      wide.select((col("entity_id") +: Fx.tsStr(col("bucket")).as("bucket") +:
+          (types.map(t => col(s"${t}_sum")) :+ col("cnt"))): _*)
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
+    "t05_gap_detect" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      TrendStore.gaps(ev, col("user_id"), col("ts"), "hour")
+        .groupBy(col("entity_id")).agg(count(lit(1)).as("n_missing"))
+        .orderBy(col("entity_id"))
+    },
+
+    "t06_modified_log" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      TrendStore.modifiedLog(ev, col("user_id"), col("ts"))
+        .select(col("entity_id"),
+          date_format(col("last_modified"), TS).as("last_modified"),
+          col("n_rows"))
+        .orderBy(col("entity_id"))
+    },
+
+    "t07_asof_join" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("c_event_id"), col("ts").as("c_ts"))
+      AsOf.join(purchases, clicks, "user_id", "ts", "ts",
+          carry = Seq("c_event_id", "c_ts"))
+        .filter(col("asof_c_event_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), TS).as("p_ts"),
+          col("asof_c_event_id").as("c_event_id"),
+          date_format(col("asof_c_ts"), TS).as("c_ts"))
+        .orderBy(col("event_id"))
+    },
+
+    "t08_computed_trend" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      ev.groupBy(col("user_id").as("entity_id"),
+          date_format(date_trunc("day", col("ts")), TS).as("bucket"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          Fx.dsum(col("value")).as("sum_value"))
+        .withColumn("error_rate", col("n_errors") / col("cnt"))
+        .withColumn("value_per_event", col("sum_value") / col("cnt"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
+    "a01_attr_current" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      AttributeStore.current(ev, col("user_id"), col("ts"), col("event_id"))
+        .select(col("user_id"), date_format(col("ts"), TS).as("ts"),
+          regexp_replace(col("props"), "[^0-9]", "").cast("long").as("k"))
+        .orderBy(col("user_id"))
+    },
+
+    "a02_attr_history" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      AttributeStore.history(ev, col("user_id"), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_format(col("valid_from"), TS).as("valid_from"),
+          coalesce(date_format(col("valid_to"), TS), lit("9999-12-31 00:00:00")).as("valid_to"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    "a03_attr_compact" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      AttributeStore.compact(ev, col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), TS).as("ts"), col("event_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    "a04_attr_at_time" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      AttributeStore.atTime(ev, col("user_id"), col("ts"), col("event_id"),
+          lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(col("user_id"), date_format(col("ts"), TS).as("ts"),
+          regexp_replace(col("props"), "[^0-9]", "").cast("long").as("k"))
+        .orderBy(col("user_id"))
+    },
+
+    "n01_notifications" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      ev.filter(col("event_type") === "error")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k") >= 50)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), TS).as("ts"), col("k"), col("value"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  private val ds = "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val oracles: Seq[(String, String)] = Seq(
+    "t01_rollup_hour" ->
+      s"""SELECT user_id AS entity_id,
+         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  count(*) AS cnt, $ds AS sum_value, $ds / count(*) AS avg_value,
+         |  max(value) AS max_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t02_rollup_day" ->
+      s"""SELECT user_id AS entity_id,
+         |  strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  count(*) AS cnt, $ds AS sum_value, $ds / count(*) AS avg_value,
+         |  max(value) AS max_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t03_entity_rollup" ->
+      s"""SELECT c_mktsegment AS parent, count(*) AS cnt, $ds AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t04_trend_wide" -> {
+      val cols = types.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS ${t}_sum")
+        .mkString(",\n  ")
+      s"""SELECT user_id AS entity_id,
+         |  strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  $cols,
+         |  count(*) AS cnt
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "t05_gap_detect" ->
+      """WITH obs AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS bucket FROM events),
+        |b AS (SELECT DISTINCT bucket FROM obs),
+        |u AS (SELECT DISTINCT user_id FROM obs)
+        |SELECT u.user_id AS entity_id, count(*) AS n_missing
+        |FROM u CROSS JOIN b
+        |WHERE NOT EXISTS (SELECT 1 FROM obs
+        |  WHERE obs.user_id = u.user_id AND obs.bucket = b.bucket)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t06_modified_log" ->
+      """SELECT user_id AS entity_id,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_modified,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t07_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  c.c_event_id,
+        |  strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT user_id, ts, event_id AS c_event_id, ts AS c_ts
+        |           FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "t08_computed_trend" ->
+      s"""SELECT user_id AS entity_id,
+         |  strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  count(*) AS cnt,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+         |  $ds AS sum_value,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS error_rate,
+         |  $ds / count(*) AS value_per_event
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a01_attr_current" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS k
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "a02_attr_history" ->
+      """SELECT user_id, event_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  coalesce(strftime(lead(ts) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S'),
+        |    '9999-12-31 00:00:00') AS valid_to
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "a03_attr_compact" ->
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type
+        |FROM (SELECT *, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)
+        |WHERE prev IS NULL OR prev <> event_type
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "a04_attr_at_time" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS k
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "n01_notifications" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS k, value
+        |FROM events WHERE event_type = 'error'
+        |  AND CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) >= 50
+        |ORDER BY event_id""".stripMargin
+  )
+}
