@@ -9,7 +9,8 @@ object SparkEntry {
   private val groups: Seq[(Seq[(String, (SparkSession, String) => DataFrame)], Seq[(String, String)])] =
     Seq(
       (Relational.defs, Relational.oracles),
-      (Trend.defs, Trend.oracles)
+      (Trend.defs, Trend.oracles),
+      (TextSim.defs, TextSim.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-pipeline operators.
+  *
+  * Everything here is built from codegen'd `functions._` and HOFs
+  * (`transform`/`aggregate`/`zip_with`) — no UDFs, so whole-stage
+  * codegen stays wide and the expressions run identically at any
+  * scale. MinHash/SimHash use fixed, seeded constants so results are
+  * reproducible across runs and cluster layouts. Columns are passed
+  * by name (SQL-expression form) because the nested-lambda shapes are
+  * clearer and ANSI-safe that way.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word k-shingles over a tokens column (by name). Guarded
+    * so short documents yield an empty array rather than an ANSI
+    * out-of-bounds error. */
+  def shinglesOf(tokensCol: String, k: Int = 3): Column = {
+    val join = (0 until k).map(j => s"element_at($tokensCol, i + ${j + 1})")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    when(expr(s"size($tokensCol)") >= k,
+      array_distinct(expr(s"transform(sequence(0, size($tokensCol) - $k), i -> $join)")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Mersenne prime 2^31 - 1: permutation hashes stay < 2^62, safe
+    * under ANSI long arithmetic. */
+  val MinHashPrime = 2147483647L
+
+  /** Seeded permutation constants (a, b): deterministic across runs. */
+  def minhashPerms(numPerm: Int, seed: Long = 42L): (Seq[Long], Seq[Long]) = {
+    val rnd = new java.util.Random(seed)
+    val a = Seq.fill(numPerm)(1L + math.abs(rnd.nextLong()) % (MinHashPrime - 1))
+    val b = Seq.fill(numPerm)(math.abs(rnd.nextLong()) % MinHashPrime)
+    (a, b)
+  }
+
+  /** MinHash signature (array of numPerm longs) over a distinct
+    * shingle array: sig[i] = min over shingles of (a_i * h + b_i) mod p
+    * with h = xxhash64(shingle) folded into [0, p). One pass over the
+    * shingles per row; no shuffle, no UDF. */
+  def minhashSignature(shinglesCol: Column, numPerm: Int = 64): Column = {
+    val (a, b) = minhashPerms(numPerm)
+    val aLit = array(a.map(lit): _*)
+    val bLit = array(b.map(lit): _*)
+    val hashes = transform(shinglesCol, s => pmod(xxhash64(s), lit(MinHashPrime)))
+    when(size(shinglesCol) > 0,
+      transform(sequence(lit(0), lit(numPerm - 1)), i =>
+        array_min(transform(hashes, h =>
+          pmod(element_at(aLit, (i + 1).cast("int")) * h +
+            element_at(bLit, (i + 1).cast("int")), lit(MinHashPrime))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** LSH band keys for a minhash signature: bands × rows must equal
+    * the signature length. Emits `bands` strings; documents sharing
+    * any band key are near-dup candidates. */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat_ws("#", b.cast("string"),
+        md5(concat_ws(",", transform(slice(sig, b * rows + 1, lit(rows)), _.cast("string"))))))
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 62-bit SimHash over a tokens column (by name): per-bit ±1 votes
+    * from xxhash64 token hashes, folded to a long fingerprint. 62 bits
+    * keeps `shiftleft` clear of the long sign bit under ANSI mode.
+    * Pure HOFs — one pass per row, no shuffle, no UDF. */
+  def simhashExpr(tokensCol: String): Column = expr(
+    s"""aggregate(
+       |  transform($tokensCol, t -> xxhash64(t)),
+       |  array_repeat(0L, 62),
+       |  (acc, h) -> zip_with(acc,
+       |    transform(sequence(0, 61), j ->
+       |      CASE WHEN (h >> j) & 1 = 1 THEN 1L ELSE -1L END),
+       |    (x, y) -> x + y),
+       |  acc -> aggregate(sequence(0, 61), 0L, (s, j) ->
+       |    s + CASE WHEN element_at(acc, CAST(j + 1 AS INT)) > 0
+       |      THEN shiftleft(1L, CAST(j AS INT)) ELSE 0L END))""".stripMargin)
+
+  /** 16-bit band keys of a SimHash fingerprint column (by name), 4
+    * bands: a pair within hamming distance 3 shares at least one band
+    * by pigeonhole, so candidate generation is a band-key join, not an
+    * O(n²) cross product. */
+  def simhashBandsExpr(fpCol: String): Column =
+    expr(s"transform(sequence(0, 3), b -> concat(CAST(b AS STRING), '#', CAST(($fpCol >> (b * 16)) & 65535 AS STRING)))")
+
+  // ------------------------------------------------------------- Quality
+
+  /** Occurrence count of a literal marker in a text column (by name):
+    * the portable length-difference formula (identical semantics in
+    * ANSI SQL). */
+  def occurrences(textCol: String, marker: String): Column = {
+    val esc = marker.replace("'", "''")
+    (length(col(textCol)) - length(expr(s"replace($textCol, '$esc', '')"))) / marker.length
+  }
+}

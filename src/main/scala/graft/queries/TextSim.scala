@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.operators.Dedup
+import graft.similarity.Similarity
+import graft.sources.TableCatalog
+
+/** LLM-pipeline queries: dedup (d01–d04, d08), text analysis
+  * (d05–d07), similarity search (s01–s03), multimodal (m01–m02).
+  * d03/d04/s02/m02 are not ANSI-SQL-expressible → rows-only driver
+  * check + ScalaTest oracles against exact ground truth.
+  */
+object TextSim {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Seq[(String, Q)] = Seq(
+    "d01_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(TableCatalog(s, dir).documents, "doc_id", "text")
+        .orderBy(col("content_hash"))
+    },
+
+    "d02_shingle_jaccard" -> { (s, dir) =>
+      Dedup.shingleJaccard(TableCatalog(s, dir).documents, "doc_id", "text",
+          k = 3, threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    "d03_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLsh(TableCatalog(s, dir).documents, "doc_id", "text",
+          k = 3, numPerm = 64, bands = 16, threshold = 0.7)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    "d04_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(TableCatalog(s, dir).documents, "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    "d05_lang_score" -> { (s, dir) =>
+      val docs = TableCatalog(s, dir).documents
+        .withColumn("__pt", concat(lit(" "), col("text"), lit(" ")))
+      val en = (TextFunctions.occurrences("__pt", " the ") +
+        TextFunctions.occurrences("__pt", " a ")).as("en_score")
+      val es = (TextFunctions.occurrences("__pt", " el ") +
+        TextFunctions.occurrences("__pt", " los ")).as("es_score")
+      val fr = (TextFunctions.occurrences("__pt", " le ") +
+        TextFunctions.occurrences("__pt", " les ")).as("fr_score")
+      docs.select(col("doc_id"), en, es, fr)
+        .withColumn("pred_lang",
+          when(col("en_score") >= col("es_score") && col("en_score") >= col("fr_score") &&
+            col("en_score") > 0, "en")
+          .when(col("es_score") >= col("fr_score") && col("es_score") > 0, "es")
+          .when(col("fr_score") > 0, "fr")
+          .otherwise("und"))
+        .orderBy(col("doc_id"))
+    },
+
+    "d06_quality" -> { (s, dir) =>
+      TableCatalog(s, dir).documents
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          size(TextFunctions.tokens(col("text"))).as("n_tokens"),
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("n_alpha"),
+          (length(col("text")) - length(expr("replace(text, ' ', '')"))).as("n_spaces"))
+        .withColumn("alpha_ratio", col("n_alpha") / col("n_chars_m"))
+        .withColumn("avg_token_len", (col("n_chars_m") - col("n_spaces")) / col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    "d07_token_count" -> { (s, dir) =>
+      TableCatalog(s, dir).documents
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).as("n_tokens"),
+          size(array_distinct(TextFunctions.tokens(col("text")))).as("n_uniq_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    "d08_fingerprint" -> { (s, dir) =>
+      Dedup.fingerprint(TableCatalog(s, dir).documents, "doc_id", "text", k = 3)
+        .orderBy(col("fingerprint"))
+    },
+
+    "s01_cosine_topk" -> { (s, dir) =>
+      val emb = TableCatalog(s, dir).embeddings
+      Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    "s02_ann_lsh" -> { (s, dir) =>
+      val emb = TableCatalog(s, dir).embeddings
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    "s03_vector_norms" -> { (s, dir) =>
+      Similarity.normStats(TableCatalog(s, dir).embeddings, "label", "embedding")
+        .select(col("grp"), col("n_vecs"),
+          round(col("min_norm"), 6).as("min_norm"),
+          round(col("max_norm"), 6).as("max_norm"),
+          col("avg_norm"))
+        .orderBy(col("grp"))
+    },
+
+    "m01_binary_meta" -> { (s, dir) =>
+      val docs = Multimodal.withPayload(TableCatalog(s, dir).documents, "text")
+      docs.select(col("doc_id"),
+          octet_length(col("payload")).as("byte_len"),
+          lower(substring(hex(col("payload")), 1, 16)).as("head_hex"))
+        .orderBy(col("doc_id"))
+    },
+
+    "m02_feature_stub" -> { (s, dir) =>
+      val docs = Multimodal.withPayload(TableCatalog(s, dir).documents, "text")
+      Multimodal.extractFeatures(s, docs, "doc_id").toDF()
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d02_shingle_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, c / (na.n + nb.n - c) AS jac
+        |FROM inter JOIN sizes na ON a_id = na.doc_id JOIN sizes nb ON b_id = nb.doc_id
+        |WHERE c / (na.n + nb.n - c) >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+    "d05_lang_score" ->
+      """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents),
+        |sc AS (SELECT doc_id,
+        |  (length(pt) - length(replace(pt, ' the ', ''))) / 5 +
+        |  (length(pt) - length(replace(pt, ' a ', ''))) / 3 AS en_score,
+        |  (length(pt) - length(replace(pt, ' el ', ''))) / 4 +
+        |  (length(pt) - length(replace(pt, ' los ', ''))) / 5 AS es_score,
+        |  (length(pt) - length(replace(pt, ' le ', ''))) / 4 +
+        |  (length(pt) - length(replace(pt, ' les ', ''))) / 5 AS fr_score
+        |FROM p)
+        |SELECT doc_id, en_score, es_score, fr_score,
+        |  CASE WHEN en_score >= es_score AND en_score >= fr_score AND en_score > 0 THEN 'en'
+        |       WHEN es_score >= fr_score AND es_score > 0 THEN 'es'
+        |       WHEN fr_score > 0 THEN 'fr'
+        |       ELSE 'und' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "d06_quality" ->
+      """SELECT doc_id, length(text) AS n_chars_m,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+        |  length(text) - length(replace(text, ' ', '')) AS n_spaces,
+        |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
+        |  (length(text) - (length(text) - length(replace(text, ' ', '')))) /
+        |    len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d07_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d08_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)),
+        |fp AS (SELECT doc_id, min(md5(s)) AS fingerprint FROM sh GROUP BY 1)
+        |SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc_id
+        |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s01_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id AS n_id,
+        |        list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS sim
+        |      FROM q, embeddings WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, n_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "s03_vector_norms" ->
+      """WITH n AS (SELECT label,
+        |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+        |    (a, b) -> a + b)) AS nm
+        |FROM embeddings)
+        |SELECT label AS grp, count(*) AS n_vecs,
+        |  round(min(nm), 6) AS min_norm, round(max(nm), 6) AS max_norm,
+        |  CAST(sum(CAST(round(nm, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_norm
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "m01_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |  lower(substr(hex(encode(text)), 1, 16)) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Harvesting: Minerva's source-file → data-package path.
+  *
+  * The reference's harvest plugins parse vendor files (CSV, XML) into
+  * data packages — batches of `(entity dn, timestamp, values…)` rows
+  * that load into trend stores. graft keeps the same contract with
+  * Spark readers: a `DataPackage` is a DataFrame with a canonical
+  * `entity_id`/`ts` plus the metric columns, ready for
+  * `TrendStore.rollup` or `TrendStoreWriter.write`.
+  */
+object Harvest {
+
+  /** A parsed batch: canonical entity/ts columns + metric columns. */
+  final case class DataPackage(granularity: String, df: DataFrame) {
+    def metricColumns: Seq[String] =
+      df.columns.filterNot(Set("entity_id", "ts").contains).toSeq
+  }
+
+  /** Extract one component value from a Minerva distinguished name,
+    * e.g. dnPart("Network=NL,Site=A01,Cell=25", "Cell") == "25".
+    * Pure regexp — codegen'd, no UDF. */
+  def dnPart(dn: Column, component: String): Column =
+    regexp_extract(dn, s"(?:^|,)${java.util.regex.Pattern.quote(component)}=([^,]*)", 1)
+
+  /** CSV harvester: header CSV with a dn column, a timestamp column,
+    * and metric columns. The dn's `entityComponent` becomes
+    * `entity_id`; `tsFormat` parses the timestamp. */
+  def csv(spark: SparkSession, path: String, dnCol: String, entityComponent: String,
+          tsCol: String, tsFormat: String, granularity: String): DataPackage = {
+    val raw = spark.read.option("header", "true").csv(path)
+    DataPackage(granularity, canonicalize(raw, dnCol, entityComponent, tsCol, tsFormat))
+  }
+
+  /** JSON-lines harvester: same contract as `csv`. */
+  def jsonLines(spark: SparkSession, path: String, dnCol: String, entityComponent: String,
+                tsCol: String, tsFormat: String, granularity: String): DataPackage = {
+    val raw = spark.read.json(path)
+    DataPackage(granularity, canonicalize(raw, dnCol, entityComponent, tsCol, tsFormat))
+  }
+
+  private def canonicalize(raw: DataFrame, dnCol: String, entityComponent: String,
+                           tsCol: String, tsFormat: String): DataFrame = {
+    val metrics = raw.columns.filterNot(c => c == dnCol || c == tsCol)
+    // try_to_timestamp: a malformed vendor row yields null (callers
+    // filter/quarantine) instead of failing a whole 100 TB load under
+    // ANSI semantics.
+    raw.select((dnPart(col(dnCol), entityComponent).as("entity_id") +:
+      try_to_timestamp(col(tsCol), lit(tsFormat)).as("ts") +:
+      metrics.map(m => col(m).cast("double").as(m))): _*)
+  }
+}

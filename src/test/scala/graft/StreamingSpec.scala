@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.TableCatalog
+import graft.streaming.{Sessionize, TrendStream}
+
+class StreamingSpec extends SparkSpec {
+
+  private def eventsOnDisk(): String = {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    TableCatalog(spark, sf).events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming windowed rollup matches the batch rollup") {
+    val dir = eventsOnDisk()
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val rolled = TrendStream.windowedRollup(stream, "user_id", "ts", "value",
+      "1 hour", "2 hours")
+    val q = rolled.writeStream.outputMode("complete")
+      .format("memory").queryName("t_rollup").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("t_rollup")
+        .select(col("entity_id"), col("bucket"), col("cnt"))
+      val want = TableCatalog(spark, sf).events
+        .groupBy(col("user_id").as("entity_id"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: batch twin agrees on closed sessions") {
+    import graft.SparkSpec.spark.implicits._
+    val evs = TableCatalog(spark, sf).events
+      .select(col("user_id"), col("ts"), col("value")).as[Sessionize.Ev]
+    val gapMs = 3 * 3600 * 1000L
+    val batch = Sessionize.sessionsBatch(evs, gapMs)
+    // invariants: sessions don't overlap per user, counts conserve rows
+    assert(batch.toDF().agg(sum("n_events")).head.getLong(0) === evs.count())
+    val overlapping = batch.toDF().as("a").join(batch.toDF().as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.session_start") < col("b.session_start") &&
+        col("b.session_start") <= col("a.session_end"))
+    assert(overlapping.isEmpty)
+  }
+
+  test("streaming sessionization emits closed sessions") {
+    import graft.SparkSpec.spark.implicits._
+    val dir = eventsOnDisk()
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id"), col("ts"), col("value")).as[Sessionize.Ev]
+    val gapMs = 3 * 3600 * 1000L
+    val sessions = Sessionize.sessions(spark, stream, gapMs)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("t_sessions").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("t_sessions")
+      assert(got.count() > 0)
+      assert(got.filter(col("session_end") < col("session_start")).isEmpty)
+    } finally q.stop()
+  }
+}

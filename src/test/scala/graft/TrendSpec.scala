@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, AttributeStore, TrendStore}
+import graft.sources.TableCatalog
+
+class TrendSpec extends SparkSpec {
+
+  private lazy val ev = TableCatalog(spark, sf).events.cache()
+
+  test("reRollup(day) over hourly equals direct daily rollup") {
+    val hourly = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "hour")
+    val viaChain = TrendStore.present(TrendStore.reRollup(hourly, "day"))
+    val direct = TrendStore.present(
+      TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "day"))
+    assert(viaChain.exceptAll(direct).isEmpty && direct.exceptAll(viaChain).isEmpty)
+  }
+
+  test("rollup conserves row count") {
+    val hourly = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "hour")
+    assert(hourly.agg(sum("cnt")).head.getLong(0) === ev.count())
+  }
+
+  test("gaps + observed = entities x global buckets") {
+    val g = TrendStore.gaps(ev, col("user_id"), col("ts"), "hour").count()
+    val obs = ev.select(col("user_id"), date_trunc("hour", col("ts"))).distinct().count()
+    val nU = ev.select("user_id").distinct().count()
+    val nB = ev.select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(g + obs === nU * nB)
+  }
+
+  test("as-of join picks the latest prior right row") {
+    // brute-force oracle on collected data
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts_ns", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = purchases.flatMap { case (pid, u, pts) =>
+      val prior = clicks.filter(c => c._1 == u && c._2 <= pts)
+      if (prior.isEmpty) None
+      else Some(pid -> prior.maxBy(c => (c._2, c._3))._3)
+    }.toMap
+
+    val left = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val right = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("c_event_id"))
+    val got = AsOf.join(left, right, "user_id", "ts", "ts", Seq("c_event_id"))
+      .filter(col("asof_c_event_id").isNotNull)
+      .select("event_id", "asof_c_event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("attribute current is one row per entity, the latest") {
+    val cur = AttributeStore.current(ev, col("user_id"), col("ts"), col("event_id"))
+    assert(cur.groupBy("user_id").count().filter(col("count") > 1).isEmpty)
+    val maxTs = ev.groupBy("user_id").agg(max("ts_ns").as("m"))
+    val joined = cur.join(maxTs, "user_id").filter(col("ts_ns") =!= col("m"))
+    assert(joined.isEmpty)
+  }
+
+  test("attribute history intervals nest correctly") {
+    val h = AttributeStore.history(ev, col("user_id"), col("ts"), col("event_id"))
+    assert(h.filter(col("valid_to").isNotNull && col("valid_to") < col("valid_from")).isEmpty)
+    // exactly one open interval per entity
+    val open = h.filter(col("valid_to").isNull).groupBy("user_id").count()
+    assert(open.filter(col("count") =!= 1).isEmpty)
+  }
+
+  test("attribute compact removes consecutive duplicates only") {
+    val c = AttributeStore.compact(ev, col("user_id"), col("ts"), col("event_id"),
+      col("event_type"))
+    assert(c.count() <= ev.count())
+    // re-compacting is a fixpoint
+    val c2 = AttributeStore.compact(c, col("user_id"), col("ts"), col("event_id"),
+      col("event_type"))
+    assert(c2.count() === c.count())
+  }
+}
