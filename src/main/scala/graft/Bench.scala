@@ -1,23 +1,41 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR,
+  * prints one JSON line with per-query seconds. A warmup action runs
+  * first so the first measured query doesn't absorb session/codegen
+  * startup; queries run in name order for stable comparisons. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: session init, parquet footer reads, codegen paths.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    SparkEntry.queries.get("q01_pricing_summary")
+      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
+
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else SparkEntry.queries.toSeq.filter(q => only(q._1)).sortBy(_._1)
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

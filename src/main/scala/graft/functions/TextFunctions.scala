@@ -43,18 +43,23 @@ object TextFunctions {
     (a, b)
   }
 
-  /** MinHash signature (array of numPerm longs) over a distinct
-    * shingle array: sig[i] = min over shingles of (a_i * h + b_i) mod p
-    * with h = xxhash64(shingle) folded into [0, p). One pass over the
-    * shingles per row; no shuffle, no UDF. */
-  def minhashSignature(shinglesCol: Column, numPerm: Int = 64): Column = {
+  /** Base shingle hashes folded into [0, p): compute this ONCE as its
+    * own column — referencing it from the permutation loop below then
+    * costs an array read per row, not a per-permutation re-hash of
+    * every shingle string (a 64× difference in the hot path). */
+  def shingleHashes(shinglesCol: Column): Column =
+    transform(shinglesCol, s => pmod(xxhash64(s), lit(MinHashPrime)))
+
+  /** MinHash signature (array of numPerm longs) over pre-computed
+    * shingle hashes: sig[i] = min over h of (a_i * h + b_i) mod p.
+    * One arithmetic pass per permutation per row; no shuffle, no UDF. */
+  def minhashSignature(hashesCol: Column, numPerm: Int = 64): Column = {
     val (a, b) = minhashPerms(numPerm)
     val aLit = array(a.map(lit): _*)
     val bLit = array(b.map(lit): _*)
-    val hashes = transform(shinglesCol, s => pmod(xxhash64(s), lit(MinHashPrime)))
-    when(size(shinglesCol) > 0,
+    when(size(hashesCol) > 0,
       transform(sequence(lit(0), lit(numPerm - 1)), i =>
-        array_min(transform(hashes, h =>
+        array_min(transform(hashesCol, h =>
           pmod(element_at(aLit, (i + 1).cast("int")) * h +
             element_at(bLit, (i + 1).cast("int")), lit(MinHashPrime))))))
       .otherwise(array().cast("array<bigint>"))

@@ -56,7 +56,10 @@ object Dedup {
     val withSh = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .withColumn("__sh", shinglesOf("__toks", k))
       .filter(size(col("__sh")) > 0)
-    val sigs = withSh.withColumn("__sig", minhashSignature(col("__sh"), numPerm))
+      .withColumn("__h", shingleHashes(col("__sh")))
+      .cache() // shared by the signature path and the exact-verify path
+    val sigs = withSh.withColumn("__sig",
+      graft.functions.MinHashSigExpr.minhash(col("__h"), numPerm))
     val bandKeys = sigs.select(col("doc_id"),
       explode(lshBands(col("__sig"), bands, numPerm / bands)).as("band"))
     val candidates = bandKeys.as("a").join(bandKeys.as("b"),
@@ -90,7 +93,8 @@ object Dedup {
     val fps = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .withColumn("__sh", shinglesOf("__toks", 3))
       .filter(size(col("__sh")) > 0)
-      .withColumn("fp", simhashExpr("__sh"))
+      .withColumn("fp", graft.functions.SimHashExpr.simhash(
+        transform(col("__sh"), s => xxhash64(s))))
       .select(col("doc_id"), col("fp"))
     val bandKeys = fps.select(col("doc_id"), col("fp"),
       explode(simhashBandsExpr("fp")).as("band"))

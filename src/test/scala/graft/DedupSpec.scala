@@ -35,6 +35,23 @@ class DedupSpec extends SparkSpec {
     sim.foreach(p => assert(exact.contains(p), s"simhash false positive: $p"))
   }
 
+  test("native sketch expressions are bit-identical to the HOF reference") {
+    val base = docs.limit(100)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+      .withColumn("__sh", TextFunctions.shinglesOf("__toks", 3))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__h", TextFunctions.shingleHashes(col("__sh")))
+    val mh = base.select(
+      graft.functions.MinHashSigExpr.minhash(col("__h"), 64).as("native"),
+      TextFunctions.minhashSignature(col("__h"), 64).as("hof"))
+    assert(mh.filter(col("native") =!= col("hof")).isEmpty)
+    val sh = base.select(
+      graft.functions.SimHashExpr.simhash(
+        transform(col("__sh"), s => xxhash64(s))).as("native"),
+      TextFunctions.simhashExpr("__sh").as("hof"))
+    assert(sh.filter(col("native") =!= col("hof")).isEmpty)
+  }
+
   test("hamming expression matches bit_count(xor)") {
     val df = spark.range(1000).select(
       xxhash64(col("id")).as("a"), xxhash64(col("id") + 7).as("b"))
