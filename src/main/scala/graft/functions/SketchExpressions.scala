@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native sketch expressions: the hot per-row loops of MinHash and
   * SimHash as codegen'd Catalyst expressions.
@@ -120,6 +121,205 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
+}
+
+/** Distinct word k-shingles over a tokens array, as one codegen'd
+  * pass (LinkedHashSet keeps first-occurrence order — bit-identical
+  * output to `TextFunctions.shinglesOf`, which re-runs the lambda
+  * interpreter over inlined copies of the split and was the round-1
+  * hot spot: ~10 ms/doc interpreted vs ~2 µs/doc here). */
+case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShinglesExpr.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+      |  graft.functions.ShinglesExpr$$.MODULE$$.compute($c, $k);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): ShinglesExpr = copy(child = c)
+}
+
+object ShinglesExpr {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](math.max(16, n * 2))
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  def shingles(tokens: Column, k: Int): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(tokens), k))
+}
+
+/** MinHash signature straight from the shingle strings: xxhash64
+  * (seed 42, same as the builtin) folded into [0, p), then all
+  * permutation mins updated in one JIT'd loop. Fuses the round-1
+  * `shingleHashes` HOF (interpreted per-element lambda) with
+  * `MinHashSigExpr` — one pass, zero intermediate arrays.
+  * Bit-identical to the HOF chain (spec-asserted). */
+case class MinHashFromShinglesExpr(child: Expression, a: Array[Long], b: Array[Long],
+                                   prime: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHashFromShinglesExpr.compute(
+      input.asInstanceOf[ArrayData], a, b, prime))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhsA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhsB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      |  graft.functions.MinHashFromShinglesExpr$$.MODULE$$.compute($c, $aRef, $bRef, ${prime}L));
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashFromShinglesExpr =
+    copy(child = c)
+}
+
+object MinHashFromShinglesExpr {
+  def compute(shingles: ArrayData, a: Array[Long], b: Array[Long], prime: Long): Array[Long] = {
+    val sig = Array.fill(a.length)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      var h = XXH64.hashUTF8String(shingles.getUTF8String(i), 42L) % prime
+      if (h < 0) h += prime
+      var j = 0
+      while (j < a.length) {
+        val v = (a(j) * h + b(j)) % prime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def minhash(shingles: Column, numPerm: Int): Column = {
+    val (a, b) = TextFunctions.minhashPerms(numPerm)
+    ColumnBridge.column(MinHashFromShinglesExpr(ColumnBridge.expression(shingles),
+      a.toArray, b.toArray, TextFunctions.MinHashPrime))
+  }
+}
+
+/** 60-bit SimHash over md5 digests of the shingles, fused into one
+  * loop. md5 (not xxhash64) so a DuckDB oracle can replicate the
+  * fingerprint bit-for-bit: H = first 15 hex chars of md5(shingle)
+  * parsed base-16 (both engines emit identical md5 hex), votes over
+  * bits 0..59 of H, fp bit j set iff vote > 0. */
+case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashMd5Expr.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashMd5Expr$$.MODULE$$.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): SimHashMd5Expr = copy(child = c)
+}
+
+object SimHashMd5Expr {
+  val Bits = 60
+
+  def compute(shingles: ArrayData): Long = {
+    val votes = new Array[Int](Bits)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        shingles.getUTF8String(i).getBytes)
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      var j = 0
+      while (j < Bits) {
+        votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < Bits) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  def simhash(shingles: Column): Column =
+    ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(shingles)))
+}
+
+/** min(md5(shingle)) document fingerprint in one pass (the round-1
+  * `array_min(transform(_, md5))` ran the lambda interpreter per
+  * element). Hex strings compare like their digest bytes, so the min
+  * is taken on the digest and hex-encoded once. Null for an empty
+  * shingle set. */
+case class MinMd5Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinMd5Expr.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = (org.apache.spark.unsafe.types.UTF8String)
+      |  graft.functions.MinMd5Expr$$.MODULE$$.compute($c);
+      |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): MinMd5Expr = copy(child = c)
+}
+
+object MinMd5Expr {
+  def compute(shingles: ArrayData): UTF8String = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    var min: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      val d = org.apache.commons.codec.digest.DigestUtils.md5(
+        shingles.getUTF8String(i).getBytes)
+      if (min == null || unsignedLess(d, min)) min = d
+      i += 1
+    }
+    UTF8String.fromString(org.apache.commons.codec.binary.Hex.encodeHexString(min))
+  }
+
+  private def unsignedLess(x: Array[Byte], y: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  def minMd5(shingles: Column): Column =
+    ColumnBridge.column(MinMd5Expr(ColumnBridge.expression(shingles)))
 }
 
 object SimHashExpr {

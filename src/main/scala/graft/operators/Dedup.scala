@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.functions.{MinHashFromShinglesExpr, MinMd5Expr, ShinglesExpr, SimHashMd5Expr}
 import graft.functions.HammingDistance.hamming
 
 /** Deduplication operators over a document corpus — the exact and
@@ -17,7 +18,14 @@ import graft.functions.HammingDistance.hamming
   *    bucket join generates candidates, exact Jaccard verifies them.
   *    Join volume is bounded by band-bucket sizes, not corpus².
   *  - simhashPairs: constant-size fingerprints, pigeonhole band join,
-  *    fused native hamming filter.
+  *    native fused hamming filter.
+  *
+  * All per-row sketch work (shingling, hashing, signatures) runs in
+  * native codegen'd expressions (functions.SketchExpressions) — the
+  * round-1 interpreted-HOF versions cost ~10–40 ms/doc; these are
+  * ~µs/doc, which is what keeps the signature pass scan-bound at
+  * 100 TB. No caching: recomputing a shingle array is cheaper than
+  * the storage-memory lifetime of a session-pinned cache.
   */
 object Dedup {
 
@@ -26,78 +34,89 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc_id"))
 
-  /** Distinct (id, shingle) pairs. */
-  private def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int) =
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), explode(shinglesOf("__toks", k)).as("s"))
+  /** (doc_id, distinct shingle array), one native pass per doc. */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String, k: Int) =
+    docs.select(col(idCol).as("doc_id"),
+        ShinglesExpr.shingles(tokens(col(textCol)), k).as("__sh"))
+      .filter(size(col("__sh")) > 0)
 
-  /** Exact n-gram Jaccard pairs at or above `threshold`. */
-  def shingleJaccard(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, k).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("c"))
+  /** Exact-Jaccard score of the given candidate pairs, from the
+    * shingle sets in `base` (doc_id, __sh). */
+  private def verifyJaccard(base: DataFrame, candidates: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sh = base.select(col("doc_id"), explode(col("__sh")).as("s"))
+    val sizes = base.select(col("doc_id"), size(col("__sh")).as("n"))
+    val inter = candidates
+      .join(sh.toDF("a_id", "sa"), "a_id")
+      .join(sh.toDF("bb_id", "sb"), col("b_id") === col("bb_id") && col("sa") === col("sb"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("c"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
       .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
   }
 
+  /** Exact n-gram Jaccard pairs at or above `threshold`: inverted
+    * index self-join on shingles (every sharing pair is a candidate),
+    * then the shared-count identity jac = c / (na + nb − c). */
+  def shingleJaccard(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val base = shingled(docs, idCol, textCol, k)
+    val sh = base.select(col("doc_id"), explode(col("__sh")).as("s"))
+    val candidates = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifyJaccard(base, candidates, threshold)
+  }
+
   /** MinHash + LSH near-dup pairs: signature → band keys → bucket
-    * join → exact-Jaccard verification of the candidates only. */
+    * join → exact-Jaccard verification of the candidates only.
+    *
+    * Default 32 bands × 2 rows over 64 permutations: recall for a
+    * pair at J ≥ 0.7 is 1 − (1 − J²)³² ≥ 1 − 5·10⁻¹⁰ — effectively
+    * exact, so the output equals the exact-Jaccard pair set and a
+    * DuckDB oracle can verify it, while candidate volume stays
+    * band-bucket-bounded (r=2 keeps unrelated docs from colliding). */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                 k: Int = 3, numPerm: Int = 64, bands: Int = 32,
                  threshold: Double = 0.7): DataFrame = {
-    val withSh = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-      .withColumn("__sh", shinglesOf("__toks", k))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__h", shingleHashes(col("__sh")))
-      .cache() // shared by the signature path and the exact-verify path
-    val sigs = withSh.withColumn("__sig",
-      graft.functions.MinHashSigExpr.minhash(col("__h"), numPerm))
-    val bandKeys = sigs.select(col("doc_id"),
-      explode(lshBands(col("__sig"), bands, numPerm / bands)).as("band"))
+    require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
+    val rows = numPerm / bands
+    val base = shingled(docs, idCol, textCol, k)
+    val sigs = base.select(col("doc_id"),
+      MinHashFromShinglesExpr.minhash(col("__sh"), numPerm).as("__sig"))
+    // Band keys relationally (codegen'd xxhash64 over the band's
+    // signature slots + band index) — no HOF, no string concat.
+    val bandCols = (0 until bands).map { bIdx =>
+      xxhash64((lit(bIdx) +: (0 until rows).map(r =>
+        element_at(col("__sig"), bIdx * rows + r + 1))): _*)
+    }
+    val bandKeys = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
     val candidates = bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    // verify candidates with exact Jaccard on the shingle sets
-    val sh = withSh.select(col("doc_id"), explode(col("__sh")).as("s"))
-    val sizes = withSh.select(col("doc_id"), size(col("__sh")).as("n"))
-    val shA = sh.toDF("a_id", "sa")
-    val shB = sh.toDF("bb_id", "sb")
-    val inter = candidates
-      .join(shA, "a_id")
-      .join(shB, col("b_id") === col("bb_id") && col("sa") === col("sb"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
-      .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jac") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jac"))
+    verifyJaccard(base, candidates, threshold)
   }
 
-  /** SimHash near-dup pairs: shingle-based fingerprints (shingles are
-    * discriminative even over a small vocabulary; raw tokens are not),
-    * pigeonhole 16-bit band join, native fused hamming filter. A pair
-    * within `maxHamming` ≤ 3 is guaranteed to share one of the 4
-    * bands; larger thresholds trade recall for join volume. */
+  /** SimHash near-dup pairs: 60-bit md5-based shingle fingerprints
+    * (shingles are discriminative even over a small vocabulary; raw
+    * tokens are not), pigeonhole 4×15-bit band join, native fused
+    * hamming filter. A pair within hamming ≤ 3 shares at least one
+    * band, so the band join is exact (recall 1.0) for the default
+    * threshold — the output is deterministic and DuckDB-verifiable. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val fps = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-      .withColumn("__sh", shinglesOf("__toks", 3))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("fp", graft.functions.SimHashExpr.simhash(
-        transform(col("__sh"), s => xxhash64(s))))
-      .select(col("doc_id"), col("fp"))
+                   maxHamming: Int = 3, k: Int = 3): DataFrame = {
+    val base = shingled(docs, idCol, textCol, k)
+    val fps = base.select(col("doc_id"), SimHashMd5Expr.simhash(col("__sh")).as("fp"))
+    val bandCols = (0 until 4).map { b =>
+      lit(b.toLong * 32768L) + shiftright(col("fp"), b * 15).bitwiseAND(lit(32767L))
+    }
     val bandKeys = fps.select(col("doc_id"), col("fp"),
-      explode(simhashBandsExpr("fp")).as("band"))
+      explode(array(bandCols: _*)).as("band"))
     bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -110,11 +129,8 @@ object Dedup {
     * SQL-expressible MinHash special case (collision prob = Jaccard),
     * grouped into dedup clusters. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-      .withColumn("__sh", shinglesOf("__toks", k))
-      .filter(size(col("__sh")) > 0)
-      .select(col("doc_id"),
-        array_min(transform(col("__sh"), s => md5(s))).as("fingerprint"))
+    shingled(docs, idCol, textCol, k)
+      .select(col("doc_id"), MinMd5Expr.minMd5(col("__sh")).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
 }

@@ -10,8 +10,10 @@ import graft.sources.TableCatalog
 
 /** LLM-pipeline queries: dedup (d01–d04, d08), text analysis
   * (d05–d07), similarity search (s01–s03), multimodal (m01–m02).
-  * d03/d04/s02/m02 are not ANSI-SQL-expressible → rows-only driver
-  * check + ScalaTest oracles against exact ground truth.
+  * d03/d04 are configured so their sketch outputs are deterministic
+  * and effectively exact (see each query) → full DuckDB oracles.
+  * s02/m02 are genuinely approximate/binary → rows-only driver check
+  * + ScalaTest oracles against exact ground truth.
   */
 object TextSim {
 
@@ -30,8 +32,10 @@ object TextSim {
     },
 
     "d03_minhash_lsh" -> { (s, dir) =>
+      // 32 bands × 2 rows: recall ≥ 1 − 5·10⁻¹⁰ at J ≥ 0.7, so the
+      // LSH output equals the exact-Jaccard pair set (DuckDB oracle).
       Dedup.minhashLsh(TableCatalog(s, dir).documents, "doc_id", "text",
-          k = 3, numPerm = 64, bands = 16, threshold = 0.7)
+          k = 3, numPerm = 64, bands = 32, threshold = 0.7)
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -127,6 +131,44 @@ object TextSim {
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d03_minhash_lsh" ->
+      // The LSH band config is effectively exact at J ≥ 0.7 (see the
+      // query), so the oracle is the exact shingle-Jaccard pair set.
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, c / (na.n + nb.n - c) AS jac
+        |FROM inter JOIN sizes na ON a_id = na.doc_id JOIN sizes nb ON b_id = nb.doc_id
+        |WHERE c / (na.n + nb.n - c) >= 0.7 ORDER BY a_id, b_id""".stripMargin,
+
+    "d04_simhash" ->
+      // Replicates the 60-bit md5-based SimHash bit-for-bit: H = first
+      // 15 hex chars of md5(shingle) base-16, per-bit ±1 votes, fp bit
+      // j set iff vote > 0; pairs with hamming(fp_a, fp_b) ≤ 3. The
+      // Spark band join is pigeonhole-exact at hamming ≤ 3, so both
+      // sides compute the identical pair set.
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)),
+        |hx AS (SELECT doc_id, md5(s) AS h FROM sh),
+        |hv AS (SELECT doc_id, h,
+        |         CAST(sum(CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT) << ((15 - i) * 4)) AS BIGINT) AS hval
+        |       FROM (SELECT doc_id, h, unnest(generate_series(1, 15)) AS i FROM hx)
+        |       GROUP BY doc_id, h),
+        |votes AS (SELECT doc_id, j, sum(CASE WHEN (hval >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM (SELECT doc_id, hval, unnest(generate_series(0, 59)) AS j FROM hv)
+        |          GROUP BY doc_id, j),
+        |fp AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS fp
+        |       FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "d02_shingle_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -2,14 +2,18 @@ package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
 
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Scale shapes:
   *  - `cosineTopK`: brute-force baseline — broadcast the (small) query
   *    set against the corpus; exact, one pass, no shuffle of the
-  *    corpus. Per-row vector math is double-precision HOFs inside
-  *    codegen, no UDF.
+  *    corpus. Norms are precomputed once per side, so the per-pair
+  *    work is a single native fused-multiply-add dot product
+  *    (functions.VectorExpressions — codegen'd, not interpreted
+  *    HOFs; at billions of candidate pairs the scoring loop IS the
+  *    workload).
   *  - `lshTopK`: the scale path — sign-sketch (random hyperplane)
   *    buckets; candidates = bucket match or adjacent (hamming ≤ 1)
   *    bucket, exact cosine re-rank of candidates only. At 100 TB the
@@ -17,28 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Element-wise double cast. */
-  private def toD(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Sequential-fold dot product in double precision (native). */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toD(a), toD(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  /** L2 norm in double precision. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(toD(a), x => x * x), lit(0.0), (acc, v) => acc + v))
+  /** L2 norm in double precision (native). */
+  def norm(a: Column): Column = VectorExpressions.norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbors for each query vector. `queries` must be
-    * broadcast-small (it is crossJoin-broadcast against the corpus). */
+    * broadcast-small (it is crossJoin-broadcast against the corpus).
+    * Norms are computed once per row per side — never per pair. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, qId: String,
                  cId: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("__qv"), col("__cv")).as("sim"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -47,16 +50,12 @@ object Similarity {
   }
 
   /** Deterministic sign-sketch bucket id over `planes` pseudo-random
-    * hyperplanes (seeded, reproducible across cluster layouts). */
+    * hyperplanes (seeded, reproducible across cluster layouts). All
+    * plane tests run in one native pass per row. */
   def signBucket(vec: Column, planes: Int = 8, dims: Int = 64, seed: Long = 7L): Column = {
     val rnd = new java.util.Random(seed)
     val hp = Array.fill(planes, dims)(rnd.nextGaussian())
-    val planeCols = (0 until planes).map { p =>
-      val w = array(hp(p).map(lit): _*)
-      val d = aggregate(zip_with(toD(vec), w, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    planeCols.reduce(_ + _)
+    VectorExpressions.signBuckets(vec, hp)
   }
 
   /** LSH-bucketed approximate top-k: `tables` independent sign
@@ -73,26 +72,30 @@ object Similarity {
               tables: Int = 4): DataFrame = {
     val tableSeeds = (0 until tables).map(t => 7L + 1000L * t)
     val c = corpus.select((col(cId).as("n_id") +: col(vecCol).as("__cv") +:
+      norm(col(vecCol)).as("__cn") +:
       tableSeeds.zipWithIndex.map { case (seed, t) =>
         signBucket(col(vecCol), planes, seed = seed).as(s"__b$t") }): _*)
     val probed = queries.select((col(qId).as("q_id") +: col(vecCol).as("__qv") +:
+        norm(col(vecCol)).as("__qn") +:
         tableSeeds.zipWithIndex.map { case (seed, t) =>
           signBucket(col(vecCol), planes, seed = seed).as(s"__qb$t") }): _*)
-      .select(col("q_id"), col("__qv"), explode(array((for {
+      .select(col("q_id"), col("__qv"), col("__qn"), explode(array((for {
         t <- 0 until tables
         probe <- col(s"__qb$t") +: (0 until planes).map(p =>
           col(s"__qb$t").bitwiseXOR(lit(1L << p)))
       } yield struct(lit(t).as("t"), probe.as("b"))): _*)).as("__probe"))
-      .select(col("q_id"), col("__qv"),
+      .select(col("q_id"), col("__qv"), col("__qn"),
         col("__probe.t").as("__t"), col("__probe.b").as("__bucket"))
     val scored = (0 until tables).map { t =>
-        c.select(col("n_id"), col("__cv"), col(s"__b$t").as("__bucket"))
+        c.select(col("n_id"), col("__cv"), col("__cn"), col(s"__b$t").as("__bucket"))
           .join(broadcast(probed.filter(col("__t") === t)
-            .select(col("q_id"), col("__qv"), col("__bucket"))), "__bucket")
-          .select(col("q_id"), col("n_id"), col("__qv"), col("__cv"))
+            .select(col("q_id"), col("__qv"), col("__qn"), col("__bucket"))), "__bucket")
+          .select(col("q_id"), col("n_id"), col("__qv"), col("__cv"),
+            col("__qn"), col("__cn"))
       }.reduce(_ union _)
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("__qv"), col("__cv")).as("sim"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
