@@ -35,16 +35,6 @@ final case class TableCatalog(spark: SparkSession, dir: String) {
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
   }
-  def documents: DataFrame = fanOut(table("documents"))
-  def embeddings: DataFrame = fanOut(table("embeddings"))
-
-  /** Spread a compute-heavy corpus across the cluster. At real scale
-    * parquet byte-range splitting parallelizes the scan for free, but
-    * a corpus packed into few row groups (the test tables are one
-    * file, one row group) yields ONE input split — and every
-    * downstream narrow stage (shingling, sketching, scoring) then
-    * runs as a single task on one core. The round-robin exchange here
-    * costs one small shuffle and buys back the whole machine. */
-  private def fanOut(df: DataFrame): DataFrame =
-    df.repartition(spark.sparkContext.defaultParallelism)
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = table("embeddings")
 }
