@@ -23,8 +23,28 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap: measured on this box (local[32], sf0.1), the SAME query runs
+// 10–25× slower at -Xmx89g than at 4–31g (e.g. d02: 112 s vs 4.4 s;
+// uniform slowdown across all 32 tasks, ~0 GC time). Whatever the JVM
+// micro-cause, huge heaps are a measured pathology for this workload,
+// so the configured driver memory is clamped to 31g — also keeping
+// CompressedOops. sf0.1 needs ~2 GB; Spark spills beyond memory anyway.
+val driverMem: String = {
+  val cfg = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+  val gb = "^(\\d+)[gG]$".r
+  cfg match {
+    case gb(n) if n.toInt > 31 => "31g"
+    case _ => cfg
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$driverMem",
+  // 32 codegen-hungry worker threads vs the default ~3 C2 compiler
+  // threads: hot generated iterators can sit uncompiled for whole
+  // stages. More compiler threads + code-cache headroom keep
+  // multi-query sessions JIT-stable.
+  "-XX:CICompilerCount=12",
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -10,6 +10,7 @@ object SparkEntry {
     Seq(
       (Relational.defs, Relational.oracles),
       (Trend.defs, Trend.oracles),
+      (Store.defs, Store.oracles),
       (TextSim.defs, TextSim.oracles)
     )
 

@@ -36,58 +36,78 @@ object Dedup {
 
   /** (doc_id, distinct shingle array), one native pass per doc.
     *
-    * The projection-then-repartition order matters at scale: the
-    * exchange carries only (id, text), and the sketch compute lands on
-    * every core even when the source collapses to few input splits
-    * (single-file / single-row-group corpora; at real scale parquet
-    * byte ranges already split, and AQE coalesces the exchange away
-    * from being a bottleneck). */
+    * The exchange exists only when the scan is under-split (fewer
+    * input partitions than cores — single-file / single-row-group
+    * corpora); a 100 TB corpus already arrives split into thousands
+    * of parquet byte ranges, so no repartition (and no full-corpus
+    * shuffle) happens there. When it does fire, the projection-first
+    * order keeps the exchange payload to (id, text) and lands the
+    * sketch compute on every core. */
   private def shingled(docs: DataFrame, idCol: String, textCol: String, k: Int) = {
+    val projected = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .repartition(parallelism)
-      .select(col("doc_id"),
+    val spread =
+      if (projected.rdd.getNumPartitions < parallelism) projected.repartition(parallelism)
+      else projected
+    spread.select(col("doc_id"),
         ShinglesExpr.shingles(tokens(col("__text")), k).as("__sh"))
       .filter(size(col("__sh")) > 0)
   }
 
   /** Exact-Jaccard score of the given candidate pairs, from the
-    * shingle sets in `base` (doc_id, __sh). */
+    * shingle sets in `base` (doc_id, __sh). The set sizes ride along
+    * on the exploded rows (one int per row) and come back out of the
+    * pair groupBy via max — no separate sizes subtree, so the shingle
+    * plan is evaluated twice (the two join sides), not four times,
+    * and two join shuffles disappear. */
   private def verifyJaccard(base: DataFrame, candidates: DataFrame,
                             threshold: Double): DataFrame = {
-    val sh = base.select(col("doc_id"), explode(col("__sh")).as("s"))
-    val sizes = base.select(col("doc_id"), size(col("__sh")).as("n"))
-    val inter = candidates
-      .join(sh.toDF("a_id", "sa"), "a_id")
-      .join(sh.toDF("bb_id", "sb"), col("b_id") === col("bb_id") && col("sa") === col("sb"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.toDF("a_id", "na"), "a_id")
-      .join(sizes.toDF("b_id", "nb"), "b_id")
+    val sh = base.select(col("doc_id"), size(col("__sh")).as("n"),
+      explode(col("__sh")).as("s"))
+    candidates
+      .join(sh.toDF("a_id", "na", "sa"), "a_id")
+      .join(sh.toDF("bb_id", "nb", "sb"),
+        col("b_id") === col("bb_id") && col("sa") === col("sb"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("c"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
   }
 
-  /** Exact n-gram Jaccard pairs at or above `threshold`: inverted
-    * index self-join on shingles, counting the shared shingles
-    * DIRECTLY in the self-join's groupBy (the intersection size is a
-    * free by-product of candidate generation — re-deriving it via a
-    * distinct + two re-joins, as an earlier revision did, triples the
-    * shingling work and adds two shuffles), then the shared-count
-    * identity jac = c / (na + nb − c). */
+  /** Exact n-gram Jaccard pairs at or above `threshold`, via posting
+    * lists instead of a self-join: group the exploded shingles once
+    * (the only wide shuffle of corpus-sized data), emit every ordered
+    * pair inside each posting list, and count pair occurrences — the
+    * intersection size. Each doc's set size rides along in the
+    * posting structs, so no join of any kind remains: one groupBy on
+    * the shingle, one on the pair. The classic self-join shape does
+    * the same Σ df² pair work but adds a second evaluation of the
+    * shingle plan, a sort/hash of shingle *strings* on both join
+    * sides, and the join itself. jac = c / (na + nb − c).
+    *
+    * `maxDf` drops shingles whose document frequency exceeds it —
+    * df² pair generation for an every-document shingle is the one
+    * quadratic cliff of this shape at 100 TB, and ultra-common
+    * shingles carry no dedup signal. The default keeps the operator
+    * exact (the test-oracle twin). */
   def shingleJaccard(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int = 3, threshold: Double = 0.5): DataFrame = {
+                     k: Int = 3, threshold: Double = 0.5,
+                     maxDf: Int = Int.MaxValue): DataFrame = {
     val base = shingled(docs, idCol, textCol, k)
-    val sh = base.select(col("doc_id"), explode(col("__sh")).as("s"))
-    val sizes = base.select(col("doc_id"), size(col("__sh")).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.toDF("a_id", "na"), "a_id")
-      .join(sizes.toDF("b_id", "nb"), "b_id")
+    val posting = base
+      .select(col("doc_id"), size(col("__sh")).as("n"), explode(col("__sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
+    val pairs = posting.select(explode(expr(
+      """flatten(transform(ds, (a, i) ->
+        |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
+        |    named_struct('a_id', a.doc_id, 'na', a.n, 'b_id', b.doc_id, 'nb', b.n))))"""
+        .stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.na"), col("p.b_id"), col("p.nb"))
+    pairs.groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("c"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("jac"))

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity directory: the reference's registry of entities
+  * (minerva/directory) — distinguished names, entity types, aliases —
+  * re-expressed without a serving database.
+  *
+  * Minerva assigns entity ids from a PostgreSQL sequence; on a
+  * cluster a sequence is a serialization point, so graft derives the
+  * id DETERMINISTICALLY from the distinguished name: the first 15 hex
+  * digits of md5(dn) as a 60-bit long. Properties that matter:
+  *   - stable: re-harvesting the same dn always yields the same id,
+  *     with no coordination between executors or runs;
+  *   - portable: any engine with md5 can recompute it (the DuckDB
+  *     oracle does);
+  *   - collision-safe in practice: P(collision) ≈ n²/2⁶¹ — at 10⁹
+  *     entities ≈ 4·10⁻⁴ for the whole registry.
+  */
+object EntityRegistry {
+
+  /** Deterministic 60-bit entity id from a distinguished name. */
+  def entityId(dn: Column): Column =
+    conv(substring(md5(dn), 1, 15), 16, 10).cast("long")
+
+  /** Build a registry `(dn, entity_type, alias, entity_id)` from a
+    * source of distinguished names. Distinct on dn — re-registration
+    * is idempotent. */
+  def register(src: DataFrame, dn: Column, entityType: Column, alias: Column): DataFrame =
+    src.select(dn.as("dn"), entityType.as("entity_type"), alias.as("alias"))
+      .distinct()
+      .withColumn("entity_id", entityId(col("dn")))
+
+  /** Resolve names to entity ids through the registry: matches the dn
+    * itself or the alias (Minerva's alias lookup). The registry is
+    * broadcast — it is ~10⁶ rows of strings next to 100 TB of trend
+    * rows. */
+  def resolve(names: DataFrame, nameCol: String, registry: DataFrame): DataFrame =
+    names.join(broadcast(registry),
+        names(nameCol) === registry("dn") || names(nameCol) === registry("alias"),
+        "left")
+      .drop("entity_type", "alias")
+}

@@ -32,6 +32,34 @@ object TrendStore {
         sum(Fx.dec(value)).as("sum_dec"),
         max(value).as("max_value"))
 
+  /** Rollup at an arbitrary seconds granularity — the reference's
+    * native granularities are seconds-based (300 s / 900 s / 3600 s /
+    * 86400 s), not only calendar units. Bucket = floor(epoch / g) · g
+    * in UTC, matching Minerva's UTC bucket arithmetic. */
+  def rollupSeconds(trend: DataFrame, entity: Column, ts: Column, value: Column,
+                    seconds: Long): DataFrame =
+    trend.groupBy(entity.as("entity_id"),
+        timestamp_seconds(floor(unix_timestamp(ts) / seconds) * seconds).as("bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(Fx.dec(value)).as("sum_dec"),
+        max(value).as("max_value"))
+
+  /** Shift bucket labels from interval-start to interval-end —
+    * Minerva labels a trend interval by its END timestamp (the 10:15
+    * row covers 10:00–10:15); graft's operators bucket by start
+    * (Spark's `date_trunc` convention) and relabel at the edge. */
+  def labelEnd(rolled: DataFrame, granularity: String): DataFrame = {
+    val shifted = granularity.toLowerCase match {
+      case "hour"  => col("bucket") + expr("interval 1 hour")
+      case "day"   => col("bucket") + expr("interval 1 day")
+      case "week"  => col("bucket") + expr("interval 7 day")
+      case "month" => add_months(col("bucket"), 1).cast("timestamp")
+      case g       => throw new IllegalArgumentException(s"unsupported label granularity: $g")
+    }
+    rolled.withColumn("bucket", shifted)
+  }
+
   /** Re-aggregate a finer rollup to a coarser granularity without
     * touching raw rows: sum-of-sums (exact decimal), sum-of-counts,
     * max-of-maxes. */
@@ -81,19 +109,29 @@ object TrendStore {
   }
 
   /** Buckets with no data per entity (Minerva's data-presence / gap
-    * check). The expected bucket set is every bucket observed for ANY
-    * entity (peers define presence); the per-entity expected set is a
-    * broadcast-sized cross join (entities × buckets), anti-joined
-    * against observed buckets. Buckets and entities are tiny next to
-    * the trend data, so only the distinct-scan shuffles. */
+    * check): each entity's expected set is its own active range —
+    * `sequence(min(bucket), max(bucket))` exploded per entity — anti-
+    * joined against its observed buckets. The expected-set volume is
+    * Σ per-entity range, not |entities| × |global buckets|: an entity
+    * live for a week generates a week of buckets even when the store
+    * spans years, so the shape survives a 100× scale-up where the
+    * cartesian (entities × all buckets) does not. */
   def gaps(trend: DataFrame, entity: Column, ts: Column,
            granularity: String): DataFrame = {
+    val step = granularity.toLowerCase match {
+      case "hour"  => expr("interval 1 hour")
+      case "day"   => expr("interval 1 day")
+      case "week"  => expr("interval 7 day")
+      case "month" => expr("interval 1 month")
+      case g       => throw new IllegalArgumentException(s"unsupported gap granularity: $g")
+    }
     val observed = trend.select(entity.as("entity_id"),
       date_trunc(granularity, ts).as("bucket")).distinct()
-    val buckets = observed.select(col("bucket")).distinct()
-    val entities = observed.select(col("entity_id")).distinct()
-    entities.crossJoin(broadcast(buckets))
-      .join(observed, Seq("entity_id", "bucket"), "left_anti")
+    val expected = observed.groupBy(col("entity_id"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("entity_id"),
+        explode(sequence(col("lo"), col("hi"), step)).as("bucket"))
+    expected.join(observed, Seq("entity_id", "bucket"), "left_anti")
   }
 
   /** Modified log: last-written timestamp + row count per entity —

@@ -26,6 +26,33 @@ object TrendStoreWriter {
       .mode("overwrite")
       .parquet(path)
 
+  /** Row-level upsert: merge `incoming` rows into the store by
+    * `keyCols` — Minerva's store/upsert semantics, where a
+    * re-delivered `(entity, timestamp)` row REPLACES the previous
+    * values instead of clobbering the whole partition.
+    *
+    * Shape: only the day-partitions present in `incoming` are read
+    * back (partition prune), survivors = existing rows whose key has
+    * no replacement (left_anti), merged ∪ incoming is rewritten via
+    * dynamic partition overwrite — untouched days are never read or
+    * written. The anti-join is one registry-×-day-sized shuffle, not
+    * a store-wide one. */
+  def upsert(spark: org.apache.spark.sql.SparkSession, path: String,
+             incoming: DataFrame, keyCols: Seq[String] = Seq("entity_id", "bucket")): Unit = {
+    val existingFiles = Option(new java.io.File(path).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    if (existingFiles.isEmpty) { write(incoming, path); return }
+    val dirtyDays = incoming.select(to_date(col("bucket")).as("p_date"))
+      .distinct().collect().map(_.getDate(0))
+    val existing = spark.read.parquet(path)
+      .filter(col("p_date").isin(dirtyDays.toSeq: _*))
+      .drop("p_date")
+    // localCheckpoint materializes the survivors (bounded by the dirty
+    // days' volume, not the store) and cuts the lineage back to `path`,
+    // so the overwrite below doesn't read the files it replaces.
+    val survivors = existing.join(incoming, keyCols, "left_anti").localCheckpoint()
+    write(survivors.unionByName(incoming), path)
+  }
+
   /** Read back, pruning to an optional inclusive date range. */
   def read(spark: org.apache.spark.sql.SparkSession, path: String,
            from: Option[String] = None, to: Option[String] = None): DataFrame = {

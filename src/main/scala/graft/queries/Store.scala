@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.operators.{Aggregation, EntityRegistry, Materialize, NotificationStore, Relations, TrendStore}
+import graft.sources.TableCatalog
+
+/** Store-machinery queries: incremental materialization (t09),
+  * granularity engine (t10/t11), entity directory (e01), relation
+  * stores (r01), typed notification stores (n02), and the
+  * declarative aggregation-definition layer (g01) — the reference
+  * subsystems around the core operators
+  * (minerva/storage/trend/materialization, minerva/directory,
+  * minerva/storage/notification, `minerva aggregation`).
+  */
+object Store {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TS = "yyyy-MM-dd HH:mm:ss"
+  private val Cutoff = "2024-01-20 00:00:00"
+
+  val defs: Seq[(String, Q)] = Seq(
+    // Dirty-set computation exactly as Materialize.run uses it: state
+    // is what a run that processed everything before `Cutoff` would
+    // have recorded; the dirty set is every day the next run must
+    // recompute.
+    "t09_dirty_set" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val cutoff = lit(Cutoff).cast("timestamp")
+      val state = Materialize.modifiedLogByDay(ev.filter(col("ts") < cutoff), col("ts"))
+        .select(col("day"), col("last_modified").as("watermark"), col("n_rows"))
+      Materialize.dirtySet(Materialize.modifiedLogByDay(ev, col("ts")), state)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          date_format(col("last_modified"), TS).as("last_modified"),
+          col("n_rows"))
+        .orderBy(col("day"))
+    },
+
+    "t10_rollup_month" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val hourly = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "hour")
+      TrendStore.present(TrendStore.reRollup(hourly, "month"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
+    "t11_rollup_15m" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      TrendStore.present(
+          TrendStore.rollupSeconds(ev, col("user_id"), col("ts"), col("value"), 900L))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
+    "e01_entity_registry" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val ents = c.customer.select(
+          concat(lit("Customer="), col("c_custkey")).as("dn"),
+          lit("customer").as("entity_type"), col("c_name").as("alias"))
+        .unionByName(c.nation.select(
+          concat(lit("Nation="), col("n_nationkey")).as("dn"),
+          lit("nation").as("entity_type"), col("n_name").as("alias")))
+        .unionByName(c.region.select(
+          concat(lit("Region="), col("r_regionkey")).as("dn"),
+          lit("region").as("entity_type"), col("r_name").as("alias")))
+      EntityRegistry.register(ents, col("dn"), col("entity_type"), col("alias"))
+        .select(col("dn"), col("entity_type"), col("alias"), col("entity_id"))
+        .orderBy(col("dn"))
+    },
+
+    "r01_relation_store" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val custToNation = Relations.of(c.customer,
+        concat(lit("Customer="), col("c_custkey")),
+        concat(lit("Nation="), col("c_nationkey")), "customer->nation")
+      val nationToRegion = Relations.of(c.nation,
+        concat(lit("Nation="), col("n_nationkey")),
+        concat(lit("Region="), col("n_regionkey")), "nation->region")
+      Relations.compose(custToNation, nationToRegion)
+        .groupBy(col("relation_type"), col("parent_dn"))
+        .agg(count(lit(1)).as("n_children"))
+        .orderBy(col("parent_dn"))
+    },
+
+    "n02_notification_store" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val typed = NotificationStore.typed(
+        ev.filter(col("event_type") === "error"), col("props"),
+        StructType(Seq(StructField("k", LongType))))
+      typed.groupBy(col("user_id").as("entity_id"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_notifications"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("entity_id"), col("day"))
+    },
+
+    "g01_agg_def" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val defn = Aggregation.AggregationDef("day", Seq(
+        Aggregation.MetricAgg("value", "count", "cnt"),
+        Aggregation.MetricAgg("value", "sum", "sum_value"),
+        Aggregation.MetricAgg("value", "avg", "avg_value"),
+        Aggregation.MetricAgg("value", "min", "min_value"),
+        Aggregation.MetricAgg("value", "max", "max_value")))
+      Aggregation.compile(defn)(ev, col("user_id"), col("ts"))
+        .select(col("entity_id"),
+          date_format(col("bucket"), TS).as("bucket"),
+          col("cnt"), col("sum_value"), col("avg_value"),
+          col("min_value"), col("max_value"))
+        .orderBy(col("entity_id"), col("bucket"))
+    }
+  )
+
+  private val ds = "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val oracles: Seq[(String, String)] = Seq(
+    "t09_dirty_set" ->
+      s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_modified,
+         |  count(*) AS n_rows
+         |FROM events GROUP BY date_trunc('day', ts)
+         |HAVING max(ts) >= TIMESTAMP '$Cutoff'
+         |ORDER BY day""".stripMargin,
+
+    "t10_rollup_month" ->
+      s"""SELECT user_id AS entity_id,
+         |  strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  count(*) AS cnt, $ds AS sum_value, $ds / count(*) AS avg_value,
+         |  max(value) AS max_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t11_rollup_15m" ->
+      s"""SELECT user_id AS entity_id,
+         |  strftime(make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000),
+         |    '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  count(*) AS cnt, $ds AS sum_value, $ds / count(*) AS avg_value,
+         |  max(value) AS max_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e01_entity_registry" ->
+      """WITH e AS (
+        |  SELECT 'Customer=' || c_custkey AS dn, 'customer' AS entity_type, c_name AS alias FROM customer
+        |  UNION ALL
+        |  SELECT 'Nation=' || n_nationkey, 'nation', n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'Region=' || r_regionkey, 'region', r_name FROM region),
+        |d AS (SELECT DISTINCT dn, entity_type, alias FROM e),
+        |x AS (SELECT dn, entity_type, alias, md5(dn) AS hh FROM d),
+        |ids AS (SELECT dn,
+        |    CAST(sum(CAST(strpos('0123456789abcdef', substr(hh, i, 1)) - 1 AS BIGINT)
+        |      << ((15 - i) * 4)) AS BIGINT) AS entity_id
+        |  FROM (SELECT dn, hh, unnest(generate_series(1, 15)) AS i FROM x)
+        |  GROUP BY dn)
+        |SELECT x.dn, entity_type, alias, entity_id
+        |FROM x JOIN ids ON x.dn = ids.dn ORDER BY x.dn""".stripMargin,
+
+    "r01_relation_store" ->
+      """SELECT 'customer->nation|nation->region' AS relation_type,
+        |  'Region=' || n_regionkey AS parent_dn, count(*) AS n_children
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 2 ORDER BY 2""".stripMargin,
+
+    "n02_notification_store" ->
+      """SELECT user_id AS entity_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  count(*) AS n_notifications,
+        |  min(CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT)) AS min_k,
+        |  max(CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT)) AS max_k
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g01_agg_def" ->
+      s"""SELECT user_id AS entity_id,
+         |  strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  count(*) AS cnt, $ds AS sum_value, $ds / count(*) AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

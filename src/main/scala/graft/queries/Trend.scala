@@ -101,7 +101,7 @@ object Trend {
       val ev = TableCatalog(s, dir).events
       AttributeStore.current(ev, col("user_id"), col("ts"), col("event_id"))
         .select(col("user_id"), date_format(col("ts"), TS).as("ts"),
-          regexp_replace(col("props"), "[^0-9]", "").cast("long").as("k"))
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy(col("user_id"))
     },
 
@@ -128,7 +128,7 @@ object Trend {
       AttributeStore.atTime(ev, col("user_id"), col("ts"), col("event_id"),
           lit("2024-01-15 00:00:00").cast("timestamp"))
         .select(col("user_id"), date_format(col("ts"), TS).as("ts"),
-          regexp_replace(col("props"), "[^0-9]", "").cast("long").as("k"))
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy(col("user_id"))
     },
 
@@ -178,12 +178,11 @@ object Trend {
 
     "t05_gap_detect" ->
       """WITH obs AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS bucket FROM events),
-        |b AS (SELECT DISTINCT bucket FROM obs),
-        |u AS (SELECT DISTINCT user_id FROM obs)
-        |SELECT u.user_id AS entity_id, count(*) AS n_missing
-        |FROM u CROSS JOIN b
-        |WHERE NOT EXISTS (SELECT 1 FROM obs
-        |  WHERE obs.user_id = u.user_id AND obs.bucket = b.bucket)
+        |rng AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+        |ex AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM rng)
+        |SELECT ex.user_id AS entity_id, count(*) AS n_missing
+        |FROM ex LEFT JOIN obs ON ex.user_id = obs.user_id AND ex.bucket = obs.bucket
+        |WHERE obs.user_id IS NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t06_modified_log" ->

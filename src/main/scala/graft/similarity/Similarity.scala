@@ -21,6 +21,17 @@ import graft.functions.VectorExpressions
   */
 object Similarity {
 
+  /** Spread an under-split corpus scan across all cores before the
+    * per-row vector work (norms, sketches). Mirrors Dedup.shingled:
+    * the exchange only exists when the scan has fewer partitions than
+    * cores — a real 100 TB corpus is already split, so nothing
+    * shuffles there; a one-file test table stops serializing the
+    * vector math onto a single task. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+  }
+
   /** Sequential-fold dot product in double precision (native). */
   def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
@@ -36,8 +47,8 @@ object Similarity {
                  cId: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
-    val c = corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv"),
-      norm(col(vecCol)).as("__cn"))
+    val c = fanOut(corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
+      .withColumn("__cn", norm(col("__cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
@@ -71,10 +82,11 @@ object Similarity {
               cId: String, vecCol: String, k: Int, planes: Int = 8,
               tables: Int = 4): DataFrame = {
     val tableSeeds = (0 until tables).map(t => 7L + 1000L * t)
-    val c = corpus.select((col(cId).as("n_id") +: col(vecCol).as("__cv") +:
-      norm(col(vecCol)).as("__cn") +:
-      tableSeeds.zipWithIndex.map { case (seed, t) =>
-        signBucket(col(vecCol), planes, seed = seed).as(s"__b$t") }): _*)
+    val c = fanOut(corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
+      .select((col("n_id") +: col("__cv") +:
+        norm(col("__cv")).as("__cn") +:
+        tableSeeds.zipWithIndex.map { case (seed, t) =>
+          signBucket(col("__cv"), planes, seed = seed).as(s"__b$t") }): _*)
     val probed = queries.select((col(qId).as("q_id") +: col(vecCol).as("__qv") +:
         norm(col(vecCol)).as("__qn") +:
         tableSeeds.zipWithIndex.map { case (seed, t) =>
@@ -107,7 +119,8 @@ object Similarity {
   /** Per-group vector norm statistics (order-independent agg only:
     * min/max exact, mean via 6-decimal-rounded decimal sum). */
   def normStats(corpus: DataFrame, groupCol: String, vecCol: String): DataFrame =
-    corpus.select(col(groupCol).as("grp"), norm(col(vecCol)).as("__n"))
+    fanOut(corpus.select(col(groupCol).as("grp"), col(vecCol).as("__v")))
+      .select(col("grp"), norm(col("__v")).as("__n"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_vecs"),
         min(col("__n")).as("min_norm"),

@@ -17,7 +17,7 @@ object Harvest {
   /** A parsed batch: canonical entity/ts columns + metric columns. */
   final case class DataPackage(granularity: String, df: DataFrame) {
     def metricColumns: Seq[String] =
-      df.columns.filterNot(Set("entity_id", "ts").contains).toSeq
+      df.columns.filterNot(Set("entity_id", "entity_dn", "entity_name", "ts").contains).toSeq
   }
 
   /** Extract one component value from a Minerva distinguished name,
@@ -42,13 +42,28 @@ object Harvest {
     DataPackage(granularity, canonicalize(raw, dnCol, entityComponent, tsCol, tsFormat))
   }
 
+  /** XML harvester (the reference's vendor-XML harvest plugins):
+    * Spark 4's built-in XML source, one row per `rowTag` element.
+    * Same canonical contract as `csv`/`jsonLines`. */
+  def xml(spark: SparkSession, path: String, rowTag: String, dnCol: String,
+          entityComponent: String, tsCol: String, tsFormat: String,
+          granularity: String): DataPackage = {
+    val raw = spark.read.option("rowTag", rowTag).xml(path)
+    DataPackage(granularity, canonicalize(raw, dnCol, entityComponent, tsCol, tsFormat))
+  }
+
   private def canonicalize(raw: DataFrame, dnCol: String, entityComponent: String,
                            tsCol: String, tsFormat: String): DataFrame = {
     val metrics = raw.columns.filterNot(c => c == dnCol || c == tsCol)
     // try_to_timestamp: a malformed vendor row yields null (callers
     // filter/quarantine) instead of failing a whole 100 TB load under
-    // ANSI semantics.
-    raw.select((dnPart(col(dnCol), entityComponent).as("entity_id") +:
+    // ANSI semantics. entity_id is the registry's stable hash of the
+    // full dn (graft.operators.EntityRegistry) — identical across
+    // re-harvests and executors; entity_name keeps the human-readable
+    // component for display/rollup-by-name.
+    raw.select((graft.operators.EntityRegistry.entityId(col(dnCol)).as("entity_id") +:
+      col(dnCol).as("entity_dn") +:
+      dnPart(col(dnCol), entityComponent).as("entity_name") +:
       try_to_timestamp(col(tsCol), lit(tsFormat)).as("ts") +:
       metrics.map(m => col(m).cast("double").as(m))): _*)
   }

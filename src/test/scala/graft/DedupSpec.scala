@@ -35,6 +35,26 @@ class DedupSpec extends SparkSpec {
     sim.foreach(p => assert(exact.contains(p), s"simhash false positive: $p"))
   }
 
+  test("simhash recall on planted near-duplicates") {
+    import graft.SparkSpec.spark.implicits._
+    // 20 planted pairs: a 200-token doc and a copy with one token
+    // APPENDED (one extra shingle of ~200 → the 60-bit fingerprint
+    // moves by a few bits at most), so the hamming ≤ 3 band join —
+    // its exact pigeonhole regime — must surface the pair.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(500)(i => s"w$i")
+    val docs = (0 until 20).flatMap { i =>
+      val toks = Vector.fill(200)(vocab(rnd.nextInt(vocab.size)))
+      val mutated = toks :+ ("MUT" + i)
+      Seq((i * 2L, toks.mkString(" ")), (i * 2L + 1, mutated.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val found = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 20).map(i => (i * 2L, i * 2L + 1)).toSet
+    val recall = (planted & found).size.toDouble / planted.size
+    assert(recall >= 0.8, s"simhash recall $recall on planted near-dups")
+  }
+
   test("native sketch expressions are bit-identical to the HOF reference") {
     val base = docs.limit(100)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))

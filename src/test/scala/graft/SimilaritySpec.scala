@@ -31,8 +31,23 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & ann).size.toDouble / exact.size
     // weakly-similar corpus: multi-table LSH holds a modest floor here;
-    // on true near-dup retrieval (sim ~0.9) the same config gives ~0.99
+    // the planted-neighbor test below asserts the strong floor on the
+    // retrieval case LSH is actually for
     assert(recall >= 0.10, s"recall $recall")
+  }
+
+  test("LSH ANN recall >= 0.9 on planted high-similarity neighbors") {
+    // queries = perturbed copies of corpus vectors (cosine ≈ 0.999):
+    // the ANN must find each query's original in its top-10.
+    val q = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(0.05f) * sin(x * 13.7f)).as("embedding"))
+    val ann = Similarity.lshTopK(q, emb, "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val found = (0 until 20).count(i => ann.contains((i + 100000L, i.toLong)))
+    val recall = found / 20.0
+    assert(recall >= 0.9, s"planted-neighbor recall $recall")
   }
 
   test("norm stats cover every label once") {

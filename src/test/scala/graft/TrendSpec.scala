@@ -21,12 +21,15 @@ class TrendSpec extends SparkSpec {
     assert(hourly.agg(sum("cnt")).head.getLong(0) === ev.count())
   }
 
-  test("gaps + observed = entities x global buckets") {
+  test("gaps + observed = sum of per-entity active ranges") {
     val g = TrendStore.gaps(ev, col("user_id"), col("ts"), "hour").count()
-    val obs = ev.select(col("user_id"), date_trunc("hour", col("ts"))).distinct().count()
-    val nU = ev.select("user_id").distinct().count()
-    val nB = ev.select(date_trunc("hour", col("ts"))).distinct().count()
-    assert(g + obs === nU * nB)
+    val obs = ev.select(col("user_id").as("u"), date_trunc("hour", col("ts")).as("b")).distinct()
+    val nObs = obs.count()
+    // inclusive per-entity range length in hours
+    val rangeSum = obs.groupBy("u")
+      .agg((((unix_timestamp(max(col("b"))) - unix_timestamp(min(col("b")))) / 3600) + 1).as("len"))
+      .agg(sum("len")).head.getDouble(0).toLong
+    assert(g + nObs === rangeSum)
   }
 
   test("as-of join picks the latest prior right row") {
