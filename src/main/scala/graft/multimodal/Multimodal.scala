@@ -1,5 +1,8 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,45 +10,78 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, and run batched
   * decode / feature-extraction over them.
   *
-  * The Spark-side shapes are real and tested — binary schema, batch
-  * iteration, feature struct output. The codec itself is a clearly
-  * marked STUB (`fakeDecode`): the real image/audio libraries are not
-  * in this container, so it derives deterministic fake features from
-  * the raw bytes. Swapping in a real decoder changes one function.
+  * The decoder is REAL for images: `javax.imageio` (ships with the
+  * JDK — PNG/JPEG/GIF/BMP) decodes the payload and emits
+  * (width, height, mean_luma). Payloads ImageIO cannot decode (text
+  * bytes, unknown codecs) fall back to byte-level features with
+  * `decoded = false` — a 100 TB load quarantines undecodable rows by
+  * filtering that flag instead of failing the job.
   */
 object Multimodal {
 
-  /** Extracted per-payload features. */
-  case class PayloadFeatures(doc_id: Long, byte_len: Int, head_int: Long, mean_byte: Double)
+  /** Extracted per-payload features. `decoded` marks a successful
+    * image decode; byte-level features are always present so the
+    * output is total over any payload. */
+  case class PayloadFeatures(doc_id: Long, byte_len: Int, decoded: Boolean,
+                             width: Int, height: Int, mean_luma: Double,
+                             head_int: Long, mean_byte: Double)
 
   /** Attach a binary payload column (UTF-8 bytes of `textCol` — in a
     * real pipeline this is the stored media blob). */
   def withPayload(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("payload", col(textCol).cast("binary"))
 
-  /** STUB decoder — stands in for image/audio decode + feature
-    * extraction. Deterministic function of the bytes so tests and
-    * oracles are stable. A real implementation would decode the codec
-    * and emit embedding-sized vectors; the batching contract around
-    * it would not change. */
-  private def fakeDecode(batch: Array[(Long, Array[Byte])]): Iterator[PayloadFeatures] =
+  // ImageIO's default scratch-file cache would put a disk write in
+  // every executor decode; in-memory streams only.
+  ImageIO.setUseCache(false)
+
+  private def byteFeatures(bytes: Array[Byte]): (Long, Double) = {
+    val head = bytes.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    val mean = if (bytes.isEmpty) 0.0
+      else bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff)).toDouble / bytes.length
+    (head, mean)
+  }
+
+  /** Decode one batch. Batching mirrors how a real model/codec
+    * amortizes setup across rows; ImageIO itself is stateless, but
+    * the contract — decode N payloads per call, never one-off — is
+    * what a GPU feature extractor slots into. */
+  private def decodeBatch(batch: Array[(Long, Array[Byte])]): Iterator[PayloadFeatures] =
     batch.iterator.map { case (id, bytes) =>
-      val head = bytes.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
-      val mean = if (bytes.isEmpty) 0.0
-        else bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff)).toDouble / bytes.length
-      PayloadFeatures(id, bytes.length, head, mean)
+      val (head, meanByte) = byteFeatures(bytes)
+      val img =
+        try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+      img match {
+        case Some(im) =>
+          val (w, h) = (im.getWidth, im.getHeight)
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = im.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+              x += 1
+            }
+            y += 1
+          }
+          PayloadFeatures(id, bytes.length, decoded = true, w, h,
+            sum / (w.toLong * h), head, meanByte)
+        case None =>
+          PayloadFeatures(id, bytes.length, decoded = false, 0, 0, 0.0, head, meanByte)
+      }
     }
 
   /** Batched feature extraction over a binary column: partitions are
-    * consumed in `batchSize` groups, mirroring how a real decoder
-    * amortizes model/codec setup per batch (the mapInPandas batch
-    * shape, in Scala). Runs fully parallel per partition — no
-    * driver-side collection. */
+    * consumed in `batchSize` groups (the mapInPandas batch shape, in
+    * Scala). Runs fully parallel per partition — no driver-side
+    * collection. */
   def extractFeatures(spark: SparkSession, df: DataFrame, idCol: String,
                       batchSize: Int = 64): Dataset[PayloadFeatures] = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(batchSize).flatMap(g => fakeDecode(g.toArray)))
+      .mapPartitions(_.grouped(batchSize).flatMap(g => decodeBatch(g.toArray)))
   }
 }

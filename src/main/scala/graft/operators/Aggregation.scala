@@ -35,8 +35,12 @@ object Aggregation {
 
   /** Compile a definition against a trend source → one groupBy plan
     * (partial aggregation map-side; a single shuffle of partials). */
-  def compile(defn: AggregationDef)(trend: DataFrame, entity: Column, ts: Column): DataFrame =
+  def compile(defn: AggregationDef)(trend: DataFrame, entity: Column, ts: Column): DataFrame = {
+    require(defn.metrics.nonEmpty,
+      s"AggregationDef(granularity=${defn.granularity}) declares no metrics; " +
+        "at least one MetricAgg is required")
     trend.groupBy(entity.as("entity_id"),
         date_trunc(defn.granularity, ts).as("bucket"))
       .agg(compileMetric(defn.metrics.head), defn.metrics.tail.map(compileMetric): _*)
+  }
 }

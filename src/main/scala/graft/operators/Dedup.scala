@@ -24,8 +24,9 @@ import graft.functions.HammingDistance.hamming
   * native codegen'd expressions (functions.SketchExpressions) — the
   * round-1 interpreted-HOF versions cost ~10–40 ms/doc; these are
   * ~µs/doc, which is what keeps the signature pass scan-bound at
-  * 100 TB. No caching: recomputing a shingle array is cheaper than
-  * the storage-memory lifetime of a session-pinned cache.
+  * 100 TB. Single-consumer pipelines (d02/d04/d08) recompute the
+  * shingle array instead of caching; minhashLsh localCheckpoints it
+  * because three consumers share it.
   */
 object Dedup {
 
@@ -55,25 +56,25 @@ object Dedup {
   }
 
   /** Exact-Jaccard score of the given candidate pairs, from the
-    * shingle sets in `base` (doc_id, __sh). The set sizes ride along
-    * on the exploded rows (one int per row) and come back out of the
-    * pair groupBy via max — no separate sizes subtree, so the shingle
-    * plan is evaluated twice (the two join sides), not four times,
-    * and two join shuffles disappear. */
+    * shingle sets in `base` (doc_id, __sh). Two equi-joins attach each
+    * side's (distinct) shingle array to the pair; the score is a
+    * single codegen'd `array_intersect` per candidate — no explode, no
+    * pair groupBy. Candidate volume is LSH-bounded, so the per-pair
+    * set intersection is the cheap part; the joins shuffle `base`
+    * keyed by doc_id (or broadcast the candidates when AQE sees they
+    * are small). `base` is expected to be localCheckpoint'd by the
+    * caller so its referenced-twice plan is a cache read, not a
+    * recompute. */
   private def verifyJaccard(base: DataFrame, candidates: DataFrame,
-                            threshold: Double): DataFrame = {
-    val sh = base.select(col("doc_id"), size(col("__sh")).as("n"),
-      explode(col("__sh")).as("s"))
+                            threshold: Double): DataFrame =
     candidates
-      .join(sh.toDF("a_id", "na", "sa"), "a_id")
-      .join(sh.toDF("bb_id", "nb", "sb"),
-        col("b_id") === col("bb_id") && col("sa") === col("sb"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("c"), max(col("na")).as("na"), max(col("nb")).as("nb"))
-      .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
+      .join(base.select(col("doc_id").as("a_id"), col("__sh").as("__sha")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("__sh").as("__shb")), "b_id")
+      .withColumn("c", size(array_intersect(col("__sha"), col("__shb"))))
+      .withColumn("jac",
+        col("c") / (size(col("__sha")) + size(col("__shb")) - col("c")))
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
-  }
 
   /** Exact n-gram Jaccard pairs at or above `threshold`, via posting
     * lists instead of a self-join: group the exploded shingles once
@@ -95,8 +96,23 @@ object Dedup {
                      k: Int = 3, threshold: Double = 0.5,
                      maxDf: Int = Int.MaxValue): DataFrame = {
     val base = shingled(docs, idCol, textCol, k)
-    val posting = base
+    val exploded = base
       .select(col("doc_id"), size(col("__sh")).as("n"), explode(col("__sh")).as("s"))
+    // maxDf must prune BEFORE the posting lists are collected: an
+    // every-document shingle would otherwise concentrate its whole doc
+    // list into one collect_list buffer on one task (the single-key
+    // memory cliff), only to be dropped by the size filter afterwards.
+    // Per-shingle counts are a partial-agg groupBy (cheap, no skew);
+    // the over-frequent shingles are a tiny set, so the exclusion join
+    // broadcasts.
+    val pruned =
+      if (maxDf == Int.MaxValue) exploded
+      else {
+        val tooCommon = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("s"))
+        exploded.join(broadcast(tooCommon), Seq("s"), "left_anti")
+      }
+    val posting = pruned
       .groupBy(col("s"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
@@ -126,7 +142,13 @@ object Dedup {
                  threshold: Double = 0.7): DataFrame = {
     require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
     val rows = numPerm / bands
-    val base = shingled(docs, idCol, textCol, k)
+    // The shingled base feeds three consumers — the signature pass and
+    // both sides of the candidate verification. localCheckpoint
+    // materializes it ONCE (MEMORY_AND_DISK, spills instead of OOM);
+    // without it the full tokenize+shingle pipeline re-runs per
+    // consumer — three sketch passes over the corpus at 100 TB where
+    // one suffices.
+    val base = shingled(docs, idCol, textCol, k).localCheckpoint()
     val sigs = base.select(col("doc_id"),
       MinHashFromShinglesExpr.minhash(col("__sh"), numPerm).as("__sig"))
     // Band keys relationally (codegen'd xxhash64 over the band's

@@ -33,12 +33,20 @@ object EntityRegistry {
       .withColumn("entity_id", entityId(col("dn")))
 
   /** Resolve names to entity ids through the registry: matches the dn
-    * itself or the alias (Minerva's alias lookup). The registry is
-    * broadcast — it is ~10⁶ rows of strings next to 100 TB of trend
-    * rows. */
-  def resolve(names: DataFrame, nameCol: String, registry: DataFrame): DataFrame =
-    names.join(broadcast(registry),
-        names(nameCol) === registry("dn") || names(nameCol) === registry("alias"),
-        "left")
-      .drop("entity_type", "alias")
+    * itself or the alias (Minerva's alias lookup).
+    *
+    * The registry is exploded into a `(lookup_name, dn, entity_id)`
+    * table (dn rows ∪ alias rows) so the probe is a single broadcast
+    * HASH equi-join on the name. The naive OR predicate
+    * (`name === dn || name === alias`) cannot hash-partition and
+    * Spark plans a broadcast nested-loop join — |names| · |registry|
+    * comparisons, the classic hidden scale-killer at 100 TB. */
+  def resolve(names: DataFrame, nameCol: String, registry: DataFrame): DataFrame = {
+    val lookup = registry
+      .select(explode(array_distinct(array(col("dn"), col("alias")))).as("__lookup"),
+        col("dn"), col("entity_id"))
+      .distinct()
+    names.join(broadcast(lookup), names(nameCol) === lookup("__lookup"), "left")
+      .drop("__lookup")
+  }
 }

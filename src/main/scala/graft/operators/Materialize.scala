@@ -52,9 +52,11 @@ object Materialize {
         StructField("n_rows", LongType))))
   }
 
-  /** Read materialization state, or an empty state if none exists. */
+  /** Read materialization state, or an empty state if none exists.
+    * Hadoop FS existence check: state lives next to the store on
+    * whatever filesystem the cluster uses (file://, HDFS, S3A). */
   def readState(spark: SparkSession, statePath: String): DataFrame =
-    if (new java.io.File(statePath).exists()) spark.read.parquet(statePath)
+    if (StoreFs.exists(spark, statePath)) spark.read.parquet(statePath)
     else emptyState(spark)
 
   /** One incremental materialization run. Returns the dirty days that
@@ -73,17 +75,22 @@ object Materialize {
         source.filter(to_date(ts).isin(dirtyDays.toSeq: _*)),
         entity, ts, value, granularity)
       TrendStoreWriter.write(rolled, storePath)
+      // The state delta is rebuilt from the ALREADY-COLLECTED dirty
+      // rows, not the lazy `dirty` plan: re-evaluating that plan would
+      // scan the full source a second time, and — worse — rows arriving
+      // between the two scans would advance the recorded watermark past
+      // what was actually materialized, permanently skipping them.
+      val delta = spark.createDataFrame(
+        java.util.Arrays.asList(dirtyRows: _*), dirty.schema)
+        .select(col("day"), col("last_modified").as("watermark"), col("n_rows"))
       val newState = state.filter(!col("day").isin(dirtyDays.toSeq: _*))
-        .unionByName(dirty.select(col("day"),
-          col("last_modified").as("watermark"), col("n_rows")))
-      // state is tiny; rewrite atomically via a temp-then-swap
+        .unionByName(delta)
+      // State is tiny; rewrite via temp-then-swap on the Hadoop FS,
+      // with the rename result checked (a silently failed rename would
+      // leave stale state after the store already advanced).
       val tmp = statePath + ".tmp"
       newState.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val old = new java.io.File(statePath)
-      if (old.exists()) {
-        org.apache.commons.io.FileUtils.deleteDirectory(old)
-      }
-      new java.io.File(tmp).renameTo(old)
+      StoreFs.replace(spark, tmp, statePath)
     }
     dirtyDays
   }

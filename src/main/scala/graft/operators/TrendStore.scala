@@ -45,6 +45,25 @@ object TrendStore {
         sum(Fx.dec(value)).as("sum_dec"),
         max(value).as("max_value"))
 
+  /** Rollup bucketed in a store's LOCAL timezone — Minerva's
+    * granularity engine buckets day/week/month boundaries in the
+    * store's timezone with correct DST handling, not in UTC: an
+    * Amsterdam "day" is 23 hours on the spring-forward date and 25 on
+    * fall-back, and a UTC day-rollup is wrong twice a year.
+    * `from_utc_timestamp` shifts each instant to local wall-clock
+    * time through the JVM tz database (DST-aware), `date_trunc` then
+    * cuts on local boundaries; the bucket label is the local
+    * wall-clock interval start. Same single partial-agg shuffle as
+    * `rollup` — the tz conversion is a per-row codegen'd expression. */
+  def rollupLocal(trend: DataFrame, entity: Column, ts: Column, value: Column,
+                  granularity: String, tz: String): DataFrame =
+    trend.groupBy(entity.as("entity_id"),
+        date_trunc(granularity, from_utc_timestamp(ts, tz)).as("bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(Fx.dec(value)).as("sum_dec"),
+        max(value).as("max_value"))
+
   /** Shift bucket labels from interval-start to interval-end —
     * Minerva labels a trend interval by its END timestamp (the 10:15
     * row covers 10:00–10:15); graft's operators bucket by start

@@ -39,8 +39,7 @@ object TrendStoreWriter {
     * a store-wide one. */
   def upsert(spark: org.apache.spark.sql.SparkSession, path: String,
              incoming: DataFrame, keyCols: Seq[String] = Seq("entity_id", "bucket")): Unit = {
-    val existingFiles = Option(new java.io.File(path).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-    if (existingFiles.isEmpty) { write(incoming, path); return }
+    if (StoreFs.list(spark, path).isEmpty) { write(incoming, path); return }
     val dirtyDays = incoming.select(to_date(col("bucket")).as("p_date"))
       .distinct().collect().map(_.getDate(0))
     val existing = spark.read.parquet(path)

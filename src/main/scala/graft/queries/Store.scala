@@ -38,10 +38,14 @@ object Store {
         .orderBy(col("day"))
     },
 
+    // Minerva labels a trend interval by its END timestamp (the
+    // February-1st row covers January) — labelEnd applies that
+    // convention on top of Spark's interval-start date_trunc buckets.
     "t10_rollup_month" -> { (s, dir) =>
       val ev = TableCatalog(s, dir).events
       val hourly = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "hour")
-      TrendStore.present(TrendStore.reRollup(hourly, "month"))
+      TrendStore.present(
+          TrendStore.labelEnd(TrendStore.reRollup(hourly, "month"), "month"))
         .orderBy(col("entity_id"), col("bucket"))
     },
 
@@ -94,6 +98,37 @@ object Store {
         .orderBy(col("entity_id"), col("day"))
     },
 
+    // Local-time granularity: day buckets cut on Europe/Amsterdam
+    // wall-clock boundaries (UTC+1 in the test window, DST-aware in
+    // general — the spring/fall transitions are spec-covered with
+    // planted data in TrendSpec).
+    "t12_rollup_localday" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      TrendStore.present(
+          TrendStore.rollupLocal(ev, col("user_id"), col("ts"), col("value"),
+            "day", "Europe/Amsterdam"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
+    // Notification sets: Minerva links related notifications into
+    // per-(entity, bucket) sets; the collected-id list is exercised
+    // via its size/distinct/first/last projections (scalar columns so
+    // the DuckDB hash-compare applies).
+    "n03_notification_sets" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val typed = NotificationStore.typed(
+        ev.filter(col("event_type") === "error"), col("props"),
+        StructType(Seq(StructField("k", LongType))))
+      NotificationStore.sets(typed, col("user_id"), col("ts"), col("k"), "day")
+        .select(col("entity_id"),
+          date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+          col("n_notifications"),
+          size(array_distinct(col("notification_ids"))).cast("long").as("n_distinct"),
+          element_at(col("notification_ids"), 1).as("first_id"),
+          element_at(col("notification_ids"), -1).as("last_id"))
+        .orderBy(col("entity_id"), col("day"))
+    },
+
     "g01_agg_def" -> { (s, dir) =>
       val ev = TableCatalog(s, dir).events
       val defn = Aggregation.AggregationDef("day", Seq(
@@ -124,7 +159,7 @@ object Store {
 
     "t10_rollup_month" ->
       s"""SELECT user_id AS entity_id,
-         |  strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  strftime(date_trunc('month', ts) + INTERVAL 1 MONTH, '%Y-%m-%d %H:%M:%S') AS bucket,
          |  count(*) AS cnt, $ds AS sum_value, $ds / count(*) AS avg_value,
          |  max(value) AS max_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -165,6 +200,23 @@ object Store {
         |  count(*) AS n_notifications,
         |  min(CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT)) AS min_k,
         |  max(CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT)) AS max_k
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t12_rollup_localday" ->
+      s"""SELECT user_id AS entity_id,
+         |  strftime(date_trunc('day', timezone('Europe/Amsterdam', timezone('UTC', ts))),
+         |    '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  count(*) AS cnt, $ds AS sum_value, $ds / count(*) AS avg_value,
+         |  max(value) AS max_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "n03_notification_sets" ->
+      """SELECT user_id AS entity_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  count(*) AS n_notifications,
+        |  count(DISTINCT CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT)) AS n_distinct,
+        |  min(CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT)) AS first_id,
+        |  max(CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT)) AS last_id
         |FROM events WHERE event_type = 'error'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

@@ -19,6 +19,72 @@ object TextSim {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Language-ID stopword profiles: ~10 languages, 3 discriminative
+    * stopwords each. Both the Spark plan and the DuckDB oracle are
+    * GENERATED from this one table, so the two sides cannot drift.
+    * Scores are padded-substring occurrence counts — pure codegen'd
+    * string ops, no UDF; prediction = first language (declaration
+    * order) attaining the maximal positive score. */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "with"),
+    "es" -> Seq("los", "las", "una"),
+    "fr" -> Seq("les", "des", "une"),
+    "de" -> Seq("der", "und", "nicht"),
+    "it" -> Seq("che", "della", "sono"),
+    "pt" -> Seq("uma", "para", "como"),
+    "nl" -> Seq("het", "een", "niet"),
+    "sv" -> Seq("och", "att", "som"),
+    "pl" -> Seq("jest", "przez", "czy"),
+    "id" -> Seq("yang", "dan", "untuk"))
+
+  /** The d05 plan over any DataFrame with (doc_id, text) — shared by
+    * the sf query and the planted multilingual spec corpus. */
+  def langScore(docs: DataFrame): DataFrame = {
+    val padded = docs.withColumn("__pt", concat(lit(" "), col("text"), lit(" ")))
+    val scored = langProfiles.foldLeft(padded) { case (df, (lang, words)) =>
+      df.withColumn(s"${lang}_score",
+        words.map(w => TextFunctions.occurrences("__pt", s" $w ")).reduce(_ + _))
+    }
+    val scores = langProfiles.map { case (lang, _) => col(s"${lang}_score") }
+    // first language (in declaration order) with the max positive
+    // score: lang_i wins when score_i > 0 and score_i >= every later
+    // score (an earlier max would already have matched).
+    val chain = langProfiles.zipWithIndex.foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case (((lang, _), i), orElse) =>
+        val s = col(s"${lang}_score")
+        val laters = langProfiles.drop(i + 1).map { case (l2, _) => s >= col(s"${l2}_score") }
+        val cond = (laters :+ (s > lit(0))).reduce(_ && _)
+        when(cond, lit(lang)).otherwise(orElse)
+    }
+    scored.select((col("doc_id") +: scores) :+ chain.as("pred_lang"): _*)
+  }
+
+  /** DuckDB twin of [[langScore]], generated from the same profiles. */
+  private def langScoreSql: String = {
+    def occ(w: String) = {
+      val m = s" $w "
+      s"(length(pt) - length(replace(pt, '$m', ''))) / ${m.length}"
+    }
+    val scoreExprs = langProfiles.map { case (lang, words) =>
+      words.map(occ).mkString(" + ") + s" AS ${lang}_score"
+    }.mkString(",\n  ")
+    val caseArms = langProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      val laters = langProfiles.drop(i + 1)
+        .map { case (l2, _) => s"${lang}_score >= ${l2}_score" }
+      val conds = (laters :+ s"${lang}_score > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n       ")
+    val scoreCols = langProfiles.map { case (lang, _) => s"${lang}_score" }.mkString(", ")
+    s"""WITH p AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents),
+       |sc AS (SELECT doc_id,
+       |  $scoreExprs
+       |FROM p)
+       |SELECT doc_id, $scoreCols,
+       |  CASE $caseArms
+       |       ELSE 'und' END AS pred_lang
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "d01_dedup_exact" -> { (s, dir) =>
       Dedup.exact(TableCatalog(s, dir).documents, "doc_id", "text")
@@ -46,22 +112,7 @@ object TextSim {
     },
 
     "d05_lang_score" -> { (s, dir) =>
-      val docs = TableCatalog(s, dir).documents
-        .withColumn("__pt", concat(lit(" "), col("text"), lit(" ")))
-      val en = (TextFunctions.occurrences("__pt", " the ") +
-        TextFunctions.occurrences("__pt", " a ")).as("en_score")
-      val es = (TextFunctions.occurrences("__pt", " el ") +
-        TextFunctions.occurrences("__pt", " los ")).as("es_score")
-      val fr = (TextFunctions.occurrences("__pt", " le ") +
-        TextFunctions.occurrences("__pt", " les ")).as("fr_score")
-      docs.select(col("doc_id"), en, es, fr)
-        .withColumn("pred_lang",
-          when(col("en_score") >= col("es_score") && col("en_score") >= col("fr_score") &&
-            col("en_score") > 0, "en")
-          .when(col("es_score") >= col("fr_score") && col("es_score") > 0, "es")
-          .when(col("fr_score") > 0, "fr")
-          .otherwise("und"))
-        .orderBy(col("doc_id"))
+      langScore(TableCatalog(s, dir).documents).orderBy(col("doc_id"))
     },
 
     "d06_quality" -> { (s, dir) =>
@@ -181,22 +232,7 @@ object TextSim {
         |FROM inter JOIN sizes na ON a_id = na.doc_id JOIN sizes nb ON b_id = nb.doc_id
         |WHERE c / (na.n + nb.n - c) >= 0.5 ORDER BY a_id, b_id""".stripMargin,
 
-    "d05_lang_score" ->
-      """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents),
-        |sc AS (SELECT doc_id,
-        |  (length(pt) - length(replace(pt, ' the ', ''))) / 5 +
-        |  (length(pt) - length(replace(pt, ' a ', ''))) / 3 AS en_score,
-        |  (length(pt) - length(replace(pt, ' el ', ''))) / 4 +
-        |  (length(pt) - length(replace(pt, ' los ', ''))) / 5 AS es_score,
-        |  (length(pt) - length(replace(pt, ' le ', ''))) / 4 +
-        |  (length(pt) - length(replace(pt, ' les ', ''))) / 5 AS fr_score
-        |FROM p)
-        |SELECT doc_id, en_score, es_score, fr_score,
-        |  CASE WHEN en_score >= es_score AND en_score >= fr_score AND en_score > 0 THEN 'en'
-        |       WHEN es_score >= fr_score AND es_score > 0 THEN 'es'
-        |       WHEN fr_score > 0 THEN 'fr'
-        |       ELSE 'und' END AS pred_lang
-        |FROM sc ORDER BY doc_id""".stripMargin,
+    "d05_lang_score" -> langScoreSql,
 
     "d06_quality" ->
       """SELECT doc_id, length(text) AS n_chars_m,

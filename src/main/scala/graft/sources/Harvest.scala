@@ -52,7 +52,7 @@ object Harvest {
     DataPackage(granularity, canonicalize(raw, dnCol, entityComponent, tsCol, tsFormat))
   }
 
-  private def canonicalize(raw: DataFrame, dnCol: String, entityComponent: String,
+  private[sources] def canonicalize(raw: DataFrame, dnCol: String, entityComponent: String,
                            tsCol: String, tsFormat: String): DataFrame = {
     val metrics = raw.columns.filterNot(c => c == dnCol || c == tsCol)
     // try_to_timestamp: a malformed vendor row yields null (callers

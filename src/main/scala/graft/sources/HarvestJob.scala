@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{StoreFs, TrendStoreWriter}
+
+/** Harvest job orchestration: the reference's `minerva harvest` loop.
+  * A job description maps a source directory + format plugin to a
+  * target trend store; processed files are tracked in a state table
+  * so re-running the job only reads files that arrived since the last
+  * run — the directory-watching ingest loop, as a deterministic
+  * batch job.
+  *
+  * Scale shape: the file listing and state are O(files) driver-side
+  * metadata (exactly what the reference keeps in its job/processed
+  * tables); the data path is one `spark.read` over ONLY the fresh
+  * files followed by one row-level upsert into the store — no
+  * re-read, no re-write of already-loaded days beyond the upsert's
+  * own dirty-partition pruning.
+  */
+object HarvestJob {
+
+  /** Job description — source directory, parser plugin, mapping, and
+    * target store/state locations. */
+  final case class Job(sourceDir: String, format: String,
+                       dnCol: String, entityComponent: String,
+                       tsCol: String, tsFormat: String,
+                       granularity: String,
+                       storePath: String, statePath: String,
+                       pattern: String = ".*", rowTag: String = "row")
+
+  /** One run's outcome: files loaded this run vs. skipped as already
+    * processed. */
+  final case class RunResult(processed: Seq[String], skipped: Seq[String])
+
+  /** Parse a set of source files through the job's format plugin. */
+  private def readPackage(spark: SparkSession, job: Job, paths: Seq[String]): Harvest.DataPackage = {
+    val raw = job.format.toLowerCase match {
+      case "csv"                 => spark.read.option("header", "true").csv(paths: _*)
+      case "json" | "jsonlines"  => spark.read.json(paths: _*)
+      case "xml"                 => spark.read.option("rowTag", job.rowTag).xml(paths: _*)
+      case f => throw new IllegalArgumentException(s"unknown harvest format: $f")
+    }
+    Harvest.DataPackage(job.granularity,
+      Harvest.canonicalize(raw, job.dnCol, job.entityComponent, job.tsCol, job.tsFormat))
+  }
+
+  private def processedFiles(spark: SparkSession, statePath: String): Set[String] =
+    if (StoreFs.exists(spark, statePath))
+      spark.read.parquet(statePath).select("file").collect().map(_.getString(0)).toSet
+    else Set.empty
+
+  /** Run the job once: list the source directory, skip files already
+    * in state, parse + row-level-upsert the fresh ones, extend state.
+    * Malformed rows (unparseable timestamp) are quarantined out
+    * rather than failing the load. */
+  def run(spark: SparkSession, job: Job): RunResult = {
+    import spark.implicits._
+    val all = StoreFs.list(spark, job.sourceDir).map(_.toString)
+      .filter(f => f.substring(f.lastIndexOf('/') + 1).matches(job.pattern))
+      .sorted
+    val seen = processedFiles(spark, job.statePath)
+    val (old, fresh) = all.partition(seen)
+    if (fresh.isEmpty) return RunResult(Seq.empty, old)
+
+    val pkg = readPackage(spark, job, fresh)
+    val rows = pkg.df.filter(col("ts").isNotNull)
+      .withColumn("bucket", col("ts"))
+    TrendStoreWriter.upsert(spark, job.storePath, rows,
+      keyCols = Seq("entity_id", "bucket"))
+
+    // State = previously processed ∪ this run; temp-then-swap with a
+    // checked rename, same discipline as materialization state.
+    val newState = (seen ++ fresh).toSeq.sorted.toDF("file")
+    val tmp = job.statePath + ".tmp"
+    newState.coalesce(1).write.mode("overwrite").parquet(tmp)
+    StoreFs.replace(spark, tmp, job.statePath)
+    RunResult(fresh, old)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EntityRegistry, Relations, TrendStore}
+
+/** Store-machinery specs: local-time (DST-aware) granularities,
+  * end-of-interval labeling, relation reversal, and the resolve
+  * plan shape. */
+class StoreSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def trend(rows: Seq[(Long, String, Double)]) =
+    rows.toDF("entity", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+
+  test("rollupLocal: spring-forward local day has 23 hours, buckets cut on local midnight") {
+    // Europe/Amsterdam 2024-03-31: 02:00 CET jumps to 03:00 CEST, so
+    // the local day spans UTC [2024-03-30 23:00, 2024-03-31 22:00).
+    val rows = trend(Seq(
+      (1L, "2024-03-30 22:59:59", 1.0), // local 03-30 23:59:59 CET
+      (1L, "2024-03-30 23:00:00", 2.0), // local 03-31 00:00:00 CET
+      (1L, "2024-03-31 21:59:59", 4.0), // local 03-31 23:59:59 CEST
+      (1L, "2024-03-31 22:00:00", 8.0)  // local 04-01 00:00:00 CEST
+    ))
+    val got = TrendStore.present(TrendStore.rollupLocal(
+        rows, col("entity"), col("ts"), col("v"), "day", "Europe/Amsterdam"))
+      .collect().map(r => (r.getAs[String]("bucket"), r.getAs[Double]("sum_value"))).toMap
+    assert(got === Map(
+      "2024-03-30 00:00:00" -> 1.0,
+      "2024-03-31 00:00:00" -> 6.0,
+      "2024-04-01 00:00:00" -> 8.0))
+    // A UTC rollup puts the 23:00Z row on 03-30 — the wrong local day.
+    val utc = TrendStore.present(TrendStore.rollup(
+        rows, col("entity"), col("ts"), col("v"), "day"))
+      .collect().map(r => (r.getAs[String]("bucket"), r.getAs[Double]("sum_value"))).toMap
+    assert(utc("2024-03-30 00:00:00") === 3.0)
+  }
+
+  test("rollupLocal: fall-back local day has 25 hours") {
+    // Europe/Amsterdam 2024-10-27: 03:00 CEST falls back to 02:00 CET,
+    // so the local day spans UTC [2024-10-26 22:00, 2024-10-27 23:00).
+    val rows = trend(Seq(
+      (1L, "2024-10-26 22:00:00", 1.0), // local 10-27 00:00:00 CEST
+      (1L, "2024-10-27 22:59:59", 2.0), // local 10-27 23:59:59 CET
+      (1L, "2024-10-27 23:00:00", 4.0)  // local 10-28 00:00:00 CET
+    ))
+    val got = TrendStore.present(TrendStore.rollupLocal(
+        rows, col("entity"), col("ts"), col("v"), "day", "Europe/Amsterdam"))
+      .collect().map(r => (r.getAs[String]("bucket"), r.getAs[Double]("sum_value"))).toMap
+    assert(got === Map(
+      "2024-10-27 00:00:00" -> 3.0,
+      "2024-10-28 00:00:00" -> 4.0))
+  }
+
+  test("labelEnd shifts bucket labels to the interval end") {
+    val rows = trend(Seq((1L, "2024-01-01 10:20:00", 1.0), (1L, "2024-01-01 10:40:00", 2.0)))
+    val hourly = TrendStore.rollup(rows, col("entity"), col("ts"), col("v"), "hour")
+    val ended = TrendStore.present(TrendStore.labelEnd(hourly, "hour")).collect()
+    assert(ended.length === 1)
+    assert(ended.head.getAs[String]("bucket") === "2024-01-01 11:00:00")
+    val monthly = TrendStore.present(
+      TrendStore.labelEnd(TrendStore.reRollup(hourly, "month"), "month")).collect()
+    assert(monthly.head.getAs[String]("bucket") === "2024-02-01 00:00:00")
+  }
+
+  test("Relations.reverse swaps direction and marks the type") {
+    val src = Seq(("Cell=1", "Site=A"), ("Cell=2", "Site=A")).toDF("c", "p")
+    val rel = Relations.of(src, col("c"), col("p"), "cell->site")
+    val rev = Relations.reverse(rel)
+    val rows = rev.orderBy("parent_dn").collect()
+      .map(r => (r.getAs[String]("child_dn"), r.getAs[String]("parent_dn"),
+        r.getAs[String]("relation_type")))
+    assert(rows.toSeq === Seq(
+      ("Site=A", "Cell=1", "rev:cell->site"), ("Site=A", "Cell=2", "rev:cell->site")))
+    // reversing twice restores the original pairs
+    val twice = Relations.reverse(rev).select("child_dn", "parent_dn")
+    assert(twice.exceptAll(rel.select("child_dn", "parent_dn")).isEmpty)
+  }
+
+  test("resolve plans a broadcast HASH join, not a nested-loop join") {
+    val src = Seq(("Cell=1", "cell", "alpha"), ("Cell=2", "cell", "beta"))
+      .toDF("dn", "t", "a")
+    val reg = EntityRegistry.register(src, col("dn"), col("t"), col("a"))
+    val names = Seq("Cell=1", "beta", "nope").toDF("name")
+    val res = EntityRegistry.resolve(names, "name", reg)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // a name that is both some entity's dn and another's alias
+    // resolves to BOTH (same as the OR-predicate semantics)
+    val tricky = Seq(("X", "cell", "Cell=2"), ("Cell=2", "cell", "z"))
+      .toDF("dn", "t", "a")
+    val reg2 = EntityRegistry.register(tricky, col("dn"), col("t"), col("a"))
+    val hits = EntityRegistry.resolve(Seq("Cell=2").toDF("name"), "name", reg2)
+    assert(hits.count() === 2)
+  }
+}
