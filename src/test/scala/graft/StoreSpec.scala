@@ -1,7 +1,9 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
-import graft.operators.{EntityRegistry, Relations, TrendStore}
+import graft.operators.{AttributeStoreWriter, EntityRegistry, Relations, TrendStore}
 
 /** Store-machinery specs: local-time (DST-aware) granularities,
   * end-of-interval labeling, relation reversal, and the resolve
@@ -75,6 +77,33 @@ class StoreSpec extends SparkSpec {
     // reversing twice restores the original pairs
     val twice = Relations.reverse(rev).select("child_dn", "parent_dn")
     assert(twice.exceptAll(rel.select("child_dn", "parent_dn")).isEmpty)
+  }
+
+  test("attribute store persistence: append history, materialize current") {
+    val base = Files.createTempDirectory("graft_attr").toString
+    def batch(rows: Seq[(Long, String, Long, String)]) =
+      rows.toDF("entity_id", "ts", "event_id", "status")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    AttributeStoreWriter.append(spark, s"$base/hist", batch(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "up"),
+      (2L, "2024-01-01 11:00:00", 2L, "down"))))
+    AttributeStoreWriter.append(spark, s"$base/hist", batch(Seq(
+      (1L, "2024-01-02 09:00:00", 3L, "down"))))
+    // re-delivery of an existing (entity, ts, event) row is idempotent
+    AttributeStoreWriter.append(spark, s"$base/hist", batch(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "up"))))
+    assert(AttributeStoreWriter.readHistory(spark, s"$base/hist").count() === 3)
+    val cur = AttributeStoreWriter.materializeCurrent(
+      spark, s"$base/hist", s"$base/current")
+    assert(cur.count() === 2)
+    val m = cur.collect().map(r => r.getAs[Long]("entity_id") -> r.getAs[String]("status")).toMap
+    assert(m === Map(1L -> "down", 2L -> "down"))
+    // re-materialization after another append picks up the new latest
+    AttributeStoreWriter.append(spark, s"$base/hist", batch(Seq(
+      (2L, "2024-01-03 08:00:00", 4L, "up"))))
+    val cur2 = AttributeStoreWriter.materializeCurrent(
+      spark, s"$base/hist", s"$base/current")
+    assert(cur2.filter(col("entity_id") === 2L).head.getAs[String]("status") === "up")
   }
 
   test("resolve plans a broadcast HASH join, not a nested-loop join") {

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.TrendStoreParts
+
+class TrendStorePartsSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def wide() =
+    Seq(
+      (1L, "2024-01-01 10:00:00", 1.0, 10.0, 100.0),
+      (2L, "2024-01-01 11:00:00", 2.0, 20.0, 200.0),
+      (1L, "2024-01-02 10:00:00", 3.0, 30.0, 300.0))
+      .toDF("entity_id", "bucket", "radio_a", "radio_b", "core_x")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+
+  test("wide store round-trips through column-group parts") {
+    val base = Files.createTempDirectory("graft_parts").toString
+    TrendStoreParts.write(wide(), base,
+      Map("radio" -> Seq("radio_a", "radio_b"), "core" -> Seq("core_x")))
+    val back = TrendStoreParts.read(spark, base, Seq("radio", "core"))
+    assert(back.count() === 3)
+    assert(back.columns.sorted ===
+      Array("bucket", "core_x", "entity_id", "radio_a", "radio_b"))
+    val r = back.filter(col("entity_id") === 2L).head
+    assert(r.getAs[Double]("radio_b") === 20.0 && r.getAs[Double]("core_x") === 200.0)
+    // date-range read prunes every part identically
+    assert(TrendStoreParts.read(spark, base, Seq("radio", "core"),
+      from = Some("2024-01-02")).count() === 1)
+  }
+
+  test("upserting one part leaves the others untouched; outer join fills gaps") {
+    val base = Files.createTempDirectory("graft_parts_up").toString
+    TrendStoreParts.write(wide(), base,
+      Map("radio" -> Seq("radio_a", "radio_b"), "core" -> Seq("core_x")))
+    // correction lands in the radio part only
+    val fix = Seq((1L, "2024-01-01 10:00:00", 42.0, 10.0))
+      .toDF("entity_id", "bucket", "radio_a", "radio_b")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    TrendStoreParts.upsertPart(spark, base, "radio", fix)
+    val back = TrendStoreParts.read(spark, base, Seq("radio", "core"))
+    val r = back.filter(col("entity_id") === 1L &&
+      col("bucket") === lit("2024-01-01 10:00:00").cast("timestamp")).head
+    assert(r.getAs[Double]("radio_a") === 42.0)
+    assert(r.getAs[Double]("core_x") === 100.0)
+    // a key present in one part only still appears in the wide view
+    val extra = Seq((9L, "2024-01-01 12:00:00", 7.0, 8.0))
+      .toDF("entity_id", "bucket", "radio_a", "radio_b")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    TrendStoreParts.upsertPart(spark, base, "radio", extra)
+    val w = TrendStoreParts.read(spark, base, Seq("radio", "core"))
+      .filter(col("entity_id") === 9L).head
+    assert(w.getAs[Double]("radio_a") === 7.0)
+    assert(w.isNullAt(w.fieldIndex("core_x")))
+  }
+}
