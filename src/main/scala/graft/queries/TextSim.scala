@@ -140,6 +140,19 @@ object TextSim {
         .orderBy(col("fingerprint"))
     },
 
+    // Embedding-cosine near-dup pairs, exact mode (the oracle-checked
+    // baseline; the LSH-bucketed scale path is spec-verified against
+    // this on planted near-duplicates). sim rounded to 6 decimals:
+    // DuckDB's list_cosine_similarity normalizes as sqrt(na²·nb²)
+    // while graft uses sqrt(na²)·sqrt(nb²) — identical to ~1e-15,
+    // not bit-identical.
+    "d09_embed_dup" -> { (s, dir) =>
+      Similarity.cosinePairs(TableCatalog(s, dir).embeddings, "vec_id", "embedding",
+          threshold = 0.5)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     "s01_cosine_topk" -> { (s, dir) =>
       val emb = TableCatalog(s, dir).embeddings
       Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb,
@@ -256,6 +269,14 @@ object TextSim {
         |fp AS (SELECT doc_id, min(md5(s)) AS fingerprint FROM sh GROUP BY 1)
         |SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc_id
         |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d09_embed_dup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "s01_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe

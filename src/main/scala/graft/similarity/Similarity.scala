@@ -116,6 +116,58 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: every (a, b), a < b, with
+    * cosine ≥ `threshold` — the embedding-space member of the dedup
+    * family (Dedup.* are token-space).
+    *
+    * Exact mode (`lsh = false`): score all N²/2 pairs via a broadcast
+    * cross product — the brute-force baseline, and the test oracle
+    * (DuckDB computes the same pair set). Quadratic by definition;
+    * correct at any threshold.
+    *
+    * LSH mode (`lsh = true`): the 100 TB path. Candidates = pairs
+    * sharing a sign-sketch bucket in ANY of `tables` independent
+    * sketches (OR-amplification), exact cosine verifies candidates
+    * only — same topology as Dedup.minhashLsh (banded candidates,
+    * bounded buckets, candidate-only verification). Recall for a pair
+    * at angle θ is 1 − (1 − (1 − θ/π)^planes)^tables, spec-asserted
+    * on planted near-duplicates. */
+  def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double, lsh: Boolean = false,
+                  planes: Int = 8, tables: Int = 4): DataFrame = {
+    val base = fanOut(corpus.select(col(idCol).as("id"), col(vecCol).as("__v")))
+      .withColumn("__n", norm(col("__v")))
+    val candidates =
+      if (!lsh) {
+        base.toDF("a_id", "__va", "__na")
+          .crossJoin(broadcast(base.toDF("b_id", "__vb", "__nb")))
+          .filter(col("a_id") < col("b_id"))
+      } else {
+        val tableSeeds = (0 until tables).map(t => 7L + 1000L * t)
+        val hashed = base.select((col("id") +: col("__v") +: col("__n") +:
+          tableSeeds.zipWithIndex.map { case (seed, t) =>
+            signBucket(col("__v"), planes, seed = seed).as(s"__b$t") }): _*)
+        val keys = hashed.select(col("id"), col("__v"), col("__n"),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("t"), col(s"__b$t").as("b"))): _*)).as("__tb"))
+          .select(col("id"), col("__v"), col("__n"),
+            col("__tb.t").as("__t"), col("__tb.b").as("__bucket"))
+        keys.toDF("a_id", "__va", "__na", "__ta", "__bucketa")
+          .join(keys.toDF("b_id", "__vb", "__nb", "__tb", "__bucketb"),
+            col("__ta") === col("__tb") && col("__bucketa") === col("__bucketb") &&
+              col("a_id") < col("b_id"))
+          .select(col("a_id"), col("__va"), col("__na"),
+            col("b_id"), col("__vb"), col("__nb"))
+      }
+    val scored = candidates
+      .select(col("a_id"), col("b_id"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+    // A pair can collide in several tables; dedupe AFTER scoring so
+    // the distinct shuffles three scalars, not the vectors.
+    if (lsh) scored.dropDuplicates("a_id", "b_id") else scored
+  }
+
   /** Per-group vector norm statistics (order-independent agg only:
     * min/max exact, mean via 6-decimal-rounded decimal sum). */
   def normStats(corpus: DataFrame, groupCol: String, vecCol: String): DataFrame =

@@ -50,6 +50,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"planted-neighbor recall $recall")
   }
 
+  test("cosinePairs: LSH path is sound and has high recall on planted near-dups") {
+    import graft.SparkSpec.spark.implicits._
+    // 30 planted near-dup pairs (cosine ≈ 0.99) among 240 random
+    // 32-dim vectors.
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val planted = (0 until 30).flatMap { i =>
+      val v = vec()
+      val w = v.map(x => x + 0.08f * rnd.nextGaussian().toFloat)
+      Seq((i * 2L, v), (i * 2L + 1, w))
+    }
+    val noise = (0 until 240).map(i => (1000L + i, vec()))
+    val df = (planted ++ noise).toDF("id", "embedding")
+    val exact = Similarity.cosinePairs(df, "id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.cosinePairs(df, "id", "embedding", 0.9, lsh = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact mode finds (at least) the planted pairs
+    val plantedPairs = (0 until 30).map(i => (i * 2L, i * 2L + 1)).toSet
+    assert(plantedPairs.forall(exact.contains), "exact mode missed a planted pair")
+    // soundness: every LSH pair is a true pair with the identical sim
+    lsh.foreach { case (pair, sim) =>
+      assert(exact.contains(pair) && math.abs(exact(pair) - sim) < 1e-12) }
+    // recall on the high-similarity regime LSH exists for
+    val recall = (plantedPairs count lsh.contains).toDouble / plantedPairs.size
+    assert(recall >= 0.9, s"cosinePairs LSH recall $recall")
+  }
+
   test("norm stats cover every label once") {
     val st = Similarity.normStats(emb, "label", "embedding")
     assert(st.count() === emb.select("label").distinct().count())
