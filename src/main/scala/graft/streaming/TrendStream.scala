@@ -2,6 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.TrendStoreWriter
 
 /** Structured-Streaming trend loading: Minerva's continuous harvest →
   * trend-store path, Spark-first. A stream of raw events becomes
@@ -34,4 +36,23 @@ object TrendStream {
         max(col(valueCol)).as("max_value"))
       .select(col("entity_id"), col("bucket.start").as("bucket"),
         col("cnt"), col("sum_dec"), col("max_value"))
+
+  /** Continuous loading: sink a windowed rollup stream into a trend
+    * store — the reference's continuous harvest → store loop closed
+    * end-to-end. Update output mode re-emits a bucket whenever late
+    * data changes it; each micro-batch is row-level upserted by
+    * (entity_id, bucket), so the store CONVERGES to what the batch
+    * rollup over the same data would produce (idempotent per bucket,
+    * exactly the property Minerva's trend upsert gives re-harvests).
+    * The upsert reads back only the day-partitions present in the
+    * batch, so steady-state cost is O(batch), not O(store). */
+  def toStore(rolled: DataFrame, storePath: String, checkpointDir: String): StreamingQuery = {
+    val sink = (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) TrendStoreWriter.upsert(batch.sparkSession, storePath, batch)
+    rolled.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(sink)
+      .start()
+  }
 }

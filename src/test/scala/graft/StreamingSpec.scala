@@ -36,6 +36,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous loading: streamed rollups upsert into a trend store and converge") {
+    import graft.SparkSpec.spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_cl_src").toString
+    val store = Files.createTempDirectory("graft_cl").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_cl_ckpt").toString
+    def batch(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("user_id", "ts", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    // first micro-batch: two entities, one hour
+    batch(Seq((1L, "2024-01-01 10:05:00", 1.0), (2L, "2024-01-01 10:10:00", 2.0)))
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val rolled = TrendStream.windowedRollup(stream, "user_id", "ts", "value",
+      "1 hour", "24 hours")
+    val q = TrendStream.toStore(rolled, store, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(store).count() === 2)
+      // late row updates an existing bucket; a new row opens another
+      batch(Seq((1L, "2024-01-01 10:45:00", 4.0), (1L, "2024-01-01 11:05:00", 8.0)))
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val got = spark.read.parquet(store)
+        .select(col("entity_id"), col("bucket"), col("cnt"),
+          col("sum_dec").cast("double").as("sum_value"))
+      val want = graft.operators.TrendStore.rollup(
+          spark.read.parquet(srcDir), col("user_id"), col("ts"), col("value"), "hour")
+        .select(col("entity_id"), col("bucket"), col("cnt"),
+          col("sum_dec").cast("double").as("sum_value"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionization: batch twin agrees on closed sessions") {
     import graft.SparkSpec.spark.implicits._
     val evs = TableCatalog(spark, sf).events
