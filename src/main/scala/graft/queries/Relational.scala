@@ -75,10 +75,17 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Anti-join restricted to recent orders so the result is
+    // non-vacuous on the test data (every customer has SOME order;
+    // "no orders since 1997" isolates the inactive ones). The date
+    // filter lands on the orders scan (pushed), the anti-join stays
+    // one shuffle.
     "q05_no_orders_anti" -> { (s, dir) =>
       val c = TableCatalog(s, dir)
       c.customer
-        .join(c.orders.select(col("o_custkey")),
+        .join(c.orders
+            .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"),
@@ -186,7 +193,8 @@ object Relational {
       """SELECT c_mktsegment, count(*) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
         |FROM customer WHERE NOT EXISTS (
-        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q06_selective_filter" ->

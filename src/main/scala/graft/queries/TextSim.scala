@@ -140,6 +140,20 @@ object TextSim {
         .orderBy(col("fingerprint"))
     },
 
+    // BPE-ish token counting: letter runs / digit runs / punctuation
+    // runs — the pre-tokenizer split every byte-pair vocabulary
+    // starts from, as one codegen'd regexp per row (same RE2-safe
+    // pattern on both engines).
+    "d10_bpe_tokens" -> { (s, dir) =>
+      val toks = regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))
+      TableCatalog(s, dir).documents
+        .select(col("doc_id"),
+          size(toks).as("n_bpe_tokens"),
+          size(array_distinct(toks)).as("n_uniq_bpe"))
+        .orderBy(col("doc_id"))
+    },
+
     // Embedding-cosine near-dup pairs, exact mode (the oracle-checked
     // baseline; the LSH-bucketed scale path is spec-verified against
     // this on planted near-duplicates). sim rounded to 6 decimals:
@@ -148,7 +162,7 @@ object TextSim {
     // not bit-identical.
     "d09_embed_dup" -> { (s, dir) =>
       Similarity.cosinePairs(TableCatalog(s, dir).embeddings, "vec_id", "embedding",
-          threshold = 0.5)
+          threshold = 0.45)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy(col("a_id"), col("b_id"))
     },
@@ -184,7 +198,7 @@ object TextSim {
         .orderBy(col("doc_id"))
     },
 
-    "m02_feature_stub" -> { (s, dir) =>
+    "m02_decode_features" -> { (s, dir) =>
       val docs = Multimodal.withPayload(TableCatalog(s, dir).documents, "text")
       Multimodal.extractFeatures(s, docs, "doc_id").toDF()
         .orderBy(col("doc_id"))
@@ -270,12 +284,18 @@ object TextSim {
         |SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc_id
         |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "d10_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens,
+        |  len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS n_uniq_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "d09_embed_dup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
 
     "s01_cosine_topk" ->

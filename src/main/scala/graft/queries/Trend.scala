@@ -140,6 +140,22 @@ object Trend {
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), TS).as("ts"), col("k"), col("value"))
         .orderBy(col("event_id"))
+    },
+
+    // Batch sessionization (3 h inactivity gap) — the batch twin of
+    // streaming.Sessionize, now oracle-checked: gap-flag + running
+    // sum assigns session ids in ONE shuffle on the entity key.
+    "t13_sessions" -> { (s, dir) =>
+      import s.implicits._
+      val evs = TableCatalog(s, dir).events
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.Sessionize.Ev]
+      graft.streaming.Sessionize.sessionsBatch(evs, 3 * 3600 * 1000L).toDF()
+        .select(col("user_id"),
+          date_format(col("session_start"), TS).as("session_start"),
+          date_format(col("session_end"), TS).as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
     }
   )
 
@@ -248,6 +264,23 @@ object Trend {
         |  CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS k, value
         |FROM events WHERE event_type = 'error'
         |  AND CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) >= 50
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "t13_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |        PARTITION BY user_id ORDER BY ts)) > 10800000000 THEN 1 ELSE 0 END AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, sum(gap) OVER (
+        |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }
