@@ -181,6 +181,16 @@ object TextSim {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // IVF ANN (rows-only like s02: approximate by design; planted
+    // recall asserted in SimilaritySpec). Includes the k-means
+    // training job — an honest end-to-end cost.
+    "s04_ann_ivf" -> { (s, dir) =>
+      val emb = TableCatalog(s, dir).embeddings
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     "s03_vector_norms" -> { (s, dir) =>
       Similarity.normStats(TableCatalog(s, dir).embeddings, "label", "embedding")
         .select(col("grp"), col("n_vecs"),

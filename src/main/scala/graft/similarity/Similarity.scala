@@ -168,6 +168,57 @@ object Similarity {
     if (lsh) scored.dropDuplicates("a_id", "b_id") else scored
   }
 
+  /** IVF (inverted-file) approximate top-k — the cluster-pruned ANN
+    * topology, complementing `lshTopK`'s hash-bucketed one.
+    *
+    * Train: k-means coarse quantizer (MLlib, fixed seed) over the
+    * corpus — a one-off O(iterations × k × N) batch job whose output
+    * is just `k` centroid vectors. Index: each corpus vector joins
+    * its nearest centroid's cell (argmax of 2·v·cᵢ − ‖cᵢ‖², k dot
+    * products per row against broadcast centroid literals — no
+    * shuffle). Search: each query probes its `nprobe` nearest cells;
+    * only those cells' vectors are scored exactly. At 10⁹ vectors
+    * with k = √N cells, a probe touches nprobe·√N vectors instead of
+    * N — and the cell assignment doubles as a physical partitioning
+    * key for the stored index. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+              cId: String, vecCol: String, k: Int,
+              nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = fanOut(corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
+      .withColumn("__cn", norm(col("__cv")))
+    val train = c.select(array_to_vector(col("__cv").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20).fit(train)
+    val cents = model.clusterCenters.map(_.toArray)
+
+    // 2·v·cᵢ − ‖cᵢ‖² ranks cells by distance to v without computing ‖v‖².
+    def cellScores(vec: Column): Column = array(cents.map { cent =>
+      dot(vec, typedLit(cent)) * 2.0 - lit(cent.map(x => x * x).sum)
+    }: _*)
+    val corpusCells = c.withColumn("__scores", cellScores(col("__cv")))
+      .withColumn("__cell", expr("array_position(__scores, array_max(__scores))"))
+      .drop("__scores")
+    val probed = queries
+      .select(col(qId).as("q_id"), col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+      .withColumn("__scores", cellScores(col("__qv")))
+      .withColumn("__cell", explode(expr(
+        s"slice(array_sort(transform(__scores, (s, i) -> struct(-s AS d, i + 1 AS c))), 1, $nprobe).c")))
+      .drop("__scores")
+    val scored = corpusCells
+      .join(broadcast(probed), "__cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
+      .dropDuplicates("q_id", "n_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"))
+  }
+
   /** Per-group vector norm statistics (order-independent agg only:
     * min/max exact, mean via 6-decimal-rounded decimal sum). */
   def normStats(corpus: DataFrame, groupCol: String, vecCol: String): DataFrame =
