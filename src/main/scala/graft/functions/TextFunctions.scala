@@ -107,4 +107,24 @@ object TextFunctions {
     val esc = marker.replace("'", "''")
     (length(col(textCol)) - length(expr(s"replace($textCol, '$esc', '')"))) / marker.length
   }
+
+  /** Winnowing (the MOSS rolling-hash fingerprint scheme), as two
+    * composable HOF expressions — no UDF, no shuffle. `gramHashes`
+    * hashes every char `k`-gram; `winnowMins` takes the minimum of
+    * each sliding window of `w` hashes. Any two documents sharing a
+    * sufficiently long substring share a fingerprint, with guaranteed
+    * density 2/(w+1). md5 as the gram hash keeps the result portable
+    * across engines (the DuckDB oracle replays it string-for-string).
+    * Compute `gramHashes` into its own column first — inlining it
+    * into `winnowMins` would re-evaluate the hash pass per reference. */
+  def gramHashes(textCol: String, k: Int = 8): Column =
+    expr(s"""CASE WHEN length($textCol) >= $k
+      THEN transform(sequence(1, length($textCol) - ${k - 1}), i -> md5(substring($textCol, i, $k)))
+      ELSE cast(array() AS array<string>) END""")
+
+  def winnowMins(hsCol: String, w: Int = 4): Column =
+    expr(s"""CASE WHEN size($hsCol) >= $w
+      THEN transform(sequence(1, size($hsCol) - ${w - 1}), j -> array_min(slice($hsCol, j, $w)))
+      WHEN size($hsCol) > 0 THEN array(array_min($hsCol))
+      ELSE cast(array() AS array<string>) END""")
 }

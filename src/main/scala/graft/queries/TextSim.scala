@@ -140,6 +140,20 @@ object TextSim {
         .orderBy(col("fingerprint"))
     },
 
+    // Winnowing fingerprints (MOSS rolling hash): char 8-gram hashes,
+    // window-4 minima. Reported per doc as count + min/max fingerprint
+    // (scalar projections of the set, so the hash-compare applies).
+    "d11_winnow" -> { (s, dir) =>
+      TableCatalog(s, dir).documents
+        .withColumn("__hs", TextFunctions.gramHashes("text", 8))
+        .withColumn("__wins", TextFunctions.winnowMins("__hs", 4))
+        .select(col("doc_id"),
+          size(array_distinct(col("__wins"))).as("n_fps"),
+          array_min(col("__wins")).as("min_fp"),
+          array_max(col("__wins")).as("max_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // BPE-ish token counting: letter runs / digit runs / punctuation
     // runs — the pre-tokenizer split every byte-pair vocabulary
     // starts from, as one codegen'd regexp per row (same RE2-safe
@@ -293,6 +307,20 @@ object TextSim {
         |fp AS (SELECT doc_id, min(md5(s)) AS fingerprint FROM sh GROUP BY 1)
         |SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc_id
         |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d11_winnow" ->
+      """WITH hs AS (SELECT doc_id,
+        |  CASE WHEN length(text) >= 8
+        |    THEN list_transform(generate_series(1, length(text) - 7), i -> md5(substr(text, i, 8)))
+        |    ELSE [] END AS hs FROM documents),
+        |w AS (SELECT doc_id,
+        |  CASE WHEN len(hs) >= 4
+        |    THEN list_transform(generate_series(1, len(hs) - 3), j -> list_min(hs[j:j+3]))
+        |    WHEN len(hs) > 0 THEN [list_min(hs)]
+        |    ELSE [] END AS wins FROM hs)
+        |SELECT doc_id, len(list_distinct(wins)) AS n_fps,
+        |  list_min(wins) AS min_fp, list_max(wins) AS max_fp
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "d10_bpe_tokens" ->
       """SELECT doc_id,

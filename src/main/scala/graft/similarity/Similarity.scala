@@ -190,7 +190,11 @@ object Similarity {
     val c = fanOut(corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
       .withColumn("__cn", norm(col("__cv")))
     val train = c.select(array_to_vector(col("__cv").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20).fit(train)
+    // Few Lloyd iterations suffice: cells only gate which vectors get
+    // exact scoring, so centroid convergence past "roughly balanced"
+    // buys no recall — each iteration is 2 Spark jobs, and at 10⁹
+    // vectors you'd train on a sample anyway.
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8).fit(train)
     val cents = model.clusterCenters.map(_.toArray)
 
     // 2·v·cᵢ − ‖cᵢ‖² ranks cells by distance to v without computing ‖v‖².

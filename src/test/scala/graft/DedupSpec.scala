@@ -89,6 +89,25 @@ class DedupSpec extends SparkSpec {
     assert(fp.filter(col("n_docs") > 1).count() > 0)
   }
 
+  test("winnowing: docs sharing a long substring share a fingerprint") {
+    import graft.SparkSpec.spark.implicits._
+    val shared = "a very distinctive shared passage of text here"
+    val df = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"totally different lead-in $shared and another tail"),
+      (3L, "nothing in common with the others at all, separate text"))
+      .toDF("doc_id", "text")
+      .withColumn("__hs", graft.functions.TextFunctions.gramHashes("text", 8))
+      .withColumn("fps", array_distinct(graft.functions.TextFunctions.winnowMins("__hs", 4)))
+    val fps = df.select("doc_id", "fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    // guaranteed by winnowing: a shared substring of length >= k+w-1
+    // (11 chars here, shared passage is 46) yields a shared fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // and fingerprint density is ~2/(w+1), not the full gram set
+    assert(fps(1L).size < 40)
+  }
+
   test("shingles are distinct, ordered n-grams") {
     import graft.SparkSpec.spark.implicits._
     val df = Seq("a b c d", "x y", "").toDF("text")
