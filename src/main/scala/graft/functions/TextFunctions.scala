@@ -65,14 +65,6 @@ object TextFunctions {
       .otherwise(array().cast("array<bigint>"))
   }
 
-  /** LSH band keys for a minhash signature: bands × rows must equal
-    * the signature length. Emits `bands` strings; documents sharing
-    * any band key are near-dup candidates. */
-  def lshBands(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      concat_ws("#", b.cast("string"),
-        md5(concat_ws(",", transform(slice(sig, b * rows + 1, lit(rows)), _.cast("string"))))))
-
   // ---------------------------------------------------------------- SimHash
 
   /** 62-bit SimHash over a tokens column (by name): per-bit ±1 votes
@@ -90,13 +82,6 @@ object TextFunctions {
        |  acc -> aggregate(sequence(0, 61), 0L, (s, j) ->
        |    s + CASE WHEN element_at(acc, CAST(j + 1 AS INT)) > 0
        |      THEN shiftleft(1L, CAST(j AS INT)) ELSE 0L END))""".stripMargin)
-
-  /** 16-bit band keys of a SimHash fingerprint column (by name), 4
-    * bands: a pair within hamming distance 3 shares at least one band
-    * by pigeonhole, so candidate generation is a band-key join, not an
-    * O(n²) cross product. */
-  def simhashBandsExpr(fpCol: String): Column =
-    expr(s"transform(sequence(0, 3), b -> concat(CAST(b AS STRING), '#', CAST(($fpCol >> (b * 16)) & 65535 AS STRING)))")
 
   // ------------------------------------------------------------- Quality
 
