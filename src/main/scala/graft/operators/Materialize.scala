@@ -38,11 +38,18 @@ object Materialize {
     source.groupBy(to_date(ts).as("day"))
       .agg(max(ts).as("last_modified"), count(lit(1)).as("n_rows"))
 
-  /** Days needing (re)materialization: no state row yet, or source
-    * data newer than the recorded watermark. */
+  /** Days needing (re)materialization: no state row yet, source data
+    * newer than the recorded watermark, or a row-count change. The
+    * count check matters because the watermark is the max EVENT
+    * timestamp: a late row landing EARLIER in an already-seen day
+    * leaves the max unchanged, and on watermark alone that day would
+    * silently never be recomputed. */
   def dirtySet(modLog: DataFrame, state: DataFrame): DataFrame =
-    modLog.join(state.select(col("day"), col("watermark")), Seq("day"), "left")
-      .filter(col("watermark").isNull || col("last_modified") > col("watermark"))
+    modLog.join(
+        state.select(col("day"), col("watermark"), col("n_rows").as("__state_rows")),
+        Seq("day"), "left")
+      .filter(col("watermark").isNull || col("last_modified") > col("watermark") ||
+        col("n_rows") =!= col("__state_rows"))
       .select(col("day"), col("last_modified"), col("n_rows"))
 
   private def emptyState(spark: SparkSession): DataFrame = {
