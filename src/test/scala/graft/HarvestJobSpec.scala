@@ -59,4 +59,25 @@ class HarvestJobSpec extends SparkSpec {
     assert(after.count() === 4)
     assert(after.agg(sum("v")).head.getDouble(0) === 109.0)
   }
+
+  test("jsonlines plugin: same canonical package path as csv") {
+    val src = Files.createTempDirectory("graft_job_jsonl").toString
+    val base = Files.createTempDirectory("graft_job_jsonl_store").toString
+    Files.writeString(Path.of(src, "b1.jsonl"),
+      """{"dn": "Cell=7", "timestamp": "2024-02-01 09:00:00", "v": 2.5}
+        |{"dn": "Cell=8", "timestamp": "2024-02-01 09:15:00", "v": 4.5}
+        |""".stripMargin)
+    val job = HarvestJob.Job(
+      sourceDir = src, format = "jsonlines",
+      dnCol = "dn", entityComponent = "Cell",
+      tsCol = "timestamp", tsFormat = "yyyy-MM-dd HH:mm:ss",
+      granularity = "15m",
+      storePath = s"$base/store", statePath = s"$base/state",
+      pattern = ".*\\.jsonl")
+    val r = HarvestJob.run(spark, job)
+    assert(r.processed.size === 1)
+    val store = TrendStoreWriter.read(spark, job.storePath)
+    assert(store.count() === 2)
+    assert(store.filter(col("entity_name") === "8").head.getAs[Double]("v") === 4.5)
+  }
 }
