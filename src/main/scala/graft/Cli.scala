@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.operators.{Aggregation, Materialize, TrendStoreWriter}
+import graft.sources.HarvestJob
+
+/** Thin CLI over the library — the `minerva harvest` / `minerva
+  * materialize` / `minerva aggregation` command surface
+  * (python-minerva-etl's entry points), so the batch jobs a reference
+  * deployment schedules translate one-for-one:
+  *
+  * {{{
+  * graft.Cli harvest --source DIR --format csv --dn-col dn \
+  *   --entity-component Cell --ts-col timestamp \
+  *   --ts-format 'yyyy-MM-dd HH:mm:ss' --granularity 15m \
+  *   --store S --state ST [--pattern RE] [--row-tag row]
+  * graft.Cli materialize --source PARQUET --entity C --ts C --value C \
+  *   --granularity hour --store S --state ST
+  * graft.Cli aggregate --source PARQUET --entity C --ts C \
+  *   --granularity day --metric value:sum:sum_v [--metric …] --out OUT
+  * }}}
+  *
+  * All heavy lifting stays in the library operators; the CLI only
+  * parses flags and reports what happened on stdout.
+  */
+object Cli {
+
+  private def parseFlags(args: Seq[String]): Map[String, Seq[String]] =
+    args.grouped(2).foldLeft(Map.empty[String, Seq[String]]) {
+      case (acc, Seq(flag, value)) if flag.startsWith("--") =>
+        acc.updated(flag.drop(2), acc.getOrElse(flag.drop(2), Seq.empty) :+ value)
+      case (_, other) =>
+        throw new IllegalArgumentException(s"expected --flag value pairs, got: ${other.mkString(" ")}")
+    }
+
+  private def one(flags: Map[String, Seq[String]], name: String): String =
+    flags.getOrElse(name, throw new IllegalArgumentException(s"missing --$name")).last
+
+  private def opt(flags: Map[String, Seq[String]], name: String, default: String): String =
+    flags.get(name).map(_.last).getOrElse(default)
+
+  def run(spark: SparkSession, args: Seq[String]): Unit = args.toList match {
+    case "harvest" :: rest =>
+      val f = parseFlags(rest)
+      val result = HarvestJob.run(spark, HarvestJob.Job(
+        sourceDir = one(f, "source"), format = one(f, "format"),
+        dnCol = one(f, "dn-col"), entityComponent = one(f, "entity-component"),
+        tsCol = one(f, "ts-col"), tsFormat = one(f, "ts-format"),
+        granularity = one(f, "granularity"),
+        storePath = one(f, "store"), statePath = one(f, "state"),
+        pattern = opt(f, "pattern", ".*"), rowTag = opt(f, "row-tag", "row")))
+      println(s"harvest: processed=${result.processed.size} skipped=${result.skipped.size}")
+
+    case "materialize" :: rest =>
+      val f = parseFlags(rest)
+      val source = spark.read.parquet(one(f, "source"))
+      val dirty = Materialize.run(source,
+        col(one(f, "entity")), col(one(f, "ts")), col(one(f, "value")),
+        one(f, "granularity"), one(f, "state"), one(f, "store"))
+      println(s"materialize: dirty_days=${dirty.length}")
+
+    case "aggregate" :: rest =>
+      val f = parseFlags(rest)
+      val metrics = f.getOrElse("metric",
+        throw new IllegalArgumentException("at least one --metric source:fn:alias required"))
+        .map(_.split(":") match {
+          case Array(src, fn, as) => Aggregation.MetricAgg(src, fn, as)
+          case other => throw new IllegalArgumentException(
+            s"--metric must be source:fn:alias, got: ${other.mkString(":")}")
+        })
+      val source = spark.read.parquet(one(f, "source"))
+      val out = Aggregation.compile(
+        Aggregation.AggregationDef(one(f, "granularity"), metrics))(
+        source, col(one(f, "entity")), col(one(f, "ts")))
+      TrendStoreWriter.write(out, one(f, "out"))
+      println(s"aggregate: metrics=${metrics.size} out=${one(f, "out")}")
+
+    case cmd =>
+      throw new IllegalArgumentException(
+        s"unknown command: ${cmd.headOption.getOrElse("")} (expected harvest|materialize|aggregate)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session("graft-cli")
+    try run(spark, args.toSeq) finally spark.stop()
+  }
+}

@@ -116,13 +116,24 @@ object TextSim {
     },
 
     "d06_quality" -> { (s, dir) =>
+      // stopword hits reuse the en profile; punct = non-alnum,
+      // non-space chars. All ratios are double divisions of int
+      // counts — bit-stable across engines.
+      val stopHits = Seq("the", "and", "with")
+        .map(w => TextFunctions.occurrences("__pt", s" $w "))
+        .reduce(_ + _)
       TableCatalog(s, dir).documents
+        .withColumn("__pt", concat(lit(" "), col("text"), lit(" ")))
         .select(col("doc_id"),
           length(col("text")).as("n_chars_m"),
           size(TextFunctions.tokens(col("text"))).as("n_tokens"),
           length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("n_alpha"),
-          (length(col("text")) - length(expr("replace(text, ' ', '')"))).as("n_spaces"))
+          length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).as("n_punct"),
+          (length(col("text")) - length(expr("replace(text, ' ', '')"))).as("n_spaces"),
+          stopHits.as("n_stopwords"))
         .withColumn("alpha_ratio", col("n_alpha") / col("n_chars_m"))
+        .withColumn("punct_ratio", col("n_punct") / col("n_chars_m"))
+        .withColumn("stopword_ratio", col("n_stopwords") / col("n_tokens"))
         .withColumn("avg_token_len", (col("n_chars_m") - col("n_spaces")) / col("n_tokens"))
         .orderBy(col("doc_id"))
     },
@@ -286,14 +297,24 @@ object TextSim {
     "d05_lang_score" -> langScoreSql,
 
     "d06_quality" ->
-      """SELECT doc_id, length(text) AS n_chars_m,
+      """WITH p AS (SELECT doc_id, text, ' ' || text || ' ' AS pt FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  (length(pt) - length(replace(pt, ' the ', ''))) / 5 +
+        |  (length(pt) - length(replace(pt, ' and ', ''))) / 5 +
+        |  (length(pt) - length(replace(pt, ' with ', ''))) / 6 AS n_stopwords
+        |FROM p)
+        |SELECT doc_id, length(text) AS n_chars_m,
         |  len(string_split(text, ' ')) AS n_tokens,
         |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+        |  length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
         |  length(text) - length(replace(text, ' ', '')) AS n_spaces,
+        |  n_stopwords,
         |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
+        |  length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / length(text) AS punct_ratio,
+        |  n_stopwords / len(string_split(text, ' ')) AS stopword_ratio,
         |  (length(text) - (length(text) - length(replace(text, ' ', '')))) /
         |    len(string_split(text, ' ')) AS avg_token_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "d07_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

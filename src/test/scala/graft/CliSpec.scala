@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import graft.operators.TrendStoreWriter
+
+class CliSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("harvest command runs a job end-to-end") {
+    val src = Files.createTempDirectory("graft_cli_src").toString
+    val base = Files.createTempDirectory("graft_cli").toString
+    Files.writeString(Path.of(src, "a.csv"),
+      "dn,timestamp,v\nCell=1,2024-01-01 10:00:00,5.0\nCell=2,2024-01-01 10:05:00,6.0\n")
+    Cli.run(spark, Seq("harvest",
+      "--source", src, "--format", "csv",
+      "--dn-col", "dn", "--entity-component", "Cell",
+      "--ts-col", "timestamp", "--ts-format", "yyyy-MM-dd HH:mm:ss",
+      "--granularity", "15m",
+      "--store", s"$base/store", "--state", s"$base/state",
+      "--pattern", ".*\\.csv"))
+    assert(TrendStoreWriter.read(spark, s"$base/store").count() === 2)
+  }
+
+  test("materialize and aggregate commands produce stores") {
+    val base = Files.createTempDirectory("graft_cli_mat").toString
+    Seq((1L, "2024-01-01 10:05:00", 1.0), (1L, "2024-01-01 10:35:00", 2.0),
+      (2L, "2024-01-02 09:00:00", 7.0))
+      .toDF("entity_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.parquet(s"$base/src")
+    Cli.run(spark, Seq("materialize",
+      "--source", s"$base/src", "--entity", "entity_id", "--ts", "ts",
+      "--value", "value", "--granularity", "hour",
+      "--store", s"$base/store", "--state", s"$base/state"))
+    assert(TrendStoreWriter.read(spark, s"$base/store").count() === 2)
+
+    Cli.run(spark, Seq("aggregate",
+      "--source", s"$base/src", "--entity", "entity_id", "--ts", "ts",
+      "--granularity", "day",
+      "--metric", "value:sum:sum_v", "--metric", "value:count:cnt",
+      "--out", s"$base/agg"))
+    val agg = spark.read.parquet(s"$base/agg")
+    assert(agg.count() === 2)
+    assert(agg.filter(col("entity_id") === 1L).head.getAs[Double]("sum_v") === 3.0)
+
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("nonsense"))
+    }
+  }
+}
