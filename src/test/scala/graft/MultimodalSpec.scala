@@ -36,6 +36,58 @@ class MultimodalSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("resize re-encodes decodable payloads at the target size") {
+    import graft.SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, png(16, 8, (_, _) => 0x808080)),
+      (2L, "definitely not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val r = Multimodal.resizeImages(spark, docs, "doc_id", 4, 4)
+      .collect().map(p => p.doc_id -> p).toMap
+    assert(r(1L).ok && r(1L).width === 4 && r(1L).height === 4)
+    // round-trip: the resized payload is a valid 4x4 image
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r(1L).payload))
+    assert(back.getWidth === 4 && back.getHeight === 4)
+    assert(back.getRGB(2, 2) === 0xff808080) // uniform grey survives scaling
+    assert(!r(2L).ok && r(2L).payload.isEmpty)
+    // deterministic under repartitioning (batch boundaries don't matter)
+    val again = Multimodal.resizeImages(spark, docs.repartition(5), "doc_id", 4, 4)
+      .collect().map(p => p.doc_id -> p.payload.toSeq).toMap
+    assert(again(1L) === r(1L).payload.toSeq)
+  }
+
+  private def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(
+      new javax.imageio.IIOImage(f, null, null), writer.getDefaultWriteParam))
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  test("frame sampling reads every step-th frame of a multi-frame payload") {
+    import graft.SparkSpec.spark.implicits._
+    def grey(v: Int) = {
+      val im = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 3) im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      im
+    }
+    val gif = animatedGif(Seq(grey(10), grey(60), grey(110), grey(160)))
+    val docs = Seq((1L, gif), (2L, "noise".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(spark, docs, "doc_id", step = 2)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(frames.map(f => (f.doc_id, f.frame_idx)).toSeq === Seq((1L, 0), (1L, 2)))
+    assert(frames.forall(f => f.width === 3 && f.height === 2))
+    assert(frames.map(_.mean_luma).toSeq === Seq(10.0, 110.0))
+    // step 1 reads all four frames
+    assert(Multimodal.sampleFrames(spark, docs, "doc_id", step = 1).count() === 4)
+  }
+
   test("real image payloads decode to (width, height, mean_luma)") {
     import graft.SparkSpec.spark.implicits._
     val white = png(3, 2, (_, _) => 0xffffff)          // luma 255
