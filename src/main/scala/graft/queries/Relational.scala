@@ -144,6 +144,59 @@ object Relational {
       ev.groupBy(col("user_id"))
         .agg(aggs.head, aggs.tail: _*)
         .orderBy(col("user_id"))
+    },
+
+    // ROLLUP subtotals: per-(region, nation), per-region, and grand
+    // total in one pass — Spark expands the grouping sets before the
+    // single shuffle (partial agg still applies). Subtotal NULLs are
+    // coalesced to 'ALL' so ordering and hashing are engine-neutral.
+    "q11_rollup_sets" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      c.customer
+        .join(broadcast(c.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(c.region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          Fx.dsum(col("c_acctbal")).as("sum_acctbal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+          coalesce(col("n_name"), lit("ALL")).as("n_name"),
+          col("n_customers"), col("sum_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // INTERSECT / EXCEPT set algebra over two derived sets: nations
+    // with BUILDING customers vs nations with high-balance suppliers.
+    // Both set ops lower to aggregate/join shapes (one shuffle each on
+    // the 25-row name sets — the big tables reduce first).
+    "q12_intersect_except" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val custNations = c.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(broadcast(c.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"))
+      val suppNations = c.supplier.filter(col("s_acctbal") > 5000)
+        .join(broadcast(c.nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"))
+      custNations.intersect(suppNations).withColumn("src", lit("both"))
+        .union(custNations.except(suppNations).withColumn("src", lit("cust_only")))
+        .select(col("src"), col("n_name"))
+        .orderBy(col("src"), col("n_name"))
+    },
+
+    // Correlated scalar subquery — orders above their customer's
+    // average price. The correlation lowers to per-customer window
+    // aggregates (one shuffle on the correlation key, no re-scan per
+    // row). The comparison is cross-multiplied (price·n > Σprice) so
+    // both engines compare exact decimals, never a divided float.
+    "q13_scalar_subquery" -> { (s, dir) =>
+      val o = TableCatalog(s, dir).orders
+      val w = Window.partitionBy(col("o_custkey"))
+      o.withColumn("__n", count(lit(1)).over(w))
+        .withColumn("__sum", sum(Fx.dec(col("o_totalprice"))).over(w))
+        .filter(Fx.dec(col("o_totalprice")) * col("__n") > col("__sum"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_above"),
+          Fx.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 
@@ -234,6 +287,35 @@ object Relational {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS signup_sum,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS error_sum,
         |  count(*) AS n_events
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q11_rollup_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+        |  count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q12_intersect_except" ->
+      """WITH cust AS (SELECT DISTINCT n_name FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey WHERE c_mktsegment = 'BUILDING'),
+        |supp AS (SELECT DISTINCT n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey WHERE s_acctbal > 5000)
+        |SELECT 'both' AS src, n_name FROM (SELECT n_name FROM cust INTERSECT SELECT n_name FROM supp)
+        |UNION ALL
+        |SELECT 'cust_only' AS src, n_name FROM (SELECT n_name FROM cust EXCEPT SELECT n_name FROM supp)
+        |ORDER BY src, n_name""".stripMargin,
+
+    "q13_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_above,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+        |    (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -73,11 +73,13 @@ object Similarity {
     * sketches (OR-amplification), each probed at the query's bucket
     * and every hamming-1 neighbor bucket (multi-probe); exact cosine
     * re-ranks the union of candidates. Probes explode on the query
-    * side (queries ≪ corpus), so the corpus is hashed once per table
-    * and never cross-joined. At billions of vectors this bounds the
-    * scored pairs to tables × (planes+1) × bucket-size per query,
-    * versus N for brute force; recall amplifies as
-    * 1 − (1 − p_table)^tables. */
+    * side (queries ≪ corpus); the corpus is scanned ONCE — all
+    * `tables` sketches compute in one native pass per row and the
+    * (table, bucket) keys explode into the single broadcast hash
+    * join (a per-table join would re-scan the corpus `tables`
+    * times). At billions of vectors this bounds the scored pairs to
+    * tables × (planes+1) × bucket-size per query, versus N for brute
+    * force; recall amplifies as 1 − (1 − p_table)^tables. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, qId: String,
               cId: String, vecCol: String, k: Int, planes: Int = 8,
               tables: Int = 4): DataFrame = {
@@ -87,6 +89,11 @@ object Similarity {
         norm(col("__cv")).as("__cn") +:
         tableSeeds.zipWithIndex.map { case (seed, t) =>
           signBucket(col("__cv"), planes, seed = seed).as(s"__b$t") }): _*)
+      .select(col("n_id"), col("__cv"), col("__cn"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), col(s"__b$t").as("b"))): _*)).as("__tb"))
+      .select(col("n_id"), col("__cv"), col("__cn"),
+        col("__tb.t").as("__t"), col("__tb.b").as("__bucket"))
     val probed = queries.select((col(qId).as("q_id") +: col(vecCol).as("__qv") +:
         norm(col(vecCol)).as("__qn") +:
         tableSeeds.zipWithIndex.map { case (seed, t) =>
@@ -98,13 +105,8 @@ object Similarity {
       } yield struct(lit(t).as("t"), probe.as("b"))): _*)).as("__probe"))
       .select(col("q_id"), col("__qv"), col("__qn"),
         col("__probe.t").as("__t"), col("__probe.b").as("__bucket"))
-    val scored = (0 until tables).map { t =>
-        c.select(col("n_id"), col("__cv"), col("__cn"), col(s"__b$t").as("__bucket"))
-          .join(broadcast(probed.filter(col("__t") === t)
-            .select(col("q_id"), col("__qv"), col("__qn"), col("__bucket"))), "__bucket")
-          .select(col("q_id"), col("n_id"), col("__qv"), col("__cv"),
-            col("__qn"), col("__cn"))
-      }.reduce(_ union _)
+    val scored = c
+      .join(broadcast(probed), Seq("__t", "__bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
@@ -184,18 +186,20 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, qId: String,
               cId: String, vecCol: String, k: Int,
               nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val c = fanOut(corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
       .withColumn("__cn", norm(col("__cv")))
-    val train = c.select(array_to_vector(col("__cv").cast("array<double>")).as("features"))
-    // Few Lloyd iterations suffice: cells only gate which vectors get
-    // exact scoring, so centroid convergence past "roughly balanced"
-    // buys no recall — each iteration is 2 Spark jobs, and at 10⁹
-    // vectors you'd train on a sample anyway.
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8).fit(train)
-    val cents = model.clusterCenters.map(_.toArray)
+    // Train the coarse quantizer on a bounded sample, driver-side:
+    // cells only gate which vectors get exact scoring, so centroid
+    // quality past "roughly balanced" buys no recall. The collect is
+    // O(nCells·256) rows — independent of N, ~2 MB at 64 dims — so at
+    // 10⁹ vectors the quantizer still trains in milliseconds, where a
+    // distributed k-means would pay tens of scheduler round-trips to
+    // cluster a few thousand points.
+    // Sample straight off the scan (pre-fanOut): a LocalLimit needs no
+    // shuffle, and sample order only seeds the init.
+    val sample = corpus.select(col(vecCol)).limit(nCells * 256).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cents = lloyd(sample, nCells, iters = 8, seed)
 
     // 2·v·cᵢ − ‖cᵢ‖² ranks cells by distance to v without computing ‖v‖².
     def cellScores(vec: Column): Column = array(cents.map { cent =>
@@ -221,6 +225,49 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"))
+  }
+
+  /** Seeded Lloyd k-means over an in-memory sample (the IVF coarse
+    * quantizer). Deterministic: init = evenly-strided sample points,
+    * ties to the lowest cell index. Empty cells keep their previous
+    * centroid. */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+                    seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "IVF training sample is empty")
+    val dims = points.head.length
+    val kEff = math.min(k, points.length)
+    // Evenly-strided init is deterministic under a fixed sample order
+    // and spreads starts across the sample; the seed keeps the
+    // signature stable if a randomized init ever replaces it.
+    val cents = Array.tabulate(kEff)(i => points((i.toLong * points.length / kEff).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kEff, dims)(0.0)
+      val counts = new Array[Long](kEff)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < kEff) {
+          var d = 0.0; var j = 0
+          while (j < dims) { val t = p(j) - cents(ci)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        var j = 0
+        while (j < dims) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      var ci = 0
+      while (ci < kEff) {
+        if (counts(ci) > 0) {
+          var j = 0
+          while (j < dims) { cents(ci)(j) = sums(ci)(j) / counts(ci); j += 1 }
+        }
+        ci += 1
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Per-group vector norm statistics (order-independent agg only:

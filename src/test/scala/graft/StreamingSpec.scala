@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 import graft.sources.TableCatalog
-import graft.streaming.{Sessionize, TrendStream}
+import graft.streaming.{Sessionize, StreamDedup, TrendStream}
 
 class StreamingSpec extends SparkSpec {
 
@@ -83,6 +83,36 @@ class StreamingSpec extends SparkSpec {
         col("a.session_start") < col("b.session_start") &&
         col("b.session_start") <= col("a.session_end"))
     assert(overlapping.isEmpty)
+  }
+
+  test("streaming dedup keeps first occurrence within the watermark horizon") {
+    import graft.SparkSpec.spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_sd_src").toString
+    def batch(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "ts", "text")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    batch(Seq(
+      (1L, "2024-01-01 10:00:00", "alpha"),
+      (2L, "2024-01-01 10:05:00", "beta"),
+      (3L, "2024-01-01 10:10:00", "alpha") // dup inside horizon
+    )).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val deduped = StreamDedup.firstSeen(stream, "ts", "text", "2 hours")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("t_dedup").start()
+    try {
+      q.processAllAvailable()
+      // second micro-batch: another dup inside the horizon + a new doc
+      batch(Seq(
+        (4L, "2024-01-01 10:20:00", "beta"),
+        (5L, "2024-01-01 10:25:00", "gamma")
+      )).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val got = spark.table("t_dedup").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got === Set(1L, 2L, 5L))
+    } finally q.stop()
   }
 
   test("streaming sessionization emits closed sessions") {
