@@ -53,12 +53,18 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, ok)
   }
 
-  /** Child mode: measure one query, emit a marker line for the parent. */
+  /** Child mode: measure one query, emit a marker line for the parent.
+    * The query runs twice and the min is reported — the first run still
+    * absorbs residual JIT/page-cache warmup that the generic warmup()
+    * can't reach (query-specific codegen, parquet footer of the tables
+    * the query actually touches). */
   private def runChild(name: String): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session()
     warmup(spark, sfDir)
-    val (sec, ok) = timeOne(spark, sfDir, name)
+    val (s1, ok1) = timeOne(spark, sfDir, name)
+    val (s2, ok2) = if (ok1) timeOne(spark, sfDir, name) else (Double.NaN, false)
+    val (sec, ok) = if (ok1 && ok2) (math.min(s1, s2), true) else (s1, ok1)
     println(s"""$Marker{"query":"$name","sec":$sec,"ok":$ok}""")
     spark.stop()
   }
@@ -124,14 +130,19 @@ object Bench {
         (name, sec, ok)
       }
 
+    // A query with no valid timing (crash / 15-min fork timeout) counts
+    // as the timeout ceiling, never 0 — a hung query must make the
+    // headline total WORSE, not better.
+    val TimeoutSec = 15 * 60.0
     val cleaned = results.map { case (k, v, ok) =>
-      (k, if (v.isNaN) 0.0 else v, ok)
+      (k, if (v.isNaN) TimeoutSec else v, ok)
     }
     val qs = cleaned.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = cleaned.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = cleaned.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val validTotal = cleaned.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","valid_total":$validTotal,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
   }
 }

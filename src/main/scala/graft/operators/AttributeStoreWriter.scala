@@ -34,6 +34,14 @@ object AttributeStoreWriter {
                   from: Option[String] = None, to: Option[String] = None): DataFrame =
     TrendStoreWriter.read(spark, path, from, to).drop("bucket")
 
+  /** History retention: drop history partitions older than `keepFrom`.
+    * The current-value table is separate state and is NOT touched — a
+    * retired history day does not invalidate the latest value per
+    * entity (compaction of the reference keeps the same invariant). */
+  def retainHistory(spark: SparkSession, historyPath: String,
+                    keepFrom: String): Seq[String] =
+    TrendStoreWriter.retain(spark, historyPath, keepFrom)
+
   /** Materialize the current-value view (latest row per entity) from
     * the history store into its own table. Returns the written view. */
   def materializeCurrent(spark: SparkSession, historyPath: String,

@@ -96,8 +96,17 @@ object Dedup {
                      k: Int = 3, threshold: Double = 0.5,
                      maxDf: Int = Int.MaxValue): DataFrame = {
     val base = shingled(docs, idCol, textCol, k)
+    // The shingle STRING never reaches a shuffle: it is hashed to an
+    // int64 in the same stage as the explode, and every downstream
+    // exchange (df count, posting groupBy, pair groupBy) keys on the
+    // 8-byte hash instead of a ~24-byte string — roughly halving the
+    // one corpus-sized shuffle this operator performs. The pair COUNT
+    // is the payload, not the key, so the result stays exact up to
+    // xxhash64 collisions (P ≈ n²/2⁶⁵ — negligible at any shingle
+    // cardinality a single store holds).
     val exploded = base
-      .select(col("doc_id"), size(col("__sh")).as("n"), explode(col("__sh")).as("s"))
+      .select(col("doc_id"), size(col("__sh")).as("n"), explode(col("__sh")).as("__s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("__s")).as("s"))
     // maxDf must prune BEFORE the posting lists are collected: an
     // every-document shingle would otherwise concentrate its whole doc
     // list into one collect_list buffer on one task (the single-key

@@ -62,9 +62,11 @@ object Materialize {
   /** Read materialization state, or an empty state if none exists.
     * Hadoop FS existence check: state lives next to the store on
     * whatever filesystem the cluster uses (file://, HDFS, S3A). */
-  def readState(spark: SparkSession, statePath: String): DataFrame =
+  def readState(spark: SparkSession, statePath: String): DataFrame = {
+    StoreFs.recover(spark, statePath) // heal a swap that died mid-replace
     if (StoreFs.exists(spark, statePath)) spark.read.parquet(statePath)
     else emptyState(spark)
+  }
 
   /** One incremental materialization run. Returns the dirty days that
     * were recomputed (empty when the target is already current). */

@@ -27,13 +27,35 @@ object StoreFs {
     if (f.exists(p)) f.listStatus(p).toSeq.map(_.getPath) else Seq.empty
   }
 
-  /** Replace `dest` with `src` (delete + rename), propagating a
-    * failed rename instead of silently leaving stale state behind. */
+  /** Replace `dest` with `src` via a backup swap: the old `dest` is
+    * renamed aside to `dest.bak` BEFORE `src` moves into place, and the
+    * backup is deleted last. A crash at any point leaves either the new
+    * state at `dest` or the old state recoverable at `dest.bak` — never
+    * a window with NO state, which for materialization state would
+    * silently trigger a full re-materialization and for harvest state a
+    * re-upsert of already-loaded files. `recover` restores the backup
+    * if a previous swap died between the two renames. */
   def replace(spark: SparkSession, src: String, dest: String): Unit = {
     val (f, d) = fs(spark, dest)
-    if (f.exists(d) && !f.delete(d, true))
-      throw new java.io.IOException(s"failed to delete $dest before swap")
-    if (!f.rename(new Path(src), d))
+    val bak = new Path(dest + ".bak")
+    if (f.exists(bak) && !f.delete(bak, true))
+      throw new java.io.IOException(s"failed to clear stale backup $bak")
+    if (f.exists(d) && !f.rename(d, bak))
+      throw new java.io.IOException(s"failed to move $dest aside to $bak")
+    if (!f.rename(new Path(src), d)) {
+      // Try to roll the old state back before failing.
+      if (f.exists(bak)) f.rename(bak, d)
       throw new java.io.IOException(s"failed to rename $src to $dest")
+    }
+    f.delete(bak, true) // best-effort; a leftover bak is cleared next swap
+  }
+
+  /** Restore `dest` from a leftover `dest.bak` if a previous `replace`
+    * crashed after moving the old state aside but before the new state
+    * landed. No-op when `dest` exists or no backup is present. */
+  def recover(spark: SparkSession, dest: String): Boolean = {
+    val (f, d) = fs(spark, dest)
+    val bak = new Path(dest + ".bak")
+    if (!f.exists(d) && f.exists(bak)) f.rename(bak, d) else false
   }
 }

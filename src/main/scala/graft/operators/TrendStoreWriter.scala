@@ -52,6 +52,30 @@ object TrendStoreWriter {
     write(survivors.unionByName(incoming), path)
   }
 
+  /** Partition retention: drop `p_date` partitions strictly older
+    * than `keepFrom` (ISO date, inclusive horizon — lexicographic
+    * compare IS date order for the zero-padded partition names).
+    * Minerva manages trend partitions over time (create ahead, drop
+    * expired); this is the drop side, as O(partitions) driver-side
+    * metadata with checked Hadoop-FS deletes — a 100 TB store retires
+    * whole day directories without reading a row. Returns the dropped
+    * partition dates. */
+  def retain(spark: org.apache.spark.sql.SparkSession, path: String,
+             keepFrom: String): Seq[String] = {
+    require(keepFrom.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"keepFrom must be an ISO date, got: $keepFrom")
+    val expired = StoreFs.list(spark, path)
+      .filter(p => p.getName.startsWith("p_date=") &&
+        p.getName.stripPrefix("p_date=") < keepFrom)
+      .sortBy(_.getName)
+    val (f, _) = StoreFs.fs(spark, path)
+    expired.foreach { p =>
+      if (!f.delete(p, true))
+        throw new java.io.IOException(s"failed to drop expired partition $p")
+    }
+    expired.map(_.getName.stripPrefix("p_date="))
+  }
+
   /** Read back, pruning to an optional inclusive date range. */
   def read(spark: org.apache.spark.sql.SparkSession, path: String,
            from: Option[String] = None, to: Option[String] = None): DataFrame = {

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fx
+
+/** Trigger rules: the reference's `minerva trigger` loop — declarative
+  * threshold rules evaluated over trend rollups, emitting typed
+  * notification rows (reference: the minerva trigger CLI /
+  * minerva/trigger rule definitions: a rule names a KPI expression
+  * over a granularity plus a threshold predicate and a severity; the
+  * trigger daemon evaluates rules per granularity period and inserts
+  * the firings into a notification store).
+  *
+  * graft compiles the same declarative shape into one Catalyst plan
+  * per distinct granularity:
+  *
+  *   1. ONE rollup computes the union of every rule's aggregates at
+  *      that granularity (partial-agg groupBy — a single shuffle of
+  *      (entity, bucket) partials, shared by all rules on that grid);
+  *   2. ALL rules are evaluated in a single projection over the
+  *      rolled rows — each rule becomes a `when(predicate, struct)`
+  *      element of an array that is exploded and null-filtered — so
+  *      adding a rule adds a codegen'd expression, not a plan branch
+  *      that would rescan the rollup;
+  *   3. firings carry their triggering values as a JSON payload,
+  *      which is exactly what `NotificationStore.typed` projects back
+  *      into typed attribute columns.
+  *
+  * Thresholded sums/averages go through exact DECIMAL partials (Fx)
+  * so a firing decision is deterministic under any partitioning — a
+  * rule must not flap when the cluster re-partitions.
+  */
+object Trigger {
+
+  /** One aggregate predicate: `fn(metric) op value`. */
+  final case class Threshold(metric: String, fn: String, op: String, value: Double)
+
+  /** A trigger rule: all `thresholds` must hold (AND) on the rule's
+    * granularity grid for a notification to fire. */
+  final case class Rule(name: String, granularity: String,
+                        thresholds: Seq[Threshold], severity: String)
+
+  /** Stable alias for an aggregate, shared across rules so the rollup
+    * computes each (fn, metric) exactly once. */
+  private def alias(t: Threshold): String = s"${t.fn}_${t.metric}"
+
+  private def compileAgg(t: Threshold): Column = (t.fn.toLowerCase match {
+    case "sum"   => Fx.dsum(col(t.metric))
+    case "avg"   => Fx.davg(col(t.metric))
+    case "max"   => max(col(t.metric))
+    case "min"   => min(col(t.metric))
+    case "count" => count(lit(1))
+    case f       => throw new IllegalArgumentException(s"unknown trigger fn: $f")
+  }).as(alias(t))
+
+  private def compare(c: Column, op: String, v: Double): Column = op match {
+    case ">"  => c > v
+    case ">=" => c >= v
+    case "<"  => c < v
+    case "<=" => c <= v
+    case o    => throw new IllegalArgumentException(s"unknown trigger op: $o")
+  }
+
+  /** Evaluate `rules` over a trend source. Output: one row per firing
+    * — `(entity_id, bucket, rule, severity, payload)` where payload is
+    * the rule's triggering aggregate values as JSON (the notification
+    * attribute document; `NotificationStore.typed` restores the typed
+    * columns). */
+  def evaluate(rules: Seq[Rule])(trend: DataFrame, entity: Column, ts: Column): DataFrame = {
+    require(rules.nonEmpty, "Trigger.evaluate: no rules")
+    val parts = rules.groupBy(_.granularity).toSeq.sortBy(_._1).map { case (gran, rs) =>
+      val aggs = rs.flatMap(_.thresholds).map(t => alias(t) -> t).toMap
+        .values.toSeq.sortBy(alias)
+      val rolled = trend.groupBy(entity.as("entity_id"),
+          date_trunc(gran, ts).as("bucket"))
+        .agg(compileAgg(aggs.head), aggs.tail.map(compileAgg): _*)
+      val ruleCols = rs.map { r =>
+        val fired = r.thresholds.map(t => compare(col(alias(t)), t.op, t.value))
+          .reduce(_ && _)
+        val payload = to_json(struct(
+          r.thresholds.map(t => col(alias(t)).as(alias(t))): _*))
+        when(fired, struct(lit(r.name).as("rule"),
+          lit(r.severity).as("severity"), payload.as("payload")))
+      }
+      rolled.select(col("entity_id"), col("bucket"),
+          explode(array(ruleCols: _*)).as("__n"))
+        .filter(col("__n").isNotNull)
+        .select(col("entity_id"), col("bucket"),
+          col("__n.rule").as("rule"), col("__n.severity").as("severity"),
+          col("__n.payload").as("payload"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** The SQL twin of one rule's aggregate — used by callers that
+    * generate a two-sided oracle from the same Rule values (the Spark
+    * plan and the SQL text CANNOT drift when both derive from the rule
+    * table; same construction as the d05 language profiles). */
+  def aggSql(t: Threshold): String = t.fn.toLowerCase match {
+    case "sum"   => s"CAST(sum(CAST(${t.metric} AS DECIMAL(18,4))) AS DOUBLE)"
+    case "avg"   => s"CAST(sum(CAST(${t.metric} AS DECIMAL(18,4))) AS DOUBLE) / count(*)"
+    case "max"   => s"max(${t.metric})"
+    case "min"   => s"min(${t.metric})"
+    case "count" => "count(*)"
+    case f       => throw new IllegalArgumentException(s"unknown trigger fn: $f")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
-import graft.operators.{Aggregation, EntityRegistry, Materialize, NotificationStore, Relations, TrendStore}
+import graft.operators.{Aggregation, EntityRegistry, Materialize, NotificationStore, Relations, TrendStore, Trigger}
 import graft.sources.TableCatalog
 
 /** Store-machinery queries: incremental materialization (t09),
@@ -20,6 +20,30 @@ object Store {
 
   private val TS = "yyyy-MM-dd HH:mm:ss"
   private val Cutoff = "2024-01-20 00:00:00"
+
+  /** The trigger rule set under driver grading. BOTH the Spark plan
+    * (Trigger.evaluate) and the DuckDB oracle (triggerOracleSql below)
+    * are generated from these values — the two sides cannot drift.
+    * Thresholds sit where the sf0.01 distributions actually fire
+    * (hourly sums p90≈119/p99≈237; daily avg p50≈42/p90≈93). */
+  private val triggerRules = Seq(
+    Trigger.Rule("hourly_value_surge", "hour",
+      Seq(Trigger.Threshold("value", "sum", ">", 150.0)), "major"),
+    Trigger.Rule("hourly_event_burst", "hour",
+      Seq(Trigger.Threshold("value", "count", ">", 1.0)), "minor"),
+    Trigger.Rule("daily_value_level", "day",
+      Seq(Trigger.Threshold("value", "avg", ">=", 60.0),
+        Trigger.Threshold("value", "max", "<", 160.0)), "warning"))
+
+  private def triggerOracleSql(rules: Seq[Trigger.Rule]): String =
+    rules.map { r =>
+      val having = r.thresholds
+        .map(t => s"${Trigger.aggSql(t)} ${t.op} ${t.value}").mkString(" AND ")
+      s"""SELECT user_id AS entity_id,
+         |  strftime(date_trunc('${r.granularity}', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  '${r.name}' AS rule, '${r.severity}' AS severity
+         |FROM events GROUP BY 1, 2 HAVING $having""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY rule, entity_id, bucket"
 
   val defs: Seq[(String, Q)] = Seq(
     // Dirty-set computation exactly as Materialize.run uses it: state
@@ -129,6 +153,19 @@ object Store {
         .orderBy(col("entity_id"), col("day"))
     },
 
+    // Trigger loop: declarative threshold rules over trend rollups →
+    // typed notifications (the payload column carries the triggering
+    // values as JSON; its round-trip through NotificationStore.typed
+    // is spec-covered — the graded projection keeps the scalar firing
+    // identity, which both engines compute bit-identically).
+    "n04_triggers" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      Trigger.evaluate(triggerRules)(ev, col("user_id"), col("ts"))
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("rule"), col("severity"))
+        .orderBy(col("rule"), col("entity_id"), col("bucket"))
+    },
+
     "g01_agg_def" -> { (s, dir) =>
       val ev = TableCatalog(s, dir).events
       val defn = Aggregation.AggregationDef("day", Seq(
@@ -219,6 +256,8 @@ object Store {
         |  max(CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT)) AS last_id
         |FROM events WHERE event_type = 'error'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "n04_triggers" -> triggerOracleSql(triggerRules),
 
     "g01_agg_def" ->
       s"""SELECT user_id AS entity_id,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{StoreFs, TrendStoreWriter}
 
@@ -45,10 +45,32 @@ object HarvestJob {
       Harvest.canonicalize(raw, job.dnCol, job.entityComponent, job.tsCol, job.tsFormat))
   }
 
-  private def processedFiles(spark: SparkSession, statePath: String): Set[String] =
+  private def processedFiles(spark: SparkSession, statePath: String): Set[String] = {
+    StoreFs.recover(spark, statePath) // heal a swap that died mid-replace
     if (StoreFs.exists(spark, statePath))
       spark.read.parquet(statePath).select("file").collect().map(_.getString(0)).toSet
     else Set.empty
+  }
+
+  private val DurationGran = "^(\\d+)\\s*(s|m|h|d)?$".r
+
+  /** Align timestamps to the job's granularity grid — the reference
+    * stores trend rows ON the grid, while vendor files carry off-grid
+    * native timestamps. Calendar units truncate; duration forms
+    * ("900", "15m", "1h") floor the epoch to the grid; "raw" keeps
+    * native timestamps (documented native-granularity mode). */
+  private[sources] def alignBucket(ts: Column, granularity: String): Column =
+    granularity.trim.toLowerCase match {
+      case "" | "raw"                        => ts
+      case g @ ("hour" | "day" | "week" | "month") => date_trunc(g, ts)
+      case DurationGran(n, unit) =>
+        val mult = Option(unit).getOrElse("s") match {
+          case "s" => 1L; case "m" => 60L; case "h" => 3600L; case "d" => 86400L
+        }
+        val g = n.toLong * mult
+        timestamp_seconds(floor(unix_timestamp(ts) / g) * g)
+      case g => throw new IllegalArgumentException(s"unknown harvest granularity: $g")
+    }
 
   /** Run the job once: list the source directory, skip files already
     * in state, parse + row-level-upsert the fresh ones, extend state.
@@ -65,7 +87,7 @@ object HarvestJob {
 
     val pkg = readPackage(spark, job, fresh)
     val rows = pkg.df.filter(col("ts").isNotNull)
-      .withColumn("bucket", col("ts"))
+      .withColumn("bucket", alignBucket(col("ts"), job.granularity))
     TrendStoreWriter.upsert(spark, job.storePath, rows,
       keyCols = Seq("entity_id", "bucket"))
 

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AttributeStoreWriter, StoreFs, TrendStoreWriter}
+
+/** Partition retention + state-swap recovery specs. */
+class RetentionSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_retain").toString
+
+  private def tenDays(entity: Long) =
+    (1 to 10).map(d => (entity, f"2024-01-$d%02d 06:00:00", d.toDouble))
+      .toDF("entity_id", "bucket", "v")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+
+  test("retain drops expired day partitions, keeps the horizon") {
+    val store = tmpDir() + "/store"
+    TrendStoreWriter.write(tenDays(1L), store)
+    val dropped = TrendStoreWriter.retain(spark, store, "2024-01-06")
+    assert(dropped === (1 to 5).map(d => f"2024-01-$d%02d"))
+    val dirs = StoreFs.list(spark, store).map(_.getName)
+      .filter(_.startsWith("p_date=")).sorted
+    assert(dirs === (6 to 10).map(d => f"p_date=2024-01-$d%02d"))
+    val back = TrendStoreWriter.read(spark, store)
+    assert(back.count() === 5)
+    assert(back.agg(min(col("bucket")).cast("string")).head.getString(0)
+      === "2024-01-06 06:00:00")
+    // A second retain at the same horizon is a no-op.
+    assert(TrendStoreWriter.retain(spark, store, "2024-01-06").isEmpty)
+  }
+
+  test("retain validates the horizon format") {
+    intercept[IllegalArgumentException] {
+      TrendStoreWriter.retain(spark, tmpDir(), "Jan 6 2024")
+    }
+  }
+
+  test("history retention leaves the current view untouched") {
+    val dir = tmpDir()
+    val hist = dir + "/history"; val cur = dir + "/current"
+    val rows = (1 to 10).map(d => (1L, f"2024-01-$d%02d 06:00:00", d.toLong, s"v$d"))
+      .toDF("entity_id", "ts", "event_id", "attr")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    AttributeStoreWriter.append(spark, hist, rows)
+    AttributeStoreWriter.materializeCurrent(spark, hist, cur)
+    val dropped = AttributeStoreWriter.retainHistory(spark, hist, "2024-01-08")
+    assert(dropped.size === 7)
+    assert(AttributeStoreWriter.readHistory(spark, hist).count() === 3)
+    // Current still answers from pre-retention state: latest value v10.
+    val current = spark.read.parquet(cur)
+    assert(current.select(col("attr")).head.getString(0) === "v10")
+  }
+
+  test("replace survives a crash between the two renames (recover)") {
+    val dir = tmpDir()
+    val dest = dir + "/state"
+    Seq(("a", 1L)).toDF("k", "v").write.parquet(dest)
+    // Simulate the torn window: old state moved aside, new state never
+    // landed (crash after rename #1 of replace()).
+    val (f, d) = StoreFs.fs(spark, dest)
+    assert(f.rename(d, new org.apache.hadoop.fs.Path(dest + ".bak")))
+    assert(!StoreFs.exists(spark, dest))
+    assert(StoreFs.recover(spark, dest))
+    assert(spark.read.parquet(dest).as[(String, Long)].collect().toSeq === Seq(("a", 1L)))
+    // recover is a no-op when dest is healthy.
+    assert(!StoreFs.recover(spark, dest))
+  }
+
+  test("replace swaps atomically-enough: new state lands, backup cleaned") {
+    val dir = tmpDir()
+    val dest = dir + "/state"
+    Seq(("old", 1L)).toDF("k", "v").write.parquet(dest)
+    Seq(("new", 2L)).toDF("k", "v").write.parquet(dest + ".tmp")
+    StoreFs.replace(spark, dest + ".tmp", dest)
+    assert(spark.read.parquet(dest).as[(String, Long)].collect().toSeq === Seq(("new", 2L)))
+    assert(!StoreFs.exists(spark, dest + ".bak"))
+    assert(!StoreFs.exists(spark, dest + ".tmp"))
+  }
+}

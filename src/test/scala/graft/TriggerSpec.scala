@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import graft.operators.{NotificationStore, Trigger}
+
+/** Trigger-rule specs: firing semantics, the shared-rollup plan shape,
+  * and the payload round-trip into the typed notification store. */
+class TriggerSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def events(rows: Seq[(Long, String, Double)]) =
+    rows.toDF("entity", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+
+  private val rules = Seq(
+    Trigger.Rule("surge", "hour", Seq(Trigger.Threshold("v", "sum", ">", 10.0)), "major"),
+    Trigger.Rule("burst", "hour", Seq(Trigger.Threshold("v", "count", ">", 2.0)), "minor"),
+    Trigger.Rule("level", "day",
+      Seq(Trigger.Threshold("v", "avg", ">=", 3.0),
+        Trigger.Threshold("v", "max", "<", 100.0)), "warning"))
+
+  private val data = events(Seq(
+    (1L, "2024-01-01 10:05:00", 6.0),  // hour 10: sum 12 > 10 → surge
+    (1L, "2024-01-01 10:25:00", 6.0),  //          count 2, no burst
+    (2L, "2024-01-01 11:01:00", 1.0),  // hour 11: count 3 > 2 → burst
+    (2L, "2024-01-01 11:02:00", 1.0),  //          sum 3, no surge
+    (2L, "2024-01-01 11:03:00", 1.0),
+    (3L, "2024-01-02 09:00:00", 200.0) // avg≥3 but max≥100 → level must NOT fire
+  ))
+
+  test("rules fire exactly where all thresholds hold") {
+    val got = Trigger.evaluate(rules)(data, col("entity"), col("ts"))
+      .select(col("rule"), col("entity_id"),
+        date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("b"), col("severity"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(got === Set(
+      ("surge", 1L, "2024-01-01 10:00:00", "major"),
+      ("surge", 3L, "2024-01-02 09:00:00", "major"),
+      ("burst", 2L, "2024-01-01 11:00:00", "minor"),
+      // day-level rule: entity 1 avg=6 max=6, entity 2 avg=1 (no fire),
+      // entity 3 avg=200 but max=200 blocks the AND.
+      ("level", 1L, "2024-01-01 00:00:00", "warning")))
+  }
+
+  test("payload round-trips through NotificationStore.typed") {
+    val fired = Trigger.evaluate(rules)(data, col("entity"), col("ts"))
+      .filter(col("rule") === "surge")
+    val typed = NotificationStore.typed(fired, col("payload"),
+      StructType(Seq(StructField("sum_v", DoubleType))))
+    val row = typed.select(col("entity_id"), col("sum_v")).collect()
+    assert(row.map(r => (r.getLong(0), r.getDouble(1))).toSet === Set((1L, 12.0), (3L, 200.0)))
+  }
+
+  test("firings group into notification sets") {
+    val fired = Trigger.evaluate(rules)(data, col("entity"), col("ts"))
+    val sets = NotificationStore.sets(fired, col("entity_id"), col("bucket"),
+        col("rule"), "day")
+      .select(col("entity_id"), col("n_notifications"), col("notification_ids"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2))).toSet
+    assert(sets === Set(
+      (1L, 2L, Seq("level", "surge")),
+      (2L, 1L, Seq("burst")),
+      (3L, 1L, Seq("surge"))))
+  }
+
+  test("rules sharing a granularity share ONE rollup (no per-rule rescan)") {
+    val plan = Trigger.evaluate(rules)(data, col("entity"), col("ts"))
+      .queryExecution.optimizedPlan
+    // 3 rules over 2 granularities → exactly 2 Aggregates in the plan.
+    val nAgg = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAgg === 2, s"expected one rollup per granularity, plan:\n$plan")
+  }
+
+  test("unknown fn/op are rejected") {
+    intercept[IllegalArgumentException] {
+      Trigger.evaluate(Seq(Trigger.Rule("x", "hour",
+        Seq(Trigger.Threshold("v", "median", ">", 1.0)), "s")))(data, col("entity"), col("ts"))
+    }
+    intercept[IllegalArgumentException] {
+      Trigger.evaluate(Seq(Trigger.Rule("x", "hour",
+        Seq(Trigger.Threshold("v", "sum", "!=", 1.0)), "s")))(data, col("entity"), col("ts"))
+    }
+  }
+}
