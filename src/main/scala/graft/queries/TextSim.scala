@@ -19,40 +19,55 @@ object TextSim {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Language-ID stopword profiles: ~10 languages, 3 discriminative
-    * stopwords each. Both the Spark plan and the DuckDB oracle are
+  /** Language-ID stopword profiles: 10 languages × 15 common
+    * stopwords. Both the Spark plan and the DuckDB oracle are
     * GENERATED from this one table, so the two sides cannot drift.
     * Scores are padded-substring occurrence counts — pure codegen'd
     * string ops, no UDF; prediction = first language (declaration
-    * order) attaining the maximal positive score. */
-  private val langProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "with"),
-    "es" -> Seq("los", "las", "una"),
-    "fr" -> Seq("les", "des", "une"),
-    "de" -> Seq("der", "und", "nicht"),
-    "it" -> Seq("che", "della", "sono"),
-    "pt" -> Seq("uma", "para", "como"),
-    "nl" -> Seq("het", "een", "niet"),
-    "sv" -> Seq("och", "att", "som"),
-    "pl" -> Seq("jest", "przez", "czy"),
-    "id" -> Seq("yang", "dan", "untuk"))
+    * order) attaining the maximal positive score. Words overlapping
+    * between languages (que, una, con…) are fine — scores compete,
+    * and the depth is what disambiguates (LangSpec plants a corpus
+    * where 3-word profiles misclassify and these do not). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "with", "that", "have", "this", "from", "they",
+      "will", "would", "there", "their", "what", "about", "which"),
+    "es" -> Seq("los", "las", "una", "que", "por", "con", "para", "pero",
+      "como", "más", "este", "esta", "son", "tiene", "entre"),
+    "fr" -> Seq("les", "des", "une", "que", "pour", "dans", "avec", "mais",
+      "plus", "cette", "sont", "leur", "bien", "aussi", "comme"),
+    "de" -> Seq("der", "und", "nicht", "das", "mit", "für", "auf", "ist",
+      "sich", "auch", "eine", "aber", "nach", "wird", "noch"),
+    "it" -> Seq("che", "della", "sono", "per", "con", "una", "anche", "come",
+      "più", "questo", "hanno", "alla", "nel", "dalla", "essere"),
+    "pt" -> Seq("uma", "para", "como", "que", "não", "com", "mais", "por",
+      "isso", "ele", "quando", "muito", "pela", "seus", "entre"),
+    "nl" -> Seq("het", "een", "niet", "van", "dat", "voor", "ook", "maar",
+      "zijn", "met", "deze", "naar", "worden", "door", "heeft"),
+    "sv" -> Seq("och", "att", "som", "det", "med", "för", "inte", "den",
+      "har", "till", "eller", "från", "kan", "vara", "efter"),
+    "pl" -> Seq("jest", "przez", "czy", "nie", "się", "tego", "jako", "tylko",
+      "może", "oraz", "przy", "jego", "bardzo", "które", "ale"),
+    "id" -> Seq("yang", "dan", "untuk", "dengan", "tidak", "dari", "pada",
+      "adalah", "dalam", "akan", "juga", "sudah", "karena", "oleh", "bisa"))
 
   /** The d05 plan over any DataFrame with (doc_id, text) — shared by
-    * the sf query and the planted multilingual spec corpus. */
-  def langScore(docs: DataFrame): DataFrame = {
+    * the sf query and the planted multilingual spec corpus. Custom
+    * `profiles` let specs contrast shallow vs deep profile tables. */
+  def langScore(docs: DataFrame,
+                profiles: Seq[(String, Seq[String])] = langProfiles): DataFrame = {
     val padded = docs.withColumn("__pt", concat(lit(" "), col("text"), lit(" ")))
-    val scored = langProfiles.foldLeft(padded) { case (df, (lang, words)) =>
+    val scored = profiles.foldLeft(padded) { case (df, (lang, words)) =>
       df.withColumn(s"${lang}_score",
         words.map(w => TextFunctions.occurrences("__pt", s" $w ")).reduce(_ + _))
     }
-    val scores = langProfiles.map { case (lang, _) => col(s"${lang}_score") }
+    val scores = profiles.map { case (lang, _) => col(s"${lang}_score") }
     // first language (in declaration order) with the max positive
     // score: lang_i wins when score_i > 0 and score_i >= every later
     // score (an earlier max would already have matched).
-    val chain = langProfiles.zipWithIndex.foldRight(lit("und"): org.apache.spark.sql.Column) {
+    val chain = profiles.zipWithIndex.foldRight(lit("und"): org.apache.spark.sql.Column) {
       case (((lang, _), i), orElse) =>
         val s = col(s"${lang}_score")
-        val laters = langProfiles.drop(i + 1).map { case (l2, _) => s >= col(s"${l2}_score") }
+        val laters = profiles.drop(i + 1).map { case (l2, _) => s >= col(s"${l2}_score") }
         val cond = (laters :+ (s > lit(0))).reduce(_ && _)
         when(cond, lit(lang)).otherwise(orElse)
     }
@@ -180,15 +195,32 @@ object TextSim {
     },
 
     // Embedding-cosine near-dup pairs, exact mode (the oracle-checked
-    // baseline; the LSH-bucketed scale path is spec-verified against
-    // this on planted near-duplicates). sim rounded to 6 decimals:
-    // DuckDB's list_cosine_similarity normalizes as sqrt(na²·nb²)
-    // while graft uses sqrt(na²)·sqrt(nb²) — identical to ~1e-15,
-    // not bit-identical.
+    // baseline; the LSH-bucketed scale path is d12 + spec). sim is
+    // rounded to 6 decimals AND the threshold applies to the ROUNDED
+    // value on both sides: DuckDB's list_cosine_similarity normalizes
+    // as sqrt(na²·nb²) vs graft's sqrt(na²)·sqrt(nb²) — identical to
+    // ~1e-15 but not bit-identical, so an unrounded threshold could
+    // disagree exactly at the boundary. The engine-side pre-filter
+    // sits 1e-6 below the graded threshold (rounding moves a value by
+    // ≤ 5e-7, so nothing that rounds to ≥ 0.45 is lost) and exists
+    // only to keep the quadratic pair stream pruned early.
     "d09_embed_dup" -> { (s, dir) =>
       Similarity.cosinePairs(TableCatalog(s, dir).embeddings, "vec_id", "embedding",
-          threshold = 0.45)
+          threshold = 0.449999)
         .withColumn("sim", round(col("sim"), 6))
+        .filter(col("sim") >= 0.45)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // The d09 scale path under the driver's eye (rows-only, like
+    // s02/s04): OR-amplified sign-sketch candidates, exact cosine on
+    // candidates only. Recall vs the exact baseline is spec-asserted
+    // on planted near-duplicates (SimilaritySpec).
+    "d12_embed_dup_lsh" -> { (s, dir) =>
+      Similarity.cosinePairs(TableCatalog(s, dir).embeddings, "vec_id", "embedding",
+          threshold = 0.449999, lsh = true)
+        .withColumn("sim", round(col("sim"), 6))
+        .filter(col("sim") >= 0.45)
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -350,11 +382,13 @@ object TextSim {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d09_embed_dup" ->
+      // Threshold on the ROUNDED sim, mirroring the Spark side — the
+      // inclusion boundary is then identical across engines.
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
 
     "s01_cosine_topk" ->

@@ -186,36 +186,54 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, qId: String,
               cId: String, vecCol: String, k: Int,
               nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val cents = trainCentroids(corpus, vecCol, nCells, seed)
     val c = fanOut(corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
       .withColumn("__cn", norm(col("__cv")))
-    // Train the coarse quantizer on a bounded sample, driver-side:
-    // cells only gate which vectors get exact scoring, so centroid
-    // quality past "roughly balanced" buys no recall. The collect is
-    // O(nCells·256) rows — independent of N, ~2 MB at 64 dims — so at
-    // 10⁹ vectors the quantizer still trains in milliseconds, where a
-    // distributed k-means would pay tens of scheduler round-trips to
-    // cluster a few thousand points.
-    // Sample straight off the scan (pre-fanOut): a LocalLimit needs no
-    // shuffle, and sample order only seeds the init.
-    val sample = corpus.select(col(vecCol)).limit(nCells * 256).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    val cents = lloyd(sample, nCells, iters = 8, seed)
+    val corpusCells = c.withColumn("__scores", cellScores(cents)(col("__cv")))
+      .withColumn("cell", expr("array_position(__scores, array_max(__scores))"))
+      .drop("__scores")
+    ivfScore(corpusCells, probeQueries(queries, qId, vecCol, cents, nprobe), k)
+  }
 
-    // 2·v·cᵢ − ‖cᵢ‖² ranks cells by distance to v without computing ‖v‖².
-    def cellScores(vec: Column): Column = array(cents.map { cent =>
+  /** Train the coarse quantizer on a bounded sample, driver-side:
+    * cells only gate which vectors get exact scoring, so centroid
+    * quality past "roughly balanced" buys no recall. The collect is
+    * O(nCells·256) rows — independent of N, ~2 MB at 64 dims — so at
+    * 10⁹ vectors the quantizer still trains in milliseconds, where a
+    * distributed k-means would pay tens of scheduler round-trips to
+    * cluster a few thousand points.
+    * Sample straight off the scan (pre-fanOut): a LocalLimit needs no
+    * shuffle, and sample order only seeds the init. Elements are read
+    * as Number — the vector expressions accept array<float> AND
+    * array<double>, and the sampler must too. */
+  private def trainCentroids(corpus: DataFrame, vecCol: String,
+                             nCells: Int, seed: Long): Array[Array[Double]] = {
+    val sample = corpus.select(col(vecCol)).limit(nCells * 256).collect()
+      .map(_.getSeq[Number](0).toArray.map(_.doubleValue))
+    lloyd(sample, nCells, iters = 8, seed)
+  }
+
+  /** 2·v·cᵢ − ‖cᵢ‖² ranks cells by distance to v without ‖v‖². */
+  private def cellScores(cents: Array[Array[Double]])(vec: Column): Column =
+    array(cents.map { cent =>
       dot(vec, typedLit(cent)) * 2.0 - lit(cent.map(x => x * x).sum)
     }: _*)
-    val corpusCells = c.withColumn("__scores", cellScores(col("__cv")))
-      .withColumn("__cell", expr("array_position(__scores, array_max(__scores))"))
-      .drop("__scores")
-    val probed = queries
+
+  /** Queries exploded to their `nprobe` nearest cells. */
+  private def probeQueries(queries: DataFrame, qId: String, vecCol: String,
+                           cents: Array[Array[Double]], nprobe: Int): DataFrame =
+    queries
       .select(col(qId).as("q_id"), col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
-      .withColumn("__scores", cellScores(col("__qv")))
-      .withColumn("__cell", explode(expr(
+      .withColumn("__scores", cellScores(cents)(col("__qv")))
+      .withColumn("cell", explode(expr(
         s"slice(array_sort(transform(__scores, (s, i) -> struct(-s AS d, i + 1 AS c))), 1, $nprobe).c")))
       .drop("__scores")
+
+  /** Probed-cells join + exact re-rank shared by the inline and the
+    * persisted-index paths. */
+  private def ivfScore(corpusCells: DataFrame, probed: DataFrame, k: Int): DataFrame = {
     val scored = corpusCells
-      .join(broadcast(probed), "__cell")
+      .join(broadcast(probed), "cell")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
@@ -225,6 +243,56 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"))
+  }
+
+  /** Persist an IVF index: the index-once/query-many shape a 100 TB
+    * deployment actually runs (training the quantizer per query run —
+    * what `ivfTopK` does — re-scans the corpus every search).
+    *
+    * Layout under `indexPath`:
+    *  - `centroids/` — nCells rows `(cell, centroid, norm2)`, the
+    *    coarse quantizer (driver-readable metadata);
+    *  - `cells/` — the corpus as `(n_id, __cv, __cn)` physically
+    *    partitioned by `cell`, so a search's probed cells map to
+    *    directory partitions and everything else is never read.
+    *
+    * The corpus is scanned once (assign + write). */
+  def ivfBuild(corpus: DataFrame, cId: String, vecCol: String, indexPath: String,
+               nCells: Int = 16, seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, vecCol, nCells, seed)
+    val c = fanOut(corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
+      .withColumn("__cn", norm(col("__cv")))
+    c.withColumn("__scores", cellScores(cents)(col("__cv")))
+      .withColumn("cell", expr("array_position(__scores, array_max(__scores))"))
+      .drop("__scores")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$indexPath/cells")
+    cents.zipWithIndex
+      .map { case (cent, i) => (i.toLong + 1, cent.toSeq, cent.map(x => x * x).sum) }
+      .toSeq.toDF("cell", "centroid", "norm2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
+  /** Search a persisted IVF index. The centroid read is O(nCells)
+    * driver-side metadata; the probed cell set is collected from the
+    * query side (bounded by |queries| × nprobe — queries are
+    * broadcast-small by the same contract as `cosineTopK`) and applied
+    * as a STATIC partition filter, so the cells scan reads only the
+    * probed directory partitions — spec-asserted on the plan. */
+  def ivfSearch(queries: DataFrame, qId: String, vecCol: String,
+                indexPath: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val probed = probeQueries(queries, qId, vecCol, cents, nprobe)
+      .localCheckpoint() // tiny; evaluated twice (cell list + join)
+    val probeCells = probed.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val corpusCells = spark.read.parquet(s"$indexPath/cells")
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+    ivfScore(corpusCells, probed, k)
   }
 
   /** Seeded Lloyd k-means over an in-memory sample (the IVF coarse

@@ -72,6 +72,51 @@ object HarvestJob {
       case g => throw new IllegalArgumentException(s"unknown harvest granularity: $g")
     }
 
+  /** Continuous harvest: the streaming twin of [[run]]. The
+    * reference's harvest daemon watches source directories
+    * continuously; graft expresses that as the Structured Streaming
+    * file source — its checkpointed file log replaces the batch state
+    * table (each file is read exactly once across restarts), and each
+    * micro-batch flows through the SAME canonicalize → align →
+    * row-level-upsert path as the batch job, so a directory harvested
+    * continuously converges to the identical store a one-shot
+    * [[run]] over the same files produces.
+    *
+    * The file source needs a declared schema (no blocking inference
+    * mid-stream): pass one, or the job samples the files already in
+    * the directory with the batch reader. CSV/JSON only — streaming
+    * XML isn't supported by the built-in source; vendor XML stays on
+    * the batch loop. */
+  def stream(spark: SparkSession, job: Job, checkpointDir: String,
+             schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fmt = job.format.toLowerCase
+    require(fmt == "csv" || fmt == "json" || fmt == "jsonlines",
+      s"streaming harvest supports csv/json, got: ${job.format}")
+    val sch = schema.getOrElse {
+      val sample = fmt match {
+        case "csv" => spark.read.option("header", "true").csv(job.sourceDir)
+        case _     => spark.read.json(job.sourceDir)
+      }
+      sample.schema
+    }
+    val raw = fmt match {
+      case "csv" => spark.readStream.schema(sch).option("header", "true").csv(job.sourceDir)
+      case _     => spark.readStream.schema(sch).json(job.sourceDir)
+    }
+    val rows = Harvest.canonicalize(raw, job.dnCol, job.entityComponent, job.tsCol, job.tsFormat)
+      .filter(col("ts").isNotNull)
+      .withColumn("bucket", alignBucket(col("ts"), job.granularity))
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          TrendStoreWriter.upsert(batch.sparkSession, job.storePath, batch,
+            keyCols = Seq("entity_id", "bucket"))
+      }
+      .start()
+  }
+
   /** Run the job once: list the source directory, skip files already
     * in state, parse + row-level-upsert the fresh ones, extend state.
     * Malformed rows (unparseable timestamp) are quarantined out

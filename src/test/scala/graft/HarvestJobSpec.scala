@@ -60,6 +60,70 @@ class HarvestJobSpec extends SparkSpec {
     assert(after.agg(sum("v")).head.getDouble(0) === 109.0)
   }
 
+  test("off-grid vendor timestamps land on the declared granularity grid") {
+    val src = Files.createTempDirectory("graft_job_grid").toString
+    val base = Files.createTempDirectory("graft_job_grid_store").toString
+    val job = HarvestJob.Job(
+      sourceDir = src, format = "csv",
+      dnCol = "dn", entityComponent = "Cell",
+      tsCol = "timestamp", tsFormat = "yyyy-MM-dd HH:mm:ss",
+      granularity = "15m",
+      storePath = s"$base/store", statePath = s"$base/state",
+      pattern = ".*\\.csv")
+    writeCsv(src, "a.csv", Seq(
+      "Cell=1,2024-01-01 10:07:13,1.0",   // → 10:00
+      "Cell=1,2024-01-01 10:14:59,2.0",   // → 10:00 (same key: upsert keeps last? both in one file → both rows share the bucket)
+      "Cell=1,2024-01-01 10:22:01,4.0"))  // → 10:15
+    HarvestJob.run(spark, job)
+    val buckets = TrendStoreWriter.read(spark, job.storePath)
+      .select(col("bucket").cast("string")).collect().map(_.getString(0)).sorted
+    assert(buckets.forall(b => b.endsWith(":00") &&
+      (b.contains("10:00") || b.contains("10:15"))), buckets.mkString(","))
+    // native ts is preserved alongside the aligned bucket
+    val ts = TrendStoreWriter.read(spark, job.storePath)
+      .select(col("ts").cast("string")).collect().map(_.getString(0)).sorted
+    assert(ts === Seq("2024-01-01 10:07:13", "2024-01-01 10:14:59", "2024-01-01 10:22:01"))
+  }
+
+  test("streaming harvest converges to the batch harvest result, no file read twice") {
+    val src = Files.createTempDirectory("graft_sjob_src").toString
+    val base = Files.createTempDirectory("graft_sjob").toString
+    val job = HarvestJob.Job(
+      sourceDir = src, format = "csv",
+      dnCol = "dn", entityComponent = "Cell",
+      tsCol = "timestamp", tsFormat = "yyyy-MM-dd HH:mm:ss",
+      granularity = "15m",
+      storePath = s"$base/store", statePath = s"$base/state")
+    // schema sample needs at least one file before the stream starts
+    writeCsv(src, "a.csv", Seq(
+      "Cell=1,2024-01-01 10:00:00,1.0",
+      "Cell=2,2024-01-01 10:03:00,2.0"))
+    val q = HarvestJob.stream(spark, job, s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      assert(TrendStoreWriter.read(spark, job.storePath).count() === 2)
+      // second micro-batch: a new file, including a malformed row
+      writeCsv(src, "b.csv", Seq(
+        "Cell=1,2024-01-02 11:30:00,4.0",
+        "badrow,not-a-timestamp,9.0"))
+      q.processAllAvailable()
+      // third call with NOTHING new: counts unchanged (each file once)
+      q.processAllAvailable()
+      val store = TrendStoreWriter.read(spark, job.storePath)
+      assert(store.count() === 3)
+      assert(store.agg(sum("v")).head.getDouble(0) === 7.0)
+      // the continuous store equals a one-shot batch harvest of the
+      // same directory into a fresh store
+      val batchJob = job.copy(storePath = s"$base/store2", statePath = s"$base/state2")
+      HarvestJob.run(spark, batchJob)
+      val batchStore = TrendStoreWriter.read(spark, batchJob.storePath)
+        .select("entity_id", "bucket", "v")
+      val streamStore = store.select("entity_id", "bucket", "v")
+      assert(streamStore.exceptAll(batchStore).isEmpty &&
+        batchStore.exceptAll(streamStore).isEmpty)
+    } finally q.stop()
+  }
+
   test("jsonlines plugin: same canonical package path as csv") {
     val src = Files.createTempDirectory("graft_job_jsonl").toString
     val base = Files.createTempDirectory("graft_job_jsonl_store").toString

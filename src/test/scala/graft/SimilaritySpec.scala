@@ -90,6 +90,59 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"cosinePairs LSH recall $recall")
   }
 
+  test("persisted IVF index: build once, search twice ≡ inline path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    val q = emb.filter(col("vec_id") < 10)
+    Similarity.ivfBuild(emb, "vec_id", "embedding", dir)
+    def run() = Similarity.ivfSearch(q, "vec_id", "embedding", dir, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val first = run()
+    val second = run()
+    assert(first === second, "persisted-index search is not deterministic")
+    val inline = Similarity.ivfTopK(q, emb, "vec_id", "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(first === inline, "persisted-index search diverges from the inline path")
+  }
+
+  test("persisted IVF search reads only probed cell partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    Similarity.ivfBuild(emb, "vec_id", "embedding", dir)
+    val q = emb.filter(col("vec_id") === 0)
+    val plan = Similarity.ivfSearch(q, "vec_id", "embedding", dir, k = 5, nprobe = 2)
+      .queryExecution.executedPlan
+    // Recurse through AQE wrapper nodes (their sub-plans are not
+    // `children`, so a plain collect misses the scans).
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val here = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("/cells")) => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.inputPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(scansOf)
+    }
+    val scans = scansOf(plan)
+    assert(scans.nonEmpty, s"no cells scan found in plan:\n$plan")
+    scans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"cells scan has no partition filter:\n$plan")
+      // 1 query × nprobe=2 → at most 2 of the 16 cell directories read.
+      assert(s.selectedPartitions.partitionCount <= 2,
+        s"expected ≤2 probed partitions, read ${s.selectedPartitions.partitionCount}")
+    }
+  }
+
+  test("IVF accepts array<double> embeddings (sampler + expressions)") {
+    val dbl = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = dbl.filter(col("vec_id") < 3)
+    val top = Similarity.ivfTopK(q, dbl, "vec_id", "vec_id", "embedding", k = 5)
+    assert(top.groupBy("q_id").count().filter(col("count") =!= 5).isEmpty)
+  }
+
   test("norm stats cover every label once") {
     val st = Similarity.normStats(emb, "label", "embedding")
     assert(st.count() === emb.select("label").distinct().count())
