@@ -153,6 +153,22 @@ object Store {
         .orderBy(col("entity_id"), col("day"))
     },
 
+    // Local-calendar WEEK granularity with Minerva's end-of-interval
+    // labels: rollupLocal emits local wall-clock interval starts, and
+    // labelEnd's +7d is wall-clock arithmetic — which IS local
+    // calendar arithmetic, so the composition stays correct across
+    // DST transitions (the 23h/25h weeks are spec-covered with
+    // planted data in StoreSpec; the sf window is CET throughout).
+    "t14_rollup_localweek" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      TrendStore.present(
+          TrendStore.labelEnd(
+            TrendStore.rollupLocal(ev, col("user_id"), col("ts"), col("value"),
+              "week", "Europe/Amsterdam"),
+            "week"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
     // Trigger loop: declarative threshold rules over trend rollups →
     // typed notifications (the payload column carries the triggering
     // values as JSON; its round-trip through NotificationStore.typed
@@ -256,6 +272,14 @@ object Store {
         |  max(CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT)) AS last_id
         |FROM events WHERE event_type = 'error'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t14_rollup_localweek" ->
+      s"""SELECT user_id AS entity_id,
+         |  strftime(date_trunc('week', timezone('Europe/Amsterdam', timezone('UTC', ts)))
+         |    + INTERVAL 7 DAY, '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  count(*) AS cnt, $ds AS sum_value, $ds / count(*) AS avg_value,
+         |  max(value) AS max_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "n04_triggers" -> triggerOracleSql(triggerRules),
 

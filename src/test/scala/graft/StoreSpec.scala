@@ -54,6 +54,34 @@ class StoreSpec extends SparkSpec {
       "2024-10-28 00:00:00" -> 4.0))
   }
 
+  test("local week rollup + end labels stay correct across spring-forward") {
+    // Europe/Amsterdam: the local week of Mon 2024-03-25 contains the
+    // Mar 31 spring-forward (a 167-hour week, UTC span
+    // [03-24 23:00Z, 03-31 22:00Z)). End-labels are local wall-clock
+    // arithmetic, so +7d lands on the next local Monday midnight.
+    val rows = trend(Seq(
+      (1L, "2024-03-24 22:59:00", 1.0),  // local Sun 03-24 23:59 CET → week 03-18
+      (1L, "2024-03-24 23:00:00", 2.0),  // local Mon 03-25 00:00 CET → week 03-25
+      (1L, "2024-03-31 21:59:00", 4.0),  // local Sun 03-31 23:59 CEST → week 03-25
+      (1L, "2024-03-31 22:00:00", 8.0))) // local Mon 04-01 00:00 CEST → week 04-01
+    val ended = TrendStore.present(TrendStore.labelEnd(
+        TrendStore.rollupLocal(rows, col("entity"), col("ts"), col("v"),
+          "week", "Europe/Amsterdam"), "week"))
+      .collect().map(r => (r.getAs[String]("bucket"), r.getAs[Double]("sum_value"))).toMap
+    assert(ended === Map(
+      "2024-03-25 00:00:00" -> 1.0,   // week starting 03-18, labeled by its end
+      "2024-04-01 00:00:00" -> 6.0,   // the DST week
+      "2024-04-08 00:00:00" -> 8.0))
+    // Month twin: March (a 743-hour local month) end-labels to Apr 1.
+    val monthEnded = TrendStore.present(TrendStore.labelEnd(
+        TrendStore.rollupLocal(rows, col("entity"), col("ts"), col("v"),
+          "month", "Europe/Amsterdam"), "month"))
+      .collect().map(r => (r.getAs[String]("bucket"), r.getAs[Double]("sum_value"))).toMap
+    assert(monthEnded === Map(
+      "2024-04-01 00:00:00" -> 7.0,
+      "2024-05-01 00:00:00" -> 8.0))
+  }
+
   test("labelEnd shifts bucket labels to the interval end") {
     val rows = trend(Seq((1L, "2024-01-01 10:20:00", 1.0), (1L, "2024-01-01 10:40:00", 2.0)))
     val hourly = TrendStore.rollup(rows, col("entity"), col("ts"), col("v"), "hour")
