@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
-import graft.operators.{Aggregation, Materialize, TrendStoreWriter}
+import graft.operators.{Aggregation, Materialize, TrendStoreWriter, Trigger}
 import graft.sources.HarvestJob
 
 /** Thin CLI over the library — the `minerva harvest` / `minerva
@@ -19,6 +19,9 @@ import graft.sources.HarvestJob
   *   --granularity hour --store S --state ST
   * graft.Cli aggregate --source PARQUET --entity C --ts C \
   *   --granularity day --metric value:sum:sum_v [--metric …] --out OUT
+  * graft.Cli trigger --source PARQUET --entity C --ts C \
+  *   --rule name:gran:metric:fn:op:value:severity [--rule …] --out OUT
+  * graft.Cli retain --store S --keep-from YYYY-MM-DD
   * }}}
   *
   * All heavy lifting stays in the library operators; the CLI only
@@ -76,9 +79,34 @@ object Cli {
       TrendStoreWriter.write(out, one(f, "out"))
       println(s"aggregate: metrics=${metrics.size} out=${one(f, "out")}")
 
+    // The `minerva trigger` loop: evaluate threshold rules, store the
+    // firings as a time-partitioned notification table.
+    case "trigger" :: rest =>
+      val f = parseFlags(rest)
+      val rules = f.getOrElse("rule",
+        throw new IllegalArgumentException(
+          "at least one --rule name:gran:metric:fn:op:value:severity required"))
+        .map(_.split(":") match {
+          case Array(name, gran, metric, fn, op, value, severity) =>
+            Trigger.Rule(name, gran,
+              Seq(Trigger.Threshold(metric, fn, op, value.toDouble)), severity)
+          case other => throw new IllegalArgumentException(
+            s"--rule must be name:gran:metric:fn:op:value:severity, got: ${other.mkString(":")}")
+        })
+      val source = spark.read.parquet(one(f, "source"))
+      val fired = Trigger.evaluate(rules)(source,
+        col(one(f, "entity")), col(one(f, "ts")))
+      TrendStoreWriter.write(fired, one(f, "out"))
+      println(s"trigger: rules=${rules.size} out=${one(f, "out")}")
+
+    case "retain" :: rest =>
+      val f = parseFlags(rest)
+      val dropped = TrendStoreWriter.retain(spark, one(f, "store"), one(f, "keep-from"))
+      println(s"retain: dropped=${dropped.size}")
+
     case cmd =>
       throw new IllegalArgumentException(
-        s"unknown command: ${cmd.headOption.getOrElse("")} (expected harvest|materialize|aggregate)")
+        s"unknown command: ${cmd.headOption.getOrElse("")} (expected harvest|materialize|aggregate|trigger|retain)")
   }
 
   def main(args: Array[String]): Unit = {

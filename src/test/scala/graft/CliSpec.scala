@@ -50,4 +50,28 @@ class CliSpec extends SparkSpec {
       Cli.run(spark, Seq("nonsense"))
     }
   }
+
+  test("trigger and retain commands close the monitoring loop") {
+    val base = Files.createTempDirectory("graft_cli_trig").toString
+    Seq((1L, "2024-01-01 10:05:00", 9.0), (1L, "2024-01-01 10:35:00", 2.0),
+      (2L, "2024-01-03 09:00:00", 1.0))
+      .toDF("entity_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.parquet(s"$base/src")
+    Cli.run(spark, Seq("trigger",
+      "--source", s"$base/src", "--entity", "entity_id", "--ts", "ts",
+      "--rule", "surge:hour:value:sum:>:8.0:major",
+      "--rule", "quiet:day:value:max:<:2.0:minor",
+      "--out", s"$base/notifications"))
+    val fired = spark.read.parquet(s"$base/notifications")
+    assert(fired.select("rule", "entity_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("surge", 1L), ("quiet", 2L)))
+
+    // notifications are a time-partitioned store → retention applies
+    Cli.run(spark, Seq("retain",
+      "--store", s"$base/notifications", "--keep-from", "2024-01-02"))
+    assert(spark.read.parquet(s"$base/notifications")
+      .select("rule").head.getString(0) === "quiet")
+  }
 }
