@@ -93,6 +93,51 @@ object Trigger {
     parts.reduce(_ unionByName _)
   }
 
+  /** Evaluate rules against ALREADY-ROLLED rows — `(entity_id,
+    * bucket, cnt, sum_dec, max_value)`, the shape both
+    * `TrendStore.rollup` and `TrendStream.windowedRollup` emit. This
+    * is the streaming trigger path: the rollup comes from a
+    * watermarked windowed aggregation whose buckets arrive exactly
+    * once (finalized), so rules fire once per closed period — the
+    * reference's trigger daemon cadence. Aggregate references resolve
+    * to the rolled partials (`sum`/`count`/`max`/`avg`; `min` is not
+    * carried by the partial shape), and every rule must target the
+    * single `metric` the rolled stream carries. Granularity is fixed
+    * by the window that produced the rollup, so the rules' declared
+    * granularities are ignored here.
+    *
+    * Same single-projection shape as [[evaluate]]: all rules become
+    * `when(fired, struct)` elements of one exploded array — per
+    * micro-batch this is a codegen'd map over the (already tiny)
+    * finalized buckets, no extra shuffle. */
+  def evaluateRolled(rules: Seq[Rule], metric: String)(rolled: DataFrame): DataFrame = {
+    require(rules.nonEmpty, "Trigger.evaluateRolled: no rules")
+    rules.flatMap(_.thresholds).find(_.metric != metric).foreach { t =>
+      throw new IllegalArgumentException(
+        s"rolled trigger stream carries metric '$metric', rule references '${t.metric}'")
+    }
+    def agg(t: Threshold): Column = t.fn.toLowerCase match {
+      case "sum"   => col("sum_dec").cast("double")
+      case "count" => col("cnt")
+      case "max"   => col("max_value")
+      case "avg"   => col("sum_dec").cast("double") / col("cnt")
+      case f => throw new IllegalArgumentException(
+        s"fn not available over rolled partials: $f (sum/count/max/avg only)")
+    }
+    val ruleCols = rules.map { r =>
+      val fired = r.thresholds.map(t => compare(agg(t), t.op, t.value)).reduce(_ && _)
+      val payload = to_json(struct(r.thresholds.map(t => agg(t).as(alias(t))): _*))
+      when(fired, struct(lit(r.name).as("rule"),
+        lit(r.severity).as("severity"), payload.as("payload")))
+    }
+    rolled.select(col("entity_id"), col("bucket"),
+        explode(array(ruleCols: _*)).as("__n"))
+      .filter(col("__n").isNotNull)
+      .select(col("entity_id"), col("bucket"),
+        col("__n.rule").as("rule"), col("__n.severity").as("severity"),
+        col("__n.payload").as("payload"))
+  }
+
   /** The SQL twin of one rule's aggregate — used by callers that
     * generate a two-sided oracle from the same Rule values (the Spark
     * plan and the SQL text CANNOT drift when both derive from the rule

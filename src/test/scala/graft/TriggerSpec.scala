@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 import graft.operators.{NotificationStore, Trigger}
+import graft.streaming.TriggerStream
 
 /** Trigger-rule specs: firing semantics, the shared-rollup plan shape,
   * and the payload round-trip into the typed notification store. */
@@ -72,6 +73,66 @@ class TriggerSpec extends SparkSpec {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.size
     assert(nAgg === 2, s"expected one rollup per granularity, plan:\n$plan")
+  }
+
+  test("streaming triggers fire once per closed window, matching the batch rules") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_trig_src").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_trig").toString
+    val streamRules = Seq(
+      Trigger.Rule("surge", "hour", Seq(Trigger.Threshold("v", "sum", ">", 10.0)), "major"),
+      Trigger.Rule("burst", "hour", Seq(Trigger.Threshold("v", "count", ">", 2.0)), "minor"))
+    def writeBatch(rows: Seq[(Long, String, Double)]): Unit =
+      events(rows).write.mode("append").parquet(srcDir)
+    // batch 1: hour 10 gets a surge (12 > 10), hour 11 a burst (3 > 2)
+    writeBatch(Seq(
+      (1L, "2024-01-01 10:05:00", 6.0), (1L, "2024-01-01 10:25:00", 6.0),
+      (2L, "2024-01-01 11:01:00", 1.0), (2L, "2024-01-01 11:02:00", 1.0),
+      (2L, "2024-01-01 11:03:00", 1.0)))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val fired = TriggerStream.fire(stream, "entity", "ts", "v",
+      streamRules, "1 hour", "1 hour")
+    val q = TriggerStream.toStore(fired, s"$base/store", s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      // nothing finalized yet: watermark sits at 11:03 − 1h
+      assert(!graft.operators.StoreFs.exists(spark, s"$base/store") ||
+        spark.read.parquet(s"$base/store").isEmpty)
+      // batch 2 advances the watermark past hour 11's end → both fire
+      writeBatch(Seq((3L, "2024-01-01 14:00:00", 1.0)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/store")
+        .select(col("rule"), col("entity_id"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("b"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === Set(
+        ("surge", 1L, "2024-01-01 10:00:00"),
+        ("burst", 2L, "2024-01-01 11:00:00")))
+      // the stream fired exactly what the batch rules fire on the
+      // same closed-window rows
+      val batchFired = Trigger.evaluate(streamRules.map(_.copy(granularity = "hour")))(
+          events(Seq(
+            (1L, "2024-01-01 10:05:00", 6.0), (1L, "2024-01-01 10:25:00", 6.0),
+            (2L, "2024-01-01 11:01:00", 1.0), (2L, "2024-01-01 11:02:00", 1.0),
+            (2L, "2024-01-01 11:03:00", 1.0))), col("entity"), col("ts"))
+        .select(col("rule"), col("entity_id"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("b"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === batchFired)
+    } finally q.stop()
+  }
+
+  test("evaluateRolled rejects foreign metrics and unavailable fns") {
+    val rolled = graft.operators.TrendStore.rollup(
+      data, col("entity"), col("ts"), col("v"), "hour")
+    intercept[IllegalArgumentException] {
+      Trigger.evaluateRolled(Seq(Trigger.Rule("x", "hour",
+        Seq(Trigger.Threshold("other", "sum", ">", 1.0)), "s")), "v")(rolled)
+    }
+    intercept[IllegalArgumentException] {
+      Trigger.evaluateRolled(Seq(Trigger.Rule("x", "hour",
+        Seq(Trigger.Threshold("v", "min", ">", 1.0)), "s")), "v")(rolled)
+    }
   }
 
   test("unknown fn/op are rejected") {
