@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
-import graft.operators.{Aggregation, Materialize, TrendStoreWriter, Trigger}
+import graft.operators.{Aggregation, AttributeStoreWriter, Materialize, TrendStoreWriter, Trigger}
 import graft.sources.HarvestJob
 
 /** Thin CLI over the library — the `minerva harvest` / `minerva
@@ -22,6 +22,7 @@ import graft.sources.HarvestJob
   * graft.Cli trigger --source PARQUET --entity C --ts C \
   *   --rule name:gran:metric:fn:op:value:severity [--rule …] --out OUT
   * graft.Cli retain --store S --keep-from YYYY-MM-DD
+  * graft.Cli compact --history H --value C [--entity C] [--ts C] [--tie C]
   * }}}
   *
   * All heavy lifting stays in the library operators; the CLI only
@@ -104,9 +105,17 @@ object Cli {
       val dropped = TrendStoreWriter.retain(spark, one(f, "store"), one(f, "keep-from"))
       println(s"retain: dropped=${dropped.size}")
 
+    case "compact" :: rest =>
+      val f = parseFlags(rest)
+      val (dropped, days) = AttributeStoreWriter.compactHistory(spark,
+        one(f, "history"), one(f, "value"),
+        opt(f, "entity", "entity_id"), opt(f, "ts", "ts"), opt(f, "tie", "event_id"))
+      println(s"compact: dropped=$dropped days=${days.size}")
+
     case cmd =>
       throw new IllegalArgumentException(
-        s"unknown command: ${cmd.headOption.getOrElse("")} (expected harvest|materialize|aggregate|trigger|retain)")
+        s"unknown command: ${cmd.headOption.getOrElse("")} " +
+          "(expected harvest|materialize|aggregate|trigger|retain|compact)")
   }
 
   def main(args: Array[String]): Unit = {

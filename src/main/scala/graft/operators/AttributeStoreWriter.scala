@@ -34,6 +34,63 @@ object AttributeStoreWriter {
                   from: Option[String] = None, to: Option[String] = None): DataFrame =
     TrendStoreWriter.read(spark, path, from, to).drop("bucket")
 
+  /** History compaction as a maintenance job: rewrite the history
+    * store dropping rows whose value repeats the entity's previous
+    * row — the write-side twin of `AttributeStore.compact` (the
+    * reference compacts attribute history tables the same way:
+    * repeated snapshots of an unchanged attribute carry no
+    * information).
+    *
+    * Scale shape: ONE entity-keyed window pass computes keep/drop for
+    * every row (the decision crosses partition boundaries — the
+    * previous row may live in an earlier day, so a per-partition
+    * rewrite would be wrong); only the day-partitions that actually
+    * lost rows are rewritten (dynamic overwrite over the dirty-day
+    * set, O(days) driver-side), untouched days are never written.
+    * Returns (rows dropped, days rewritten). */
+  def compactHistory(spark: SparkSession, historyPath: String, valueCol: String,
+                     entityCol: String = "entity_id", tsCol: String = "ts",
+                     tieCol: String = "event_id"): (Long, Seq[java.sql.Date]) = {
+    val hist = spark.read.parquet(historyPath)
+    val compacted = AttributeStore.compact(hist,
+      col(entityCol), col(tsCol), col(tieCol), col(valueCol))
+    // Dirty days = p_dates whose row count shrank. Both sides are
+    // partial-agg groupBys; the collect is O(days).
+    val before = hist.groupBy(col("p_date")).agg(count(lit(1)).as("__n_before"))
+    val after = compacted.groupBy(col("p_date")).agg(count(lit(1)).as("__n_after"))
+    val dirtyRows = before.join(after, Seq("p_date"), "left")
+      .filter(col("__n_after").isNull || col("__n_after") < col("__n_before"))
+      .select(col("p_date"),
+        (col("__n_before") - coalesce(col("__n_after"), lit(0L))).as("__dropped"),
+        col("__n_after").isNull.as("__emptied"))
+      .collect()
+    val dirtyDays = dirtyRows.map(_.getDate(0)).toSeq
+    val dropped = dirtyRows.map(_.getLong(1)).sum
+    if (dirtyDays.nonEmpty) {
+      // localCheckpoint: the overwrite must not read the files it
+      // replaces (same discipline as TrendStoreWriter.upsert).
+      val survivors = compacted.filter(col("p_date").isin(dirtyDays: _*))
+        .drop("p_date").localCheckpoint()
+      survivors.withColumn("p_date", to_date(col("bucket")))
+        .write.partitionBy("p_date")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(historyPath)
+      // A day compacted down to ZERO rows is absent from the written
+      // data, so dynamic overwrite leaves its stale files — drop those
+      // partitions explicitly (checked deletes, as in retain).
+      val emptied = dirtyRows.filter(_.getBoolean(2)).map(_.getDate(0).toString)
+      if (emptied.nonEmpty) {
+        val (f, _) = StoreFs.fs(spark, historyPath)
+        emptied.foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(s"$historyPath/p_date=$d")
+          if (f.exists(p) && !f.delete(p, true))
+            throw new java.io.IOException(s"failed to drop emptied partition $p")
+        }
+      }
+    }
+    (dropped, dirtyDays)
+  }
+
   /** History retention: drop history partitions older than `keepFrom`.
     * The current-value table is separate state and is NOT touched — a
     * retired history day does not invalidate the latest value per

@@ -56,6 +56,42 @@ class RetentionSpec extends SparkSpec {
     assert(current.select(col("attr")).head.getString(0) === "v10")
   }
 
+  test("history compaction drops repeats, rewrites only dirty days") {
+    val dir = tmpDir()
+    val hist = dir + "/history"
+    val rows = Seq(
+      (1L, "2024-01-01 08:00:00", 1L, "A"), // keep (first)
+      (1L, "2024-01-02 08:00:00", 2L, "A"), // repeat → drop
+      (1L, "2024-01-03 08:00:00", 3L, "B"), // change → keep
+      (2L, "2024-01-01 09:00:00", 4L, "X"), // keep
+      (2L, "2024-01-02 09:00:00", 5L, "Y"), // change → keep
+      (2L, "2024-01-03 09:00:00", 6L, "Y"), // repeat → drop
+      (3L, "2024-01-01 07:00:00", 7L, "Z"), // keep
+      (3L, "2024-01-04 07:00:00", 8L, "Z")  // repeat → drop; day 04 empties
+    ).toDF("entity_id", "ts", "event_id", "attr")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    AttributeStoreWriter.append(spark, hist, rows)
+    val day1Files = StoreFs.list(spark, hist + "/p_date=2024-01-01")
+      .map(_.toString).sorted
+    val (dropped, dirtyDays) =
+      AttributeStoreWriter.compactHistory(spark, hist, "attr")
+    assert(dropped === 3)
+    assert(dirtyDays.map(_.toString).sorted ===
+      Seq("2024-01-02", "2024-01-03", "2024-01-04"))
+    val back = AttributeStoreWriter.readHistory(spark, hist)
+    assert(back.count() === 5)
+    assert(back.select(col("entity_id"), col("attr")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "A"), (1L, "B"), (2L, "X"), (2L, "Y"), (3L, "Z")))
+    // untouched day-1 partition was not rewritten
+    assert(StoreFs.list(spark, hist + "/p_date=2024-01-01")
+      .map(_.toString).sorted === day1Files)
+    // the emptied day-4 partition is gone entirely
+    assert(!StoreFs.exists(spark, hist + "/p_date=2024-01-04"))
+    // a second compaction is a no-op
+    assert(AttributeStoreWriter.compactHistory(spark, hist, "attr")._1 === 0)
+  }
+
   test("replace survives a crash between the two renames (recover)") {
     val dir = tmpDir()
     val dest = dir + "/state"
