@@ -20,6 +20,27 @@ import graft.functions.Fx
   */
 object TrendStore {
 
+  private val DurationGran = "^(\\d+)\\s*(s|m|h|d)?$".r
+
+  /** Bucket expression for any Minerva granularity: calendar units
+    * truncate (`date_trunc`), duration forms ("900", "15m", "1h")
+    * floor the epoch onto the grid (the reference's native
+    * seconds-based granularities), "raw" keeps the timestamp. One
+    * codegen'd expression either way. */
+  def bucket(ts: Column, granularity: String): Column =
+    granularity.trim.toLowerCase match {
+      case "" | "raw" => ts
+      case g @ ("second" | "minute" | "hour" | "day" | "week" | "month" |
+                "quarter" | "year") => date_trunc(g, ts)
+      case DurationGran(n, unit) =>
+        val mult = Option(unit).getOrElse("s") match {
+          case "s" => 1L; case "m" => 60L; case "h" => 3600L; case "d" => 86400L
+        }
+        val g = n.toLong * mult
+        timestamp_seconds(floor(unix_timestamp(ts) / g) * g)
+      case g => throw new IllegalArgumentException(s"unknown granularity: $g")
+    }
+
   /** Sum/count/max partials for one value column, bucketed by
     * `granularity` (any `date_trunc` unit). Keeps the exact DECIMAL
     * sum so downstream re-aggregation stays exact. */

@@ -72,8 +72,11 @@ object Trigger {
     val parts = rules.groupBy(_.granularity).toSeq.sortBy(_._1).map { case (gran, rs) =>
       val aggs = rs.flatMap(_.thresholds).map(t => alias(t) -> t).toMap
         .values.toSeq.sortBy(alias)
+      // TrendStore.bucket: calendar units AND the reference's native
+      // seconds-based granularities ("900" / "15m") both work as rule
+      // grids.
       val rolled = trend.groupBy(entity.as("entity_id"),
-          date_trunc(gran, ts).as("bucket"))
+          TrendStore.bucket(ts, gran).as("bucket"))
         .agg(compileAgg(aggs.head), aggs.tail.map(compileAgg): _*)
       val ruleCols = rs.map { r =>
         val fired = r.thresholds.map(t => compare(col(alias(t)), t.op, t.value))

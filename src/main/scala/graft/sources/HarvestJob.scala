@@ -52,25 +52,12 @@ object HarvestJob {
     else Set.empty
   }
 
-  private val DurationGran = "^(\\d+)\\s*(s|m|h|d)?$".r
-
   /** Align timestamps to the job's granularity grid — the reference
     * stores trend rows ON the grid, while vendor files carry off-grid
-    * native timestamps. Calendar units truncate; duration forms
-    * ("900", "15m", "1h") floor the epoch to the grid; "raw" keeps
-    * native timestamps (documented native-granularity mode). */
+    * native timestamps. Delegates to [[TrendStore.bucket]] (calendar
+    * truncation, duration grids, or "raw" native timestamps). */
   private[sources] def alignBucket(ts: Column, granularity: String): Column =
-    granularity.trim.toLowerCase match {
-      case "" | "raw"                        => ts
-      case g @ ("hour" | "day" | "week" | "month") => date_trunc(g, ts)
-      case DurationGran(n, unit) =>
-        val mult = Option(unit).getOrElse("s") match {
-          case "s" => 1L; case "m" => 60L; case "h" => 3600L; case "d" => 86400L
-        }
-        val g = n.toLong * mult
-        timestamp_seconds(floor(unix_timestamp(ts) / g) * g)
-      case g => throw new IllegalArgumentException(s"unknown harvest granularity: $g")
-    }
+    graft.operators.TrendStore.bucket(ts, granularity)
 
   /** Continuous harvest: the streaming twin of [[run]]. The
     * reference's harvest daemon watches source directories

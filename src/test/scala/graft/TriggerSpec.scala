@@ -135,6 +135,21 @@ class TriggerSpec extends SparkSpec {
     }
   }
 
+  test("rules run on native seconds granularities (15m grid)") {
+    val got = Trigger.evaluate(Seq(
+        Trigger.Rule("q_surge", "15m",
+          Seq(Trigger.Threshold("v", "sum", ">", 5.0)), "major")))(
+        data, col("entity"), col("ts"))
+      .select(col("entity_id"), date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // entity 1: 10:05 (6.0) and 10:25 (6.0) land in DIFFERENT 15m
+    // buckets, each > 5; entity 3's 200.0 fires its quarter too.
+    assert(got === Set(
+      (1L, "2024-01-01 10:00:00"),
+      (1L, "2024-01-01 10:15:00"),
+      (3L, "2024-01-02 09:00:00")))
+  }
+
   test("unknown fn/op are rejected") {
     intercept[IllegalArgumentException] {
       Trigger.evaluate(Seq(Trigger.Rule("x", "hour",
