@@ -45,12 +45,41 @@ object TrendStoreParts {
   /** Read a set of parts and reassemble the wide view on the shared
     * key. Missing rows in a part yield nulls for its columns (parts
     * can be loaded by independent harvest jobs at different times),
-    * so the join is full_outer across parts. */
+    * so the join is full_outer across parts. One shuffle per part —
+    * fine at the part counts Minerva uses (≤ dozens); see
+    * [[readWide]] for the one-shuffle shape. */
   def read(spark: SparkSession, basePath: String, parts: Seq[String],
            keyCols: Seq[String] = Seq("entity_id", "bucket"),
            from: Option[String] = None, to: Option[String] = None): DataFrame = {
     require(parts.nonEmpty, "at least one part is required")
     parts.map(p => TrendStoreWriter.read(spark, s"$basePath/$p", from, to).drop("p_date"))
       .reduce((a, b) => a.join(b, keyCols, "full_outer"))
+  }
+
+  /** Single-shuffle wide read: pad each part's scan to the union
+    * schema with typed nulls, union them (no shuffle), and collapse
+    * per key with `first(…, ignoreNulls)` — ONE exchange total,
+    * independent of part count, where the [[read]] join chain pays
+    * one per part. Equivalent to the full_outer reassembly under the
+    * store invariant (at most one row per key per part, which is what
+    * the keyed upsert maintains). */
+  def readWide(spark: SparkSession, basePath: String, parts: Seq[String],
+               keyCols: Seq[String] = Seq("entity_id", "bucket"),
+               from: Option[String] = None, to: Option[String] = None): DataFrame = {
+    require(parts.nonEmpty, "at least one part is required")
+    val dfs = parts.map(p =>
+      TrendStoreWriter.read(spark, s"$basePath/$p", from, to).drop("p_date"))
+    val fieldType = dfs.flatMap(_.schema.fields).map(f => f.name -> f.dataType).toMap
+    val valueCols = dfs.flatMap(_.columns).distinct.filterNot(keyCols.contains)
+    val padded = dfs.map { df =>
+      val have = df.columns.toSet
+      df.select(keyCols.map(col) ++ valueCols.map { c =>
+        if (have(c)) col(c) else lit(null).cast(fieldType(c)).as(c)
+      }: _*)
+    }
+    padded.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(first(col(valueCols.head), ignoreNulls = true).as(valueCols.head),
+        valueCols.tail.map(c => first(col(c), ignoreNulls = true).as(c)): _*)
   }
 }

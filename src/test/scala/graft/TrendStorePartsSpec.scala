@@ -32,6 +32,37 @@ class TrendStorePartsSpec extends SparkSpec {
       from = Some("2024-01-02")).count() === 1)
   }
 
+  test("readWide ≡ join-chain read, with exactly one exchange") {
+    val base = Files.createTempDirectory("graft_parts_wide").toString
+    TrendStoreParts.write(wide(), base,
+      Map("radio" -> Seq("radio_a", "radio_b"), "core" -> Seq("core_x")))
+    // a key present in one part only (the outer-join gap case)
+    val extra = Seq((9L, "2024-01-01 12:00:00", 7.0, 8.0))
+      .toDF("entity_id", "bucket", "radio_a", "radio_b")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    TrendStoreParts.upsertPart(spark, base, "radio", extra)
+
+    val parts = Seq("radio", "core")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("entity_id"), col("bucket").cast("string"),
+        col("radio_a"), col("radio_b"), col("core_x"))
+      .collect().map(_.toSeq).toSet
+    val viaJoin = canon(TrendStoreParts.read(spark, base, parts))
+    val viaUnion = canon(TrendStoreParts.readWide(spark, base, parts))
+    assert(viaUnion === viaJoin)
+    assert(viaUnion.size === 4)
+
+    // plan shape: the union+collapse pays ONE exchange regardless of
+    // part count; the join chain pays one per part.
+    val nEx = TrendStoreParts.readWide(spark, base, parts)
+      .queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(nEx === 1, s"expected a single exchange, saw $nEx")
+    // range pruning still applies to every part
+    assert(TrendStoreParts.readWide(spark, base, parts,
+      from = Some("2024-01-02")).count() === 1)
+  }
+
   test("upserting one part leaves the others untouched; outer join fills gaps") {
     val base = Files.createTempDirectory("graft_parts_up").toString
     TrendStoreParts.write(wide(), base,
