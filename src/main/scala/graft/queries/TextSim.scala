@@ -52,9 +52,12 @@ object TextSim {
 
   /** The d05 plan over any DataFrame with (doc_id, text) — shared by
     * the sf query and the planted multilingual spec corpus. Custom
-    * `profiles` let specs contrast shallow vs deep profile tables. */
+    * `profiles` let specs contrast shallow vs deep profile tables;
+    * `keep` carries extra source columns through (so downstream
+    * pipeline stages — d13 — need no join back to the corpus). */
   def langScore(docs: DataFrame,
-                profiles: Seq[(String, Seq[String])] = langProfiles): DataFrame = {
+                profiles: Seq[(String, Seq[String])] = langProfiles,
+                keep: Seq[String] = Seq.empty): DataFrame = {
     val padded = docs.withColumn("__pt", concat(lit(" "), col("text"), lit(" ")))
     val scored = profiles.foldLeft(padded) { case (df, (lang, words)) =>
       df.withColumn(s"${lang}_score",
@@ -71,32 +74,42 @@ object TextSim {
         val cond = (laters :+ (s > lit(0))).reduce(_ && _)
         when(cond, lit(lang)).otherwise(orElse)
     }
-    scored.select((col("doc_id") +: scores) :+ chain.as("pred_lang"): _*)
+    scored.select((col("doc_id") +: keep.map(col)) ++ scores :+ chain.as("pred_lang"): _*)
   }
 
-  /** DuckDB twin of [[langScore]], generated from the same profiles. */
-  private def langScoreSql: String = {
+  /** Generated SQL pieces of the language scorer, shared by the d05
+    * oracle and the d13 curation oracle (one profile table feeds the
+    * Spark plan and every SQL twin — they cannot drift). */
+  private def langScoreExprsSql: String = {
     def occ(w: String) = {
       val m = s" $w "
       s"(length(pt) - length(replace(pt, '$m', ''))) / ${m.length}"
     }
-    val scoreExprs = langProfiles.map { case (lang, words) =>
+    langProfiles.map { case (lang, words) =>
       words.map(occ).mkString(" + ") + s" AS ${lang}_score"
     }.mkString(",\n  ")
-    val caseArms = langProfiles.zipWithIndex.map { case ((lang, _), i) =>
+  }
+
+  private def langCaseSql: String = {
+    val arms = langProfiles.zipWithIndex.map { case ((lang, _), i) =>
       val laters = langProfiles.drop(i + 1)
         .map { case (l2, _) => s"${lang}_score >= ${l2}_score" }
       val conds = (laters :+ s"${lang}_score > 0").mkString(" AND ")
       s"WHEN $conds THEN '$lang'"
     }.mkString("\n       ")
+    s"""CASE $arms
+       |       ELSE 'und' END""".stripMargin
+  }
+
+  /** DuckDB twin of [[langScore]], generated from the same profiles. */
+  private def langScoreSql: String = {
     val scoreCols = langProfiles.map { case (lang, _) => s"${lang}_score" }.mkString(", ")
     s"""WITH p AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents),
        |sc AS (SELECT doc_id,
-       |  $scoreExprs
+       |  $langScoreExprsSql
        |FROM p)
        |SELECT doc_id, $scoreCols,
-       |  CASE $caseArms
-       |       ELSE 'und' END AS pred_lang
+       |  $langCaseSql AS pred_lang
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
@@ -222,6 +235,48 @@ object TextSim {
         .withColumn("sim", round(col("sim"), 6))
         .filter(col("sim") >= 0.45)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // End-to-end curation pipeline — the composition a training-data
+    // run actually executes: language-ID → quality filter → exact
+    // dedup (keep lowest doc_id) → per-language corpus stats. One
+    // linear plan: the scorer keeps `text` flowing (no join back to
+    // the corpus), dedup is one window on the content hash, stats one
+    // groupBy. Every stage is deterministic → full DuckDB oracle.
+    "d13_curation" -> { (s, dir) =>
+      val scored = langScore(TableCatalog(s, dir).documents, keep = Seq("text", "source"))
+        .select(col("doc_id"), col("text"), col("source"), col("pred_lang"))
+        .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
+        .withColumn("alpha_ratio",
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")) / length(col("text")))
+      val filtered = scored.filter(col("pred_lang") =!= "und" &&
+        col("n_tokens") >= 20 && col("alpha_ratio") >= 0.81)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__h")).orderBy(col("doc_id").asc)
+      val kept = filtered.withColumn("__h", md5(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      kept.groupBy(col("pred_lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("min_doc_id"))
+        .orderBy(col("pred_lang"), col("source"))
+    },
+
+    // Deterministic train/valid/test split: the assignment is a pure
+    // function of doc_id (first 16 bits of md5), so it is reproducible
+    // across engines, re-runs, and cluster layouts — the property a
+    // training pipeline needs from its splits. 90/5/5 on the 16-bit
+    // space.
+    "d14_split" -> { (s, dir) =>
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+      val split = when(h < 58982, "train").when(h < 62259, "valid").otherwise("test")
+      TableCatalog(s, dir).documents
+        .select(col("doc_id"), split.as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+        .orderBy(col("split"))
     },
 
     "s01_cosine_topk" -> { (s, dir) =>
@@ -390,6 +445,42 @@ object TextSim {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "d13_curation" ->
+      s"""WITH p AS (SELECT doc_id, text, source, ' ' || text || ' ' AS pt FROM documents),
+         |sc AS (SELECT doc_id, text, source,
+         |  $langScoreExprsSql
+         |FROM p),
+         |lang AS (SELECT doc_id, text, source,
+         |  $langCaseSql AS pred_lang
+         |FROM sc),
+         |enr AS (SELECT doc_id, source, pred_lang,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
+         |  md5(text) AS h
+         |FROM lang),
+         |filt AS (SELECT * FROM enr
+         |  WHERE pred_lang <> 'und' AND n_tokens >= 20 AND alpha_ratio >= 0.81),
+         |kept AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM filt)
+         |  WHERE rn = 1)
+         |SELECT pred_lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, min(doc_id) AS min_doc_id
+         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "d14_split" ->
+      """WITH x AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hh FROM documents),
+        |hv AS (SELECT doc_id,
+        |  CAST(sum(CAST(strpos('0123456789abcdef', substr(hh, i, 1)) - 1 AS BIGINT)
+        |    << ((4 - i) * 4)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, hh, unnest(generate_series(1, 4)) AS i FROM x)
+        |  GROUP BY doc_id),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN h < 58982 THEN 'train' WHEN h < 62259 THEN 'valid' ELSE 'test' END AS split
+        |FROM hv)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s01_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe

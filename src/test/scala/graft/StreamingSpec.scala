@@ -111,7 +111,15 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val got = spark.table("t_dedup").select("doc_id")
         .as[Long].collect().toSet
-      assert(got === Set(1L, 2L, 5L))
+      // One survivor per content key. WITHIN a micro-batch the
+      // surviving row of a key is whichever task processed first
+      // (arrival order — docs 1/3 both carry "alpha" in batch 1, and
+      // either may win); ACROSS batches the state is authoritative, so
+      // batch-2's "beta" re-delivery (doc 4) deterministically loses
+      // to the stored doc 2, and "gamma" (doc 5) is new.
+      assert(got.size === 3)
+      assert(got.contains(2L) && got.contains(5L) && !got.contains(4L))
+      assert(got.contains(1L) ^ got.contains(3L))
     } finally q.stop()
   }
 
