@@ -249,18 +249,46 @@ object TextSim {
         .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
         .withColumn("alpha_ratio",
           length(regexp_replace(col("text"), "[^a-zA-Z]", "")) / length(col("text")))
-      val filtered = scored.filter(col("pred_lang") =!= "und" &&
-        col("n_tokens") >= 20 && col("alpha_ratio") >= 0.81)
+        .withColumn("__h", md5(col("text")))
+      // Dedup BEFORE the quality filter — equivalent (duplicates share
+      // text, hence identical pred_lang/quality), and load-bearing for
+      // the plan: the Window blocks predicate pushdown, so the filter
+      // can't be substituted below the scoring projection. Pushed-down,
+      // the CASE chain would inline every language score O(langs) times
+      // into the filter and re-evaluate the 150 occurrence expressions
+      // per branch — measured 25× slower.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__h")).orderBy(col("doc_id").asc)
-      val kept = filtered.withColumn("__h", md5(col("text")))
-        .withColumn("__rn", row_number().over(w))
+      val deduped = scored.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
+      val kept = deduped.filter(col("pred_lang") =!= "und" &&
+        col("n_tokens") >= 20 && col("alpha_ratio") >= 0.81)
       kept.groupBy(col("pred_lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("sum_tokens"),
           min(col("doc_id")).as("min_doc_id"))
         .orderBy(col("pred_lang"), col("source"))
+    },
+
+    // Context-window chunking: fixed 32-token windows on a 24-token
+    // stride (8-token overlap) — the chunk/pack step before tokenized
+    // training data. All per-doc work is codegen'd HOFs over the token
+    // array (sequence → transform → aggregate): scan-bound, no UDF,
+    // no explode-shuffle; the projection keeps per-doc chunk stats so
+    // the DuckDB twin can hash-verify the exact chunk geometry.
+    "d15_chunks" -> { (s, dir) =>
+      val window = 32; val stride = 24
+      TableCatalog(s, dir).documents
+        .withColumn("__n", size(TextFunctions.tokens(col("text"))))
+        .filter(col("__n") > 0)
+        .withColumn("__starts", sequence(lit(1), col("__n"), lit(stride)))
+        .withColumn("__lens", transform(col("__starts"),
+          st => least(lit(window), col("__n") - st + 1)))
+        .select(col("doc_id"), col("__n").as("n_tokens"),
+          size(col("__starts")).as("n_chunks"),
+          aggregate(col("__lens"), lit(0), (acc, x) => acc + x).as("sum_chunk_tokens"),
+          element_at(col("__lens"), -1).as("last_chunk_tokens"))
+        .orderBy(col("doc_id"))
     },
 
     // Deterministic train/valid/test split: the assignment is a pure
@@ -301,6 +329,25 @@ object TextSim {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "vec_id", "embedding", k = 10)
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // Int8 scalar quantization of embeddings (per-vector symmetric
+    // scale = 127/max|x|) — the compression step before an ANN index
+    // ships to serving. Pure HOFs; float→double promotion is exact on
+    // both engines and round() ties go away-from-zero on both, so the
+    // quantized geometry (sum, clip count) hash-verifies.
+    "s05_embed_quantize" -> { (s, dir) =>
+      val v = col("embedding")
+      TableCatalog(s, dir).embeddings
+        .withColumn("__ma", array_max(transform(v, x => abs(x))).cast("double"))
+        .filter(col("__ma") > 0)
+        .withColumn("__q", transform(v,
+          x => round(x.cast("double") * lit(127.0) / col("__ma")).cast("long")))
+        .select(col("vec_id"),
+          round(col("__ma"), 6).as("max_abs"),
+          aggregate(col("__q"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+          size(filter(col("__q"), e => abs(e) === 127)).as("n_clip"))
+        .orderBy(col("vec_id"))
     },
 
     "s03_vector_norms" -> { (s, dir) =>
@@ -468,6 +515,16 @@ object TextSim {
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, min(doc_id) AS min_doc_id
          |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "d15_chunks" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, n, generate_series(1, n, 24) AS starts FROM t WHERE n > 0),
+        |l AS (SELECT doc_id, n, starts,
+        |  list_transform(starts, s -> least(32, n - s + 1)) AS lens FROM c)
+        |SELECT doc_id, n AS n_tokens, len(starts) AS n_chunks,
+        |  CAST(list_sum(lens) AS BIGINT) AS sum_chunk_tokens,
+        |  lens[-1] AS last_chunk_tokens
+        |FROM l ORDER BY doc_id""".stripMargin,
+
     "d14_split" ->
       """WITH x AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hh FROM documents),
         |hv AS (SELECT doc_id,
@@ -492,6 +549,17 @@ object TextSim {
         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
         |      FROM s)
         |SELECT q_id, rank, n_id FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "s05_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        |q AS (SELECT vec_id, ma,
+        |  list_transform(v, x -> CAST(round(x * 127.0 / ma) AS BIGINT)) AS qv
+        |FROM m WHERE ma > 0)
+        |SELECT vec_id, round(ma, 6) AS max_abs,
+        |  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+        |  len(list_filter(qv, x -> abs(x) = 127)) AS n_clip
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "s03_vector_norms" ->
       """WITH n AS (SELECT label,
