@@ -291,6 +291,41 @@ object TextSim {
         .orderBy(col("doc_id"))
     },
 
+    // Sequence packing: documents are packed per source into
+    // 4096-token bins in deterministic doc_id order — bin id =
+    // floor(exclusive-running-total / capacity), the streaming-greedy
+    // packing a pretraining data loader uses. One window (running
+    // sum) + one groupBy; both deterministic → full oracle.
+    "d16_pack" -> { (s, dir) =>
+      val capacity = 4096
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      TableCatalog(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+        .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("bin", floor(col("__before") / capacity))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("bin"))
+    },
+
+    // Scrubbing counts: URLs / emails per document (the PII/noise
+    // pre-filter). RE2-safe patterns shared verbatim by both engines.
+    "d17_scrub" -> { (s, dir) =>
+      val urls = regexp_extract_all(col("text"), lit("https?://[^ ]+"), lit(0))
+      val emails = regexp_extract_all(col("text"),
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"), lit(0))
+      TableCatalog(s, dir).documents
+        .select(col("doc_id"),
+          size(urls).as("n_urls"), size(emails).as("n_emails"),
+          (size(urls) === 0 && size(emails) === 0).as("clean"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic train/valid/test split: the assignment is a pure
     // function of doc_id (first 16 bits of md5), so it is reproducible
     // across engines, re-runs, and cluster layouts — the property a
@@ -524,6 +559,27 @@ object TextSim {
         |  CAST(list_sum(lens) AS BIGINT) AS sum_chunk_tokens,
         |  lens[-1] AS last_chunk_tokens
         |FROM l ORDER BY doc_id""".stripMargin,
+
+    "d16_pack" ->
+      """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |r AS (SELECT doc_id, source, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |FROM t),
+        |b AS (SELECT doc_id, source, n_tokens,
+        |  CAST(floor(before / 4096.0) AS BIGINT) AS bin FROM r)
+        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "d17_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^ ]+')) = 0 AND
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) = 0 AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d14_split" ->
       """WITH x AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hh FROM documents),
