@@ -291,26 +291,31 @@ object TextSim {
         .orderBy(col("doc_id"))
     },
 
-    // Sequence packing: documents are packed per source into
-    // 4096-token bins in deterministic doc_id order — bin id =
-    // floor(exclusive-running-total / capacity), the streaming-greedy
-    // packing a pretraining data loader uses. One window (running
-    // sum) + one groupBy; both deterministic → full oracle.
+    // Sequence packing: documents are packed into 4096-token bins in
+    // deterministic doc_id order — bin id = floor(exclusive-running-
+    // total / capacity), the streaming-greedy packing a pretraining
+    // data loader uses. The running sum is windowed per (source,
+    // shard) with shard = doc_id div 2000: packing restarts at shard
+    // boundaries, which is exactly what a parallel packer does, and
+    // it bounds every window partition to a constant row count — a
+    // per-source-only window would serialize a 100 TB source onto
+    // one task. One window + one groupBy, both deterministic.
     "d16_pack" -> { (s, dir) =>
       val capacity = 4096
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id").asc)
+        .partitionBy(col("source"), col("shard")).orderBy(col("doc_id").asc)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       TableCatalog(s, dir).documents
         .select(col("doc_id"), col("source"),
+          floor(col("doc_id") / 2000).as("shard"),
           size(TextFunctions.tokens(col("text"))).as("n_tokens"))
         .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .withColumn("bin", floor(col("__before") / capacity))
-        .groupBy(col("source"), col("bin"))
+        .groupBy(col("source"), col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("bin_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy(col("source"), col("bin"))
+        .orderBy(col("source"), col("shard"), col("bin"))
     },
 
     // Scrubbing counts: URLs / emails per document (the PII/noise
@@ -561,17 +566,19 @@ object TextSim {
         |FROM l ORDER BY doc_id""".stripMargin,
 
     "d16_pack" ->
-      """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
-        |r AS (SELECT doc_id, source, n_tokens,
-        |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(floor(doc_id / 2000.0) AS BIGINT) AS shard,
+        |  len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |r AS (SELECT doc_id, source, shard, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
         |FROM t),
-        |b AS (SELECT doc_id, source, n_tokens,
+        |b AS (SELECT doc_id, source, shard, n_tokens,
         |  CAST(floor(before / 4096.0) AS BIGINT) AS bin FROM r)
-        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |SELECT source, shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "d17_scrub" ->
       """SELECT doc_id,

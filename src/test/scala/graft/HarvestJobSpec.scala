@@ -124,6 +124,31 @@ class HarvestJobSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming harvest restart resumes from the checkpoint, no re-read") {
+    val src = Files.createTempDirectory("graft_sjob_rs_src").toString
+    val base = Files.createTempDirectory("graft_sjob_rs").toString
+    val job = HarvestJob.Job(
+      sourceDir = src, format = "csv",
+      dnCol = "dn", entityComponent = "Cell",
+      tsCol = "timestamp", tsFormat = "yyyy-MM-dd HH:mm:ss",
+      granularity = "15m",
+      storePath = s"$base/store", statePath = s"$base/state")
+    writeCsv(src, "a.csv", Seq("Cell=1,2024-01-01 10:00:00,1.0"))
+    val q1 = HarvestJob.stream(spark, job, s"$base/ckpt")
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(TrendStoreWriter.read(spark, job.storePath).count() === 1)
+    // restart with the SAME checkpoint: a.csv is in the file log and
+    // must not be re-read; only the new file loads
+    writeCsv(src, "b.csv", Seq("Cell=2,2024-01-01 10:30:00,2.0"))
+    val q2 = HarvestJob.stream(spark, job, s"$base/ckpt")
+    try {
+      q2.processAllAvailable()
+      val store = TrendStoreWriter.read(spark, job.storePath)
+      assert(store.count() === 2)
+      assert(store.agg(sum("v")).head.getDouble(0) === 3.0)
+    } finally q2.stop()
+  }
+
   test("jsonlines plugin: same canonical package path as csv") {
     val src = Files.createTempDirectory("graft_job_jsonl").toString
     val base = Files.createTempDirectory("graft_job_jsonl_store").toString
