@@ -32,6 +32,33 @@ object EntityRegistry {
       .distinct()
       .withColumn("entity_id", entityId(col("dn")))
 
+  /** Sync a persisted registry with newly-seen entities — the
+    * reference's directory behavior where a harvest registers unknown
+    * dns on the fly. Because ids are content-derived (no sequence),
+    * sync is a pure set union: only dns absent from the store are
+    * appended, re-syncing the same dns is a no-op, and concurrent
+    * harvests of the same dn agree on the id without coordination.
+    * Returns the number of newly registered entities.
+    *
+    * Scale shape: the store read prunes to two columns; the anti-join
+    * is one registry-sized shuffle (or broadcast when the incoming
+    * batch is small — the common case: a harvest run sees few NEW
+    * entities); the append writes only the new rows. */
+  def sync(spark: org.apache.spark.sql.SparkSession, path: String,
+           src: DataFrame, dn: Column, entityType: Column, alias: Column): Long = {
+    val incoming = register(src, dn, entityType, alias)
+    val fresh =
+      if (!StoreFs.exists(spark, path)) incoming
+      else incoming.join(spark.read.parquet(path).select(col("dn")),
+        Seq("dn"), "left_anti")
+    // localCheckpoint: the append below must not re-trigger the plan
+    // that read the store it appends to.
+    val materialized = fresh.localCheckpoint()
+    val n = materialized.count()
+    if (n > 0) materialized.write.mode("append").parquet(path)
+    n
+  }
+
   /** Resolve names to entity ids through the registry: matches the dn
     * itself or the alias (Minerva's alias lookup).
     *

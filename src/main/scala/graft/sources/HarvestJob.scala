@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{StoreFs, TrendStoreWriter}
+import graft.operators.{EntityRegistry, StoreFs, TrendStoreWriter}
 
 /** Harvest job orchestration: the reference's `minerva harvest` loop.
   * A job description maps a source directory + format plugin to a
@@ -27,7 +27,8 @@ object HarvestJob {
                        tsCol: String, tsFormat: String,
                        granularity: String,
                        storePath: String, statePath: String,
-                       pattern: String = ".*", rowTag: String = "row")
+                       pattern: String = ".*", rowTag: String = "row",
+                       registryPath: Option[String] = None)
 
   /** One run's outcome: files loaded this run vs. skipped as already
     * processed. */
@@ -97,9 +98,14 @@ object HarvestJob {
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          job.registryPath.foreach { rp =>
+            EntityRegistry.sync(batch.sparkSession, rp, batch, col("entity_dn"),
+              lit(job.entityComponent.toLowerCase), col("entity_name"))
+          }
           TrendStoreWriter.upsert(batch.sparkSession, job.storePath, batch,
             keyCols = Seq("entity_id", "bucket"))
+        }
       }
       .start()
   }
@@ -120,6 +126,12 @@ object HarvestJob {
     val pkg = readPackage(spark, job, fresh)
     val rows = pkg.df.filter(col("ts").isNotNull)
       .withColumn("bucket", alignBucket(col("ts"), job.granularity))
+    // The reference's directory behavior: a harvest registers unseen
+    // entities on the fly (opt-in via registryPath).
+    job.registryPath.foreach { rp =>
+      EntityRegistry.sync(spark, rp, rows, col("entity_dn"),
+        lit(job.entityComponent.toLowerCase), col("entity_name"))
+    }
     TrendStoreWriter.upsert(spark, job.storePath, rows,
       keyCols = Seq("entity_id", "bucket"))
 

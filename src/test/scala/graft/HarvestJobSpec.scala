@@ -124,6 +124,39 @@ class HarvestJobSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("harvest registers unseen entities in the directory on the fly") {
+    val src = Files.createTempDirectory("graft_job_reg_src").toString
+    val base = Files.createTempDirectory("graft_job_reg").toString
+    val job = HarvestJob.Job(
+      sourceDir = src, format = "csv",
+      dnCol = "dn", entityComponent = "Cell",
+      tsCol = "timestamp", tsFormat = "yyyy-MM-dd HH:mm:ss",
+      granularity = "15m",
+      storePath = s"$base/store", statePath = s"$base/state",
+      registryPath = Some(s"$base/registry"))
+    writeCsv(src, "a.csv", Seq(
+      "Cell=1,2024-01-01 10:00:00,1.0",
+      "Cell=2,2024-01-01 10:00:00,2.0"))
+    HarvestJob.run(spark, job)
+    val reg1 = spark.read.parquet(s"$base/registry")
+    assert(reg1.count() === 2)
+    assert(reg1.columns.sorted === Array("alias", "dn", "entity_id", "entity_type"))
+    // next run: one known dn re-delivered, one new → exactly one append
+    writeCsv(src, "b.csv", Seq(
+      "Cell=2,2024-01-02 10:00:00,3.0",
+      "Cell=3,2024-01-02 10:00:00,4.0"))
+    HarvestJob.run(spark, job)
+    val reg2 = spark.read.parquet(s"$base/registry")
+    assert(reg2.count() === 3)
+    // content-derived ids: the store's id for Cell=2 equals the
+    // registry's (no coordination needed between the two writes)
+    val regId = reg2.filter(col("dn") === "Cell=2").head.getAs[Long]("entity_id")
+    val storeIds = TrendStoreWriter.read(spark, job.storePath)
+      .filter(col("entity_dn") === "Cell=2")
+      .select(col("entity_id")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(storeIds === Seq(regId))
+  }
+
   test("streaming harvest restart resumes from the checkpoint, no re-read") {
     val src = Files.createTempDirectory("graft_sjob_rs_src").toString
     val base = Files.createTempDirectory("graft_sjob_rs").toString
