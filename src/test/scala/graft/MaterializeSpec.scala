@@ -46,6 +46,24 @@ class MaterializeSpec extends SparkSpec {
     assert(files1.nonEmpty)
   }
 
+  test("a torn state swap self-heals: next run recovers the backup, no re-materialization") {
+    val statePath = Files.createTempDirectory("graft_mat_rec").toString + "/state"
+    val storePath = Files.createTempDirectory("graft_mat_rec_store").toString
+    val src = mk(Seq((1L, "2024-01-01 10:05:00", 1.0), (2L, "2024-01-02 09:00:00", 2.0)))
+    Materialize.run(src, col("entity_id"), col("ts"), col("value"),
+      "hour", statePath, storePath)
+    // Simulate a replace() that died between its two renames: state
+    // moved aside to .bak, new state never landed.
+    val (f, d) = graft.operators.StoreFs.fs(spark, statePath)
+    assert(f.rename(d, new org.apache.hadoop.fs.Path(statePath + ".bak")))
+    // The next run's readState recovers the backup, so NOTHING is
+    // dirty — without recovery the empty state would re-materialize
+    // every day.
+    val dirty = Materialize.run(src, col("entity_id"), col("ts"), col("value"),
+      "hour", statePath, storePath)
+    assert(dirty.isEmpty, s"expected recovered state, re-materialized: ${dirty.toSeq}")
+  }
+
   test("dirty set is empty when state matches the modified log") {
     val src = mk(Seq((1L, "2024-01-01 10:00:00", 1.0)))
     val log = Materialize.modifiedLogByDay(src, col("ts"))
