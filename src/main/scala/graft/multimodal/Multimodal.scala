@@ -119,6 +119,94 @@ object Multimodal {
       }))
   }
 
+  /** Extracted per-audio-payload features. `decoded` marks a
+    * successful parse; RMS/peak are normalized to [0, 1]. */
+  case class AudioFeatures(doc_id: Long, byte_len: Int, decoded: Boolean,
+                           sample_rate: Double, channels: Int, n_frames: Long,
+                           duration_sec: Double, rms: Double, peak: Double)
+
+  /** Deterministic synthetic WAV (16-bit PCM mono 8 kHz sine, freq a
+    * pure function of `id`) — the m03 driver check and specs generate
+    * audio payloads with this, since the test corpus carries no real
+    * media blobs. Same bytes on every executor and every run. */
+  def syntheticWav(id: Long, seconds: Double = 0.25, amplitude: Double = 0.5): Array[Byte] = {
+    val sampleRate = 8000f
+    val freq = 200.0 + (id % 20) * 50.0
+    val n = (sampleRate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (amplitude * math.sin(2 * math.Pi * freq * i / sampleRate) * 32767).toInt
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Batched audio feature extraction — REAL decode via
+    * `javax.sound.sampled` (ships with the JDK: WAV/AIFF/AU, PCM).
+    * Per payload: format metadata (sample rate, channels, frame
+    * count, duration) plus signal stats (RMS, peak) from the PCM
+    * samples. Same batched-mapPartitions contract and quarantine
+    * discipline as the image path: undecodable payloads come back
+    * with `decoded = false`, never a job failure. Compressed codecs
+    * (mp3/ogg) have no JDK decoder — they take this fallback path,
+    * and a real deployment swaps in a codec library behind the same
+    * batch shape. */
+  def extractAudioFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                           batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { case (id, bytes) =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+            val pcm = in.readAllBytes()
+            val nSamples = pcm.length / bytesPerSample
+            var sumSq = 0.0; var peak = 0.0; var i = 0
+            val full = (1L << (bytesPerSample * 8 - 1)).toDouble
+            while (i < nSamples) {
+              // little-endian signed PCM (the WAV norm); 8-bit WAV is
+              // unsigned by spec — recentre it.
+              val off = i * bytesPerSample
+              val v =
+                if (bytesPerSample == 1) ((pcm(off) & 0xff) - 128).toDouble / 128.0
+                else {
+                  var acc = 0L; var b = 0
+                  while (b < bytesPerSample) {
+                    acc |= (pcm(off + b) & 0xffL) << (8 * b); b += 1
+                  }
+                  val bits = bytesPerSample * 8
+                  val signed = (acc << (64 - bits)) >> (64 - bits)
+                  signed.toDouble / full
+                }
+              sumSq += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              i += 1
+            }
+            val frames = nSamples.toLong / math.max(1, fmt.getChannels)
+            AudioFeatures(id, bytes.length, decoded = true,
+              fmt.getSampleRate.toDouble, fmt.getChannels, frames,
+              frames / fmt.getSampleRate.toDouble,
+              if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0, peak)
+          } finally in.close()
+        } catch { case _: Exception =>
+          AudioFeatures(id, bytes.length, decoded = false, 0.0, 0, 0L, 0.0, 0.0, 0.0)
+        }
+      }))
+  }
+
   /** One sampled frame of a multi-frame payload. */
   case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int, height: Int,
                            mean_luma: Double)

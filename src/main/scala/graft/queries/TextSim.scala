@@ -411,6 +411,22 @@ object TextSim {
       val docs = Multimodal.withPayload(TableCatalog(s, dir).documents, "text")
       Multimodal.extractFeatures(s, docs, "doc_id").toDF()
         .orderBy(col("doc_id"))
+    },
+
+    // Real audio decode (rows-only like m02: binary decode has no SQL
+    // oracle; the WAV path is spec-verified against known sine-wave
+    // RMS/peak/duration). Payloads are deterministic synthetic WAVs —
+    // the corpus carries no media blobs — generated executor-side, a
+    // pure function of doc_id.
+    "m03_audio_features" -> { (s, dir) =>
+      import s.implicits._
+      val docs = TableCatalog(s, dir).documents.select(col("doc_id")).limit(64)
+        .as[Long].map(id => (id, Multimodal.syntheticWav(id)))
+        .toDF("doc_id", "payload")
+      Multimodal.extractAudioFeatures(s, docs, "doc_id").toDF()
+        .withColumn("rms", round(col("rms"), 6))
+        .withColumn("peak", round(col("peak"), 6))
+        .orderBy(col("doc_id"))
     }
   )
 

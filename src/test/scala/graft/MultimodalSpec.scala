@@ -28,6 +28,43 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(!_.decoded))
   }
 
+  /** 16-bit PCM mono WAV of a sine wave, generated via the same
+    * javax.sound API a real pipeline stores from. */
+  private def wav(sampleRate: Float, seconds: Double, amplitude: Double): Array[Byte] = {
+    val n = (sampleRate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (amplitude * math.sin(2 * math.Pi * 440 * i / sampleRate) * 32767).toInt
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audio features: real WAV decode, quarantined non-audio") {
+    import graft.SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, wav(8000f, 0.5, 0.5)),
+      (2L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val f = Multimodal.extractAudioFeatures(spark, docs, "doc_id")
+      .collect().map(a => a.doc_id -> a).toMap
+    val a = f(1L)
+    assert(a.decoded && a.sample_rate === 8000.0 && a.channels === 1)
+    assert(a.n_frames === 4000L)
+    assert(math.abs(a.duration_sec - 0.5) < 1e-9)
+    // sine at amplitude 0.5: RMS = 0.5/sqrt(2), peak ~ 0.5
+    assert(math.abs(a.rms - 0.5 / math.sqrt(2)) < 0.01, s"rms ${a.rms}")
+    assert(math.abs(a.peak - 0.5) < 0.01, s"peak ${a.peak}")
+    assert(!f(2L).decoded && f(2L).byte_len > 0)
+  }
+
   private def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
     val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb(x, y))
