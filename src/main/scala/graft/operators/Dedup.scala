@@ -205,4 +205,34 @@ object Dedup {
       .select(col("doc_id"), MinMd5Expr.minMd5(col("__sh")).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+
+  /** Benchmark-contamination scan (training-data decontamination):
+    * for each corpus document, the fraction of its distinct word
+    * k-shingles that also occur in `bench` — the eval/benchmark
+    * corpus whose n-grams must not leak into training data.
+    *
+    * The benchmark shingle set is distinct'd and BROADCAST: eval
+    * benchmarks are orders of magnitude smaller than a training
+    * corpus, so the corpus-sized side never shuffles for the
+    * membership test — one explode, one broadcast left join carrying
+    * a hit marker, one groupBy back onto the doc key (map-side
+    * partial). Docs with fewer than k tokens have no shingles and
+    * drop out, mirrored by the oracle. The flag thresholds on the
+    * ROUNDED ratio so the inclusion boundary is engine-identical. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, k: Int = 3,
+                    threshold: Double = 0.5): DataFrame = {
+    val corpusSh = shingled(docs, idCol, textCol, k)
+      .select(col("doc_id"), explode(col("__sh")).as("__s"))
+    val benchSh = shingled(bench, idCol, textCol, k)
+      .select(explode(col("__sh")).as("__s")).distinct()
+      .withColumn("__hit", lit(1L))
+    corpusSh.join(broadcast(benchSh), Seq("__s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+      .withColumn("overlap_ratio",
+        round(col("n_overlap") / col("n_shingles"), 6))
+      .withColumn("contaminated", col("overlap_ratio") >= threshold)
+  }
 }

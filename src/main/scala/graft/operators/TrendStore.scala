@@ -53,6 +53,21 @@ object TrendStore {
         sum(Fx.dec(value)).as("sum_dec"),
         max(value).as("max_value"))
 
+  /** Counter→rate derivation over a presented rollup (entity_id,
+    * bucket, sum_value): delta to the previous bucket and a
+    * per-second rate — Minerva's counter semantics, where trend
+    * stores hold raw counter samples and rates are derived at query
+    * time. One per-entity window: partitions are bucket-count
+    * bounded, so nothing serializes globally at scale. The first
+    * bucket per entity has no predecessor → NULL delta/rate. */
+  def counterRate(rolledUp: DataFrame, widthSeconds: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("entity_id")).orderBy(col("bucket"))
+    rolledUp
+      .withColumn("delta", col("sum_value") - lag(col("sum_value"), 1).over(w))
+      .withColumn("rate_per_s", round(col("delta") / widthSeconds.toDouble, 6))
+  }
+
   /** Rollup at an arbitrary seconds granularity — the reference's
     * native granularities are seconds-based (300 s / 900 s / 3600 s /
     * 86400 s), not only calendar units. Bucket = floor(epoch / g) · g

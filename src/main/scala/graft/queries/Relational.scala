@@ -197,6 +197,43 @@ object Relational {
         .agg(count(lit(1)).as("n_above"),
           Fx.dsum(col("o_totalprice")).as("sum_price"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // CUBE grouping sets — all four (returnflag, linestatus) subtotal
+    // combinations in ONE shuffle (Spark expands the grouping sets
+    // before the exchange; no union of separate aggregates). The
+    // group columns are coalesced to 'ALL' AFTER the agg so subtotal
+    // rows are distinguishable in the hash-compare (the raw values
+    // are never null in lineitem, so the sentinel is unambiguous).
+    "q14_cube" -> { (s, dir) =>
+      TableCatalog(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          Fx.dsum(col("l_quantity")).as("sum_qty"),
+          Fx.dsum(col("l_extendedprice")).as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("cnt"), col("sum_qty"), col("sum_price"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    },
+
+    // Exact interpolated percentiles per group (percentile_cont
+    // semantics: index p·(n−1), linear interpolation — the same
+    // definition DuckDB's quantile_cont uses). Rounded to 4 decimals:
+    // with 2-decimal money values and 2-decimal interpolation
+    // fractions the true result is an exact 4-decimal number, so both
+    // engines round their (±ulp-identical) doubles to the same target
+    // and never sit on a rounding boundary. Spark's percentile is a
+    // single-pass typed aggregate — one shuffle on the group key.
+    "q15_percentiles" -> { (s, dir) =>
+      TableCatalog(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -316,6 +353,24 @@ object Relational {
         |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
         |    (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
         |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders i WHERE i.o_custkey = o.o_custkey)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q14_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q15_percentiles" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -113,6 +113,59 @@ object TextSim {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher-style repetition signals over any (doc_id, text) corpus —
+    * the d18 plan, reusable by specs with planted corpora. Set stats
+    * are HOFs computed before the explode and carried through both
+    * groupBys as max() (functionally dependent on doc_id): one
+    * explode, two combine-friendly shuffles, no corpus re-join. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+      .withColumn("n_tokens", size(col("__t")))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_uniq", size(array_distinct(col("__t"))))
+      .withColumn("__g", when(col("n_tokens") >= 2, expr(
+        "transform(sequence(1, size(__t) - 1), i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("n_grams", size(col("__g")))
+      .withColumn("n_uniq_grams", size(array_distinct(col("__g"))))
+    base.select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+        col("n_grams"), col("n_uniq_grams"), explode(col("__t")).as("__tok"))
+      .groupBy(col("doc_id"), col("__tok"))
+      .agg(count(lit(1)).as("__c"), max(col("n_tokens")).as("n_tokens"),
+        max(col("n_uniq")).as("n_uniq"), max(col("n_grams")).as("n_grams"),
+        max(col("n_uniq_grams")).as("n_uniq_grams"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"), max(col("n_uniq")).as("n_uniq"),
+        max(col("n_grams")).as("n_grams"),
+        max(col("n_uniq_grams")).as("n_uniq_grams"),
+        max(col("__c")).as("top_token_cnt"))
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+        col("n_grams"), col("n_uniq_grams"), col("top_token_cnt"),
+        round(col("n_uniq") / col("n_tokens"), 6).as("uniq_token_ratio"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - col("n_uniq_grams") / col("n_grams"), 6))
+          .as("dup_bigram_ratio"),
+        round(col("top_token_cnt") / col("n_tokens"), 6).as("top_token_ratio"))
+  }
+
+  /** Corpus-rarity scoring over any (doc_id, text) corpus — the d20
+    * plan (integer-exact unigram-LM signal; see the query notes). */
+  def rarity(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("__tok"))
+    val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cf"))
+    toks.join(freq, "__tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__cf") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("__cf") <= 5, 1L).otherwise(0L)).as("n_rare"),
+        sum(col("__cf")).as("sum_cf"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hapax"), col("n_rare"),
+        round(col("n_rare") / col("n_tokens"), 6).as("rare_ratio"),
+        round(col("sum_cf") / col("n_tokens"), 6).as("avg_corpus_freq"))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "d01_dedup_exact" -> { (s, dir) =>
       Dedup.exact(TableCatalog(s, dir).documents, "doc_id", "text")
@@ -345,6 +398,44 @@ object TextSim {
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
         .orderBy(col("split"))
+    },
+
+    // Gopher-style repetition signals: unique-token ratio, duplicate-
+    // bigram fraction, and most-frequent-token share — the quality
+    // gates that catch boilerplate/spam before training. See
+    // [[repetition]] for the plan; ratios threshold on ROUNDED
+    // values; a single-token doc has no bigrams → dup ratio 0 on
+    // both engines.
+    "d18_repetition" -> { (s, dir) =>
+      repetition(TableCatalog(s, dir).documents).orderBy(col("doc_id"))
+    },
+
+    // Benchmark decontamination: distinct 3-gram overlap of every
+    // training doc against a benchmark corpus (stood in here by the
+    // deterministic doc_id % 97 == 0 slice — in production the
+    // benchmark is its own small table). The benchmark shingle set
+    // broadcasts; the corpus side never shuffles for the membership
+    // test (see Dedup.contamination).
+    "d19_contamination" -> { (s, dir) =>
+      val docs = TableCatalog(s, dir).documents
+      Dedup.contamination(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          "doc_id", "text",
+          bench = docs.filter(col("doc_id") % 97 === 0),
+          k = 3, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus-rarity scoring — the unigram-LM quality signal computed
+    // with integer-exact arithmetic (no transcendentals, which are
+    // not bit-identical across engines): per-doc hapax/rare-token
+    // counts and average corpus frequency. Two shuffles: the corpus
+    // token-frequency groupBy (map-side combined) and the frequency
+    // join keyed on the token — at 100 TB the vocabulary is too big
+    // to broadcast, and the Zipf head (a few ultra-hot token keys) is
+    // exactly what AQE skew-join splitting handles.
+    "d20_rarity" -> { (s, dir) =>
+      rarity(TableCatalog(s, dir).documents).orderBy(col("doc_id"))
     },
 
     "s01_cosine_topk" -> { (s, dir) =>
@@ -617,6 +708,50 @@ object TextSim {
         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d18_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t, len(t) AS n, len(list_distinct(t)) AS nu,
+        |  CASE WHEN len(t) >= 2
+        |    THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+        |    ELSE [] END AS g
+        |  FROM t WHERE len(t) > 0),
+        |st AS (SELECT doc_id, n, nu, len(g) AS ng, len(list_distinct(g)) AS nug FROM s),
+        |c AS (SELECT doc_id, unnest(t) AS tok FROM t),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM c GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, max(c) AS mc FROM tc GROUP BY 1)
+        |SELECT st.doc_id, CAST(n AS INT) AS n_tokens, CAST(nu AS INT) AS n_uniq,
+        |  CAST(ng AS INT) AS n_grams, CAST(nug AS INT) AS n_uniq_grams,
+        |  mc AS top_token_cnt,
+        |  round(nu / n, 6) AS uniq_token_ratio,
+        |  CASE WHEN ng = 0 THEN 0.0 ELSE round(1.0 - nug / ng, 6) END AS dup_bigram_ratio,
+        |  round(mc / n, 6) AS top_token_ratio
+        |FROM st JOIN mx ON st.doc_id = mx.doc_id
+        |ORDER BY st.doc_id""".stripMargin,
+
+    "d19_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT ev.doc_id, count(*) AS n_shingles,
+        |  CAST(count(bench.s) AS BIGINT) AS n_overlap,
+        |  round(count(bench.s) / count(*), 6) AS overlap_ratio,
+        |  round(count(bench.s) / count(*), 6) >= 0.5 AS contaminated
+        |FROM ev LEFT JOIN bench ON ev.s = bench.s
+        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
+
+    "d20_rarity" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, count(*) AS cf FROM c GROUP BY 1),
+        |j AS (SELECT c.doc_id, f.cf FROM c JOIN f ON c.tok = f.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(sum(CASE WHEN cf <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  round(sum(CASE WHEN cf <= 5 THEN 1 ELSE 0 END) / count(*), 6) AS rare_ratio,
+        |  round(sum(cf) / count(*), 6) AS avg_corpus_freq
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "s01_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe

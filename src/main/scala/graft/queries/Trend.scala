@@ -156,6 +156,26 @@ object Trend {
           date_format(col("session_end"), TS).as("session_end"),
           col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // Counter→rate derivation — Minerva's counter semantics: trend
+    // stores hold raw counter samples and rates are derived at query
+    // time as the delta to the previous bucket over the bucket width
+    // (reference: minerva trend materialization of rate KPIs). One
+    // rollup shuffle + one per-entity window: the window partitions
+    // on the entity key, so partitions stay bucket-count bounded and
+    // nothing serializes globally at 100 TB. delta is a plain double
+    // subtraction of two decimal-exact sums — deterministic on both
+    // engines; the first bucket per entity is NULL on both.
+    "t15_counter_rate" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val hourly = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "hour")
+        .select(col("entity_id"), col("bucket"),
+          col("sum_dec").cast("double").as("sum_value"))
+      TrendStore.counterRate(hourly, widthSeconds = 3600L)
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("sum_value"), col("delta"), col("rate_per_s"))
+        .orderBy(col("entity_id"), col("bucket"))
     }
   )
 
@@ -281,6 +301,16 @@ object Trend {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "t15_counter_rate" ->
+      s"""WITH h AS (SELECT user_id AS entity_id, date_trunc('hour', ts) AS bucket,
+         |  $ds AS sum_value FROM events GROUP BY 1, 2),
+         |d AS (SELECT entity_id, bucket, sum_value,
+         |  sum_value - lag(sum_value) OVER (PARTITION BY entity_id ORDER BY bucket) AS delta
+         |FROM h)
+         |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  sum_value, delta, round(delta / 3600.0, 6) AS rate_per_s
+         |FROM d ORDER BY 1, 2""".stripMargin
   )
 }

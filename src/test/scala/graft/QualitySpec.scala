@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TrendStore}
+import graft.queries.TextSim
+
+/** Hand-computed oracles for the round-6 quality/curation additions:
+  * repetition signals (d18), benchmark contamination (d19), corpus
+  * rarity (d20) and counter→rate trends (t15). Each runs the SAME
+  * plan the graded query uses (TextSim.repetition / TextSim.rarity /
+  * Dedup.contamination / TrendStore.counterRate) on a planted corpus
+  * where the expected numbers are computable by hand.
+  */
+class QualitySpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("repetition signals match hand-computed ratios") {
+    val docs = Seq(
+      (1L, "a a a a"),          // 4 tokens, 1 uniq; bigrams: 3x "a a" (1 uniq); top "a" = 4
+      (2L, "w x y z"),          // all unique; 3 uniq bigrams
+      (3L, "spam spam ham spam ham") // 5 tokens, 2 uniq; top "spam" = 3
+    ).toDF("doc_id", "text")
+    val r = TextSim.repetition(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+
+    val d1 = r(1L)
+    assert(d1.getAs[Double]("uniq_token_ratio") === 0.25)
+    assert(d1.getAs[Double]("dup_bigram_ratio") === 0.666667) // 1 - 1/3
+    assert(d1.getAs[Double]("top_token_ratio") === 1.0)
+
+    val d2 = r(2L)
+    assert(d2.getAs[Double]("uniq_token_ratio") === 1.0)
+    assert(d2.getAs[Double]("dup_bigram_ratio") === 0.0)
+    assert(d2.getAs[Double]("top_token_ratio") === 0.25)
+
+    val d3 = r(3L)
+    assert(d3.getAs[Long]("top_token_cnt") === 3L)
+    assert(d3.getAs[Double]("uniq_token_ratio") === 0.4)
+    assert(d3.getAs[Double]("top_token_ratio") === 0.6)
+  }
+
+  test("single-token doc has zero dup-bigram ratio, not a division error") {
+    val docs = Seq((1L, "solo")).toDF("doc_id", "text")
+    val r = TextSim.repetition(docs).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Double]("dup_bigram_ratio") === 0.0)
+    assert(r.head.getAs[Int]("n_grams") === 0)
+  }
+
+  test("contamination finds the planted benchmark leak and nothing else") {
+    // bench doc 0: 8 tokens -> 6 distinct shingles.
+    // doc 1 copies bench verbatim (ratio 1.0, contaminated).
+    // doc 2 shares a 5-token prefix -> 3 of its 8 shingles hit.
+    // doc 3 is disjoint (ratio 0).
+    val bench = Seq((0L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "q1 q2 q3 q4 q5 q6 q7 q8"),
+      (2L, "q1 q2 q3 q4 q5 x6 x7 x8 x9 x10"),
+      (3L, "z1 z2 z3 z4 z5 z6")
+    ).toDF("doc_id", "text")
+    val r = Dedup.contamination(corpus, "doc_id", "text", bench, k = 3, threshold = 0.5)
+      .collect().map(x => x.getLong(0) -> x).toMap
+
+    assert(r(1L).getAs[Double]("overlap_ratio") === 1.0)
+    assert(r(1L).getAs[Boolean]("contaminated"))
+    assert(r(2L).getAs[Long]("n_shingles") === 8L)
+    assert(r(2L).getAs[Long]("n_overlap") === 3L)   // q1q2q3 q2q3q4 q3q4q5
+    assert(r(2L).getAs[Double]("overlap_ratio") === 0.375)
+    assert(!r(2L).getAs[Boolean]("contaminated"))
+    assert(r(3L).getAs[Long]("n_overlap") === 0L)
+    assert(!r(3L).getAs[Boolean]("contaminated"))
+  }
+
+  test("rarity counts hapax/rare tokens against the whole corpus") {
+    // corpus freqs: common=7 (>5), mid=3 (rare), once=1 (hapax+rare)
+    val docs = Seq(
+      (1L, "common common common mid once"),
+      (2L, "common common common common mid mid")
+    ).toDF("doc_id", "text")
+    val r = TextSim.rarity(docs).collect().map(x => x.getLong(0) -> x).toMap
+
+    assert(r(1L).getAs[Long]("n_hapax") === 1L)
+    assert(r(1L).getAs[Long]("n_rare") === 2L)       // mid + once
+    assert(r(1L).getAs[Double]("rare_ratio") === 0.4)
+    // avg corpus freq doc1: (7+7+7+3+1)/5 = 5.0
+    assert(r(1L).getAs[Double]("avg_corpus_freq") === 5.0)
+    assert(r(2L).getAs[Long]("n_hapax") === 0L)
+    assert(r(2L).getAs[Long]("n_rare") === 2L)       // the two mids
+  }
+
+  test("counter rate derives per-bucket deltas; first bucket is NULL") {
+    val hourly = Seq(
+      (1L, "2024-01-01 00:00:00", 100.0),
+      (1L, "2024-01-01 01:00:00", 136.0),
+      (1L, "2024-01-01 02:00:00", 136.0),
+      (2L, "2024-01-01 00:00:00", 50.0)
+    ).toDF("entity_id", "bucket", "sum_value")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    val r = TrendStore.counterRate(hourly, widthSeconds = 3600L)
+      .orderBy(col("entity_id"), col("bucket")).collect()
+
+    assert(r(0).isNullAt(r(0).fieldIndex("delta")))
+    assert(r(1).getAs[Double]("delta") === 36.0)
+    assert(r(1).getAs[Double]("rate_per_s") === 0.01)
+    assert(r(2).getAs[Double]("delta") === 0.0)
+    assert(r(3).isNullAt(r(3).fieldIndex("delta"))) // new entity restarts
+  }
+
+  test("exact percentiles interpolate like percentile_cont") {
+    // values 10..100 step 10: p25 -> index 0.25*9 = 2.25 -> 30 + .25*10
+    val df = (1 to 10).map(i => ("g", i * 10.0)).toDF("grp", "v")
+    val r = df.groupBy(col("grp")).agg(
+      expr("percentile(v, 0.25)").as("p25"),
+      expr("percentile(v, 0.5)").as("p50"),
+      expr("percentile(v, 0.95)").as("p95")).head
+    assert(r.getAs[Double]("p25") === 32.5)
+    assert(r.getAs[Double]("p50") === 55.0)
+    assert(r.getAs[Double]("p95") === 95.5)
+  }
+}
