@@ -68,6 +68,36 @@ object TrendStore {
       .withColumn("rate_per_s", round(col("delta") / widthSeconds.toDouble, 6))
   }
 
+  /** Gap-fill over a presented rollup (entity_id, bucket, sum_value):
+    * expand each entity's observed [min, max] bucket range onto the
+    * full granularity grid, then forward-fill missing buckets from
+    * the last observed value (Minerva's gap filling for trend reads —
+    * the query-side complement of the t05 gap *detector*). `filled`
+    * flags synthesized rows.
+    *
+    * Shape: the grid explode is bounded by each entity's bucket span
+    * (not the corpus), the grid⋈observed join and the forward-fill
+    * window are both keyed on the entity, so the stages share one
+    * partitioning and no global sort exists. last(ignoreNulls) over
+    * rows-unbounded-preceding is the standard forward-fill window. */
+  def gapFill(rolledUp: DataFrame, granularity: String): DataFrame = {
+    val step = granularity match {
+      case "hour" => expr("interval 1 hour")
+      case "day" => expr("interval 1 day")
+      case g => throw new IllegalArgumentException(s"gapFill granularity: $g")
+    }
+    val grid = rolledUp.groupBy(col("entity_id"))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col("entity_id"),
+        explode(sequence(col("__lo"), col("__hi"), step)).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("entity_id")).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(rolledUp, Seq("entity_id", "bucket"), "left")
+      .withColumn("filled", col("sum_value").isNull)
+      .withColumn("sum_value", last(col("sum_value"), ignoreNulls = true).over(w))
+  }
+
   /** Rollup at an arbitrary seconds granularity — the reference's
     * native granularities are seconds-based (300 s / 900 s / 3600 s /
     * 86400 s), not only calendar units. Bucket = floor(epoch / g) · g

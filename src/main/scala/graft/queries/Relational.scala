@@ -234,6 +234,22 @@ object Relational {
           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Multi-column exact DISTINCT aggregation. Catalyst lowers two
+    // distinct sets over one grouping into an Expand (each input row
+    // duplicated per distinct set) + two-level aggregate — the
+    // correct distributed shape: partial distinct-dedup happens
+    // map-side per set, so the shuffle carries (group, distinct-key)
+    // pairs, never raw rows, and no count-distinct state concentrates
+    // on the driver.
+    "q16_count_distinct" -> { (s, dir) =>
+      TableCatalog(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          countDistinct(date_trunc("month", col("o_orderdate"))).as("n_months"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 
@@ -371,6 +387,12 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
         |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q16_count_distinct" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  count(DISTINCT date_trunc('month', o_orderdate)) AS n_months
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -176,6 +176,24 @@ object Trend {
         .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
           col("sum_value"), col("delta"), col("rate_per_s"))
         .orderBy(col("entity_id"), col("bucket"))
+    },
+
+    // Gap-filled trend read — forward-fill missing hourly buckets
+    // from the last observed value (see TrendStore.gapFill). The
+    // aggregate projection keeps the result compact and still
+    // hash-verifies the exact fill geometry: how many rows were
+    // synthesized and the decimal-exact sum of the filled series.
+    "t16_gapfill" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val hourly = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "hour")
+        .select(col("entity_id"), col("bucket"),
+          col("sum_dec").cast("double").as("sum_value"))
+      TrendStore.gapFill(hourly, "hour")
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("filled"), 1L).otherwise(0L)).as("n_filled"),
+          Fx.dsum(col("sum_value")).as("sum_filled_series"))
+        .orderBy(col("entity_id"))
     }
   )
 
@@ -311,6 +329,22 @@ object Trend {
          |FROM h)
          |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
          |  sum_value, delta, round(delta / 3600.0, 6) AS rate_per_s
-         |FROM d ORDER BY 1, 2""".stripMargin
+         |FROM d ORDER BY 1, 2""".stripMargin,
+
+    "t16_gapfill" ->
+      s"""WITH h AS (SELECT user_id AS entity_id, date_trunc('hour', ts) AS bucket,
+         |  $ds AS sum_value FROM events GROUP BY 1, 2),
+         |r AS (SELECT entity_id, min(bucket) AS lo, max(bucket) AS hi FROM h GROUP BY 1),
+         |g AS (SELECT entity_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM r),
+         |j AS (SELECT g.entity_id, g.bucket, h.sum_value,
+         |  h.sum_value IS NULL AS filled
+         |  FROM g LEFT JOIN h ON g.entity_id = h.entity_id AND g.bucket = h.bucket),
+         |f AS (SELECT entity_id, filled,
+         |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY entity_id ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value FROM j)
+         |SELECT entity_id, count(*) AS n_buckets,
+         |  CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+         |  CAST(sum(CAST(sum_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_filled_series
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -107,6 +107,24 @@ class QualitySpec extends SparkSpec {
     assert(r(3).isNullAt(r(3).fieldIndex("delta"))) // new entity restarts
   }
 
+  test("gap fill synthesizes missing buckets with the last observed value") {
+    val hourly = Seq(
+      (1L, "2024-01-01 00:00:00", 10.0),
+      (1L, "2024-01-01 03:00:00", 40.0), // 01:00 and 02:00 missing
+      (2L, "2024-01-01 05:00:00", 7.0)   // single bucket: nothing to fill
+    ).toDF("entity_id", "bucket", "sum_value")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    val r = TrendStore.gapFill(hourly, "hour")
+      .orderBy(col("entity_id"), col("bucket")).collect()
+
+    assert(r.length === 5)
+    val e1 = r.filter(_.getLong(0) == 1L)
+    assert(e1.map(_.getAs[Double]("sum_value")).toSeq === Seq(10.0, 10.0, 10.0, 40.0))
+    assert(e1.map(_.getAs[Boolean]("filled")).toSeq === Seq(false, true, true, false))
+    val e2 = r.filter(_.getLong(0) == 2L)
+    assert(e2.length === 1 && !e2.head.getAs[Boolean]("filled"))
+  }
+
   test("exact percentiles interpolate like percentile_cont") {
     // values 10..100 step 10: p25 -> index 0.25*9 = 2.25 -> 30 + .25*10
     val df = (1 to 10).map(i => ("g", i * 10.0)).toDF("grp", "v")
