@@ -219,6 +219,34 @@ object Dedup {
     * partial). Docs with fewer than k tokens have no shingles and
     * drop out, mirrored by the oracle. The flag thresholds on the
     * ROUNDED ratio so the inclusion boundary is engine-identical. */
+  /** C4-style paragraph-level dedup: split each document on the
+    * sentence boundary, keep the globally FIRST instance of every
+    * distinct paragraph (ordered by doc_id, then position), and
+    * report per-document how much text survives. This is the
+    * line/paragraph dedup step of C4/RefinedWeb-style curation —
+    * dedup below document granularity, where boilerplate actually
+    * repeats.
+    *
+    * Scale shape: the paragraph TEXT never reaches the shuffle — it
+    * is md5-hashed in the same stage as the explode (128-bit: no
+    * meaningful collision at corpus scale), so the first-instance
+    * window shuffles (hash, doc_id, pos) triples only. One window on
+    * the hash + one groupBy back onto the doc key. */
+  def paraDedup(docs: DataFrame, idCol: String, textCol: String,
+                sep: String = "\\. "): DataFrame = {
+    val paras = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), sep)).as(Seq("pos", "__para")))
+      .select(col("doc_id"), col("pos"), md5(col("__para")).as("__h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col("doc_id").asc, col("pos").asc)
+    paras.withColumn("__rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_removed"))
+      .withColumn("removed_ratio",
+        round(col("n_removed") / col("n_paras"), 6))
+  }
+
   def contamination(docs: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, k: Int = 3,
                     threshold: Double = 0.5): DataFrame = {

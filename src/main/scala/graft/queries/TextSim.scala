@@ -426,6 +426,15 @@ object TextSim {
         .orderBy(col("doc_id"))
     },
 
+    // C4-style paragraph-level dedup: keep the globally first
+    // instance of each distinct sentence/paragraph, report per-doc
+    // survival (see Dedup.paraDedup — the paragraph text is hashed
+    // before the shuffle).
+    "d21_para_dedup" -> { (s, dir) =>
+      Dedup.paraDedup(TableCatalog(s, dir).documents, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus-rarity scoring — the unigram-LM quality signal computed
     // with integer-exact arithmetic (no transcendentals, which are
     // not bit-identical across engines): per-doc hapax/rare-token
@@ -741,6 +750,17 @@ object TextSim {
         |  round(count(bench.s) / count(*), 6) >= 0.5 AS contaminated
         |FROM ev LEFT JOIN bench ON ev.s = bench.s
         |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
+
+    "d21_para_dedup" ->
+      """WITH p AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |           FROM (SELECT doc_id, string_split(text, '. ') AS t FROM documents)),
+        |h AS (SELECT doc_id, i - 1 AS pos, md5(t[i]) AS h FROM p),
+        |r AS (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM h)
+        |SELECT doc_id, count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*), 6) AS removed_ratio
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d20_rarity" ->
       """WITH c AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

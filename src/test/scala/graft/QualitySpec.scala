@@ -107,6 +107,32 @@ class QualitySpec extends SparkSpec {
     assert(r(3).isNullAt(r(3).fieldIndex("delta"))) // new entity restarts
   }
 
+  test("paragraph dedup keeps the globally first instance only") {
+    val docs = Seq(
+      (1L, "alpha beta. shared sentence. unique one"),
+      (2L, "shared sentence. other text"),   // "shared sentence" already in doc 1
+      (3L, "shared sentence. shared sentence. tail") // internal + cross-doc dups
+    ).toDF("doc_id", "text")
+    val r = Dedup.paraDedup(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+
+    assert(r(1L).getAs[Long]("n_removed") === 0L)   // doc 1 owns all its paras
+    assert(r(2L).getAs[Long]("n_paras") === 2L)
+    assert(r(2L).getAs[Long]("n_removed") === 1L)
+    assert(r(3L).getAs[Long]("n_removed") === 2L)   // both instances lose to doc 1
+    assert(r(3L).getAs[Double]("removed_ratio") === 0.666667)
+  }
+
+  test("contamination membership test broadcasts the benchmark side") {
+    val docs = graft.sources.TableCatalog(spark, sf).documents
+    val plan = Dedup.contamination(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        bench = docs.filter(col("doc_id") % 97 === 0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast membership join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in contamination plan")
+  }
+
   test("gap fill synthesizes missing buckets with the last observed value") {
     val hourly = Seq(
       (1L, "2024-01-01 00:00:00", 10.0),
