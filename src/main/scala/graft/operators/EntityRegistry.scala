@@ -76,4 +76,20 @@ object EntityRegistry {
     names.join(broadcast(lookup), names(nameCol) === lookup("__lookup"), "left")
       .drop("__lookup")
   }
+
+  /** Collapse a tag-link table `(entity_id, tag)` into per-entity
+    * sorted tag sets — the reference's entity tagging (minerva
+    * directory: tags + tag groups attached to entities, queried as
+    * memberships). One combine-friendly groupBy on the entity key;
+    * the sort makes the set deterministic for any engine. */
+  def tagSets(links: DataFrame): DataFrame =
+    links.groupBy(col("entity_id"))
+      .agg(sort_array(collect_set(col("tag"))).as("tag_set"),
+        countDistinct(col("tag")).as("n_tags"))
+
+  /** Per-tag membership counts over a tag-link table — the directory
+    * query behind "how many entities carry tag X". */
+  def tagStats(links: DataFrame): DataFrame =
+    links.groupBy(col("tag"))
+      .agg(countDistinct(col("entity_id")).as("n_entities"))
 }

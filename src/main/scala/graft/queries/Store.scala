@@ -96,6 +96,22 @@ object Store {
         .orderBy(col("dn"))
     },
 
+    // Entity tagging (minerva directory: tags/tag groups attached to
+    // entities): a tag-link table built from two deterministic
+    // sources (market segment + nation, the nation side through a
+    // broadcast dim join), collapsed to per-entity sorted tag sets.
+    "e02_entity_tags" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val segTags = c.customer.select(col("c_custkey").as("entity_id"),
+        concat(lit("segment:"), col("c_mktsegment")).as("tag"))
+      val natTags = c.customer
+        .join(broadcast(c.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("entity_id"),
+          concat(lit("nation:"), col("n_name")).as("tag"))
+      EntityRegistry.tagSets(segTags.unionByName(natTags))
+        .orderBy(col("entity_id"))
+    },
+
     "r01_relation_store" -> { (s, dir) =>
       val c = TableCatalog(s, dir)
       val custToNation = Relations.of(c.customer,
@@ -241,6 +257,16 @@ object Store {
         |  GROUP BY dn)
         |SELECT x.dn, entity_type, alias, entity_id
         |FROM x JOIN ids ON x.dn = ids.dn ORDER BY x.dn""".stripMargin,
+
+    "e02_entity_tags" ->
+      """WITH links AS (
+        |  SELECT c_custkey AS entity_id, 'segment:' || c_mktsegment AS tag FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'nation:' || n_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT entity_id, list_sort(list(DISTINCT tag)) AS tag_set,
+        |  count(DISTINCT tag) AS n_tags
+        |FROM links GROUP BY entity_id ORDER BY entity_id""".stripMargin,
 
     "r01_relation_store" ->
       """SELECT 'customer->nation|nation->region' AS relation_type,

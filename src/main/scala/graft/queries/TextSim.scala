@@ -471,6 +471,30 @@ object TextSim {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // Hybrid retrieval with reciprocal-rank fusion: a token-Jaccard
+    // text ranking and a cosine vector ranking per query, fused as
+    // Σ 1/(60 + rank) — the standard RRF the retrieval stack of a
+    // RAG/training pipeline runs. Determinism: ranks are row_numbers
+    // over (score DESC, id) where the text score is an exact integer
+    // ratio and the cosine is ROUNDED to 6 decimals before ranking
+    // (the d09 lesson: unrounded cross-engine cosines differ by
+    // ~1e-15, which a rank boundary would amplify) — so both rank
+    // lists, and hence the fused scores (reciprocals of exact ints),
+    // are engine-identical. The query side broadcasts; the corpus
+    // side is scanned once with per-row HOF scoring, then two
+    // per-query windows.
+    "s06_rrf_fusion" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val corpus = c.documents
+        .select(col("doc_id"), array_distinct(TextFunctions.tokens(col("text"))).as("toks"))
+        .join(c.embeddings.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      val queries = corpus.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"), col("toks").as("q_toks"),
+          col("embedding").as("q_emb"))
+      Similarity.rrfFusion(corpus, queries, k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // Int8 scalar quantization of embeddings (per-vector symmetric
     // scale = 127/max|x|) — the compression step before an ANN index
     // ships to serving. Pure HOFs; float→double promotion is exact on
@@ -783,6 +807,31 @@ object TextSim {
         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
         |      FROM s)
         |SELECT q_id, rank, n_id FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "s06_rrf_fusion" ->
+      // 1.0 literals are cast to DOUBLE: DuckDB types bare 1.0 as
+      // DECIMAL, whose division would not be bit-identical to
+      // Spark's double arithmetic.
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |c AS (SELECT d.doc_id, toks, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |q AS (SELECT doc_id AS q_id, toks AS q_toks, v AS q_v FROM c WHERE doc_id < 5),
+        |sc AS (SELECT q_id, c.doc_id AS d_id,
+        |  len(list_intersect(c.toks, q_toks)) /
+        |    (len(c.toks) + len(q_toks) - len(list_intersect(c.toks, q_toks))) AS jac,
+        |  round(list_cosine_similarity(c.v, q_v), 6) AS cos6
+        |  FROM c, q WHERE c.doc_id <> q_id),
+        |r AS (SELECT q_id, d_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY jac DESC, d_id) AS rt,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, d_id) AS rv
+        |  FROM sc),
+        |f AS (SELECT q_id, d_id,
+        |  round(CAST(1 AS DOUBLE) / (60 + rt) + CAST(1 AS DOUBLE) / (60 + rv), 6) AS rrf
+        |  FROM r),
+        |t AS (SELECT q_id, d_id, rrf,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, d_id) AS rank FROM f)
+        |SELECT q_id, rank, d_id, rrf FROM t WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
 
     "s05_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

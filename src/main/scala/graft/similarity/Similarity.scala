@@ -40,6 +40,36 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Hybrid retrieval with reciprocal-rank fusion: a token-Jaccard
+    * text ranking and a cosine vector ranking per query, fused as
+    * Σ 1/(rrfK + rank). `corpus` carries (doc_id, toks, embedding),
+    * `queries` (q_id, q_toks, q_emb) and must be broadcast-small.
+    * Determinism across engines: the text score is an exact integer
+    * ratio; the cosine is ROUNDED to 6 decimals before ranking (the
+    * d09 lesson — unrounded cross-engine cosines differ by ~1e-15,
+    * which a rank boundary would amplify); every ordering tiebreaks
+    * on the id; fused scores are sums of reciprocals of exact ints.
+    * One corpus scan with per-row HOF scoring, then per-query
+    * windows — the corpus never shuffles by anything but q_id. */
+  def rrfFusion(corpus: DataFrame, queries: DataFrame,
+                k: Int = 10, rrfK: Int = 60): DataFrame = {
+    val inter = size(array_intersect(col("toks"), col("q_toks")))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id").as("d_id"),
+        (inter / (size(col("toks")) + size(col("q_toks")) - inter)).as("jac"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos6"))
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+    scored
+      .withColumn("rt", row_number().over(byQ.orderBy(col("jac").desc, col("d_id"))))
+      .withColumn("rv", row_number().over(byQ.orderBy(col("cos6").desc, col("d_id"))))
+      .withColumn("rrf",
+        round(lit(1.0) / (lit(rrfK) + col("rt")) + lit(1.0) / (lit(rrfK) + col("rv")), 6))
+      .withColumn("rank", row_number().over(byQ.orderBy(col("rrf").desc, col("d_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("d_id"), col("rrf"))
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` must be
     * broadcast-small (it is crossJoin-broadcast against the corpus).
     * Norms are computed once per row per side — never per pair. */

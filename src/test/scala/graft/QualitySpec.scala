@@ -151,6 +151,44 @@ class QualitySpec extends SparkSpec {
     assert(e2.length === 1 && !e2.head.getAs[Boolean]("filled"))
   }
 
+  test("tag sets dedup links and sort deterministically") {
+    val links = Seq(
+      (1L, "segment:BUILDING"), (1L, "nation:FRANCE"),
+      (1L, "nation:FRANCE"),                     // duplicate link
+      (2L, "segment:AUTOMOBILE")
+    ).toDF("entity_id", "tag")
+    val r = graft.operators.EntityRegistry.tagSets(links)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Seq[String]]("tag_set") === Seq("nation:FRANCE", "segment:BUILDING"))
+    assert(r(1L).getAs[Long]("n_tags") === 2L)
+    assert(r(2L).getAs[Long]("n_tags") === 1L)
+
+    val stats = graft.operators.EntityRegistry.tagStats(links)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(stats("nation:FRANCE") === 1L)
+  }
+
+  test("RRF fusion rewards documents ranked well by BOTH modalities") {
+    // vs query 0: doc 1 wins text (identical tokens) and is 2nd by
+    // vector; doc 3 wins vector (identical embedding, disjoint
+    // tokens); doc 2 is mediocre in both. Hand-computed RRF:
+    //   d1 = 1/61 + 1/62 = 0.032522, d3 = 1/63 + 1/61 = 0.032266,
+    //   d2 = 1/62 + 1/63 = 0.032002 -> fused order d1, d3, d2.
+    val corpus = Seq(
+      (0L, Seq("a", "b", "c", "d"), Seq(1.0f, 0.0f)),
+      (1L, Seq("a", "b", "c", "d"), Seq(0.9f, 0.1f)),
+      (2L, Seq("a", "b", "x", "y"), Seq(0.5f, 0.8f)),
+      (3L, Seq("p", "q", "r", "s"), Seq(1.0f, 0.0f))
+    ).toDF("doc_id", "toks", "embedding")
+    val queries = corpus.filter(col("doc_id") === 0L)
+      .select(col("doc_id").as("q_id"), col("toks").as("q_toks"),
+        col("embedding").as("q_emb"))
+    val r = graft.similarity.Similarity.rrfFusion(corpus, queries, k = 3)
+      .orderBy(col("rank")).collect()
+    assert(r.map(_.getAs[Long]("d_id")).toSeq === Seq(1L, 3L, 2L))
+    assert(r.head.getAs[Double]("rrf") === 0.032522)
+  }
+
   test("exact percentiles interpolate like percentile_cont") {
     // values 10..100 step 10: p25 -> index 0.25*9 = 2.25 -> 30 + .25*10
     val df = (1 to 10).map(i => ("g", i * 10.0)).toDF("grp", "v")
