@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
-import graft.operators.{Aggregation, AttributeStoreWriter, Materialize, TrendStoreWriter, Trigger}
+import graft.operators.{Aggregation, AttributeStoreWriter, Dedup, Materialize, TrendStoreWriter, Trigger}
 import graft.sources.HarvestJob
 
 /** Thin CLI over the library — the `minerva harvest` / `minerva
@@ -23,6 +23,10 @@ import graft.sources.HarvestJob
   *   --rule name:gran:metric:fn:op:value:severity [--rule …] --out OUT
   * graft.Cli retain --store S --keep-from YYYY-MM-DD
   * graft.Cli compact --history H --value C [--entity C] [--ts C] [--tie C]
+  * graft.Cli dedup --docs PARQUET --out OUT \
+  *   [--method exact|minhash|simhash|paragraph] [--id doc_id] [--text text]
+  * graft.Cli decontaminate --docs PARQUET --bench PARQUET --out OUT \
+  *   [--k 3] [--threshold 0.5]
   * }}}
   *
   * All heavy lifting stays in the library operators; the CLI only
@@ -112,10 +116,38 @@ object Cli {
         opt(f, "entity", "entity_id"), opt(f, "ts", "ts"), opt(f, "tie", "event_id"))
       println(s"compact: dropped=$dropped days=${days.size}")
 
+    // Training-data curation entry points — the batch jobs an LLM
+    // data pipeline schedules, same flag style as the Minerva ones.
+    case "dedup" :: rest =>
+      val f = parseFlags(rest)
+      val docs = spark.read.parquet(one(f, "docs"))
+      val id = opt(f, "id", "doc_id"); val text = opt(f, "text", "text")
+      val pairs = opt(f, "method", "minhash") match {
+        case "exact" => Dedup.exact(docs, id, text)
+        case "minhash" => Dedup.minhashLsh(docs, id, text)
+        case "simhash" => Dedup.simhashPairs(docs, id, text)
+        case "paragraph" => Dedup.paraDedup(docs, id, text)
+        case m => throw new IllegalArgumentException(
+          s"--method must be exact|minhash|simhash|paragraph, got: $m")
+      }
+      pairs.write.mode("overwrite").parquet(one(f, "out"))
+      println(s"dedup: method=${opt(f, "method", "minhash")} out=${one(f, "out")}")
+
+    case "decontaminate" :: rest =>
+      val f = parseFlags(rest)
+      val docs = spark.read.parquet(one(f, "docs"))
+      val bench = spark.read.parquet(one(f, "bench"))
+      val scan = Dedup.contamination(docs, opt(f, "id", "doc_id"),
+        opt(f, "text", "text"), bench,
+        k = opt(f, "k", "3").toInt,
+        threshold = opt(f, "threshold", "0.5").toDouble)
+      scan.write.mode("overwrite").parquet(one(f, "out"))
+      println(s"decontaminate: out=${one(f, "out")}")
+
     case cmd =>
       throw new IllegalArgumentException(
         s"unknown command: ${cmd.headOption.getOrElse("")} " +
-          "(expected harvest|materialize|aggregate|trigger|retain|compact)")
+          "(expected harvest|materialize|aggregate|trigger|retain|compact|dedup|decontaminate)")
   }
 
   def main(args: Array[String]): Unit = {

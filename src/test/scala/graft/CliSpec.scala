@@ -74,4 +74,32 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/notifications")
       .select("rule").head.getString(0) === "quiet")
   }
+
+  test("dedup and decontaminate commands run the curation jobs") {
+    val base = Files.createTempDirectory("graft_cli_dedup").toString
+    Seq((1L, "shared sentence. alpha beta gamma"),
+      (2L, "shared sentence. delta epsilon zeta"),
+      (3L, "unrelated words only here"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+      .write.parquet(s"$base/bench")
+
+    Cli.run(spark, Seq("dedup",
+      "--docs", s"$base/docs", "--method", "paragraph", "--out", s"$base/paras"))
+    val paras = spark.read.parquet(s"$base/paras")
+    // doc 2's "shared sentence" loses to doc 1's instance
+    assert(paras.filter(col("doc_id") === 2L).head.getAs[Long]("n_removed") === 1L)
+
+    Cli.run(spark, Seq("decontaminate",
+      "--docs", s"$base/docs", "--bench", s"$base/bench",
+      "--out", s"$base/contam"))
+    val contam = spark.read.parquet(s"$base/contam")
+    // doc 1 contains the benchmark's only shingle
+    assert(contam.filter(col("doc_id") === 1L).head.getAs[Long]("n_overlap") === 1L)
+
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("dedup", "--docs", s"$base/docs",
+        "--method", "bogus", "--out", s"$base/x"))
+    }
+  }
 }
