@@ -98,6 +98,37 @@ object TrendStore {
       .withColumn("sum_value", last(col("sum_value"), ignoreNulls = true).over(w))
   }
 
+  /** Z-score anomaly detection over a rollup (entity_id, bucket,
+    * sd: decimal(18,4)): buckets whose value deviates ≥ `zMin`
+    * standard deviations from the entity's own mean — the monitoring
+    * analytic a Minerva deployment runs over its trend stores.
+    *
+    * Cross-engine determinism: the moments are DECIMAL-exact partial
+    * sums (Σv and Σv² never touch float summation order), collapsed
+    * to doubles only inside the final per-row formula, whose op
+    * order is fixed — so z is bit-identical on any engine and the
+    * threshold applies to the 6-decimal-rounded value. One window
+    * shuffle on the entity key (no join back); entities with fewer
+    * than `minBuckets` buckets or zero variance are skipped (the
+    * variance is compared on the same double both engines compute). */
+  def anomalies(hourly: DataFrame, minBuckets: Int = 24,
+                zMin: Double = 2.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("entity_id"))
+    hourly
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s1", sum(col("sd")).over(w).cast("double"))
+      .withColumn("__s2", sum(col("sd") * col("sd")).over(w).cast("double"))
+      .filter(col("__n") >= minBuckets)
+      .withColumn("v", col("sd").cast("double"))
+      .withColumn("__mean", col("__s1") / col("__n"))
+      .withColumn("__var",
+        col("__s2") / col("__n") - col("__mean") * col("__mean"))
+      .filter(col("__var") > 0)
+      .withColumn("z", round((col("v") - col("__mean")) / sqrt(col("__var")), 6))
+      .filter(abs(col("z")) >= zMin)
+      .select(col("entity_id"), col("bucket"), col("v"), col("z"))
+  }
+
   /** Rollup at an arbitrary seconds granularity — the reference's
     * native granularities are seconds-based (300 s / 900 s / 3600 s /
     * 86400 s), not only calendar units. Bucket = floor(epoch / g) · g

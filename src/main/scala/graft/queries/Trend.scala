@@ -194,6 +194,20 @@ object Trend {
           sum(when(col("filled"), 1L).otherwise(0L)).as("n_filled"),
           Fx.dsum(col("sum_value")).as("sum_filled_series"))
         .orderBy(col("entity_id"))
+    },
+
+    // Z-score anomalies over each entity's own hourly series (see
+    // TrendStore.anomalies for the decimal-exact moment discipline
+    // that makes z bit-identical across engines).
+    "t17_anomaly" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val hourly = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "hour")
+        .select(col("entity_id"), col("bucket"),
+          col("sum_dec").cast("decimal(18,4)").as("sd"))
+      TrendStore.anomalies(hourly, minBuckets = 24, zMin = 2.0)
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("v"), col("z"))
+        .orderBy(col("entity_id"), col("bucket"))
     }
   )
 
@@ -345,6 +359,26 @@ object Trend {
          |SELECT entity_id, count(*) AS n_buckets,
          |  CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
          |  CAST(sum(CAST(sum_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_filled_series
-         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t17_anomaly" ->
+      // Moments stay DECIMAL-exact until the final per-row double
+      // formula, whose op order mirrors the Spark side exactly.
+      """WITH h AS (SELECT user_id AS entity_id, date_trunc('hour', ts) AS bucket,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sd
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT entity_id, count(*) AS n,
+        |  CAST(sum(sd) AS DOUBLE) AS s1,
+        |  CAST(sum(sd * sd) AS DOUBLE) AS s2 FROM h GROUP BY 1),
+        |j AS (SELECT h.entity_id, bucket, CAST(sd AS DOUBLE) AS v, n,
+        |  s1 / n AS mean, s2 FROM h JOIN st ON h.entity_id = st.entity_id
+        |  WHERE n >= 24),
+        |vv AS (SELECT entity_id, bucket, v, mean,
+        |  s2 / n - mean * mean AS variance FROM j),
+        |z AS (SELECT entity_id, bucket, v,
+        |  round((v - mean) / sqrt(variance), 6) AS z
+        |  FROM vv WHERE variance > 0)
+        |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, v, z
+        |FROM z WHERE abs(z) >= 2.0 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -189,6 +189,25 @@ class QualitySpec extends SparkSpec {
     assert(r.head.getAs[Double]("rrf") === 0.032522)
   }
 
+  test("z-score anomalies flag the planted spike and skip flat series") {
+    // entity 1: 30 buckets of 10.0 plus one 100.0 spike -> only the
+    // spike has |z| >= 2. entity 2: constant series (variance 0,
+    // skipped entirely). entity 3: too few buckets (skipped).
+    def ts(i: Int) = f"2024-01-${i / 24 + 1}%02d ${i % 24}%02d:00:00"
+    val rows =
+      (0 until 30).map(i => (1L, ts(i), 10.0)) ++
+        Seq((1L, "2024-01-02 07:00:00", 100.0)) ++
+        (0 until 24).map(i => (2L, ts(i), 5.0)) ++
+        Seq((3L, "2024-01-01 00:00:00", 1.0), (3L, "2024-01-01 01:00:00", 99.0))
+    val hourly = rows.toDF("entity_id", "bucket", "v").distinct()
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+      .select(col("entity_id"), col("bucket"), col("v").cast("decimal(18,4)").as("sd"))
+    val r = TrendStore.anomalies(hourly, minBuckets = 24, zMin = 2.0).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 1L && r.head.getAs[Double]("v") === 100.0)
+    assert(r.head.getAs[Double]("z") > 5.0)
+  }
+
   test("exact percentiles interpolate like percentile_cont") {
     // values 10..100 step 10: p25 -> index 0.25*9 = 2.25 -> 30 + .25*10
     val df = (1 to 10).map(i => ("g", i * 10.0)).toDF("grp", "v")
