@@ -206,6 +206,44 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
 
+  /** Duplicate CLUSTERS from a near-dup pair list — connected
+    * components over the similarity graph, the step that turns
+    * pairwise output (d02/d03/d04/d09) into the keep-one-per-cluster
+    * decision an actual dedup run executes. Cluster id = the
+    * component's minimum doc id.
+    *
+    * Algorithm: BSP min-label propagation — every node repeatedly
+    * takes the min label over its neighborhood until a fixpoint.
+    * Each round is one join + one groupBy, both keyed on node ids;
+    * rounds are bounded by the component diameter (near-dup clusters
+    * are shallow — a handful of rounds), and each round's labels are
+    * localCheckpoint'd so the lineage stays flat. The driver only
+    * ever sees the per-round change COUNT (one scalar), never data.
+    * This is the standard scalable CC shape when no graph library is
+    * on the cluster; the DuckDB oracle computes the same components
+    * with a recursive CTE. */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nbr"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"))
+        .select(col("id"),
+          least(col("label"), col("nbr")).as("label"),
+          (col("nbr") < col("label")).as("__ch"))
+        .localCheckpoint()
+      changed = updated.filter(col("__ch")).count()
+      labels = updated.select(col("id"), col("label"))
+    }
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+  }
+
   /** Benchmark-contamination scan (training-data decontamination):
     * for each corpus document, the fraction of its distinct word
     * k-shingles that also occur in `bench` — the eval/benchmark

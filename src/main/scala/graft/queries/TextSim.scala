@@ -426,6 +426,16 @@ object TextSim {
         .orderBy(col("doc_id"))
     },
 
+    // Duplicate clusters: connected components over the exact-Jaccard
+    // pair graph (threshold 0.5 — d02's pair set) via min-label
+    // propagation; the keep-one-per-cluster decision an actual dedup
+    // run executes (see Dedup.dupClusters).
+    "d22_dup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.shingleJaccard(TableCatalog(s, dir).documents,
+        "doc_id", "text", k = 3, threshold = 0.5)
+      Dedup.dupClusters(pairs).orderBy(col("cluster_id"))
+    },
+
     // C4-style paragraph-level dedup: keep the globally first
     // instance of each distinct sentence/paragraph, report per-doc
     // survival (see Dedup.paraDedup — the paragraph text is hashed
@@ -774,6 +784,28 @@ object TextSim {
         |  round(count(bench.s) / count(*), 6) >= 0.5 AS contaminated
         |FROM ev LEFT JOIN bench ON ev.s = bench.s
         |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
+
+    "d22_dup_clusters" ->
+      // Connected components of the d02 pair graph via a recursive
+      // CTE (reach = transitive closure; label = min reachable id).
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id
+        |  FROM inter JOIN sizes na ON a_id = na.doc_id JOIN sizes nb ON b_id = nb.doc_id
+        |  WHERE c / (na.n + nb.n - c) >= 0.5),
+        |e AS (SELECT a_id AS s, b_id AS d FROM pairs
+        |      UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (SELECT s AS id, s AS r FROM e
+        |          UNION
+        |          SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+        |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT cluster_id, count(*) AS n_members, max(id) AS max_member
+        |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d21_para_dedup" ->
       """WITH p AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i

@@ -72,6 +72,19 @@ class QualitySpec extends SparkSpec {
     assert(!r(3L).getAs[Boolean]("contaminated"))
   }
 
+  test("dup clusters: min-label propagation closes chains and keeps components apart") {
+    // chain 1-2-3-4 (labels must propagate over 3 hops), pair 10-11,
+    // and an isolated pairless doc (absent from the output).
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val r = Dedup.dupClusters(pairs)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(1L, 10L))
+    assert(r(1L).getAs[Long]("n_members") === 4L)
+    assert(r(1L).getAs[Long]("max_member") === 4L)
+    assert(r(10L).getAs[Long]("n_members") === 2L)
+  }
+
   test("rarity counts hapax/rare tokens against the whole corpus") {
     // corpus freqs: common=7 (>5), mid=3 (rare), once=1 (hapax+rare)
     val docs = Seq(
