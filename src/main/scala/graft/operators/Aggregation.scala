@@ -43,4 +43,53 @@ object Aggregation {
         date_trunc(defn.granularity, ts).as("bucket"))
       .agg(compileMetric(defn.metrics.head), defn.metrics.tail.map(compileMetric): _*)
   }
+
+  /** Compile one metric set at a CASCADE of granularities (finest
+    * first) — the reference's aggregation config materializes each
+    * metric set at every configured granularity. The raw source is
+    * scanned and shuffled ONCE, at the finest granularity, into
+    * exact partials (decimal sum / counts / min / max); every
+    * coarser granularity re-aggregates the previous level's partials
+    * — inputs shrink by the bucket ratio at each step, so the
+    * coarser shuffles are nearly free. Output is tagged with a
+    * `granularity` column; avg = exact total sum / total row count
+    * at every level (identical to davg on the raw rows). */
+  def cascade(metrics: Seq[MetricAgg], granularities: Seq[String])(
+      trend: DataFrame, entity: Column, ts: Column): DataFrame = {
+    require(metrics.nonEmpty && granularities.nonEmpty)
+    val srcs = metrics.map(_.source).distinct
+    val partials: Seq[Column] =
+      count(lit(1)).as("__n") +: srcs.flatMap { s => Seq(
+        sum(Fx.dec(col(s))).as(s"__s_$s"),
+        count(col(s)).as(s"__c_$s"),
+        max(col(s)).as(s"__mx_$s"),
+        min(col(s)).as(s"__mn_$s"))
+      }
+    def present(df: DataFrame, g: String): DataFrame =
+      df.select(lit(g).as("granularity") +: col("entity_id") +: col("bucket") +:
+        metrics.map { m =>
+          (m.fn.toLowerCase match {
+            case "sum"   => col(s"__s_${m.source}").cast("double")
+            case "avg"   => col(s"__s_${m.source}").cast("double") / col("__n")
+            case "max"   => col(s"__mx_${m.source}")
+            case "min"   => col(s"__mn_${m.source}")
+            case "count" => col(s"__c_${m.source}")
+            case f => throw new IllegalArgumentException(s"unknown aggregation fn: $f")
+          }).as(m.as)
+        }: _*)
+    var cur = trend.groupBy(entity.as("entity_id"),
+        date_trunc(granularities.head, ts).as("bucket"))
+      .agg(partials.head, partials.tail: _*)
+    var out = present(cur, granularities.head)
+    for (g <- granularities.tail) {
+      val reAggs = sum(col("__n")).as("__n") +: srcs.flatMap { s => Seq(
+        sum(col(s"__s_$s")).as(s"__s_$s"), sum(col(s"__c_$s")).as(s"__c_$s"),
+        max(col(s"__mx_$s")).as(s"__mx_$s"), min(col(s"__mn_$s")).as(s"__mn_$s"))
+      }
+      cur = cur.groupBy(col("entity_id"), date_trunc(g, col("bucket")).as("bucket"))
+        .agg(reAggs.head, reAggs.tail: _*)
+      out = out.unionByName(present(cur, g))
+    }
+    out
+  }
 }

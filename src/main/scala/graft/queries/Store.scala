@@ -212,6 +212,25 @@ object Store {
           col("cnt"), col("sum_value"), col("avg_value"),
           col("min_value"), col("max_value"))
         .orderBy(col("entity_id"), col("bucket"))
+    },
+
+    // One metric set at a granularity cascade (hour → day → month):
+    // the raw scan shuffles once, coarser levels re-aggregate the
+    // finer level's exact partials (see Aggregation.cascade). The
+    // DuckDB twin recomputes each level from raw rows — equal because
+    // the decimal partials are associative.
+    "g02_agg_cascade" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      Aggregation.cascade(
+          Seq(Aggregation.MetricAgg("value", "count", "cnt"),
+            Aggregation.MetricAgg("value", "sum", "sum_value"),
+            Aggregation.MetricAgg("value", "avg", "avg_value"),
+            Aggregation.MetricAgg("value", "max", "max_value")),
+          Seq("hour", "day", "month"))(ev, col("user_id"), col("ts"))
+        .select(col("granularity"), col("entity_id"),
+          date_format(col("bucket"), TS).as("bucket"),
+          col("cnt"), col("sum_value"), col("avg_value"), col("max_value"))
+        .orderBy(col("granularity"), col("entity_id"), col("bucket"))
     }
   )
 
@@ -314,6 +333,17 @@ object Store {
          |  strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
          |  count(*) AS cnt, $ds AS sum_value, $ds / count(*) AS avg_value,
          |  min(value) AS min_value, max(value) AS max_value
-         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g02_agg_cascade" -> {
+      def level(g: String) =
+        s"""SELECT '$g' AS granularity, user_id AS entity_id,
+           |  strftime(date_trunc('$g', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           |  count(*) AS cnt, $ds AS sum_value, $ds / count(*) AS avg_value,
+           |  max(value) AS max_value
+           |FROM events GROUP BY 1, 2, 3""".stripMargin
+      Seq("hour", "day", "month").map(level).mkString("", "\nUNION ALL\n",
+        "\nORDER BY granularity, entity_id, bucket")
+    }
   )
 }
