@@ -244,6 +244,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
   }
 
+  /** Incremental exact dedup against a persisted hash index — the
+    * production shape where each new batch (a crawl day) dedups
+    * against everything already accepted, without rereading the
+    * corpus. Keeps the within-batch first instance per content hash,
+    * anti-joins the already-seen hash index, appends the survivors'
+    * hashes, and returns the surviving rows.
+    *
+    * The index stores ONLY content hashes — O(32 bytes/doc), never
+    * text — so the anti-join probe side stays narrow; the survivors
+    * are localCheckpoint'd before the append so writing the index
+    * can never re-trigger the plan that read it (the same discipline
+    * as EntityRegistry.sync). Re-running the same batch is a no-op. */
+  def dedupIncremental(spark: org.apache.spark.sql.SparkSession,
+                       newDocs: DataFrame, idCol: String, textCol: String,
+                       indexPath: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol).asc)
+    val firsts = newDocs.withColumn("__h", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val fresh =
+      if (!StoreFs.exists(spark, indexPath)) firsts
+      else firsts.join(spark.read.parquet(indexPath), Seq("__h"), "left_anti")
+    val survivors = fresh.localCheckpoint()
+    survivors.select(col("__h")).write.mode("append").parquet(indexPath)
+    survivors.drop("__h")
+  }
+
   /** Benchmark-contamination scan (training-data decontamination):
     * for each corpus document, the fraction of its distinct word
     * k-shingles that also occur in `bench` — the eval/benchmark

@@ -85,6 +85,44 @@ class QualitySpec extends SparkSpec {
     assert(r(10L).getAs[Long]("n_members") === 2L)
   }
 
+  test("dup clusters match a union-find oracle on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(60)((rnd.nextInt(n), rnd.nextInt(n)))
+        .collect { case (a, b) if a != b => (math.min(a, b).toLong, math.max(a, b).toLong) }
+        .distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1.toInt, e._2.toInt)).distinct
+        .groupBy(find).values
+        .map(ms => (ms.min.toLong, ms.size.toLong, ms.max.toLong)).toSet
+      val got = Dedup.dupClusters(edges.toDF("a_id", "b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected)
+    }
+  }
+
+  test("incremental dedup accepts each content hash exactly once across batches") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString + "/index"
+    val b1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("doc_id", "text")
+    val s1 = Dedup.dedupIncremental(spark, b1, "doc_id", "text", idx)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+
+    // batch 2: one repeat of batch 1, one internal dup, one new doc
+    val b2 = Seq((4L, "alpha"), (5L, "gamma"), (6L, "gamma")).toDF("doc_id", "text")
+    val s2 = Dedup.dedupIncremental(spark, b2, "doc_id", "text", idx)
+    assert(s2.select("doc_id").collect().map(_.getLong(0)).toSet === Set(5L))
+
+    // replaying batch 2 is a no-op
+    assert(Dedup.dedupIncremental(spark, b2, "doc_id", "text", idx).count() === 0L)
+  }
+
   test("rarity counts hapax/rare tokens against the whole corpus") {
     // corpus freqs: common=7 (>5), mid=3 (rare), once=1 (hapax+rare)
     val docs = Seq(
