@@ -23,6 +23,18 @@ object Fx {
   /** Exact sum of a double column → deterministic double. */
   def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Deterministic double cast for PRODUCT sums (scale-8 decimals):
+    * rescale to 4 decimals BEFORE the double cast. A (38,8) sum's
+    * unscaled value exceeds 2^53 once group sums pass ~9·10⁷, and
+    * there the engines' decimal→double casts disagree in the last
+    * ulp (DuckDB divides two separately-rounded doubles; the JVM
+    * rounds the decimal correctly). At scale 4 the unscaled value is
+    * exactly representable, so both engines produce the identical
+    * double (found as a real q01 hash-mismatch at sf0.1). The twin
+    * SQL is `CAST(CAST(sum(…) AS DECIMAL(38,4)) AS DOUBLE)`. */
+  def prodSumDouble(sumCol: Column): Column =
+    sumCol.cast(DecimalType(38, 4)).cast("double")
+
   /** Deterministic mean: exact decimal sum / count, divided in double. */
   def davg(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
 

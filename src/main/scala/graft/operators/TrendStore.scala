@@ -117,7 +117,11 @@ object TrendStore {
     hourly
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__s1", sum(col("sd")).over(w).cast("double"))
-      .withColumn("__s2", sum(col("sd") * col("sd")).over(w).cast("double"))
+      // Σv² is a scale-8 decimal whose unscaled value can pass 2^53;
+      // rescale to 4 before the double cast so both engines' casts
+      // agree in the last ulp (see Fx.prodSumDouble).
+      .withColumn("__s2", graft.functions.Fx.prodSumDouble(
+        sum(col("sd") * col("sd")).over(w)))
       .filter(col("__n") >= minBuckets)
       .withColumn("v", col("sd").cast("double"))
       .withColumn("__mean", col("__s1") / col("__n"))

@@ -25,8 +25,9 @@ object Relational {
         .agg(
           Fx.dsum(col("l_quantity")).as("sum_qty"),
           Fx.dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(Fx.dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - Fx.dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
+          Fx.prodSumDouble(
+            sum(Fx.dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - Fx.dec(col("l_discount")))))
+            .as("sum_disc_price"),
           Fx.davg(col("l_quantity")).as("avg_qty"),
           Fx.davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -45,8 +46,9 @@ object Relational {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(Fx.dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - Fx.dec(col("l_discount"))))
-          .cast("double").as("revenue"),
+        .agg(Fx.prodSumDouble(
+            sum(Fx.dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - Fx.dec(col("l_discount")))))
+          .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     },
@@ -59,8 +61,9 @@ object Relational {
         .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp") &&
           col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
         .groupBy(col("l_orderkey"), Fx.dateStr(col("o_orderdate")).as("o_orderdate"))
-        .agg(sum(Fx.dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - Fx.dec(col("l_discount"))))
-          .cast("double").as("revenue"))
+        .agg(Fx.prodSumDouble(
+            sum(Fx.dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - Fx.dec(col("l_discount")))))
+          .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -99,8 +102,9 @@ object Relational {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
-        .agg(sum(Fx.dec(col("l_extendedprice")) * Fx.dec(col("l_discount")))
-          .cast("double").as("revenue"),
+        .agg(Fx.prodSumDouble(
+            sum(Fx.dec(col("l_extendedprice")) * Fx.dec(col("l_discount"))))
+          .as("revenue"),
           count(lit(1)).as("n_items"))
     },
 
@@ -260,7 +264,7 @@ object Relational {
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-         |  CAST(sum($disc) AS DOUBLE) AS sum_disc_price,
+         |  CAST(CAST(sum($disc) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
          |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
          |  count(*) AS count_order
@@ -269,7 +273,7 @@ object Relational {
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_region_revenue" ->
-      s"""SELECT r_name, n_name, CAST(sum($disc) AS DOUBLE) AS revenue, count(*) AS n_items
+      s"""SELECT r_name, n_name, CAST(CAST(sum($disc) AS DECIMAL(38,4)) AS DOUBLE) AS revenue, count(*) AS n_items
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -281,7 +285,7 @@ object Relational {
 
     "q03_top_unshipped" ->
       s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-         |  CAST(sum($disc) AS DOUBLE) AS revenue
+         |  CAST(CAST(sum($disc) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
          |FROM customer JOIN orders ON c_custkey = o_custkey
          |JOIN lineitem ON o_orderkey = l_orderkey
          |WHERE c_mktsegment = 'BUILDING'
@@ -304,7 +308,7 @@ object Relational {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q06_selective_filter" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -369,7 +369,7 @@ object Trend {
         |  FROM events GROUP BY 1, 2),
         |st AS (SELECT entity_id, count(*) AS n,
         |  CAST(sum(sd) AS DOUBLE) AS s1,
-        |  CAST(sum(sd * sd) AS DOUBLE) AS s2 FROM h GROUP BY 1),
+        |  CAST(CAST(sum(sd * sd) AS DECIMAL(38,4)) AS DOUBLE) AS s2 FROM h GROUP BY 1),
         |j AS (SELECT h.entity_id, bucket, CAST(sd AS DOUBLE) AS v, n,
         |  s1 / n AS mean, s2 FROM h JOIN st ON h.entity_id = st.entity_id
         |  WHERE n >= 24),
