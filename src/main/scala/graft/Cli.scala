@@ -18,7 +18,8 @@ import graft.sources.HarvestJob
   * graft.Cli materialize --source PARQUET --entity C --ts C --value C \
   *   --granularity hour --store S --state ST
   * graft.Cli aggregate --source PARQUET --entity C --ts C \
-  *   --granularity day --metric value:sum:sum_v [--metric …] --out OUT
+  *   --granularity day [--granularity month …] \
+  *   --metric value:sum:sum_v [--metric …] --out OUT
   * graft.Cli trigger --source PARQUET --entity C --ts C \
   *   --rule name:gran:metric:fn:op:value:severity [--rule …] --out OUT
   * graft.Cli retain --store S --keep-from YYYY-MM-DD
@@ -78,11 +79,19 @@ object Cli {
             s"--metric must be source:fn:alias, got: ${other.mkString(":")}")
         })
       val source = spark.read.parquet(one(f, "source"))
-      val out = Aggregation.compile(
-        Aggregation.AggregationDef(one(f, "granularity"), metrics))(
-        source, col(one(f, "entity")), col(one(f, "ts")))
+      // repeated --granularity flags run the cascade: one raw scan at
+      // the finest level, coarser levels re-aggregated from partials.
+      val grans = f.getOrElse("granularity",
+        throw new IllegalArgumentException("missing --granularity"))
+      val out =
+        if (grans.size == 1)
+          Aggregation.compile(Aggregation.AggregationDef(grans.head, metrics))(
+            source, col(one(f, "entity")), col(one(f, "ts")))
+        else
+          Aggregation.cascade(metrics, grans)(
+            source, col(one(f, "entity")), col(one(f, "ts")))
       TrendStoreWriter.write(out, one(f, "out"))
-      println(s"aggregate: metrics=${metrics.size} out=${one(f, "out")}")
+      println(s"aggregate: metrics=${metrics.size} granularities=${grans.size} out=${one(f, "out")}")
 
     // The `minerva trigger` loop: evaluate threshold rules, store the
     // firings as a time-partitioned notification table.

@@ -46,6 +46,19 @@ class CliSpec extends SparkSpec {
     assert(agg.count() === 2)
     assert(agg.filter(col("entity_id") === 1L).head.getAs[Double]("sum_v") === 3.0)
 
+    // repeated --granularity flags run the cascade
+    Cli.run(spark, Seq("aggregate",
+      "--source", s"$base/src", "--entity", "entity_id", "--ts", "ts",
+      "--granularity", "hour", "--granularity", "day",
+      "--metric", "value:sum:sum_v",
+      "--out", s"$base/cascade"))
+    val casc = spark.read.parquet(s"$base/cascade")
+    // entity 1's two events share one hour -> 2 hourly buckets total
+    assert(casc.filter(col("granularity") === "hour").count() === 2)
+    assert(casc.filter(col("granularity") === "day").count() === 2)
+    assert(casc.filter(col("granularity") === "day" && col("entity_id") === 1L)
+      .head.getAs[Double]("sum_v") === 3.0)
+
     intercept[IllegalArgumentException] {
       Cli.run(spark, Seq("nonsense"))
     }
