@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 import graft.sources.TableCatalog
-import graft.streaming.{Sessionize, StreamDedup, TrendStream}
+import graft.streaming.{RateStream, Sessionize, StreamDedup, TrendStream}
 
 class StreamingSpec extends SparkSpec {
 
@@ -120,6 +120,44 @@ class StreamingSpec extends SparkSpec {
       assert(got.size === 3)
       assert(got.contains(2L) && got.contains(5L) && !got.contains(4L))
       assert(got.contains(1L) ^ got.contains(3L))
+    } finally q.stop()
+  }
+
+  test("streaming counter rates converge to the batch derivation") {
+    import graft.SparkSpec.spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_rs_src").toString
+    def chunk(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("entity_id", "bucket", "sum_value")
+        .withColumn("bucket", col("bucket").cast("timestamp"))
+    // micro-batch 1: entity 1's first two closed hourly buckets
+    chunk(Seq((1L, "2024-01-01 10:00:00", 10.0),
+      (1L, "2024-01-01 11:00:00", 46.0))).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir).as[RateStream.Bucket]
+    val q = RateStream.rates(spark, stream, widthSeconds = 3600L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_rates").start()
+    try {
+      q.processAllAvailable()
+      // micro-batch 2: a later bucket + a new entity + a REPLAY of 10:00
+      chunk(Seq((1L, "2024-01-01 13:00:00", 50.0),
+        (2L, "2024-01-01 10:00:00", 7.0),
+        (1L, "2024-01-01 10:00:00", 10.0))).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+
+      val got = spark.table("t_rates")
+        .select(col("entity_id"), col("bucket"), col("sum_value"),
+          col("delta"), col("rate_per_s"))
+      // batch twin over the distinct closed buckets
+      val batchIn = spark.read.parquet(srcDir).distinct()
+      val want = graft.operators.TrendStore.counterRate(batchIn, 3600L)
+        .select(col("entity_id"), col("bucket"), col("sum_value"),
+          col("delta"), col("rate_per_s"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+      // the replayed bucket emitted nothing: one row per distinct bucket
+      assert(got.count() === batchIn.count())
+      assert(got.filter(col("entity_id") === 1L && col("delta") === 36.0)
+        .head.getAs[Double]("rate_per_s") === 0.01)
     } finally q.stop()
   }
 
