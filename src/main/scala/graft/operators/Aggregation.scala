@@ -24,12 +24,42 @@ object Aggregation {
     * `metrics`. */
   final case class AggregationDef(granularity: String, metrics: Seq[MetricAgg])
 
+  /** Fineness ranking of the calendar granularities `cascade`
+    * accepts. week is NOT nestable into month/quarter/year (weeks
+    * cross month boundaries), so it carries the same rank as day's
+    * coarser siblings but is checked separately below. */
+  private val fineness: Map[String, Int] = Map(
+    "second" -> 0, "minute" -> 1, "hour" -> 2, "day" -> 3,
+    "week" -> 4, "month" -> 4, "quarter" -> 5, "year" -> 6)
+
+  /** Validate + order a cascade's granularity list finest→coarsest.
+    * The CLI forwards repeated `--granularity` flags in USER order;
+    * re-aggregating a coarse level into a finer one would silently
+    * emit wrong buckets (date_trunc of an already-coarser bucket), so
+    * the list is sorted by fineness here and unknown names,
+    * duplicates, and the non-nesting week/month combination all
+    * throw instead of producing wrong results. */
+  private[graft] def orderedGranularities(gs: Seq[String]): Seq[String] = {
+    val bad = gs.filterNot(fineness.contains)
+    require(bad.isEmpty, s"unknown granularities: ${bad.mkString(", ")} " +
+      s"(known: ${fineness.keys.toSeq.sorted.mkString(", ")})")
+    require(gs.distinct.size == gs.size,
+      s"duplicate granularities: ${gs.diff(gs.distinct).distinct.mkString(", ")}")
+    require(!(gs.contains("week") && gs.exists(Set("month", "quarter", "year"))),
+      "week buckets cross month boundaries and cannot cascade with " +
+        "month/quarter/year; run week as its own cascade")
+    gs.sortBy(fineness)
+  }
+
   private def compileMetric(m: MetricAgg): Column = (m.fn.toLowerCase match {
     case "sum"   => Fx.dsum(col(m.source))
     case "avg"   => Fx.davg(col(m.source))
     case "max"   => max(col(m.source))
     case "min"   => min(col(m.source))
-    case "count" => count(col(m.source))
+    // count(*) semantics (row count per bucket), matching the ANSI
+    // oracle twins; metric sources in trend packages are non-nullable
+    // so this also equals the per-metric sample count.
+    case "count" => count(lit(1))
     case f       => throw new IllegalArgumentException(s"unknown aggregation fn: $f")
   }).as(m.as)
 
@@ -54,14 +84,14 @@ object Aggregation {
     * coarser shuffles are nearly free. Output is tagged with a
     * `granularity` column; avg = exact total sum / total row count
     * at every level (identical to davg on the raw rows). */
-  def cascade(metrics: Seq[MetricAgg], granularities: Seq[String])(
+  def cascade(metrics: Seq[MetricAgg], granularitiesIn: Seq[String])(
       trend: DataFrame, entity: Column, ts: Column): DataFrame = {
-    require(metrics.nonEmpty && granularities.nonEmpty)
+    require(metrics.nonEmpty && granularitiesIn.nonEmpty)
+    val granularities = orderedGranularities(granularitiesIn)
     val srcs = metrics.map(_.source).distinct
     val partials: Seq[Column] =
       count(lit(1)).as("__n") +: srcs.flatMap { s => Seq(
         sum(Fx.dec(col(s))).as(s"__s_$s"),
-        count(col(s)).as(s"__c_$s"),
         max(col(s)).as(s"__mx_$s"),
         min(col(s)).as(s"__mn_$s"))
       }
@@ -73,7 +103,7 @@ object Aggregation {
             case "avg"   => col(s"__s_${m.source}").cast("double") / col("__n")
             case "max"   => col(s"__mx_${m.source}")
             case "min"   => col(s"__mn_${m.source}")
-            case "count" => col(s"__c_${m.source}")
+            case "count" => col("__n")
             case f => throw new IllegalArgumentException(s"unknown aggregation fn: $f")
           }).as(m.as)
         }: _*)
@@ -83,7 +113,7 @@ object Aggregation {
     var out = present(cur, granularities.head)
     for (g <- granularities.tail) {
       val reAggs = sum(col("__n")).as("__n") +: srcs.flatMap { s => Seq(
-        sum(col(s"__s_$s")).as(s"__s_$s"), sum(col(s"__c_$s")).as(s"__c_$s"),
+        sum(col(s"__s_$s")).as(s"__s_$s"),
         max(col(s"__mx_$s")).as(s"__mx_$s"), min(col(s"__mn_$s")).as(s"__mn_$s"))
       }
       cur = cur.groupBy(col("entity_id"), date_trunc(g, col("bucket")).as("bucket"))

@@ -244,21 +244,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
   }
 
+  /** One staged incremental-dedup batch: the surviving rows plus an
+    * explicit `commit()` that appends their hashes to the index.
+    * Callers persist `survivors` FIRST, then commit — so a crash
+    * in between leaves the docs unmarked and the re-run re-selects
+    * them, instead of silently dropping docs that were marked seen
+    * but never accepted anywhere. */
+  final case class IncrementalDedup(survivors: DataFrame, commit: () => Unit)
+
   /** Incremental exact dedup against a persisted hash index — the
     * production shape where each new batch (a crawl day) dedups
     * against everything already accepted, without rereading the
     * corpus. Keeps the within-batch first instance per content hash,
-    * anti-joins the already-seen hash index, appends the survivors'
-    * hashes, and returns the surviving rows.
+    * anti-joins the already-seen hash index, and stages the
+    * survivors; `commit()` appends their hashes to the index and
+    * must run only AFTER the caller has persisted the survivors.
     *
     * The index stores ONLY content hashes — O(32 bytes/doc), never
     * text — so the anti-join probe side stays narrow; the survivors
     * are localCheckpoint'd before the append so writing the index
     * can never re-trigger the plan that read it (the same discipline
-    * as EntityRegistry.sync). Re-running the same batch is a no-op. */
-  def dedupIncremental(spark: org.apache.spark.sql.SparkSession,
-                       newDocs: DataFrame, idCol: String, textCol: String,
-                       indexPath: String): DataFrame = {
+    * as EntityRegistry.sync). Re-running a committed batch is a
+    * no-op; re-running after a crash between persist and commit
+    * re-emits the same survivors (at-least-once into an
+    * overwrite-per-batch output = exactly-once). */
+  def dedupIncrementalStaged(spark: org.apache.spark.sql.SparkSession,
+                             newDocs: DataFrame, idCol: String, textCol: String,
+                             indexPath: String): IncrementalDedup = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h")).orderBy(col(idCol).asc)
     val firsts = newDocs.withColumn("__h", md5(col(textCol)))
@@ -268,23 +280,25 @@ object Dedup {
       if (!StoreFs.exists(spark, indexPath)) firsts
       else firsts.join(spark.read.parquet(indexPath), Seq("__h"), "left_anti")
     val survivors = fresh.localCheckpoint()
-    survivors.select(col("__h")).write.mode("append").parquet(indexPath)
-    survivors.drop("__h")
+    IncrementalDedup(survivors.drop("__h"),
+      () => survivors.select(col("__h")).write.mode("append").parquet(indexPath))
   }
 
-  /** Benchmark-contamination scan (training-data decontamination):
-    * for each corpus document, the fraction of its distinct word
-    * k-shingles that also occur in `bench` — the eval/benchmark
-    * corpus whose n-grams must not leak into training data.
-    *
-    * The benchmark shingle set is distinct'd and BROADCAST: eval
-    * benchmarks are orders of magnitude smaller than a training
-    * corpus, so the corpus-sized side never shuffles for the
-    * membership test — one explode, one broadcast left join carrying
-    * a hit marker, one groupBy back onto the doc key (map-side
-    * partial). Docs with fewer than k tokens have no shingles and
-    * drop out, mirrored by the oracle. The flag thresholds on the
-    * ROUNDED ratio so the inclusion boundary is engine-identical. */
+  /** Whole incremental-dedup batch with the write ordering handled:
+    * survivors are written (overwrite) to `outputPath` BEFORE the
+    * index append, so the crash window between the two writes only
+    * ever re-runs work, never loses it. `outputPath` must be
+    * batch-specific (overwrite semantics make the re-run idempotent).
+    * Returns the survivors as read back from `outputPath`. */
+  def dedupIncremental(spark: org.apache.spark.sql.SparkSession,
+                       newDocs: DataFrame, idCol: String, textCol: String,
+                       indexPath: String, outputPath: String): DataFrame = {
+    val staged = dedupIncrementalStaged(spark, newDocs, idCol, textCol, indexPath)
+    staged.survivors.write.mode("overwrite").parquet(outputPath)
+    staged.commit()
+    spark.read.parquet(outputPath)
+  }
+
   /** C4-style paragraph-level dedup: split each document on the
     * sentence boundary, keep the globally FIRST instance of every
     * distinct paragraph (ordered by doc_id, then position), and
@@ -313,6 +327,19 @@ object Dedup {
         round(col("n_removed") / col("n_paras"), 6))
   }
 
+  /** Benchmark-contamination scan (training-data decontamination):
+    * for each corpus document, the fraction of its distinct word
+    * k-shingles that also occur in `bench` — the eval/benchmark
+    * corpus whose n-grams must not leak into training data.
+    *
+    * The benchmark shingle set is distinct'd and BROADCAST: eval
+    * benchmarks are orders of magnitude smaller than a training
+    * corpus, so the corpus-sized side never shuffles for the
+    * membership test — one explode, one broadcast left join carrying
+    * a hit marker, one groupBy back onto the doc key (map-side
+    * partial). Docs with fewer than k tokens have no shingles and
+    * drop out, mirrored by the oracle. The flag thresholds on the
+    * ROUNDED ratio so the inclusion boundary is engine-identical. */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, k: Int = 3,
                     threshold: Double = 0.5): DataFrame = {

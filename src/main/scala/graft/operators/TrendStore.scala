@@ -58,14 +58,27 @@ object TrendStore {
     * per-second rate — Minerva's counter semantics, where trend
     * stores hold raw counter samples and rates are derived at query
     * time. One per-entity window: partitions are bucket-count
-    * bounded, so nothing serializes globally at scale. The first
-    * bucket per entity has no predecessor → NULL delta/rate. */
-  def counterRate(rolledUp: DataFrame, widthSeconds: Long): DataFrame = {
+    * bounded, so nothing serializes globally at scale.
+    *
+    * Counter edge cases (RRD-style): the first bucket per entity has
+    * no predecessor → NULL delta/rate; a NEGATIVE raw delta means the
+    * counter reset between samples, so the true increment is unknown
+    * → NULL delta/rate (never a huge negative rate); the rate divides
+    * by the ACTUAL seconds between this bucket and the previous one,
+    * so a gap in the series yields the average rate across the gap
+    * instead of overstating it by gap/width. */
+  def counterRate(rolledUp: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("entity_id")).orderBy(col("bucket"))
+    val rawDelta = col("sum_value") - lag(col("sum_value"), 1).over(w)
+    val gapS = (unix_timestamp(col("bucket")) -
+      lag(unix_timestamp(col("bucket")), 1).over(w)).cast("double")
     rolledUp
-      .withColumn("delta", col("sum_value") - lag(col("sum_value"), 1).over(w))
-      .withColumn("rate_per_s", round(col("delta") / widthSeconds.toDouble, 6))
+      .withColumn("delta", when(rawDelta < 0, lit(null)).otherwise(rawDelta))
+      // no rounding: IEEE double division of identical operands is
+      // bit-identical on every engine, while round() implementations
+      // differ in half-way handling (found as a real sf0.01 mismatch)
+      .withColumn("rate_per_s", col("delta") / gapS)
   }
 
   /** Gap-fill over a presented rollup (entity_id, bucket, sum_value):

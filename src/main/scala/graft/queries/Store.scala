@@ -100,6 +100,9 @@ object Store {
     // entities): a tag-link table built from two deterministic
     // sources (market segment + nation, the nation side through a
     // broadcast dim join), collapsed to per-entity sorted tag sets.
+    // The graded projection joins the sorted set to one scalar string
+    // (the driver's hash harness compares scalar columns only);
+    // library callers keep the array form via EntityRegistry.tagSets.
     "e02_entity_tags" -> { (s, dir) =>
       val c = TableCatalog(s, dir)
       val segTags = c.customer.select(col("c_custkey").as("entity_id"),
@@ -109,6 +112,8 @@ object Store {
         .select(col("c_custkey").as("entity_id"),
           concat(lit("nation:"), col("n_name")).as("tag"))
       EntityRegistry.tagSets(segTags.unionByName(natTags))
+        .select(col("entity_id"),
+          array_join(col("tag_set"), ",").as("tag_set"), col("n_tags"))
         .orderBy(col("entity_id"))
     },
 
@@ -283,7 +288,7 @@ object Store {
         |  UNION ALL
         |  SELECT c_custkey, 'nation:' || n_name
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
-        |SELECT entity_id, list_sort(list(DISTINCT tag)) AS tag_set,
+        |SELECT entity_id, array_to_string(list_sort(list(DISTINCT tag)), ',') AS tag_set,
         |  count(DISTINCT tag) AS n_tags
         |FROM links GROUP BY entity_id ORDER BY entity_id""".stripMargin,
 

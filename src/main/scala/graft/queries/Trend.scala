@@ -160,8 +160,9 @@ object Trend {
 
     // Counter→rate derivation — Minerva's counter semantics: trend
     // stores hold raw counter samples and rates are derived at query
-    // time as the delta to the previous bucket over the bucket width
-    // (reference: minerva trend materialization of rate KPIs). One
+    // time as the delta to the previous bucket over the ACTUAL
+    // seconds between buckets; counter resets (negative delta) yield
+    // NULL (reference: minerva trend materialization of rate KPIs). One
     // rollup shuffle + one per-entity window: the window partitions
     // on the entity key, so partitions stay bucket-count bounded and
     // nothing serializes globally at 100 TB. delta is a plain double
@@ -172,7 +173,7 @@ object Trend {
       val hourly = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "hour")
         .select(col("entity_id"), col("bucket"),
           col("sum_dec").cast("double").as("sum_value"))
-      TrendStore.counterRate(hourly, widthSeconds = 3600L)
+      TrendStore.counterRate(hourly)
         .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
           col("sum_value"), col("delta"), col("rate_per_s"))
         .orderBy(col("entity_id"), col("bucket"))
@@ -339,11 +340,14 @@ object Trend {
       s"""WITH h AS (SELECT user_id AS entity_id, date_trunc('hour', ts) AS bucket,
          |  $ds AS sum_value FROM events GROUP BY 1, 2),
          |d AS (SELECT entity_id, bucket, sum_value,
-         |  sum_value - lag(sum_value) OVER (PARTITION BY entity_id ORDER BY bucket) AS delta
-         |FROM h)
+         |  sum_value - lag(sum_value) OVER w AS delta0,
+         |  CAST(epoch(bucket) - epoch(lag(bucket) OVER w) AS DOUBLE) AS gap_s
+         |FROM h WINDOW w AS (PARTITION BY entity_id ORDER BY bucket)),
+         |e AS (SELECT entity_id, bucket, sum_value,
+         |  CASE WHEN delta0 < 0 THEN NULL ELSE delta0 END AS delta, gap_s FROM d)
          |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
-         |  sum_value, delta, round(delta / 3600.0, 6) AS rate_per_s
-         |FROM d ORDER BY 1, 2""".stripMargin,
+         |  sum_value, delta, delta / gap_s AS rate_per_s
+         |FROM e ORDER BY 1, 2""".stripMargin,
 
     "t16_gapfill" ->
       s"""WITH h AS (SELECT user_id AS entity_id, date_trunc('hour', ts) AS bucket,

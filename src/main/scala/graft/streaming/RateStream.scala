@@ -7,7 +7,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Continuous counter→rate derivation — the streaming twin of
   * `TrendStore.counterRate` (Minerva's counter semantics: rates are
-  * deltas between consecutive buckets over the bucket width).
+  * deltas between consecutive buckets over the ACTUAL seconds
+  * between them; a counter reset — negative delta — yields None).
   *
   * Consumes a stream of CLOSED buckets (e.g. the append-mode,
   * watermark-finalized `TrendStream.windowedRollup`) and keeps ONE
@@ -27,12 +28,7 @@ object RateStream {
   case class Rate(entity_id: Long, bucket: Timestamp, sum_value: Double,
                   delta: Option[Double], rate_per_s: Option[Double])
 
-  /** Mirror of the batch side's round(…, 6) (HALF_UP, like Spark). */
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-
-  def rates(spark: SparkSession, closed: Dataset[Bucket],
-            widthSeconds: Long): Dataset[Rate] = {
+  def rates(spark: SparkSession, closed: Dataset[Bucket]): Dataset[Rate] = {
     import spark.implicits._
 
     def fn(id: Long, rows: Iterator[Bucket],
@@ -47,8 +43,11 @@ object RateStream {
           st = Last(t, b.sum_value)
         } else if (t > st.bucketMs) {
           val d = b.sum_value - st.sum
-          out += Rate(id, b.bucket, b.sum_value,
-            Some(d), Some(round6(d / widthSeconds.toDouble)))
+          val gapS = (t - st.bucketMs) / 1000.0
+          if (d < 0) // counter reset: true increment unknown
+            out += Rate(id, b.bucket, b.sum_value, None, None)
+          else
+            out += Rate(id, b.bucket, b.sum_value, Some(d), Some(d / gapS))
           st = Last(t, b.sum_value)
         } // t <= stored bucket: replayed or duplicate — emit nothing
       }

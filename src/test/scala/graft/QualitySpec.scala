@@ -109,18 +109,26 @@ class QualitySpec extends SparkSpec {
   }
 
   test("incremental dedup accepts each content hash exactly once across batches") {
-    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString + "/index"
+    val root = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    val idx = root + "/index"
     val b1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("doc_id", "text")
-    val s1 = Dedup.dedupIncremental(spark, b1, "doc_id", "text", idx)
+    val s1 = Dedup.dedupIncremental(spark, b1, "doc_id", "text", idx, root + "/out1")
     assert(s1.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
 
-    // batch 2: one repeat of batch 1, one internal dup, one new doc
+    // batch 2: one repeat of batch 1, one internal dup, one new doc.
+    // Stage WITHOUT committing — simulates a crash between persisting
+    // survivors and the index append: the docs stay unmarked, so the
+    // re-run below re-selects them instead of losing them.
     val b2 = Seq((4L, "alpha"), (5L, "gamma"), (6L, "gamma")).toDF("doc_id", "text")
-    val s2 = Dedup.dedupIncremental(spark, b2, "doc_id", "text", idx)
+    val staged = Dedup.dedupIncrementalStaged(spark, b2, "doc_id", "text", idx)
+    assert(staged.survivors.select("doc_id").collect().map(_.getLong(0)).toSet === Set(5L))
+
+    val s2 = Dedup.dedupIncremental(spark, b2, "doc_id", "text", idx, root + "/out2")
     assert(s2.select("doc_id").collect().map(_.getLong(0)).toSet === Set(5L))
 
-    // replaying batch 2 is a no-op
-    assert(Dedup.dedupIncremental(spark, b2, "doc_id", "text", idx).count() === 0L)
+    // replaying the committed batch 2 is a no-op
+    assert(Dedup.dedupIncremental(spark, b2, "doc_id", "text", idx,
+      root + "/out2b").count() === 0L)
   }
 
   test("rarity counts hapax/rare tokens against the whole corpus") {
@@ -148,7 +156,7 @@ class QualitySpec extends SparkSpec {
       (2L, "2024-01-01 00:00:00", 50.0)
     ).toDF("entity_id", "bucket", "sum_value")
       .withColumn("bucket", col("bucket").cast("timestamp"))
-    val r = TrendStore.counterRate(hourly, widthSeconds = 3600L)
+    val r = TrendStore.counterRate(hourly)
       .orderBy(col("entity_id"), col("bucket")).collect()
 
     assert(r(0).isNullAt(r(0).fieldIndex("delta")))
@@ -156,6 +164,25 @@ class QualitySpec extends SparkSpec {
     assert(r(1).getAs[Double]("rate_per_s") === 0.01)
     assert(r(2).getAs[Double]("delta") === 0.0)
     assert(r(3).isNullAt(r(3).fieldIndex("delta"))) // new entity restarts
+  }
+
+  test("counter rate handles resets (NULL) and gaps (actual elapsed time)") {
+    val hourly = Seq(
+      (1L, "2024-01-01 00:00:00", 100.0),
+      (1L, "2024-01-01 01:00:00", 136.0),
+      (1L, "2024-01-01 02:00:00", 10.0),   // counter RESET: 136 → 10
+      (1L, "2024-01-01 05:00:00", 118.0)   // 3-hour GAP after the reset
+    ).toDF("entity_id", "bucket", "sum_value")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    val r = TrendStore.counterRate(hourly)
+      .orderBy(col("bucket")).collect()
+
+    // reset bucket: true increment unknown → NULL delta AND rate
+    assert(r(2).isNullAt(r(2).fieldIndex("delta")))
+    assert(r(2).isNullAt(r(2).fieldIndex("rate_per_s")))
+    // gap bucket: delta 108 over the ACTUAL 3 h, not the 1 h width
+    assert(r(3).getAs[Double]("delta") === 108.0)
+    assert(r(3).getAs[Double]("rate_per_s") === 0.01)
   }
 
   test("paragraph dedup keeps the globally first instance only") {

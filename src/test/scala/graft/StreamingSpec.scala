@@ -134,7 +134,7 @@ class StreamingSpec extends SparkSpec {
       (1L, "2024-01-01 11:00:00", 46.0))).write.mode("append").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema).parquet(srcDir).as[RateStream.Bucket]
-    val q = RateStream.rates(spark, stream, widthSeconds = 3600L)
+    val q = RateStream.rates(spark, stream)
       .writeStream.outputMode("append")
       .format("memory").queryName("t_rates").start()
     try {
@@ -150,7 +150,7 @@ class StreamingSpec extends SparkSpec {
           col("delta"), col("rate_per_s"))
       // batch twin over the distinct closed buckets
       val batchIn = spark.read.parquet(srcDir).distinct()
-      val want = graft.operators.TrendStore.counterRate(batchIn, 3600L)
+      val want = graft.operators.TrendStore.counterRate(batchIn)
         .select(col("entity_id"), col("bucket"), col("sum_value"),
           col("delta"), col("rate_per_s"))
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
