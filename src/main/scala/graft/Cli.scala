@@ -14,7 +14,8 @@ import graft.sources.HarvestJob
   * graft.Cli harvest --source DIR --format csv --dn-col dn \
   *   --entity-component Cell --ts-col timestamp \
   *   --ts-format 'yyyy-MM-dd HH:mm:ss' --granularity 15m \
-  *   --store S --state ST [--pattern RE] [--row-tag row]
+  *   --store S --state ST [--pattern RE] [--row-tag row] \
+  *   [--target trend|attribute|notification] [--tie COL] [--current PATH]
   * graft.Cli materialize --source PARQUET --entity C --ts C --value C \
   *   --granularity hour --store S --state ST
   * graft.Cli aggregate --source PARQUET --entity C --ts C \
@@ -58,8 +59,12 @@ object Cli {
         tsCol = one(f, "ts-col"), tsFormat = one(f, "ts-format"),
         granularity = one(f, "granularity"),
         storePath = one(f, "store"), statePath = one(f, "state"),
-        pattern = opt(f, "pattern", ".*"), rowTag = opt(f, "row-tag", "row")))
-      println(s"harvest: processed=${result.processed.size} skipped=${result.skipped.size}")
+        pattern = opt(f, "pattern", ".*"), rowTag = opt(f, "row-tag", "row"),
+        target = opt(f, "target", "trend"),
+        tieCol = f.get("tie").map(_.last),
+        currentPath = f.get("current").map(_.last)))
+      println(s"harvest: target=${opt(f, "target", "trend")} " +
+        s"processed=${result.processed.size} skipped=${result.skipped.size}")
 
     case "materialize" :: rest =>
       val f = parseFlags(rest)

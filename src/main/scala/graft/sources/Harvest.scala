@@ -53,18 +53,21 @@ object Harvest {
   }
 
   private[sources] def canonicalize(raw: DataFrame, dnCol: String, entityComponent: String,
-                           tsCol: String, tsFormat: String): DataFrame = {
+                           tsCol: String, tsFormat: String,
+                           castMetrics: Boolean = true): DataFrame = {
     val metrics = raw.columns.filterNot(c => c == dnCol || c == tsCol)
     // try_to_timestamp: a malformed vendor row yields null (callers
     // filter/quarantine) instead of failing a whole 100 TB load under
     // ANSI semantics. entity_id is the registry's stable hash of the
     // full dn (graft.operators.EntityRegistry) — identical across
     // re-harvests and executors; entity_name keeps the human-readable
-    // component for display/rollup-by-name.
+    // component for display/rollup-by-name. castMetrics=false keeps
+    // the parsed value types (attribute/notification packages carry
+    // strings and ids, not only numeric metrics).
     raw.select((graft.operators.EntityRegistry.entityId(col(dnCol)).as("entity_id") +:
       col(dnCol).as("entity_dn") +:
       dnPart(col(dnCol), entityComponent).as("entity_name") +:
       try_to_timestamp(col(tsCol), lit(tsFormat)).as("ts") +:
-      metrics.map(m => col(m).cast("double").as(m))): _*)
+      metrics.map(m => if (castMetrics) col(m).cast("double").as(m) else col(m))): _*)
   }
 }

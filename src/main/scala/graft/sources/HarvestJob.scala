@@ -1,15 +1,28 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{EntityRegistry, StoreFs, TrendStoreWriter}
+import graft.operators.{AttributeStoreWriter, EntityRegistry, StoreFs, TrendStoreWriter}
 
 /** Harvest job orchestration: the reference's `minerva harvest` loop.
   * A job description maps a source directory + format plugin to a
-  * target trend store; processed files are tracked in a state table
-  * so re-running the job only reads files that arrived since the last
+  * target store; processed files are tracked in a state table so
+  * re-running the job only reads files that arrived since the last
   * run — the directory-watching ingest loop, as a deterministic
   * batch job.
+  *
+  * The reference's harvest loads three package kinds — trend,
+  * attribute, and notification data packages (minerva/harvest with
+  * storage/trend, storage/attribute, storage/notification targets);
+  * `Job.target` selects the kind. Trend packages bucket onto the
+  * granularity grid and row-level-upsert by (entity, bucket);
+  * attribute packages append into the day-partitioned attribute
+  * HISTORY (keyed upsert) and optionally refresh the materialized
+  * current-value view; notification packages are irregular events,
+  * upserted by (entity, bucket, event id) so file redelivery is
+  * idempotent. Attribute/notification values keep their parsed types
+  * (a status string is data, not a metric) — only trend metrics are
+  * cast to double.
   *
   * Scale shape: the file listing and state are O(files) driver-side
   * metadata (exactly what the reference keeps in its job/processed
@@ -21,20 +34,35 @@ import graft.operators.{EntityRegistry, StoreFs, TrendStoreWriter}
 object HarvestJob {
 
   /** Job description — source directory, parser plugin, mapping, and
-    * target store/state locations. */
+    * target store/state locations.
+    *
+    * `target` = trend | attribute | notification. `tieCol` names the
+    * source column that distinguishes same-timestamp rows (attribute
+    * and notification targets); when absent a deterministic content
+    * hash stands in, so redelivered files upsert instead of
+    * duplicating. `currentPath` (attribute target) refreshes the
+    * materialized current-value view after each load. */
   final case class Job(sourceDir: String, format: String,
                        dnCol: String, entityComponent: String,
                        tsCol: String, tsFormat: String,
                        granularity: String,
                        storePath: String, statePath: String,
                        pattern: String = ".*", rowTag: String = "row",
-                       registryPath: Option[String] = None)
+                       registryPath: Option[String] = None,
+                       target: String = "trend",
+                       tieCol: Option[String] = None,
+                       currentPath: Option[String] = None) {
+    require(Set("trend", "attribute", "notification")(target),
+      s"target must be trend|attribute|notification, got: $target")
+  }
 
   /** One run's outcome: files loaded this run vs. skipped as already
     * processed. */
   final case class RunResult(processed: Seq[String], skipped: Seq[String])
 
-  /** Parse a set of source files through the job's format plugin. */
+  /** Parse a set of source files through the job's format plugin.
+    * Trend packages cast value columns to double (metrics);
+    * attribute/notification packages keep the parsed types. */
   private def readPackage(spark: SparkSession, job: Job, paths: Seq[String]): Harvest.DataPackage = {
     val raw = job.format.toLowerCase match {
       case "csv"                 => spark.read.option("header", "true").csv(paths: _*)
@@ -43,7 +71,8 @@ object HarvestJob {
       case f => throw new IllegalArgumentException(s"unknown harvest format: $f")
     }
     Harvest.DataPackage(job.granularity,
-      Harvest.canonicalize(raw, job.dnCol, job.entityComponent, job.tsCol, job.tsFormat))
+      Harvest.canonicalize(raw, job.dnCol, job.entityComponent, job.tsCol, job.tsFormat,
+        castMetrics = job.target == "trend"))
   }
 
   private def processedFiles(spark: SparkSession, statePath: String): Set[String] = {
@@ -81,6 +110,9 @@ object HarvestJob {
     val fmt = job.format.toLowerCase
     require(fmt == "csv" || fmt == "json" || fmt == "jsonlines",
       s"streaming harvest supports csv/json, got: ${job.format}")
+    require(job.target == "trend",
+      s"streaming harvest targets trend stores; got: ${job.target} " +
+        "(attribute/notification loads run on the batch loop)")
     val sch = schema.getOrElse {
       val sample = fmt match {
         case "csv" => spark.read.option("header", "true").csv(job.sourceDir)
@@ -110,6 +142,43 @@ object HarvestJob {
       .start()
   }
 
+  /** The tie-breaker column for same-timestamp rows: the declared
+    * source column, or a deterministic content hash over every value
+    * column — the same content always hashes to the same id, so a
+    * redelivered file upserts onto its own rows instead of
+    * duplicating them. */
+  private def withTie(rows: DataFrame, job: Job): DataFrame = job.tieCol match {
+    case Some(c) => if (c == "event_id") rows else rows.withColumn("event_id", col(c))
+    case None =>
+      val valueCols = rows.columns
+        .filterNot(Set("entity_id", "entity_dn", "entity_name", "ts", "bucket"))
+      rows.withColumn("event_id", xxhash64(
+        (col("entity_dn") +: col("ts").cast("string") +:
+          valueCols.map(c => col(c).cast("string"))): _*))
+  }
+
+  /** Land a canonicalized package into the job's target store kind. */
+  private def load(spark: SparkSession, job: Job, rows: DataFrame): Unit =
+    job.target match {
+      case "trend" =>
+        TrendStoreWriter.upsert(spark, job.storePath, rows,
+          keyCols = Seq("entity_id", "bucket"))
+      case "attribute" =>
+        // history rows live at the NATIVE timestamp (append re-derives
+        // bucket = ts); the current view is a separate table refreshed
+        // after the load — the reference's attribute store shape.
+        AttributeStoreWriter.append(spark, job.storePath,
+          withTie(rows, job).drop("bucket"))
+        job.currentPath.foreach { cp =>
+          AttributeStoreWriter.materializeCurrent(spark, job.storePath, cp)
+        }
+      case "notification" =>
+        // irregular events: keyed by (entity, bucket, event id) so the
+        // same notification delivered twice lands once.
+        TrendStoreWriter.upsert(spark, job.storePath, withTie(rows, job),
+          keyCols = Seq("entity_id", "bucket", "event_id"))
+    }
+
   /** Run the job once: list the source directory, skip files already
     * in state, parse + row-level-upsert the fresh ones, extend state.
     * Malformed rows (unparseable timestamp) are quarantined out
@@ -132,8 +201,7 @@ object HarvestJob {
       EntityRegistry.sync(spark, rp, rows, col("entity_dn"),
         lit(job.entityComponent.toLowerCase), col("entity_name"))
     }
-    TrendStoreWriter.upsert(spark, job.storePath, rows,
-      keyCols = Seq("entity_id", "bucket"))
+    load(spark, job, rows)
 
     // State = previously processed ∪ this run; temp-then-swap with a
     // checked rename, same discipline as materialization state.

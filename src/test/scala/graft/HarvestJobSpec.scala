@@ -182,6 +182,71 @@ class HarvestJobSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("one mixed directory loads trend, attribute and notification stores") {
+    val src = Files.createTempDirectory("graft_job_mixed").toString
+    val base = Files.createTempDirectory("graft_job_mixed_store").toString
+    // trend files: numeric metric per (entity, ts)
+    writeCsv(src, "trend_a.csv", Seq(
+      "Cell=1,2024-01-01 10:03:00,1.5",
+      "Cell=2,2024-01-01 10:07:00,2.5"))
+    // attribute files: a STRING status value (must stay a string)
+    Files.writeString(Path.of(src, "attr_a.csv"),
+      "dn,timestamp,status\nCell=1,2024-01-01 09:00:00,active\nCell=1,2024-01-02 09:00:00,standby\n")
+    // notification files: two notifications in the SAME second
+    Files.writeString(Path.of(src, "notif_a.csv"),
+      "dn,timestamp,kind\nCell=1,2024-01-01 12:00:00,link_down\nCell=1,2024-01-01 12:00:00,link_up\n")
+
+    def job(prefix: String) = HarvestJob.Job(
+      sourceDir = src, format = "csv",
+      dnCol = "dn", entityComponent = "Cell",
+      tsCol = "timestamp", tsFormat = "yyyy-MM-dd HH:mm:ss",
+      granularity = if (prefix == "trend") "15m" else "raw",
+      storePath = s"$base/$prefix", statePath = s"$base/${prefix}_state",
+      pattern = s"${prefix}_.*\\.csv", target = prefix match {
+        case "trend" => "trend"; case "attr" => "attribute"; case "notif" => "notification"
+      },
+      currentPath = if (prefix == "attr") Some(s"$base/attr_current") else None)
+
+    Seq("trend", "attr", "notif").foreach(p => HarvestJob.run(spark, job(p)))
+
+    assert(TrendStoreWriter.read(spark, s"$base/trend").count() === 2)
+    // attribute history at native ts, value type preserved, current view fresh
+    val hist = spark.read.parquet(s"$base/attr")
+    assert(hist.count() === 2)
+    assert(hist.schema("status").dataType.typeName === "string")
+    val current = spark.read.parquet(s"$base/attr_current")
+    assert(current.count() === 1)
+    assert(current.head.getAs[String]("status") === "standby")
+    // both same-second notifications kept (content-hash tie-break)
+    assert(spark.read.parquet(s"$base/notif").count() === 2)
+
+    // re-run all three: state says nothing new — counts unchanged
+    Seq("trend", "attr", "notif").foreach { p =>
+      assert(HarvestJob.run(spark, job(p)).processed.isEmpty)
+    }
+    assert(spark.read.parquet(s"$base/attr").count() === 2)
+    assert(spark.read.parquet(s"$base/notif").count() === 2)
+
+    // REDELIVERY under a new file name: identical content upserts onto
+    // its own (entity, bucket, event_id) keys — no duplicates
+    Files.writeString(Path.of(src, "notif_b.csv"),
+      "dn,timestamp,kind\nCell=1,2024-01-01 12:00:00,link_down\nCell=1,2024-01-01 12:00:00,link_up\n")
+    HarvestJob.run(spark, job("notif"))
+    assert(spark.read.parquet(s"$base/notif").count() === 2)
+  }
+
+  test("streaming harvest rejects non-trend targets") {
+    val e = intercept[IllegalArgumentException] {
+      HarvestJob.stream(spark, HarvestJob.Job(
+        sourceDir = "/tmp/none", format = "csv",
+        dnCol = "dn", entityComponent = "Cell",
+        tsCol = "timestamp", tsFormat = "yyyy-MM-dd HH:mm:ss",
+        granularity = "raw", storePath = "/tmp/none_s", statePath = "/tmp/none_t",
+        target = "attribute"), "/tmp/none_ckpt")
+    }
+    assert(e.getMessage.contains("trend"))
+  }
+
   test("jsonlines plugin: same canonical package path as csv") {
     val src = Files.createTempDirectory("graft_job_jsonl").toString
     val base = Files.createTempDirectory("graft_job_jsonl_store").toString
