@@ -103,4 +103,100 @@ object Materialize {
     }
     dirtyDays
   }
+
+  /** One materialization in a chain. A ROOT definition (`valueCol`
+    * set) aggregates a raw source exactly like [[run]]; a DERIVED
+    * definition (`valueCol` None) re-aggregates another definition's
+    * output store with [[TrendStore.reRollup]] — exact partials, so
+    * chaining loses nothing. */
+  final case class MatDef(name: String, sourcePath: String,
+                          storePath: String, statePath: String,
+                          granularity: String,
+                          entityCol: String = "entity_id", tsCol: String = "ts",
+                          valueCol: Option[String] = None)
+
+  /** Driver-side twin of `date_trunc(granularity, day)` → the p_date
+    * of the coarser bucket containing `day`. */
+  private def truncDay(granularity: String, day: java.sql.Date): java.sql.Date = {
+    val d = day.toLocalDate
+    val t = granularity.toLowerCase match {
+      case "second" | "minute" | "hour" | "day" => d
+      case "week"    => d.minusDays(d.getDayOfWeek.getValue - 1L) // Monday, as date_trunc
+      case "month"   => d.withDayOfMonth(1)
+      case "quarter" => d.withDayOfMonth(1).withMonth((d.getMonthValue - 1) / 3 * 3 + 1)
+      case "year"    => d.withDayOfYear(1)
+      case g => throw new IllegalArgumentException(s"unsupported chain granularity: $g")
+    }
+    java.sql.Date.valueOf(t)
+  }
+
+  /** Materialize a whole DEPENDENCY CHAIN of definitions — the
+    * reference's materialization daemon processes a set of
+    * materializations where derived stores feed further derived
+    * stores (raw → hourly → daily → monthly). Definitions are run in
+    * topological order of their store-path dependencies, and each
+    * derived step consumes the UPSTREAM step's dirty-day set instead
+    * of re-deriving dirtiness from data: a late arrival recomputed at
+    * the raw step names exactly the day-partitions every downstream
+    * step must refresh, mapped through the step's granularity (a
+    * dirty Jan-17 names the Jan-01 monthly bucket). An untouched
+    * upstream means a no-op downstream — no scans, no writes.
+    *
+    * Scale shape per derived step: the parent read prunes to the
+    * p_date partitions of the affected coarse buckets (the filter is
+    * a deterministic function of the partition column), reRollup is
+    * one partial-agg shuffle over those partitions only, and the
+    * dynamic-overwrite write touches only the affected target
+    * partitions. Driver traffic stays O(dirty days) per step.
+    *
+    * Returns each definition's recomputed target days, in run order. */
+  def runAll(spark: SparkSession, defs: Seq[MatDef]): Seq[(String, Array[java.sql.Date])] = {
+    require(defs.map(_.storePath).distinct.size == defs.size,
+      "duplicate storePath across materialization defs")
+    require(defs.map(_.name).distinct.size == defs.size,
+      "duplicate name across materialization defs")
+    val produced = defs.map(_.storePath).toSet
+    val dirtyByStore = scala.collection.mutable.Map.empty[String, Array[java.sql.Date]]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Array[java.sql.Date])]
+    var remaining = defs
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(d =>
+        !produced(d.sourcePath) || dirtyByStore.contains(d.sourcePath))
+      if (ready.isEmpty)
+        throw new IllegalArgumentException(
+          s"materialization defs form a cycle: ${blocked.map(_.name).mkString(", ")}")
+      ready.foreach { d =>
+        val recomputed =
+          if (!produced(d.sourcePath)) {
+            val v = d.valueCol.getOrElse(throw new IllegalArgumentException(
+              s"root def ${d.name}: sourcePath is not another def's store, valueCol required"))
+            run(spark.read.parquet(d.sourcePath), col(d.entityCol), col(d.tsCol),
+              col(v), d.granularity, d.statePath, d.storePath)
+              .map(day => truncDay(d.granularity, day)).distinct
+          } else runDerived(spark, d, dirtyByStore(d.sourcePath))
+        dirtyByStore(d.storePath) = recomputed
+        results += d.name -> recomputed
+      }
+      remaining = blocked
+    }
+    results.toSeq
+  }
+
+  /** Refresh the target buckets of `d` affected by the upstream dirty
+    * days. No own state: correctness is inductive — upstream
+    * recomputed exactly those days, so exactly their coarse buckets
+    * are stale here. */
+  private def runDerived(spark: SparkSession, d: MatDef,
+                         upstreamDirty: Array[java.sql.Date]): Array[java.sql.Date] = {
+    val targetDays = upstreamDirty.map(truncDay(d.granularity, _)).distinct.toSeq
+    if (targetDays.isEmpty) return Array.empty
+    // All parent days of the affected coarse buckets (a dirty Jan-17
+    // forces re-reading ALL of January for the monthly bucket); the
+    // predicate is a function of p_date, so the scan partition-prunes.
+    val parent = spark.read.parquet(d.sourcePath)
+      .filter(to_date(date_trunc(d.granularity, col("p_date"))).isin(targetDays: _*))
+      .drop("p_date")
+    TrendStoreWriter.write(TrendStore.reRollup(parent, d.granularity), d.storePath)
+    targetDays.toArray
+  }
 }

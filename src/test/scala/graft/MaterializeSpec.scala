@@ -64,6 +64,75 @@ class MaterializeSpec extends SparkSpec {
     assert(dirty.isEmpty, s"expected recovered state, re-materialized: ${dirty.toSeq}")
   }
 
+  test("materialization chain propagates late arrivals through derived stores") {
+    import graft.operators.TrendStore
+    val base = Files.createTempDirectory("graft_mat_dag").toString
+    val rawPath = s"$base/raw"
+    val defs = Seq(
+      Materialize.MatDef("hourly", rawPath, s"$base/hourly", s"$base/hourly_state",
+        "hour", valueCol = Some("value")),
+      Materialize.MatDef("daily", s"$base/hourly", s"$base/daily", s"$base/daily_state", "day"),
+      Materialize.MatDef("monthly", s"$base/daily", s"$base/monthly", s"$base/monthly_state", "month"))
+    // deliberately out of dependency order: runAll must topo-sort
+    val shuffled = Seq(defs(2), defs(0), defs(1))
+
+    def norm(path: String) = spark.read.parquet(path)
+      .select(col("entity_id"), col("bucket"), col("cnt").cast("long").as("cnt"),
+        col("sum_dec").cast("double").as("s"), col("max_value"))
+    def assertChainEqualsFullRecompute(raw: Seq[(Long, String, Double)]): Unit = {
+      val hourly = TrendStore.rollup(mk(raw), col("entity_id"), col("ts"), col("value"), "hour")
+      val daily = TrendStore.reRollup(hourly, "day")
+      val monthly = TrendStore.reRollup(daily, "month")
+      for ((want, path) <- Seq(hourly -> s"$base/hourly", daily -> s"$base/daily",
+          monthly -> s"$base/monthly")) {
+        val w = want.select(col("entity_id"), col("bucket"), col("cnt").cast("long").as("cnt"),
+          col("sum_dec").cast("double").as("s"), col("max_value"))
+        val g = norm(path)
+        assert(g.exceptAll(w).isEmpty && w.exceptAll(g).isEmpty, s"mismatch at $path")
+      }
+    }
+
+    val batch1 = Seq(
+      (1L, "2024-01-01 10:05:00", 1.0), (1L, "2024-01-15 11:05:00", 2.0),
+      (2L, "2024-02-01 10:10:00", 5.0))
+    mk(batch1).write.mode("overwrite").parquet(rawPath)
+    val r1 = Materialize.runAll(spark, shuffled).toMap
+    assert(r1("hourly").map(_.toString).sorted ===
+      Array("2024-01-01", "2024-01-15", "2024-02-01"))
+    assert(r1("monthly").map(_.toString).sorted === Array("2024-01-01", "2024-02-01"))
+    assertChainEqualsFullRecompute(batch1)
+
+    // unchanged source: every step is a no-op, nothing scans or writes
+    val r2 = Materialize.runAll(spark, shuffled)
+    assert(r2.forall(_._2.isEmpty))
+
+    // LATE ARRIVAL on Jan 1 only: the raw step recomputes that day and
+    // the chain refreshes exactly its hourly day, daily day and
+    // monthly bucket — February is never touched
+    val batch2 = batch1 :+ ((2L, "2024-01-01 12:59:00", 100.0))
+    mk(batch2).write.mode("overwrite").parquet(rawPath)
+    val febFiles = new java.io.File(s"$base/monthly/p_date=2024-02-01")
+      .listFiles().map(_.getName).toSet
+    val r3 = Materialize.runAll(spark, shuffled).toMap
+    assert(r3("hourly").map(_.toString).toSeq === Seq("2024-01-01"))
+    assert(r3("daily").map(_.toString).toSeq === Seq("2024-01-01"))
+    assert(r3("monthly").map(_.toString).toSeq === Seq("2024-01-01"))
+    assert(new java.io.File(s"$base/monthly/p_date=2024-02-01")
+      .listFiles().map(_.getName).toSet === febFiles)
+    assertChainEqualsFullRecompute(batch2)
+  }
+
+  test("runAll rejects cyclic and duplicate definitions") {
+    val base = Files.createTempDirectory("graft_mat_cycle").toString
+    val a = Materialize.MatDef("a", s"$base/b", s"$base/a", s"$base/sa", "day")
+    val b = Materialize.MatDef("b", s"$base/a", s"$base/b", s"$base/sb", "month")
+    val e = intercept[IllegalArgumentException](Materialize.runAll(spark, Seq(a, b)))
+    assert(e.getMessage.contains("cycle"))
+    val dup = intercept[IllegalArgumentException](
+      Materialize.runAll(spark, Seq(a, a.copy(sourcePath = s"$base/c"))))
+    assert(dup.getMessage.contains("duplicate"))
+  }
+
   test("dirty set is empty when state matches the modified log") {
     val src = mk(Seq((1L, "2024-01-01 10:00:00", 1.0)))
     val log = Materialize.modifiedLogByDay(src, col("ts"))
