@@ -131,6 +131,29 @@ object Store {
         .orderBy(col("parent_dn"))
     },
 
+    // Multi-hop entity aggregation — the reference's signature rollup
+    // up a materialized transitive relation (cell→site→region): a
+    // METRIC (order totals) carried from the leaf entity through
+    // compose(cust→nation, nation→region) to the top level in ONE
+    // aggregation. The composed relation is registry-sized and
+    // broadcast (TrendStore.entityRollup), so the fact table never
+    // shuffles for the hierarchy walk — one agg shuffle on the
+    // (few-valued) parent key.
+    "e03_entity_rollup_2hop" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val custToNation = Relations.of(c.customer,
+        concat(lit("Customer="), col("c_custkey")),
+        concat(lit("Nation="), col("c_nationkey")), "customer->nation")
+      val nationToRegion = Relations.of(c.nation,
+        concat(lit("Nation="), col("n_nationkey")),
+        concat(lit("Region="), col("n_regionkey")), "nation->region")
+      val rel = Relations.compose(custToNation, nationToRegion)
+      TrendStore.entityRollup(c.orders,
+          concat(lit("Customer="), col("o_custkey")), col("o_totalprice"),
+          rel, "child_dn", "parent_dn")
+        .orderBy(col("parent"))
+    },
+
     "n02_notification_store" -> { (s, dir) =>
       val ev = TableCatalog(s, dir).events
       val typed = NotificationStore.typed(
@@ -297,6 +320,14 @@ object Store {
         |  'Region=' || n_regionkey AS parent_dn, count(*) AS n_children
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 2 ORDER BY 2""".stripMargin,
+
+    "e03_entity_rollup_2hop" ->
+      """SELECT 'Region=' || n_regionkey AS parent, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "n02_notification_store" ->
       """SELECT user_id AS entity_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
