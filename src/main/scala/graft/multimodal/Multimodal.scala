@@ -207,6 +207,90 @@ object Multimodal {
       }))
   }
 
+  /** Deterministic synthetic image (PNG): a smooth 2-D sine pattern
+    * whose shape is a pure function of `seed`, sampled at NORMALIZED
+    * coordinates — so re-rendering the same seed at a different size
+    * yields (approximately) the same picture, which is exactly what a
+    * perceptual hash must be invariant to. The m04 driver check and
+    * specs plant near-duplicates with this, since the test corpus
+    * carries no real media blobs. */
+  def syntheticImage(seed: Long, w: Int = 64, h: Int = 64): Array[Byte] = {
+    val fx = 1 + (seed % 3).toInt
+    val fy = 1 + ((seed / 3) % 3).toInt
+    val phase = (seed % 7).toDouble / 7.0 * 2 * math.Pi
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val u = (x + 0.5) / w
+        val v = (y + 0.5) / h
+        val lum = (127.5 * (1 + math.sin(2 * math.Pi * fx * u + phase) *
+          math.cos(2 * math.Pi * fy * v))).toInt.max(0).min(255)
+        im.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+        x += 1
+      }
+      y += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    ImageIO.write(im, "png", buf)
+    buf.toByteArray
+  }
+
+  /** A 64-bit perceptual fingerprint. `decoded = false` rows carry
+    * fp = 0 and must be filtered before pairing. */
+  case class PerceptualHash(doc_id: Long, decoded: Boolean, fp: Long)
+
+  private def dhashOf(im: java.awt.image.BufferedImage): Long = {
+    // 9×8 grayscale thumbnail → 64 horizontal gradient-sign bits: the
+    // standard dHash. Gradient SIGNS survive resizing, re-encoding and
+    // global brightness shifts — pixel values don't.
+    val small = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = small.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(im, 0, 0, 9, 8, null)
+    g.dispose()
+    val r = small.getRaster
+    var bits = 0L
+    var i = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (r.getSample(x + 1, y, 0) > r.getSample(x, y, 0)) bits |= 1L << i
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Batched perceptual hashing (dHash) over a binary image column —
+    * the fingerprint side of image near-dup detection: a resized or
+    * re-encoded copy of an image lands within a few hamming bits of
+    * the original, so dedup is a hamming band join over these 64-bit
+    * fingerprints (`Dedup.hammingPairs`), the exact machinery the
+    * SimHash text path uses. Same batched-mapPartitions contract and
+    * quarantine discipline as `extractFeatures`. */
+  def dHash(spark: SparkSession, df: DataFrame, idCol: String,
+            batchSize: Int = 64): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { case (id, bytes) =>
+        val img = try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+          catch { case _: Exception => None }
+        img match {
+          case Some(im) => PerceptualHash(id, decoded = true, dhashOf(im))
+          case None     => PerceptualHash(id, decoded = false, 0L)
+        }
+      }))
+  }
+
   /** One sampled frame of a multi-frame payload. */
   case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int, height: Int,
                            mean_luma: Double)

@@ -197,6 +197,31 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup pairs over arbitrary 64-bit fingerprints `(doc_id, fp)`
+    * — the generic hamming band join behind both SimHash text dedup
+    * and PERCEPTUAL IMAGE dedup (`Multimodal.dHash` fingerprints):
+    * pigeonhole the 64 bits into 8 bands of 8 bits, so any pair
+    * within hamming ≤ 7 shares at least one exact band (recall 1.0
+    * for maxHamming ≤ 7), join on the band key, verify with the
+    * fused native hamming expression. One explode (8 rows/doc, ints
+    * only) + one equi-join — the same shape that holds at 100 TB for
+    * the text paths. */
+  def hammingPairs(fps: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"band layout guarantees recall only for maxHamming <= 7, got: $maxHamming")
+    val bandCols = (0 until 8).map { b =>
+      lit(b.toLong << 8) + shiftright(col("fp"), b * 8).bitwiseAND(lit(255L))
+    }
+    val bandKeys = fps.select(col("doc_id"), col("fp"),
+      explode(array(bandCols: _*)).as("band"))
+    bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        hamming(col("a.fp"), col("b.fp")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** One-permutation document fingerprint: min(md5(shingle)) — the
     * SQL-expressible MinHash special case (collision prob = Jaccard),
     * grouped into dedup clusters. */

@@ -561,6 +561,26 @@ object TextSim {
         .withColumn("rms", round(col("rms"), 6))
         .withColumn("peak", round(col("peak"), 6))
         .orderBy(col("doc_id"))
+    },
+
+    // Perceptual image dedup (rows-only like m02/m03: binary decode
+    // has no SQL oracle; the planted-duplicate recall is
+    // spec-verified). Payloads are deterministic synthetic PNGs —
+    // sibling ids (2k, 2k+1) render the SAME pattern seed at
+    // DIFFERENT sizes, i.e. planted resized/re-encoded duplicates —
+    // fingerprinted with dHash and paired via the banded hamming
+    // join the SimHash text path uses.
+    "m04_image_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = TableCatalog(s, dir).documents.select(col("doc_id")).limit(64)
+        .as[Long].map { id =>
+          val size = if (id % 2 == 0) 64 else 48
+          (id, Multimodal.syntheticImage(id / 2, size, size))
+        }.toDF("doc_id", "payload")
+      val fps = Multimodal.dHash(s, docs, "doc_id").toDF()
+        .filter(col("decoded")).select(col("doc_id"), col("fp"))
+      Dedup.hammingPairs(fps, maxHamming = 6)
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 

@@ -142,4 +142,35 @@ class MultimodalSpec extends SparkSpec {
     assert(f(4L).decoded && f(4L).mean_luma === 127.5)
     assert(!f(5L).decoded && f(5L).byte_len === 12)
   }
+
+  test("perceptual dedup finds planted resized/re-encoded duplicates") {
+    import graft.SparkSpec.spark.implicits._
+    // 8 distinct patterns; each planted twice: the original at 64×64
+    // and a RESIZED 48×48 re-encode (ids 100+s). Different patterns
+    // use well-separated (fx, fy, phase) seeds.
+    val seeds = Seq(0L, 4L, 8L, 13L, 17L, 22L, 26L, 31L)
+    val docs = seeds.zipWithIndex.flatMap { case (s, i) =>
+      Seq((i.toLong, Multimodal.syntheticImage(s, 64, 64)),
+        (100L + i, Multimodal.syntheticImage(s, 48, 48)))
+    }.toDF("doc_id", "payload")
+    val fps = Multimodal.dHash(spark, docs, "doc_id").toDF()
+    assert(fps.filter(!col("decoded")).isEmpty)
+    val pairs = graft.operators.Dedup.hammingPairs(
+        fps.select(col("doc_id"), col("fp")), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (original, resized) sibling pair is found
+    seeds.indices.foreach { i =>
+      assert(pairs.contains((i.toLong, 100L + i)), s"missing planted pair $i")
+    }
+    // hashing is deterministic and partitioning-independent
+    val fps2 = Multimodal.dHash(spark, docs.repartition(5), "doc_id")
+      .collect().map(p => p.doc_id -> p.fp).toMap
+    val fps1 = fps.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fps1 === fps2)
+    // non-images are quarantined, not paired
+    val withJunk = docs.unionByName(
+      Seq((999L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload"))
+    val withJunkFps = Multimodal.dHash(spark, withJunk, "doc_id").toDF()
+    assert(withJunkFps.filter(col("doc_id") === 999L).head.getBoolean(1) === false)
+  }
 }
