@@ -20,9 +20,11 @@ import graft.sources.HarvestJob
   *   --granularity hour --store S --state ST
   * graft.Cli aggregate --source PARQUET --entity C --ts C \
   *   --granularity day [--granularity month …] \
-  *   --metric value:sum:sum_v [--metric …] --out OUT
+  *   --metric value:sum:sum_v [--metric …] --out OUT   (or --config FILE)
   * graft.Cli trigger --source PARQUET --entity C --ts C \
   *   --rule name:gran:metric:fn:op:value:severity [--rule …] --out OUT
+  *   (or --config FILE — multi-threshold rules)
+  * graft.Cli materialize-all --config FILE
   * graft.Cli retain --store S --keep-from YYYY-MM-DD
   * graft.Cli compact --history H --value C [--entity C] [--ts C] [--tie C]
   * graft.Cli dedup --docs PARQUET --out OUT \
@@ -76,47 +78,78 @@ object Cli {
 
     case "aggregate" :: rest =>
       val f = parseFlags(rest)
-      val metrics = f.getOrElse("metric",
-        throw new IllegalArgumentException("at least one --metric source:fn:alias required"))
-        .map(_.split(":") match {
-          case Array(src, fn, as) => Aggregation.MetricAgg(src, fn, as)
-          case other => throw new IllegalArgumentException(
-            s"--metric must be source:fn:alias, got: ${other.mkString(":")}")
-        })
-      val source = spark.read.parquet(one(f, "source"))
-      // repeated --granularity flags run the cascade: one raw scan at
-      // the finest level, coarser levels re-aggregated from partials.
-      val grans = f.getOrElse("granularity",
-        throw new IllegalArgumentException("missing --granularity"))
+      // --config FILE: the declarative definition-file form the
+      // reference's aggregation CLI consumes; flags otherwise.
+      val (srcPath, entity, ts, outPath, grans, metrics) = f.get("config") match {
+        case Some(paths) =>
+          val c = Config.parseAggregate(
+            java.nio.file.Files.readString(java.nio.file.Path.of(paths.last)))
+          (c.source, c.entity, c.ts, c.out, c.granularities, c.metrics)
+        case None =>
+          val ms = f.getOrElse("metric",
+            throw new IllegalArgumentException("at least one --metric source:fn:alias required"))
+            .map(_.split(":") match {
+              case Array(src, fn, as) => Aggregation.MetricAgg(src, fn, as)
+              case other => throw new IllegalArgumentException(
+                s"--metric must be source:fn:alias, got: ${other.mkString(":")}")
+            })
+          // repeated --granularity flags run the cascade: one raw scan
+          // at the finest level, coarser levels from partials.
+          val gs = f.getOrElse("granularity",
+            throw new IllegalArgumentException("missing --granularity"))
+          (one(f, "source"), one(f, "entity"), one(f, "ts"), one(f, "out"), gs, ms)
+      }
+      val source = spark.read.parquet(srcPath)
       val out =
         if (grans.size == 1)
           Aggregation.compile(Aggregation.AggregationDef(grans.head, metrics))(
-            source, col(one(f, "entity")), col(one(f, "ts")))
+            source, col(entity), col(ts))
         else
-          Aggregation.cascade(metrics, grans)(
-            source, col(one(f, "entity")), col(one(f, "ts")))
-      TrendStoreWriter.write(out, one(f, "out"))
-      println(s"aggregate: metrics=${metrics.size} granularities=${grans.size} out=${one(f, "out")}")
+          Aggregation.cascade(metrics, grans)(source, col(entity), col(ts))
+      TrendStoreWriter.write(out, outPath)
+      println(s"aggregate: metrics=${metrics.size} granularities=${grans.size} out=$outPath")
 
     // The `minerva trigger` loop: evaluate threshold rules, store the
     // firings as a time-partitioned notification table.
     case "trigger" :: rest =>
       val f = parseFlags(rest)
-      val rules = f.getOrElse("rule",
-        throw new IllegalArgumentException(
-          "at least one --rule name:gran:metric:fn:op:value:severity required"))
-        .map(_.split(":") match {
-          case Array(name, gran, metric, fn, op, value, severity) =>
-            Trigger.Rule(name, gran,
-              Seq(Trigger.Threshold(metric, fn, op, value.toDouble)), severity)
-          case other => throw new IllegalArgumentException(
-            s"--rule must be name:gran:metric:fn:op:value:severity, got: ${other.mkString(":")}")
-        })
-      val source = spark.read.parquet(one(f, "source"))
-      val fired = Trigger.evaluate(rules)(source,
-        col(one(f, "entity")), col(one(f, "ts")))
-      TrendStoreWriter.write(fired, one(f, "out"))
-      println(s"trigger: rules=${rules.size} out=${one(f, "out")}")
+      // --config FILE: multi-threshold rules (ANDed), the reference's
+      // trigger definition-file shape; single-threshold --rule flags
+      // otherwise.
+      val (srcPath, entity, ts, outPath, rules) = f.get("config") match {
+        case Some(paths) =>
+          val c = Config.parseTrigger(
+            java.nio.file.Files.readString(java.nio.file.Path.of(paths.last)))
+          (c.source, c.entity, c.ts, c.out, c.rules)
+        case None =>
+          val rs = f.getOrElse("rule",
+            throw new IllegalArgumentException(
+              "at least one --rule name:gran:metric:fn:op:value:severity required"))
+            .map(_.split(":") match {
+              case Array(name, gran, metric, fn, op, value, severity) =>
+                Trigger.Rule(name, gran,
+                  Seq(Trigger.Threshold(metric, fn, op, value.toDouble)), severity)
+              case other => throw new IllegalArgumentException(
+                s"--rule must be name:gran:metric:fn:op:value:severity, got: ${other.mkString(":")}")
+            })
+          (one(f, "source"), one(f, "entity"), one(f, "ts"), one(f, "out"), rs)
+      }
+      val source = spark.read.parquet(srcPath)
+      val fired = Trigger.evaluate(rules)(source, col(entity), col(ts))
+      TrendStoreWriter.write(fired, outPath)
+      println(s"trigger: rules=${rules.size} out=$outPath")
+
+    // The reference's materialization daemon: run a whole SET of
+    // materializations, derived stores feeding derived stores, from
+    // one config file (see Materialize.runAll).
+    case "materialize-all" :: rest =>
+      val f = parseFlags(rest)
+      val defs = Config.parseMaterialize(
+        java.nio.file.Files.readString(java.nio.file.Path.of(one(f, "config"))))
+      val results = Materialize.runAll(spark, defs)
+      results.foreach { case (name, days) =>
+        println(s"materialize-all: $name recomputed=${days.length}")
+      }
 
     case "retain" :: rest =>
       val f = parseFlags(rest)
@@ -161,7 +194,7 @@ object Cli {
     case cmd =>
       throw new IllegalArgumentException(
         s"unknown command: ${cmd.headOption.getOrElse("")} " +
-          "(expected harvest|materialize|aggregate|trigger|retain|compact|dedup|decontaminate)")
+          "(expected harvest|materialize|materialize-all|aggregate|trigger|retain|compact|dedup|decontaminate)")
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,83 @@
+package graft
+
+import org.json4s.{DefaultFormats, Formats, JValue}
+import org.json4s.jackson.JsonMethods
+import graft.operators.{Aggregation, Materialize, Trigger}
+
+/** Declarative config files for the CLI — the reference defines
+  * aggregations and triggers in config files its CLIs consume
+  * (`minerva aggregation` / `minerva trigger` definition files);
+  * graft parses the same shape from JSON into the existing
+  * `AggregationDef` / `Trigger.Rule` / `Materialize.MatDef` values.
+  * Pure parsing — no plan code lives here, and the parser is json4s,
+  * which ships with Spark (no new dependency).
+  *
+  * Schemas (all paths/columns are strings):
+  * {{{
+  * aggregate:   {"source": P, "entity": C, "ts": C, "out": P,
+  *               "granularities": ["hour", ...],
+  *               "metrics": [{"source": C, "fn": "sum", "as": C}, ...]}
+  * trigger:     {"source": P, "entity": C, "ts": C, "out": P,
+  *               "rules": [{"name": N, "granularity": G, "severity": S,
+  *                 "thresholds": [{"metric": C, "fn": F, "op": ">", "value": 1.5}, ...]}, ...]}
+  * materialize: {"defs": [{"name": N, "source": P, "store": P, "state": P,
+  *                 "granularity": G, "entity": C?, "ts": C?, "value": C?}, ...]}
+  * }}}
+  * A materialize def WITHOUT `value` is a derived step re-aggregating
+  * another def's store (see `Materialize.runAll`). Config rules may
+  * carry multiple thresholds per rule (ANDed) — richer than the
+  * single-threshold `--rule` flag form.
+  */
+object Config {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  final case class AggregateConfig(source: String, entity: String, ts: String,
+                                   out: String, granularities: Seq[String],
+                                   metrics: Seq[Aggregation.MetricAgg])
+
+  final case class TriggerConfig(source: String, entity: String, ts: String,
+                                 out: String, rules: Seq[Trigger.Rule])
+
+  private case class MatDefJson(name: String, source: String, store: String,
+                                state: String, granularity: String,
+                                entity: Option[String], ts: Option[String],
+                                value: Option[String]) {
+    def toDef: Materialize.MatDef = Materialize.MatDef(name, source, store, state,
+      granularity, entity.getOrElse("entity_id"), ts.getOrElse("ts"), value)
+  }
+
+  private def parse(text: String, what: String): JValue =
+    try JsonMethods.parse(text)
+    catch { case e: Exception =>
+      throw new IllegalArgumentException(s"unparseable $what config: ${e.getMessage}")
+    }
+
+  private def extract[T](j: JValue, what: String)(implicit m: Manifest[T]): T =
+    try j.extract[T]
+    catch { case e: Exception =>
+      throw new IllegalArgumentException(s"invalid $what config: ${e.getMessage}")
+    }
+
+  def parseAggregate(text: String): AggregateConfig = {
+    val c = extract[AggregateConfig](parse(text, "aggregate"), "aggregate")
+    require(c.metrics.nonEmpty, "aggregate config: at least one metric required")
+    require(c.granularities.nonEmpty, "aggregate config: at least one granularity required")
+    c
+  }
+
+  def parseTrigger(text: String): TriggerConfig = {
+    val c = extract[TriggerConfig](parse(text, "trigger"), "trigger")
+    require(c.rules.nonEmpty, "trigger config: at least one rule required")
+    require(c.rules.forall(_.thresholds.nonEmpty),
+      "trigger config: every rule needs at least one threshold")
+    c
+  }
+
+  def parseMaterialize(text: String): Seq[Materialize.MatDef] = {
+    val defs = extract[Seq[MatDefJson]](
+      parse(text, "materialize") \ "defs", "materialize").map(_.toDef)
+    require(defs.nonEmpty, "materialize config: at least one def required")
+    defs
+  }
+}

@@ -88,6 +88,65 @@ class CliSpec extends SparkSpec {
       .select("rule").head.getString(0) === "quiet")
   }
 
+  test("config files round-trip to identical output as the flag form") {
+    val base = Files.createTempDirectory("graft_cli_cfg").toString
+    Seq((1L, "2024-01-01 10:05:00", 9.0), (1L, "2024-01-01 10:35:00", 2.0),
+      (2L, "2024-01-02 09:00:00", 7.0))
+      .toDF("entity_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.parquet(s"$base/src")
+
+    // aggregate: flag form vs config form must write identical stores
+    Cli.run(spark, Seq("aggregate",
+      "--source", s"$base/src", "--entity", "entity_id", "--ts", "ts",
+      "--granularity", "hour", "--granularity", "day",
+      "--metric", "value:sum:sum_v", "--metric", "value:count:cnt",
+      "--out", s"$base/agg_flags"))
+    val aggCfg = Path.of(base, "agg.json")
+    Files.writeString(aggCfg,
+      s"""{"source": "$base/src", "entity": "entity_id", "ts": "ts",
+         | "out": "$base/agg_cfg", "granularities": ["hour", "day"],
+         | "metrics": [{"source": "value", "fn": "sum", "as": "sum_v"},
+         |             {"source": "value", "fn": "count", "as": "cnt"}]}""".stripMargin)
+    Cli.run(spark, Seq("aggregate", "--config", aggCfg.toString))
+    val a = spark.read.parquet(s"$base/agg_flags").drop("p_date")
+    val b = spark.read.parquet(s"$base/agg_cfg").drop("p_date")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+    // trigger: config rules can AND multiple thresholds (beyond the
+    // flag form): fire on sum > 8 AND max < 10 per hour
+    val trigCfg = Path.of(base, "trig.json")
+    Files.writeString(trigCfg,
+      s"""{"source": "$base/src", "entity": "entity_id", "ts": "ts",
+         | "out": "$base/fired",
+         | "rules": [{"name": "band", "granularity": "hour", "severity": "major",
+         |   "thresholds": [{"metric": "value", "fn": "sum", "op": ">", "value": 8.0},
+         |                  {"metric": "value", "fn": "max", "op": "<", "value": 10.0}]}]}""".stripMargin)
+    Cli.run(spark, Seq("trigger", "--config", trigCfg.toString))
+    val fired = spark.read.parquet(s"$base/fired")
+    assert(fired.select("rule", "entity_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet === Set(("band", 1L)))
+
+    // materialize-all: a two-step chain from one config file
+    val matCfg = Path.of(base, "mat.json")
+    Files.writeString(matCfg,
+      s"""{"defs": [
+         |  {"name": "hourly", "source": "$base/src", "store": "$base/hourly",
+         |   "state": "$base/hourly_state", "granularity": "hour", "value": "value"},
+         |  {"name": "daily", "source": "$base/hourly", "store": "$base/daily",
+         |   "state": "$base/daily_state", "granularity": "day"}]}""".stripMargin)
+    Cli.run(spark, Seq("materialize-all", "--config", matCfg.toString))
+    assert(spark.read.parquet(s"$base/daily").count() === 2)
+
+    // malformed config → a readable error, not a stack of JSON guts
+    val badCfg = Path.of(base, "bad.json")
+    Files.writeString(badCfg, """{"granularities": []}""")
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("aggregate", "--config", badCfg.toString))
+    }
+    assert(e.getMessage.contains("config"))
+  }
+
   test("dedup and decontaminate commands run the curation jobs") {
     val base = Files.createTempDirectory("graft_cli_dedup").toString
     Seq((1L, "shared sentence. alpha beta gamma"),
