@@ -117,6 +117,20 @@ object Store {
         .orderBy(col("entity_id"))
     },
 
+    // The directory query behind "how many entities carry tag X" —
+    // tagStats over the same deterministic tag-link table as e02.
+    "e04_tag_stats" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val segTags = c.customer.select(col("c_custkey").as("entity_id"),
+        concat(lit("segment:"), col("c_mktsegment")).as("tag"))
+      val natTags = c.customer
+        .join(broadcast(c.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("entity_id"),
+          concat(lit("nation:"), col("n_name")).as("tag"))
+      EntityRegistry.tagStats(segTags.unionByName(natTags))
+        .orderBy(col("tag"))
+    },
+
     "r01_relation_store" -> { (s, dir) =>
       val c = TableCatalog(s, dir)
       val custToNation = Relations.of(c.customer,
@@ -320,6 +334,15 @@ object Store {
         |  'Region=' || n_regionkey AS parent_dn, count(*) AS n_children
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 2 ORDER BY 2""".stripMargin,
+
+    "e04_tag_stats" ->
+      """WITH links AS (
+        |  SELECT c_custkey AS entity_id, 'segment:' || c_mktsegment AS tag FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'nation:' || n_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT tag, count(DISTINCT entity_id) AS n_entities
+        |FROM links GROUP BY tag ORDER BY tag""".stripMargin,
 
     "e03_entity_rollup_2hop" ->
       """SELECT 'Region=' || n_regionkey AS parent, count(*) AS cnt,
