@@ -436,6 +436,20 @@ object TextSim {
       Dedup.dupClusters(pairs).orderBy(col("cluster_id"))
     },
 
+    // Embedding duplicate clusters: the same keep-one-per-cluster
+    // step over the EMBEDDING near-dup graph (d09's exact-cosine pair
+    // set, rounded-boundary threshold) — composing cosinePairs with
+    // the d22 connected-components machinery, as an embedding-dedup
+    // run executes. At scale the pair source swaps to the d12 LSH
+    // path; the cluster step is source-agnostic.
+    "d23_embed_clusters" -> { (s, dir) =>
+      val pairs = Similarity.cosinePairs(TableCatalog(s, dir).embeddings,
+          "vec_id", "embedding", threshold = 0.449999)
+        .withColumn("sim", round(col("sim"), 6))
+        .filter(col("sim") >= 0.45)
+      Dedup.dupClusters(pairs).orderBy(col("cluster_id"))
+    },
+
     // C4-style paragraph-level dedup: keep the globally first
     // instance of each distinct sentence/paragraph, report per-doc
     // survival (see Dedup.paraDedup — the paragraph text is hashed
@@ -818,6 +832,23 @@ object TextSim {
         |pairs AS (SELECT a_id, b_id
         |  FROM inter JOIN sizes na ON a_id = na.doc_id JOIN sizes nb ON b_id = nb.doc_id
         |  WHERE c / (na.n + nb.n - c) >= 0.5),
+        |e AS (SELECT a_id AS s, b_id AS d FROM pairs
+        |      UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (SELECT s AS id, s AS r FROM e
+        |          UNION
+        |          SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+        |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT cluster_id, count(*) AS n_members, max(id) AS max_member
+        |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d23_embed_clusters" ->
+      // Connected components of the d09 pair graph via the same
+      // recursive-CTE shape as d22.
+      """WITH RECURSIVE
+        |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45),
         |e AS (SELECT a_id AS s, b_id AS d FROM pairs
         |      UNION SELECT b_id, a_id FROM pairs),
         |reach AS (SELECT s AS id, s AS r FROM e
