@@ -24,6 +24,23 @@ class CliSpec extends SparkSpec {
     assert(TrendStoreWriter.read(spark, s"$base/store").count() === 2)
   }
 
+  test("harvest --target attribute loads history and refreshes the current view") {
+    val src = Files.createTempDirectory("graft_cli_attr_src").toString
+    val base = Files.createTempDirectory("graft_cli_attr").toString
+    Files.writeString(Path.of(src, "a.csv"),
+      "dn,timestamp,status\nCell=1,2024-01-01 09:00:00,active\nCell=1,2024-01-02 09:00:00,standby\n")
+    Cli.run(spark, Seq("harvest",
+      "--source", src, "--format", "csv",
+      "--dn-col", "dn", "--entity-component", "Cell",
+      "--ts-col", "timestamp", "--ts-format", "yyyy-MM-dd HH:mm:ss",
+      "--granularity", "raw",
+      "--store", s"$base/hist", "--state", s"$base/state",
+      "--target", "attribute", "--current", s"$base/current"))
+    assert(spark.read.parquet(s"$base/hist").count() === 2)
+    assert(spark.read.parquet(s"$base/current")
+      .head.getAs[String]("status") === "standby")
+  }
+
   test("materialize and aggregate commands produce stores") {
     val base = Files.createTempDirectory("graft_cli_mat").toString
     Seq((1L, "2024-01-01 10:05:00", 1.0), (1L, "2024-01-01 10:35:00", 2.0),
