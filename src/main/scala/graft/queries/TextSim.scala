@@ -495,6 +495,18 @@ object TextSim {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // Product-quantization ANN (rows-only like s02/s04 — approximate
+    // by design; recall floors spec-asserted): the memory-bound scale
+    // path where the corpus index is m byte codes per vector and ADC
+    // scoring is m table lookups per pair, with exact cosine re-rank
+    // of the candidate set (see Similarity.pqTopK).
+    "s07_ann_pq" -> { (s, dir) =>
+      val emb = TableCatalog(s, dir).embeddings
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // Hybrid retrieval with reciprocal-rank fusion: a token-Jaccard
     // text ranking and a cosine vector ranking per query, fused as
     // Σ 1/(60 + rank) — the standard RRF the retrieval stack of a

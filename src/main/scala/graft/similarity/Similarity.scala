@@ -368,6 +368,122 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization (PQ) approximate top-k — the MEMORY-bound
+    * 100 TB serving shape, complementing IVF's scan-pruning one: the
+    * stored per-vector footprint drops from 4·D bytes of floats to
+    * `m` byte-sized codes (64× at D=64, m=8), so a billion-vector
+    * index fits in cluster memory and the per-pair scoring work drops
+    * from a D-term dot product to m table lookups.
+    *
+    * Train: corpus vectors are L2-NORMALIZED (so dot = cosine and
+    * quantizing loses no norm information), split into `m` subvectors;
+    * a per-subspace Lloyd k-means (bounded driver sample, same
+    * argument as the IVF quantizer) learns `nCodes` centroids per
+    * subspace. Encode: each corpus vector → its per-subspace nearest
+    * centroid indices, an `array<int>` of m codes — broadcast centroid
+    * literals, no shuffle, one corpus scan. Search (ADC — asymmetric
+    * distance computation): each query precomputes its m × nCodes
+    * lookup table of exact subspace dot products ONCE (m arrays on the
+    * broadcast query row); a corpus row then scores as m `element_at`
+    * adds against its codes — the query side stays exact, only the
+    * corpus side is quantized, the standard ADC recall win. The top
+    * `rerank · k` ADC candidates are re-ranked with exact cosine
+    * (vectors fetched by a broadcast semi-join of the tiny candidate
+    * set against the corpus), which repairs quantization error the
+    * same way IVF's exact re-rank repairs cell truncation. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+             cId: String, vecCol: String, k: Int,
+             m: Int = 8, nCodes: Int = 16, rerank: Int = 4,
+             seed: Long = 42L): DataFrame = {
+    val books = pqTrain(corpus, vecCol, m, nCodes, seed)
+    val subDim = books(0)(0).length
+    val codes = pqEncode(
+      fanOut(corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv"))), books)
+      .select(col("n_id"), col("__codes"))
+    // Per-query LUTs: exact subspace dot products against every
+    // codebook centroid — m × nCodes doubles per query, computed once.
+    val qluts = queries.select((col(qId).as("q_id") +:
+      (0 until m).map { s =>
+        array((0 until nCodes).map(j =>
+          dot(slice(col(vecCol), s * subDim + 1, subDim),
+            typedLit(books(s)(j)))): _*).as(s"__lut$s")
+      }): _*)
+    val approx = codes.crossJoin(broadcast(qluts))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (0 until m).map(s =>
+          element_at(col(s"__lut$s"), element_at(col("__codes"), s + 1)))
+          .reduce(_ + _).as("__adc"))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("__adc").desc, col("n_id").asc)
+    val cands = approx.withColumn("__r", row_number().over(wa))
+      .filter(col("__r") <= rerank * k)
+      .select(col("q_id"), col("n_id"))
+    // Exact cosine re-rank of the candidate set only; candidates are
+    // |queries| · rerank · k rows — broadcast, the corpus never
+    // shuffles.
+    val c = corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val scored = c.join(broadcast(cands), "n_id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("n_id"),
+        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"))
+  }
+
+  /** Per-subspace codebooks `[m][nCodes][subDim]`, trained on a
+    * bounded driver sample of L2-normalized vectors (same rationale
+    * as `trainCentroids` — codebook quality past "balanced" buys no
+    * recall that the exact re-rank doesn't already repair). Requires
+    * the dimension to split evenly into m subvectors. */
+  private def pqTrain(corpus: DataFrame, vecCol: String, m: Int, nCodes: Int,
+                      seed: Long): Array[Array[Array[Double]]] = {
+    val sample = corpus.select(col(vecCol)).limit(nCodes * 64).collect()
+      .map(_.getSeq[Number](0).toArray.map(_.doubleValue))
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims=$dims must split evenly into m=$m subvectors")
+    val subDim = dims / m
+    val normalized = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    Array.tabulate(m) { s =>
+      lloyd(normalized.map(_.slice(s * subDim, (s + 1) * subDim)), nCodes,
+        iters = 8, seed)
+    }
+  }
+
+  /** Encode corpus rows `(n_id, __cv)` → `(n_id, __codes)`: L2-
+    * normalize, then per subspace pick the nearest codebook centroid
+    * (argmax of 2·v·c − ‖c‖², as the IVF assignment). Broadcast
+    * centroid literals — one scan, no shuffle; this IS the stored
+    * index at scale (m bytes + id per vector). */
+  private def pqEncode(c: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    // array_position(scores, array_max(scores)) references the scores
+    // array twice — alias it per subspace so it computes once.
+    val normed = c.withColumn("__nv",
+      expr("transform(__cv, x -> cast(x as double))"))
+      .withColumn("__nn", norm(col("__cv")))
+      .withColumn("__nv", expr("transform(__nv, x -> x / __nn)"))
+    val withScores = (0 until m).foldLeft(normed) { (df, s) =>
+      val sub = slice(col("__nv"), s * subDim + 1, subDim)
+      df.withColumn(s"__sc$s", array(books(s).map { cent =>
+        dot(sub, typedLit(cent)) * 2.0 - lit(cent.map(x => x * x).sum)
+      }: _*))
+    }
+    withScores.withColumn("__codes", array((0 until m).map(s =>
+        expr(s"array_position(__sc$s, array_max(__sc$s))").cast("int")): _*))
+      .drop(((0 until m).map(s => s"__sc$s") ++ Seq("__nv", "__nn")): _*)
+  }
+
   /** Per-group vector norm statistics (order-independent agg only:
     * min/max exact, mean via 6-decimal-rounded decimal sum). */
   def normStats(corpus: DataFrame, groupCol: String, vecCol: String): DataFrame =

@@ -62,6 +62,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF planted-neighbor recall $recall")
   }
 
+  test("PQ ANN recall >= 0.9 on planted high-similarity neighbors") {
+    val q = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(0.05f) * sin(x * 13.7f)).as("embedding"))
+    val ann = Similarity.pqTopK(q, emb, "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val found = (0 until 20).count(i => ann.contains((i + 100000L, i.toLong)))
+    val recall = found / 20.0
+    assert(recall >= 0.9, s"PQ planted-neighbor recall $recall")
+  }
+
+  test("PQ ANN overlaps the exact top-k meaningfully on the raw corpus") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(q, emb, "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq.size === exact.size) // k rows per query either way
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ overlap recall $recall")
+  }
+
   test("cosinePairs: LSH path is sound and has high recall on planted near-dups") {
     import graft.SparkSpec.spark.implicits._
     // 30 planted near-dup pairs (cosine ≈ 0.99) among 240 random
