@@ -111,6 +111,52 @@ object TrendStore {
       .withColumn("sum_value", last(col("sum_value"), ignoreNulls = true).over(w))
   }
 
+  /** Linearly-INTERPOLATED gap fill — the other Minerva gap-filling
+    * mode, complementing [[gapFill]]'s forward-fill: a missing bucket
+    * takes `prev + (next − prev) · frac` where frac is the missing
+    * bucket's time position between its observed neighbors. Leading
+    * and trailing gaps have only one neighbor and stay NULL (no
+    * extrapolation). Observed buckets pass through bit-exactly (their
+    * frac is 0).
+    *
+    * Same scale shape as gapFill: per-entity grid explode, one
+    * entity-keyed join, two entity-keyed window passes (backward +
+    * forward neighbor), one shared partitioning throughout.
+    * Determinism: the interpolation is a fixed-op-order IEEE double
+    * expression over identical operands — bit-identical on any
+    * engine, no rounding needed; the frac denominator is guarded so
+    * observed rows never divide 0/0. */
+  def gapFillInterpolate(rolledUp: DataFrame, granularity: String): DataFrame = {
+    val step = granularity match {
+      case "hour" => expr("interval 1 hour")
+      case "day" => expr("interval 1 day")
+      case g => throw new IllegalArgumentException(s"gapFillInterpolate granularity: $g")
+    }
+    val grid = rolledUp.groupBy(col("entity_id"))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col("entity_id"),
+        explode(sequence(col("__lo"), col("__hi"), step)).as("bucket"))
+    val W = org.apache.spark.sql.expressions.Window
+    val back = W.partitionBy(col("entity_id")).orderBy(col("bucket"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val fwd = W.partitionBy(col("entity_id")).orderBy(col("bucket"))
+      .rowsBetween(0, W.unboundedFollowing)
+    val obsBucket = when(col("sum_value").isNotNull, col("bucket"))
+    val joined = grid.join(rolledUp, Seq("entity_id", "bucket"), "left")
+      .withColumn("filled", col("sum_value").isNull)
+      .withColumn("__pv", last(col("sum_value"), ignoreNulls = true).over(back))
+      .withColumn("__pb", last(obsBucket, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("sum_value"), ignoreNulls = true).over(fwd))
+      .withColumn("__nb", first(obsBucket, ignoreNulls = true).over(fwd))
+    val frac = when(unix_timestamp(col("__nb")) === unix_timestamp(col("__pb")), lit(0.0))
+      .otherwise(
+        (unix_timestamp(col("bucket")) - unix_timestamp(col("__pb"))).cast("double") /
+          (unix_timestamp(col("__nb")) - unix_timestamp(col("__pb"))).cast("double"))
+    joined
+      .withColumn("sum_value", col("__pv") + (col("__nv") - col("__pv")) * frac)
+      .drop("__pv", "__pb", "__nv", "__nb")
+  }
+
   /** Z-score anomaly detection over a rollup (entity_id, bucket,
     * sd: decimal(18,4)): buckets whose value deviates ≥ `zMin`
     * standard deviations from the entity's own mean — the monitoring

@@ -197,6 +197,22 @@ object Trend {
         .orderBy(col("entity_id"))
     },
 
+    // Linearly-interpolated gap fill — the other gap-filling mode
+    // (t16 forward-fills): missing buckets take the time-weighted
+    // value between their observed neighbors; leading/trailing gaps
+    // stay NULL. The interpolation is a fixed-op-order IEEE double
+    // expression — bit-identical across engines unrounded.
+    "t18_gapfill_interp" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val hourly = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "hour")
+        .select(col("entity_id"), col("bucket"),
+          col("sum_dec").cast("double").as("sum_value"))
+      TrendStore.gapFillInterpolate(hourly, "hour")
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("sum_value"), col("filled"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
     // Z-score anomalies over each entity's own hourly series (see
     // TrendStore.anomalies for the decimal-exact moment discipline
     // that makes z bit-identical across engines).
@@ -364,6 +380,30 @@ object Trend {
          |  CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
          |  CAST(sum(CAST(sum_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_filled_series
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t18_gapfill_interp" ->
+      // Window + interpolation shapes mirror the Spark side exactly
+      // (same frames, same guarded frac, same op order).
+      s"""WITH h AS (SELECT user_id AS entity_id, date_trunc('hour', ts) AS bucket,
+         |  $ds AS sum_value FROM events GROUP BY 1, 2),
+         |r AS (SELECT entity_id, min(bucket) AS lo, max(bucket) AS hi FROM h GROUP BY 1),
+         |g AS (SELECT entity_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM r),
+         |j AS (SELECT g.entity_id, g.bucket, h.sum_value, h.sum_value IS NULL AS filled
+         |      FROM g LEFT JOIN h ON g.entity_id = h.entity_id AND g.bucket = h.bucket),
+         |w AS (SELECT entity_id, bucket, filled,
+         |  last_value(sum_value IGNORE NULLS) OVER bk AS pv,
+         |  last_value(CASE WHEN sum_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER bk AS pb,
+         |  first_value(sum_value IGNORE NULLS) OVER fw AS nv,
+         |  first_value(CASE WHEN sum_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER fw AS nb
+         |  FROM j WINDOW
+         |    bk AS (PARTITION BY entity_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    fw AS (PARTITION BY entity_id ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |f AS (SELECT entity_id, bucket, filled,
+         |  pv + (nv - pv) * (CASE WHEN epoch(nb) = epoch(pb) THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(epoch(bucket) - epoch(pb) AS DOUBLE) / CAST(epoch(nb) - epoch(pb) AS DOUBLE) END) AS sum_value
+         |  FROM w)
+         |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, sum_value, filled
+         |FROM f ORDER BY 1, 2""".stripMargin,
 
     "t17_anomaly" ->
       // Moments stay DECIMAL-exact until the final per-row double

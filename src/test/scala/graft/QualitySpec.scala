@@ -185,6 +185,23 @@ class QualitySpec extends SparkSpec {
     assert(r(3).getAs[Double]("rate_per_s") === 0.01)
   }
 
+  test("interpolated gap fill: midpoint values, no extrapolation at edges") {
+    val hourly = Seq(
+      (1L, "2024-01-01 00:00:00", 10.0),
+      (1L, "2024-01-01 03:00:00", 40.0), // 2-bucket gap: 01:00, 02:00
+      (1L, "2024-01-01 04:00:00", 0.0)
+    ).toDF("entity_id", "bucket", "sum_value")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    val r = TrendStore.gapFillInterpolate(hourly, "hour")
+      .orderBy(col("bucket")).collect()
+    assert(r.length === 5)
+    assert(r(0).getAs[Double]("sum_value") === 10.0 && !r(0).getAs[Boolean]("filled"))
+    assert(r(1).getAs[Double]("sum_value") === 20.0 && r(1).getAs[Boolean]("filled"))
+    assert(r(2).getAs[Double]("sum_value") === 30.0 && r(2).getAs[Boolean]("filled"))
+    assert(r(3).getAs[Double]("sum_value") === 40.0)
+    assert(r(4).getAs[Double]("sum_value") === 0.0)
+  }
+
   test("paragraph dedup keeps the globally first instance only") {
     val docs = Seq(
       (1L, "alpha beta. shared sentence. unique one"),
