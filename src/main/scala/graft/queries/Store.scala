@@ -35,6 +35,23 @@ object Store {
       Seq(Trigger.Threshold("value", "avg", ">=", 60.0),
         Trigger.Threshold("value", "max", "<", 160.0)), "warning"))
 
+  /** n05's generated twin: the same per-rule firing SQL as n04,
+    * collapsed into per-(entity, day) notification sets. Both engines
+    * compute the set membership from one rule table — no drift. */
+  private def triggerSetsOracleSql(rules: Seq[Trigger.Rule]): String = {
+    val fired = rules.map { r =>
+      val having = r.thresholds
+        .map(t => s"${Trigger.aggSql(t)} ${t.op} ${t.value}").mkString(" AND ")
+      s"""SELECT user_id AS entity_id, date_trunc('${r.granularity}', ts) AS bucket,
+         |  '${r.name}' AS rule FROM events GROUP BY 1, 2 HAVING $having""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH fired AS ($fired)
+       |SELECT entity_id, strftime(date_trunc('day', bucket), '%Y-%m-%d') AS day,
+       |  count(*) AS n_notifications, count(DISTINCT rule) AS n_rules,
+       |  min(rule) AS first_rule, max(rule) AS last_rule
+       |FROM fired GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   private def triggerOracleSql(rules: Seq[Trigger.Rule]): String =
     rules.map { r =>
       val having = r.thresholds
@@ -240,6 +257,24 @@ object Store {
         .orderBy(col("rule"), col("entity_id"), col("bucket"))
     },
 
+    // The full monitoring loop composed: trigger firings land in a
+    // notification store and are linked into per-(entity, day) sets —
+    // the reference's trigger → notification store → notification-set
+    // chain as one plan (rule rollups → firing projection → one sets
+    // groupBy). Scalar set projections so the hash-compare applies.
+    "n05_trigger_sets" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val fired = Trigger.evaluate(triggerRules)(ev, col("user_id"), col("ts"))
+      NotificationStore.sets(fired, col("entity_id"), col("bucket"), col("rule"), "day")
+        .select(col("entity_id"),
+          date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+          col("n_notifications"),
+          size(array_distinct(col("notification_ids"))).cast("long").as("n_rules"),
+          element_at(col("notification_ids"), 1).as("first_rule"),
+          element_at(col("notification_ids"), -1).as("last_rule"))
+        .orderBy(col("entity_id"), col("day"))
+    },
+
     "g01_agg_def" -> { (s, dir) =>
       val ev = TableCatalog(s, dir).events
       val defn = Aggregation.AggregationDef("day", Seq(
@@ -386,6 +421,8 @@ object Store {
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "n04_triggers" -> triggerOracleSql(triggerRules),
+
+    "n05_trigger_sets" -> triggerSetsOracleSql(triggerRules),
 
     "g01_agg_def" ->
       s"""SELECT user_id AS entity_id,
