@@ -396,12 +396,28 @@ object Similarity {
              m: Int = 8, nCodes: Int = 16, rerank: Int = 4,
              seed: Long = 42L): DataFrame = {
     val books = pqTrain(corpus, vecCol, m, nCodes, seed)
-    val subDim = books(0)(0).length
     val codes = pqEncode(
       fanOut(corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv"))), books)
       .select(col("n_id"), col("__codes"))
-    // Per-query LUTs: exact subspace dot products against every
-    // codebook centroid — m × nCodes doubles per query, computed once.
+    val vectors = corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    pqScore(codes, vectors, queries, qId, vecCol, books, k, rerank)
+  }
+
+  /** ADC candidate generation + exact re-rank shared by the inline
+    * and persisted-index paths. Per-query LUTs (exact subspace dot
+    * products against every codebook centroid — m × nCodes doubles)
+    * compute once on the broadcast query row; a corpus row scores as
+    * m element_at adds; the top rerank·k candidates per query are
+    * re-ranked with exact cosine via broadcast joins (candidates are
+    * |queries|·rerank·k rows — the corpus never shuffles). */
+  private def pqScore(codes: DataFrame, vectors: DataFrame, queries: DataFrame,
+                      qId: String, vecCol: String,
+                      books: Array[Array[Array[Double]]],
+                      k: Int, rerank: Int): DataFrame = {
+    val m = books.length
+    val nCodes = books(0).length
+    val subDim = books(0)(0).length
     val qluts = queries.select((col(qId).as("q_id") +:
       (0 until m).map { s =>
         array((0 until nCodes).map(j =>
@@ -419,14 +435,9 @@ object Similarity {
     val cands = approx.withColumn("__r", row_number().over(wa))
       .filter(col("__r") <= rerank * k)
       .select(col("q_id"), col("n_id"))
-    // Exact cosine re-rank of the candidate set only; candidates are
-    // |queries| · rerank · k rows — broadcast, the corpus never
-    // shuffles.
-    val c = corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv"),
-      norm(col(vecCol)).as("__cn"))
     val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
-    val scored = c.join(broadcast(cands), "n_id").join(broadcast(q), "q_id")
+    val scored = vectors.join(broadcast(cands), "n_id").join(broadcast(q), "q_id")
       .select(col("q_id"), col("n_id"),
         (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
@@ -434,6 +445,55 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"))
+  }
+
+  /** Persist a PQ index — the build-once/search-many twin of
+    * `pqTopK`, as `ivfBuild` is to `ivfTopK`. Layout under
+    * `indexPath`:
+    *  - `codebooks/` — m × nCodes rows `(sub, code, centroid)`
+    *    (driver-readable metadata, ~KBs);
+    *  - `codes/` — the corpus as `(n_id, __codes)`: m small ints per
+    *    vector, the 64×-smaller scan ADC search reads;
+    *  - `vectors/` — `(n_id, __cv, __cn)` for the exact re-rank fetch
+    *    (in a deployment this is simply the corpus table; it is
+    *    stored here so the index is self-contained).
+    * One corpus scan builds all three. */
+  def pqBuild(corpus: DataFrame, cId: String, vecCol: String, indexPath: String,
+              m: Int = 8, nCodes: Int = 16, seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = pqTrain(corpus, vecCol, m, nCodes, seed)
+    val c = fanOut(corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
+      .withColumn("__cn", norm(col("__cv")))
+      .localCheckpoint() // one corpus scan feeds both writes below
+    pqEncode(c, books).select(col("n_id"), col("__codes"))
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+    c.write.mode("overwrite").parquet(s"$indexPath/vectors")
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cent, j) => (s, j, cent.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebooks")
+  }
+
+  /** Search a persisted PQ index: codebooks are O(m·nCodes)
+    * driver-side metadata; the ADC pass scans ONLY the codes table
+    * (m ints per corpus row — never the vectors); the exact re-rank
+    * fetches just the candidate vectors via a broadcast join.
+    * Equivalent to the inline `pqTopK` given the same parameters
+    * (spec-asserted). */
+  def pqSearch(queries: DataFrame, qId: String, vecCol: String,
+               indexPath: String, k: Int, rerank: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val rows = spark.read.parquet(s"$indexPath/codebooks")
+      .orderBy(col("sub"), col("code")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val nCodes = rows.map(_.getInt(1)).max + 1
+    val books = Array.tabulate(m, nCodes) { (s, j) =>
+      rows(s * nCodes + j).getSeq[Double](2).toArray
+    }
+    pqScore(spark.read.parquet(s"$indexPath/codes"),
+      spark.read.parquet(s"$indexPath/vectors"),
+      queries, qId, vecCol, books, k, rerank)
   }
 
   /** Per-subspace codebooks `[m][nCodes][subDim]`, trained on a

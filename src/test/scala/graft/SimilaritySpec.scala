@@ -85,6 +85,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ overlap recall $recall")
   }
 
+  test("persisted PQ index: build once, search ≡ inline path; codes stay narrow") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    Similarity.pqBuild(emb, "vec_id", "embedding", idx)
+    val q = emb.filter(col("vec_id") < 10)
+    val fromIndex = Similarity.pqSearch(q, "vec_id", "embedding", idx, k = 10)
+    val inline = Similarity.pqTopK(q, emb, "vec_id", "vec_id", "embedding", k = 10)
+    assert(fromIndex.exceptAll(inline).isEmpty && inline.exceptAll(fromIndex).isEmpty)
+    // the stored code rows carry m small ints, never vectors
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.columns.sorted === Array("__codes", "n_id"))
+    assert(codes.head.getSeq[Int](codes.head.fieldIndex("__codes")).length === 8)
+    // searching twice from the same index is deterministic
+    val again = Similarity.pqSearch(q, "vec_id", "embedding", idx, k = 10)
+    assert(again.exceptAll(fromIndex).isEmpty && fromIndex.exceptAll(again).isEmpty)
+  }
+
   test("cosinePairs: LSH path is sound and has high recall on planted near-dups") {
     import graft.SparkSpec.spark.implicits._
     // 30 planted near-dup pairs (cosine ≈ 0.99) among 240 random
