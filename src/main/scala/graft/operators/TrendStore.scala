@@ -22,6 +22,24 @@ object TrendStore {
 
   private val DurationGran = "^(\\d+)\\s*(s|m|h|d)?$".r
 
+  /** Fixed step width in seconds for grid granularities — the ones
+    * where "consecutive buckets" is a constant epoch stride. Calendar
+    * months/quarters/years have no fixed width → None. */
+  def stepSeconds(granularity: String): Option[Long] =
+    granularity.trim.toLowerCase match {
+      case "second" => Some(1L)
+      case "minute" => Some(60L)
+      case "hour"   => Some(3600L)
+      case "day"    => Some(86400L)
+      case "week"   => Some(604800L)
+      case DurationGran(n, unit) =>
+        val mult = Option(unit).getOrElse("s") match {
+          case "s" => 1L; case "m" => 60L; case "h" => 3600L; case "d" => 86400L
+        }
+        Some(n.toLong * mult)
+      case _ => None
+    }
+
   /** Bucket expression for any Minerva granularity: calendar units
     * truncate (`date_trunc`), duration forms ("900", "15m", "1h")
     * floor the epoch onto the grid (the reference's native

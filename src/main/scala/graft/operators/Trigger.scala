@@ -141,6 +141,45 @@ object Trigger {
         col("__n.payload").as("payload"))
   }
 
+  /** Flap suppression — the reference's sustained-threshold trigger
+    * semantics: a rule pages only once its condition has held for
+    * `minConsecutive` CONSECUTIVE buckets of its granularity grid,
+    * so a KPI oscillating around the threshold doesn't fire on every
+    * crossing. Firings emit from the `minConsecutive`-th breach of a
+    * run onward (the run's earlier buckets are the evidence, not
+    * notifications).
+    *
+    * Shape: [[evaluate]]'s firing stream (unchanged plans), then the
+    * classic gaps-and-islands run detection per (entity, rule):
+    * runid = grid index − row_number, position = row_number within
+    * the run — two windows sharing the (entity, rule) partitioning,
+    * nothing new shuffles by data volume. Fixed-width grid
+    * granularities only (a calendar month has no constant stride);
+    * [[TrendStore.stepSeconds]] decides. */
+  def evaluateSustained(rules: Seq[Rule], minConsecutive: Int)(
+      trend: DataFrame, entity: Column, ts: Column): DataFrame = {
+    require(minConsecutive >= 1, s"minConsecutive must be >= 1, got $minConsecutive")
+    val parts = rules.groupBy(_.granularity).toSeq.sortBy(_._1).map { case (gran, rs) =>
+      val step = TrendStore.stepSeconds(gran).getOrElse(throw new IllegalArgumentException(
+        s"sustained triggers need a fixed-width granularity grid, got: $gran"))
+      val byRule = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("entity_id"), col("rule")).orderBy(col("bucket"))
+      // floor(epoch/step): integer grid index even when the grid has a
+      // constant non-zero offset (the week grid starts Monday, epoch 0
+      // was a Thursday) — adjacent buckets always differ by exactly 1.
+      val fired = evaluate(rs)(trend, entity, ts)
+        .withColumn("__runid",
+          floor(unix_timestamp(col("bucket")) / lit(step)) - row_number().over(byRule))
+      val byRun = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("entity_id"), col("rule"), col("__runid"))
+        .orderBy(col("bucket"))
+      fired.withColumn("__pos", row_number().over(byRun))
+        .filter(col("__pos") >= minConsecutive)
+        .drop("__runid", "__pos")
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** The SQL twin of one rule's aggregate — used by callers that
     * generate a two-sided oracle from the same Rule values (the Spark
     * plan and the SQL text CANNOT drift when both derive from the rule

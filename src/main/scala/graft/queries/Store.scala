@@ -35,6 +35,33 @@ object Store {
       Seq(Trigger.Threshold("value", "avg", ">=", 60.0),
         Trigger.Threshold("value", "max", "<", 160.0)), "warning"))
 
+  /** n06's generated twin: the per-rule firing SQL with the same
+    * gaps-and-islands run detection the Spark side applies — both
+    * sides derive from one rule table AND one run formula. */
+  private def triggerSustainedOracleSql(rules: Seq[Trigger.Rule],
+                                        minConsecutive: Int): String = {
+    val stepOf = Map("hour" -> 3600L, "day" -> 86400L)
+    val fired = rules.map { r =>
+      val having = r.thresholds
+        .map(t => s"${Trigger.aggSql(t)} ${t.op} ${t.value}").mkString(" AND ")
+      s"""SELECT user_id AS entity_id, date_trunc('${r.granularity}', ts) AS bucket,
+         |  '${r.name}' AS rule, '${r.severity}' AS severity,
+         |  ${stepOf(r.granularity)} AS step
+         |FROM events GROUP BY 1, 2 HAVING $having""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH fired AS ($fired),
+       |r AS (SELECT entity_id, bucket, rule, severity,
+       |  CAST(floor(epoch(bucket) / step) AS BIGINT)
+       |    - row_number() OVER (PARTITION BY entity_id, rule ORDER BY bucket) AS runid
+       |  FROM fired),
+       |p AS (SELECT entity_id, bucket, rule, severity,
+       |  row_number() OVER (PARTITION BY entity_id, rule, runid ORDER BY bucket) AS pos
+       |  FROM r)
+       |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, rule, severity
+       |FROM p WHERE pos >= $minConsecutive
+       |ORDER BY rule, entity_id, bucket""".stripMargin
+  }
+
   /** n05's generated twin: the same per-rule firing SQL as n04,
     * collapsed into per-(entity, day) notification sets. Both engines
     * compute the set membership from one rule table — no drift. */
@@ -257,6 +284,19 @@ object Store {
         .orderBy(col("rule"), col("entity_id"), col("bucket"))
     },
 
+    // Flap suppression: rules page only after holding for 3
+    // CONSECUTIVE buckets of their grid (Trigger.evaluateSustained) —
+    // the sustained-threshold semantics that keep an oscillating KPI
+    // from firing on every crossing.
+    "n06_sustained_triggers" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      Trigger.evaluateSustained(triggerRules, minConsecutive = 3)(
+          ev, col("user_id"), col("ts"))
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("rule"), col("severity"))
+        .orderBy(col("rule"), col("entity_id"), col("bucket"))
+    },
+
     // The full monitoring loop composed: trigger firings land in a
     // notification store and are linked into per-(entity, day) sets —
     // the reference's trigger → notification store → notification-set
@@ -423,6 +463,8 @@ object Store {
     "n04_triggers" -> triggerOracleSql(triggerRules),
 
     "n05_trigger_sets" -> triggerSetsOracleSql(triggerRules),
+
+    "n06_sustained_triggers" -> triggerSustainedOracleSql(triggerRules, 3),
 
     "g01_agg_def" ->
       s"""SELECT user_id AS entity_id,

@@ -44,6 +44,40 @@ class TriggerSpec extends SparkSpec {
       ("level", 1L, "2024-01-01 00:00:00", "warning")))
   }
 
+  test("sustained triggers fire only after N consecutive breach buckets") {
+    val surge = Seq(Trigger.Rule("surge", "hour",
+      Seq(Trigger.Threshold("v", "sum", ">", 10.0)), "major"))
+    val d = events(Seq(
+      (1L, "2024-01-01 10:00:00", 20.0), // breach (run 1, pos 1)
+      (1L, "2024-01-01 11:00:00", 20.0), // breach (pos 2)
+      (1L, "2024-01-01 12:00:00", 20.0), // breach (pos 3) → FIRES
+      (1L, "2024-01-01 13:00:00", 20.0), // breach (pos 4) → FIRES
+      (1L, "2024-01-01 14:00:00", 1.0),  // flap down — run broken
+      (1L, "2024-01-01 15:00:00", 20.0), // breach (run 2, pos 1)
+      (1L, "2024-01-01 16:00:00", 20.0), // breach (pos 2): run too short
+      (2L, "2024-01-01 10:00:00", 20.0), // entity 2: isolated breach
+      (2L, "2024-01-01 12:00:00", 20.0)  // NOT consecutive with 10:00
+    ))
+    val fired = Trigger.evaluateSustained(surge, minConsecutive = 3)(
+        d, col("entity"), col("ts"))
+      .select(col("entity_id"), col("bucket").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fired === Set(
+      (1L, "2024-01-01 12:00:00"), (1L, "2024-01-01 13:00:00")))
+    // minConsecutive = 1 degenerates to plain evaluate
+    val plain = Trigger.evaluate(surge)(d, col("entity"), col("ts"))
+    val one = Trigger.evaluateSustained(surge, 1)(d, col("entity"), col("ts"))
+    assert(one.select("entity_id", "bucket").exceptAll(
+      plain.select("entity_id", "bucket")).isEmpty)
+    // calendar-month grids have no fixed stride → rejected
+    val e = intercept[IllegalArgumentException] {
+      Trigger.evaluateSustained(Seq(Trigger.Rule("m", "month",
+        Seq(Trigger.Threshold("v", "sum", ">", 0.0)), "x")), 2)(
+        d, col("entity"), col("ts")).collect()
+    }
+    assert(e.getMessage.contains("fixed-width"))
+  }
+
   test("payload round-trips through NotificationStore.typed") {
     val fired = Trigger.evaluate(rules)(data, col("entity"), col("ts"))
       .filter(col("rule") === "surge")
