@@ -43,4 +43,29 @@ object AttributeStore {
   def atTime(attrs: DataFrame, entity: Column, ts: Column, tie: Column,
              at: Column): DataFrame =
     current(attrs.filter(ts <= at), entity, ts, tie)
+
+  /** Attribute CHANGE report between two as-of times — "what changed
+    * between the Jan-10 and Jan-20 configuration snapshots", the
+    * audit query a Minerva attribute store answers. Output: one row
+    * per entity whose value differs between the snapshots
+    * (null-safe), with `value_before`/`value_after` and a change
+    * kind (`added` | `removed` | `changed`).
+    *
+    * Shape: the two as-of lookups are the same entity-keyed window
+    * (each over its own pushed-down `ts <= at` scan range), joined
+    * full-outer on the entity — two window shuffles + one join, all
+    * on the entity key. */
+  def diff(attrs: DataFrame, entity: Column, ts: Column, tie: Column,
+           value: Column, before: Column, after: Column): DataFrame = {
+    val v1 = atTime(attrs, entity, ts, tie, before)
+      .select(entity.as("entity_id"), value.as("value_before"))
+    val v2 = atTime(attrs, entity, ts, tie, after)
+      .select(entity.as("entity_id"), value.as("value_after"))
+    v1.join(v2, Seq("entity_id"), "full_outer")
+      .filter(!(col("value_before") <=> col("value_after")))
+      .withColumn("change",
+        when(col("value_before").isNull, lit("added"))
+          .when(col("value_after").isNull, lit("removed"))
+          .otherwise(lit("changed")))
+  }
 }

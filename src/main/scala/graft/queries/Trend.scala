@@ -132,6 +132,18 @@ object Trend {
         .orderBy(col("user_id"))
     },
 
+    // Attribute change report between two configuration snapshots —
+    // "what changed between Jan-10 and Jan-20" (AttributeStore.diff:
+    // two as-of windows + one full-outer join, all entity-keyed).
+    "a05_attr_diff" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      AttributeStore.diff(ev, col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long"),
+          lit("2024-01-10 00:00:00").cast("timestamp"),
+          lit("2024-01-20 00:00:00").cast("timestamp"))
+        .orderBy(col("entity_id"))
+    },
+
     "n01_notifications" -> { (s, dir) =>
       val ev = TableCatalog(s, dir).events
       ev.filter(col("event_type") === "error")
@@ -327,6 +339,28 @@ object Trend {
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "a05_attr_diff" ->
+      """WITH v1 AS (SELECT user_id AS entity_id,
+        |    CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS value_before
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00')
+        |  WHERE rn = 1),
+        |v2 AS (SELECT user_id AS entity_id,
+        |    CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS value_after
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT COALESCE(v1.entity_id, v2.entity_id) AS entity_id,
+        |  value_before, value_after,
+        |  CASE WHEN value_before IS NULL THEN 'added'
+        |       WHEN value_after IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change
+        |FROM v1 FULL OUTER JOIN v2 ON v1.entity_id = v2.entity_id
+        |WHERE value_before IS DISTINCT FROM value_after
+        |ORDER BY 1""".stripMargin,
 
     "n01_notifications" ->
       """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
