@@ -254,6 +254,27 @@ object Relational {
           countDistinct(col("o_custkey")).as("n_customers"),
           countDistinct(date_trunc("month", col("o_orderdate"))).as("n_months"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // Interval range join WITHOUT an equi key — "all events within the
+    // hour after each severe error". Spark would plan the naive
+    // BETWEEN join as a nested loop (O(N·M)); RangeJoin.containsJoin
+    // buckets both sides onto the grid and matches with ONE hash
+    // equi-join + exact post-filter (see the operator note). DuckDB's
+    // IEJoin computes the same pairs natively for the oracle.
+    "q17_range_join" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val errors = ev
+        .filter(col("event_type") === "error" &&
+          get_json_object(col("props"), "$.k").cast("long") >= 90)
+        .select(col("event_id").as("err_id"), col("ts").as("err_ts"),
+          (col("ts") + expr("interval 1 hour")).as("err_end"))
+      val pts = ev.select(col("event_id").as("pt_id"), col("ts").as("pt_ts"))
+      graft.operators.RangeJoin.containsJoin(
+          errors, col("err_ts"), col("err_end"), pts, col("pt_ts"), 3600L)
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("pt_id")).as("first_id"))
+        .orderBy(col("err_id"))
     }
   )
 
@@ -397,6 +418,14 @@ object Relational {
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  count(DISTINCT o_custkey) AS n_customers,
         |  count(DISTINCT date_trunc('month', o_orderdate)) AS n_months
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q17_range_join" ->
+      """WITH e AS (SELECT event_id AS err_id, ts AS err_ts, ts + INTERVAL 1 HOUR AS err_end
+        |  FROM events WHERE event_type = 'error'
+        |    AND CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) >= 90)
+        |SELECT err_id, count(*) AS n_events, min(p.event_id) AS first_id
+        |FROM e JOIN events p ON p.ts >= e.err_ts AND p.ts <= e.err_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -202,6 +202,39 @@ class QualitySpec extends SparkSpec {
     assert(r(4).getAs[Double]("sum_value") === 0.0)
   }
 
+  test("range join matches the naive BETWEEN join, without a nested loop") {
+    import graft.operators.RangeJoin
+    val iv = Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+      (2L, "2024-01-01 10:30:00", "2024-01-01 10:45:00"), // overlaps iv 1
+      (3L, "2024-01-02 00:00:00", "2024-01-02 00:00:00")  // zero-length
+    ).toDF("iv_id", "lo", "hi")
+      .withColumn("lo", col("lo").cast("timestamp"))
+      .withColumn("hi", col("hi").cast("timestamp"))
+    val pts = Seq(
+      (10L, "2024-01-01 10:00:00"), // on iv 1's lower edge (inclusive)
+      (11L, "2024-01-01 10:40:00"), // inside iv 1 AND iv 2
+      (12L, "2024-01-01 11:00:00"), // on iv 1's upper edge (inclusive)
+      (13L, "2024-01-01 11:00:01"), // just outside
+      (14L, "2024-01-02 00:00:00")  // matches the zero-length interval
+    ).toDF("pt_id", "pt").withColumn("pt", col("pt").cast("timestamp"))
+
+    val bucketed = RangeJoin.containsJoin(iv, col("lo"), col("hi"), pts, col("pt"), 600L)
+    val got = bucketed.select("iv_id", "pt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = iv.join(pts, col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("iv_id", "pt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+    assert(got === Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 11L), (3L, 14L)))
+    // exactly one match row per (interval, point) — no bucket dups
+    assert(bucketed.count() === got.size)
+    // the whole point: a hash equi-join, not a nested loop
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
   test("paragraph dedup keeps the globally first instance only") {
     val docs = Seq(
       (1L, "alpha beta. shared sentence. unique one"),
