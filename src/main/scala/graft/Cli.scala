@@ -55,18 +55,27 @@ object Cli {
   def run(spark: SparkSession, args: Seq[String]): Unit = args.toList match {
     case "harvest" :: rest =>
       val f = parseFlags(rest)
-      val result = HarvestJob.run(spark, HarvestJob.Job(
-        sourceDir = one(f, "source"), format = one(f, "format"),
-        dnCol = one(f, "dn-col"), entityComponent = one(f, "entity-component"),
-        tsCol = one(f, "ts-col"), tsFormat = one(f, "ts-format"),
-        granularity = one(f, "granularity"),
-        storePath = one(f, "store"), statePath = one(f, "state"),
-        pattern = opt(f, "pattern", ".*"), rowTag = opt(f, "row-tag", "row"),
-        target = opt(f, "target", "trend"),
-        tieCol = f.get("tie").map(_.last),
-        currentPath = f.get("current").map(_.last)))
-      println(s"harvest: target=${opt(f, "target", "trend")} " +
-        s"processed=${result.processed.size} skipped=${result.skipped.size}")
+      // --config FILE: a whole set of harvest jobs from one definition
+      // file (the reference's harvest job configs); flags run one job.
+      val jobs = f.get("config") match {
+        case Some(paths) => Config.parseHarvest(
+          java.nio.file.Files.readString(java.nio.file.Path.of(paths.last)))
+        case None => Seq(HarvestJob.Job(
+          sourceDir = one(f, "source"), format = one(f, "format"),
+          dnCol = one(f, "dn-col"), entityComponent = one(f, "entity-component"),
+          tsCol = one(f, "ts-col"), tsFormat = one(f, "ts-format"),
+          granularity = one(f, "granularity"),
+          storePath = one(f, "store"), statePath = one(f, "state"),
+          pattern = opt(f, "pattern", ".*"), rowTag = opt(f, "row-tag", "row"),
+          target = opt(f, "target", "trend"),
+          tieCol = f.get("tie").map(_.last),
+          currentPath = f.get("current").map(_.last)))
+      }
+      jobs.foreach { job =>
+        val result = HarvestJob.run(spark, job)
+        println(s"harvest: target=${job.target} store=${job.storePath} " +
+          s"processed=${result.processed.size} skipped=${result.skipped.size}")
+      }
 
     case "materialize" :: rest =>
       val f = parseFlags(rest)

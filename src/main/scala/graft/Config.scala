@@ -3,6 +3,7 @@ package graft
 import org.json4s.{DefaultFormats, Formats, JValue}
 import org.json4s.jackson.JsonMethods
 import graft.operators.{Aggregation, Materialize, Trigger}
+import graft.sources.HarvestJob
 
 /** Declarative config files for the CLI — the reference defines
   * aggregations and triggers in config files its CLIs consume
@@ -79,5 +80,28 @@ object Config {
       parse(text, "materialize") \ "defs", "materialize").map(_.toDef)
     require(defs.nonEmpty, "materialize config: at least one def required")
     defs
+  }
+
+  private case class HarvestJobJson(source: String, format: String,
+                                    dnCol: String, entityComponent: String,
+                                    tsCol: String, tsFormat: String,
+                                    granularity: String, store: String, state: String,
+                                    pattern: Option[String], rowTag: Option[String],
+                                    registry: Option[String], target: Option[String],
+                                    tie: Option[String], current: Option[String]) {
+    def toJob: HarvestJob.Job = HarvestJob.Job(source, format, dnCol, entityComponent,
+      tsCol, tsFormat, granularity, store, state,
+      pattern.getOrElse(".*"), rowTag.getOrElse("row"), registry,
+      target.getOrElse("trend"), tie, current)
+  }
+
+  /** Harvest config: `{"jobs": [{...}, ...]}` — one file describing
+    * every source-directory → store mapping a deployment runs, the
+    * reference's harvest job definition files. */
+  def parseHarvest(text: String): Seq[HarvestJob.Job] = {
+    val jobs = extract[Seq[HarvestJobJson]](
+      parse(text, "harvest") \ "jobs", "harvest").map(_.toJob)
+    require(jobs.nonEmpty, "harvest config: at least one job required")
+    jobs
   }
 }

@@ -155,6 +155,29 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, Seq("materialize-all", "--config", matCfg.toString))
     assert(spark.read.parquet(s"$base/daily").count() === 2)
 
+    // harvest: two jobs (trend + attribute) from one config file
+    val hsrc = Files.createTempDirectory("graft_cli_cfg_hsrc").toString
+    Files.writeString(Path.of(hsrc, "trend_a.csv"),
+      "dn,timestamp,v\nCell=1,2024-01-01 10:00:00,5.0\n")
+    Files.writeString(Path.of(hsrc, "attr_a.csv"),
+      "dn,timestamp,status\nCell=1,2024-01-01 09:00:00,active\n")
+    val harvCfg = Path.of(base, "harvest.json")
+    Files.writeString(harvCfg,
+      s"""{"jobs": [
+         |  {"source": "$hsrc", "format": "csv", "dnCol": "dn",
+         |   "entityComponent": "Cell", "tsCol": "timestamp",
+         |   "tsFormat": "yyyy-MM-dd HH:mm:ss", "granularity": "15m",
+         |   "store": "$base/htrend", "state": "$base/htrend_state",
+         |   "pattern": "trend_.*\\\\.csv"},
+         |  {"source": "$hsrc", "format": "csv", "dnCol": "dn",
+         |   "entityComponent": "Cell", "tsCol": "timestamp",
+         |   "tsFormat": "yyyy-MM-dd HH:mm:ss", "granularity": "raw",
+         |   "store": "$base/hattr", "state": "$base/hattr_state",
+         |   "pattern": "attr_.*\\\\.csv", "target": "attribute"}]}""".stripMargin)
+    Cli.run(spark, Seq("harvest", "--config", harvCfg.toString))
+    assert(spark.read.parquet(s"$base/htrend").count() === 1)
+    assert(spark.read.parquet(s"$base/hattr").count() === 1)
+
     // malformed config → a readable error, not a stack of JSON guts
     val badCfg = Path.of(base, "bad.json")
     Files.writeString(badCfg, """{"granularities": []}""")
