@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic subsampling for training-data pipelines.
+  *
+  * The downsampling step a data mix actually runs — "keep 25% of
+  * web crawl, 50% of forums, all of books" — expressed WITHOUT an
+  * RNG: the keep decision is `h(doc_id) < threshold` where h is the
+  * md5-derived 16-bit hash the d14 dataset split uses and the
+  * threshold is the stratum's rate as an INTEGER in the 2¹⁶ space.
+  * Properties that matter at 100 TB:
+  *   - reproducible: a pure function of the id — identical sample on
+  *     any engine, partitioning, cluster size, or re-run, no seed
+  *     plumbing, no sampling skew from task boundaries;
+  *   - NESTED: the hash is each doc's permanent priority, so the 10%
+  *     sample is a strict subset of the 50% sample — the scaling-law
+  *     ladder (1% → 10% → 100%) comes free, no re-draws;
+  *   - exact thresholds: integer comparison, no float boundary for
+  *     engines to disagree on;
+  *   - one codegen'd filter on the scan — no shuffle, no state.
+  */
+object Sampling {
+
+  /** The 16-bit sampling hash (d14's construction): first 4 md5 hex
+    * digits of the id as an integer in [0, 65536). */
+  def sampleHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** A rate as its integer threshold in the 2¹⁶ hash space. */
+  def threshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    math.round(rate * 65536.0)
+  }
+
+  /** Stratified subsample: keep each row iff its sampling hash is
+    * below its stratum's threshold. Strata absent from `rates` use
+    * `defaultRate`. */
+  def stratified(docs: DataFrame, idCol: String, stratumCol: String,
+                 rates: Map[String, Double],
+                 defaultRate: Double = 1.0): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(threshold(rate))).otherwise(acc)
+    }
+    docs.filter(sampleHash(col(idCol)) < thr)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
-import graft.operators.Dedup
+import graft.operators.{Dedup, Sampling}
 import graft.similarity.Similarity
 import graft.sources.TableCatalog
 
@@ -398,6 +398,21 @@ object TextSim {
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
         .orderBy(col("split"))
+    },
+
+    // Deterministic stratified subsampling — the data-mix step
+    // ("keep 25% of these sources, 50% of those, all the rest") as a
+    // pure hash function of the doc id: reproducible on any engine or
+    // layout, NESTED across rates, integer thresholds (see
+    // operators.Sampling). Graded as per-source kept counts.
+    "d24_stratified_sample" -> { (s, dir) =>
+      val rates = ((0 to 4).map(i => s"src$i" -> 0.25) ++
+        (5 to 9).map(i => s"src$i" -> 0.5)).toMap
+      Sampling.stratified(TableCatalog(s, dir).documents, "doc_id", "source", rates)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+        .orderBy(col("source"))
     },
 
     // Gopher-style repetition signals: unique-token ratio, duplicate-
@@ -798,8 +813,24 @@ object TextSim {
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "d24_stratified_sample" ->
+      """WITH x AS (SELECT doc_id, source,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hh FROM documents),
+        |hv AS (SELECT doc_id, source,
+        |  CAST(sum(CAST(strpos('0123456789abcdef', substr(hh, i, 1)) - 1 AS BIGINT)
+        |    << ((4 - i) * 4)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, source, hh, unnest(generate_series(1, 4)) AS i FROM x)
+        |  GROUP BY doc_id, source),
+        |kept AS (SELECT doc_id, source FROM hv WHERE h <
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 16384
+        |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 32768
+        |       ELSE 65536 END)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "d18_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |s AS (SELECT doc_id, t, len(t) AS n, len(list_distinct(t)) AS nu,
         |  CASE WHEN len(t) >= 2
         |    THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])

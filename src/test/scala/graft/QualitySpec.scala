@@ -202,6 +202,33 @@ class QualitySpec extends SparkSpec {
     assert(r(4).getAs[Double]("sum_value") === 0.0)
   }
 
+  test("stratified sampling is deterministic, nested across rates, per-stratum") {
+    import graft.operators.Sampling
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "source")
+    def ids(rates: Map[String, Double]) =
+      Sampling.stratified(docs, "doc_id", "source", rates)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val q25 = ids(Map("web" -> 0.25, "books" -> 1.0))
+    // books stratum untouched, web downsampled near its rate
+    assert((1L until 2000L by 2).forall(q25.contains))
+    val webKept = q25.count(_ % 2 == 0)
+    assert(webKept > 150 && webKept < 350, s"web kept $webKept of 1000 at 0.25")
+    // NESTED: the 25% sample is a strict subset of the 50% sample
+    val q50 = ids(Map("web" -> 0.5, "books" -> 1.0))
+    assert(q25.subsetOf(q50))
+    // deterministic under repartitioning
+    val again = Sampling.stratified(docs.repartition(7), "doc_id", "source",
+      Map("web" -> 0.25, "books" -> 1.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === q25)
+    // rate 0 empties a stratum; defaultRate applies to unknown strata
+    assert(ids(Map("web" -> 0.0, "books" -> 0.0)).isEmpty)
+    assert(Sampling.stratified(docs, "doc_id", "source",
+      Map("nope" -> 0.0), defaultRate = 1.0).count() === 2000)
+  }
+
   test("range join matches the naive BETWEEN join, without a nested loop") {
     import graft.operators.RangeJoin
     val iv = Seq(
