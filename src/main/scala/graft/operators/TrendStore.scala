@@ -290,6 +290,25 @@ object TrendStore {
         count(lit(1)).as("cnt"),
         Fx.dsum(value).as("sum_value"))
 
+  /** Entity aggregation AT A GRANULARITY: roll metrics up
+    * `relation(child → parent)` into `(parent, bucket)` cells — the
+    * shape Minerva's entity aggregation actually materializes
+    * (region-level trend stores derived from cell-level ones).
+    * Broadcast relation ⋈ fact, then ONE combine-friendly shuffle on
+    * the (parent, bucket) key; the fact side never shuffles for the
+    * hierarchy walk. */
+  def entityRollupBucketed(trend: DataFrame, entity: Column, ts: Column,
+                           value: Column, granularity: String,
+                           relation: DataFrame, childCol: String,
+                           parentCol: String): DataFrame =
+    trend.join(broadcast(relation),
+        entity === relation(childCol), "inner")
+      .groupBy(relation(parentCol).as("parent"),
+        date_trunc(granularity, ts).as("bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        Fx.dsum(value).as("sum_value"))
+
   /** Wide trend-store part: one column per metric name (Minerva's
     * physical trend table layout). Conditional aggregation — a single
     * shuffle, no per-metric passes. */

@@ -189,6 +189,28 @@ object Store {
         .orderBy(col("parent_dn"))
     },
 
+    // Entity aggregation AT A GRANULARITY — the derived-store shape
+    // Minerva's entity aggregation materializes: per-(region, month)
+    // metric cells rolled up the composed two-hop relation
+    // (TrendStore.entityRollupBucketed — broadcast relation ⋈ fact,
+    // one (parent, bucket) shuffle).
+    "e05_entity_rollup_bucketed" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val custToNation = Relations.of(c.customer,
+        concat(lit("Customer="), col("c_custkey")),
+        concat(lit("Nation="), col("c_nationkey")), "customer->nation")
+      val nationToRegion = Relations.of(c.nation,
+        concat(lit("Nation="), col("n_nationkey")),
+        concat(lit("Region="), col("n_regionkey")), "nation->region")
+      val rel = Relations.compose(custToNation, nationToRegion)
+      TrendStore.entityRollupBucketed(c.orders,
+          concat(lit("Customer="), col("o_custkey")), col("o_orderdate"),
+          col("o_totalprice"), "month", rel, "child_dn", "parent_dn")
+        .select(col("parent"), date_format(col("bucket"), TS).as("bucket"),
+          col("cnt"), col("sum_value"))
+        .orderBy(col("parent"), col("bucket"))
+    },
+
     // Multi-hop entity aggregation — the reference's signature rollup
     // up a materialized transitive relation (cell→site→region): a
     // METRIC (order totals) carried from the leaf entity through
@@ -418,6 +440,16 @@ object Store {
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
         |SELECT tag, count(DISTINCT entity_id) AS n_entities
         |FROM links GROUP BY tag ORDER BY tag""".stripMargin,
+
+    "e05_entity_rollup_bucketed" ->
+      """SELECT 'Region=' || n_regionkey AS parent,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e03_entity_rollup_2hop" ->
       """SELECT 'Region=' || n_regionkey AS parent, count(*) AS cnt,
