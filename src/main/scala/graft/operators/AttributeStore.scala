@@ -57,15 +57,21 @@ object AttributeStore {
     * on the entity key. */
   def diff(attrs: DataFrame, entity: Column, ts: Column, tie: Column,
            value: Column, before: Column, after: Column): DataFrame = {
+    // added/removed derive from entity PRESENCE in each as-of set
+    // (the marker columns), never from value nullness: an entity
+    // whose value expression is NULL at one snapshot is a 'changed'
+    // row, not a phantom add/remove.
     val v1 = atTime(attrs, entity, ts, tie, before)
-      .select(entity.as("entity_id"), value.as("value_before"))
+      .select(entity.as("entity_id"), value.as("value_before"), lit(true).as("__in_before"))
     val v2 = atTime(attrs, entity, ts, tie, after)
-      .select(entity.as("entity_id"), value.as("value_after"))
+      .select(entity.as("entity_id"), value.as("value_after"), lit(true).as("__in_after"))
     v1.join(v2, Seq("entity_id"), "full_outer")
-      .filter(!(col("value_before") <=> col("value_after")))
+      .filter(!(col("value_before") <=> col("value_after")) ||
+        col("__in_before").isNull || col("__in_after").isNull)
       .withColumn("change",
-        when(col("value_before").isNull, lit("added"))
-          .when(col("value_after").isNull, lit("removed"))
+        when(col("__in_before").isNull, lit("added"))
+          .when(col("__in_after").isNull, lit("removed"))
           .otherwise(lit("changed")))
+      .drop("__in_before", "__in_after")
   }
 }

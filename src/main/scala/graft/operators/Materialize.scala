@@ -80,9 +80,20 @@ object Materialize {
     val dirtyRows = dirty.collect()
     val dirtyDays = dirtyRows.map(_.getDate(0))
     if (dirtyDays.nonEmpty) {
-      val rolled = TrendStore.rollup(
-        source.filter(to_date(ts).isin(dirtyDays.toSeq: _*)),
-        entity, ts, value, granularity)
+      // A granularity coarser than a day writes buckets whose p_date
+      // partition holds MANY source days, and the dynamic overwrite
+      // below rewrites that partition WHOLE — so the recompute must
+      // re-read every source day of each affected bucket, not just
+      // the dirty ones (a late Jan-17 alone would otherwise rewrite
+      // the January bucket with one day's data). Same date_trunc
+      // predicate shape as runDerived's parent re-read.
+      val spansDays = Set("week", "month", "quarter", "year")(granularity.trim.toLowerCase)
+      val scanFilter =
+        if (spansDays) {
+          val buckets = dirtyDays.map(d => truncDay(granularity, d)).distinct.toSeq
+          to_date(date_trunc(granularity, ts)).isin(buckets: _*)
+        } else to_date(ts).isin(dirtyDays.toSeq: _*)
+      val rolled = TrendStore.rollup(source.filter(scanFilter), entity, ts, value, granularity)
       TrendStoreWriter.write(rolled, storePath)
       // The state delta is rebuilt from the ALREADY-COLLECTED dirty
       // rows, not the lazy `dirty` plan: re-evaluating that plan would

@@ -613,7 +613,11 @@ object TextSim {
     // join the SimHash text path uses.
     "m04_image_dedup" -> { (s, dir) =>
       import s.implicits._
-      val docs = TableCatalog(s, dir).documents.select(col("doc_id")).limit(64)
+      // doc_id < 64, not limit(64): limit without orderBy has no
+      // guaranteed row selection, and the planted sibling pairs
+      // (2k, 2k+1) need BOTH ids to survive under any parquet layout.
+      val docs = TableCatalog(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 64)
         .as[Long].map { id =>
           val size = if (id % 2 == 0) 64 else 48
           (id, Multimodal.syntheticImage(id / 2, size, size))

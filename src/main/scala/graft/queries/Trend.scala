@@ -355,11 +355,12 @@ object Trend {
         |  WHERE rn = 1)
         |SELECT COALESCE(v1.entity_id, v2.entity_id) AS entity_id,
         |  value_before, value_after,
-        |  CASE WHEN value_before IS NULL THEN 'added'
-        |       WHEN value_after IS NULL THEN 'removed'
+        |  CASE WHEN v1.entity_id IS NULL THEN 'added'
+        |       WHEN v2.entity_id IS NULL THEN 'removed'
         |       ELSE 'changed' END AS change
         |FROM v1 FULL OUTER JOIN v2 ON v1.entity_id = v2.entity_id
         |WHERE value_before IS DISTINCT FROM value_after
+        |   OR v1.entity_id IS NULL OR v2.entity_id IS NULL
         |ORDER BY 1""".stripMargin,
 
     "n01_notifications" ->

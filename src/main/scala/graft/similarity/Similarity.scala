@@ -503,7 +503,14 @@ object Similarity {
     * the dimension to split evenly into m subvectors. */
   private def pqTrain(corpus: DataFrame, vecCol: String, m: Int, nCodes: Int,
                       seed: Long): Array[Array[Array[Double]]] = {
-    val sample = corpus.select(col(vecCol)).limit(nCodes * 64).collect()
+    // Deterministic sample: an unordered limit().collect() varies
+    // with partitioning/read order, so codebooks (and any persisted
+    // index built from them) would differ across re-runs. Ordering
+    // by a hash of the vector bytes is layout-independent and needs
+    // no id column; top-k via TakeOrderedAndProject, never a full sort.
+    val sample = corpus.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)), col(vecCol).cast("string"))
+      .limit(nCodes * 64).collect()
       .map(_.getSeq[Number](0).toArray.map(_.doubleValue))
     require(sample.nonEmpty, "PQ training sample is empty")
     val dims = sample.head.length

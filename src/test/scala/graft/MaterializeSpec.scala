@@ -122,6 +122,37 @@ class MaterializeSpec extends SparkSpec {
     assertChainEqualsFullRecompute(batch2)
   }
 
+  test("coarse-granularity ROOT: a late day re-reads the whole bucket, never shrinking it") {
+    // Regression: run() used to scan only the dirty source DAYS while
+    // the write dynamic-overwrites the whole coarse p_date partition —
+    // a late Jan-17 rewrote the January monthly bucket with one day's
+    // data. The recompute must re-read every source day of each
+    // affected coarse bucket.
+    val statePath = Files.createTempDirectory("graft_mat_coarse").toString + "/state"
+    val storePath = Files.createTempDirectory("graft_mat_coarse_store").toString
+    val batch1 = Seq(
+      (1L, "2024-01-01 10:05:00", 1.0), (1L, "2024-01-15 11:05:00", 2.0),
+      (2L, "2024-01-03 10:10:00", 5.0), (2L, "2024-02-01 09:00:00", 7.0))
+    Materialize.run(mk(batch1), col("entity_id"), col("ts"), col("value"),
+      "month", statePath, storePath)
+    // late arrival lands on Jan 17 ONLY
+    val batch2 = batch1 :+ ((1L, "2024-01-17 12:59:00", 100.0))
+    val dirty = Materialize.run(mk(batch2), col("entity_id"), col("ts"), col("value"),
+      "month", statePath, storePath)
+    assert(dirty.map(_.toString).toSeq === Seq("2024-01-17"))
+    val got = TrendStoreWriter.read(spark, storePath)
+      .select(col("entity_id"), col("bucket"),
+        col("cnt").cast("long").as("cnt"), col("sum_dec").cast("double").as("s"))
+    val want = graft.operators.TrendStore.rollup(
+        mk(batch2), col("entity_id"), col("ts"), col("value"), "month")
+      .select(col("entity_id"), col("bucket"),
+        col("cnt").cast("long").as("cnt"), col("sum_dec").cast("double").as("s"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "monthly store diverged from a full recompute after a late-day run")
+    // entity 1's January bucket must aggregate ALL its January rows
+    assert(got.filter(col("entity_id") === 1 && col("s") === 103.0).count() === 1)
+  }
+
   test("runAll rejects cyclic and duplicate definitions") {
     val base = Files.createTempDirectory("graft_mat_cycle").toString
     val a = Materialize.MatDef("a", s"$base/b", s"$base/a", s"$base/sa", "day")
