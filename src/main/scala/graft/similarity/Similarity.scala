@@ -415,21 +415,41 @@ object Similarity {
                       qId: String, vecCol: String,
                       books: Array[Array[Array[Double]]],
                       k: Int, rerank: Int): DataFrame = {
+    val approx = codes.crossJoin(broadcast(pqLuts(queries, qId, vecCol, books)))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), adcScore(books.length).as("__adc"))
+    pqRerank(vectors, queries, qId, vecCol, approx, k, rerank)
+  }
+
+  /** Per-query ADC lookup tables: m arrays of nCodes EXACT subspace
+    * dot products — one row per query, broadcast to the codes scan. */
+  private def pqLuts(queries: DataFrame, qId: String, vecCol: String,
+                     books: Array[Array[Array[Double]]]): DataFrame = {
     val m = books.length
     val nCodes = books(0).length
     val subDim = books(0)(0).length
-    val qluts = queries.select((col(qId).as("q_id") +:
+    queries.select((col(qId).as("q_id") +:
       (0 until m).map { s =>
         array((0 until nCodes).map(j =>
           dot(slice(col(vecCol), s * subDim + 1, subDim),
             typedLit(books(s)(j)))): _*).as(s"__lut$s")
       }): _*)
-    val approx = codes.crossJoin(broadcast(qluts))
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        (0 until m).map(s =>
-          element_at(col(s"__lut$s"), element_at(col("__codes"), s + 1)))
-          .reduce(_ + _).as("__adc"))
+  }
+
+  /** ADC score of one corpus row against the joined query's LUTs:
+    * m element_at adds — the per-pair work that replaces a D-term
+    * dot product. */
+  private def adcScore(m: Int): Column =
+    (0 until m).map(s =>
+      element_at(col(s"__lut$s"), element_at(col("__codes"), s + 1)))
+      .reduce(_ + _)
+
+  /** Top rerank·k ADC candidates per query → exact-cosine re-rank →
+    * final top-k. Candidates are |queries|·rerank·k rows, so both
+    * re-rank joins broadcast; the corpus never shuffles. */
+  private def pqRerank(vectors: DataFrame, queries: DataFrame, qId: String,
+                       vecCol: String, approx: DataFrame, k: Int,
+                       rerank: Int): DataFrame = {
     val wa = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("__adc").desc, col("n_id").asc)
     val cands = approx.withColumn("__r", row_number().over(wa))
@@ -494,6 +514,95 @@ object Similarity {
     pqScore(spark.read.parquet(s"$indexPath/codes"),
       spark.read.parquet(s"$indexPath/vectors"),
       queries, qId, vecCol, books, k, rerank)
+  }
+
+  /** Persist a composed IVF-PQ index — the production billion-vector
+    * serving shape: IVF prunes WHICH codes are scanned (probed-cell
+    * partition directories only), PQ shrinks WHAT a scan reads and
+    * computes (m small ints + ADC lookups instead of float vectors
+    * and dot products). The two existing halves each solve one axis
+    * (`ivfBuild` scan pruning, `pqBuild` memory); at 10⁹+ vectors a
+    * real ANN serving query needs both in the SAME pass — pure PQ
+    * still touches all N codes, pure IVF still reads float vectors.
+    *
+    * Layout under `indexPath`:
+    *  - `centroids/` — the IVF coarse quantizer (cell, centroid,
+    *    norm2), driver-readable metadata;
+    *  - `codebooks/` — the PQ per-subspace codebooks (sub, code,
+    *    centroid), driver-readable metadata;
+    *  - `codes/` — `(n_id, __codes)` physically partitioned by
+    *    `cell`: the ADC pass reads ONLY probed-cell directories, and
+    *    each row is m small ints;
+    *  - `vectors/` — `(n_id, __cv, __cn)` for the exact re-rank fetch
+    *    (in a deployment this is the corpus table itself).
+    *
+    * Cells gate only WHICH vectors get ADC-scored, so the composition
+    * is exact relative to its parts: with every cell probed, search
+    * results equal the pure-PQ path given the same codebooks
+    * (spec-asserted). One corpus scan builds everything. */
+  def ivfpqBuild(corpus: DataFrame, cId: String, vecCol: String, indexPath: String,
+                 nCells: Int = 16, m: Int = 8, nCodes: Int = 16,
+                 seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, vecCol, nCells, seed)
+    val books = pqTrain(corpus, vecCol, m, nCodes, seed)
+    val c = fanOut(corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
+      .withColumn("__cn", norm(col("__cv")))
+      .localCheckpoint() // one corpus scan feeds assignment, codes and vectors
+    val assigned = c.withColumn("__scores", cellScores(cents)(col("__cv")))
+      .withColumn("cell", expr("array_position(__scores, array_max(__scores))"))
+      .drop("__scores")
+    pqEncode(assigned, books).select(col("n_id"), col("__codes"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$indexPath/codes")
+    c.write.mode("overwrite").parquet(s"$indexPath/vectors")
+    cents.zipWithIndex
+      .map { case (cent, i) => (i.toLong + 1, cent.toSeq, cent.map(x => x * x).sum) }
+      .toSeq.toDF("cell", "centroid", "norm2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cent, j) => (s, j, cent.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebooks")
+  }
+
+  /** Search a persisted IVF-PQ index. Centroids and codebooks are
+    * O(nCells + m·nCodes) driver metadata. Each query probes its
+    * `nprobe` nearest cells; the union of probed cells becomes a
+    * STATIC partition filter on the codes table (only those
+    * directories are read — spec-asserted on the plan), and the ADC
+    * join is an EQUI-join on `cell`, so a query scores exactly its
+    * own probed cells' codes, never cells another query probed.
+    * Exact-cosine re-rank fetches just the candidate vectors. */
+  def ivfpqSearch(queries: DataFrame, qId: String, vecCol: String,
+                  indexPath: String, k: Int, nprobe: Int = 4,
+                  rerank: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val rows = spark.read.parquet(s"$indexPath/codebooks")
+      .orderBy(col("sub"), col("code")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val nCodes = rows.map(_.getInt(1)).max + 1
+    val books = Array.tabulate(m, nCodes) { (s, j) =>
+      rows(s * nCodes + j).getSeq[Double](2).toArray
+    }
+    val probed = probeQueries(queries, qId, vecCol, cents, nprobe)
+      .select(col("q_id"), col("cell"))
+      .localCheckpoint() // tiny; evaluated twice (cell list + join)
+    val probeCells = probed.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val codes = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+    // (q_id, cell) pairs carry the query's LUTs into a broadcast
+    // cell-equi join: |queries|·nprobe rows, still broadcast-small.
+    val probedLuts = probed.join(pqLuts(queries, qId, vecCol, books), "q_id")
+    val approx = codes.join(broadcast(probedLuts), "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), adcScore(m).as("__adc"))
+    pqRerank(spark.read.parquet(s"$indexPath/vectors"),
+      queries, qId, vecCol, approx, k, rerank)
   }
 
   /** Per-subspace codebooks `[m][nCodes][subDim]`, trained on a

@@ -175,6 +175,63 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ composed index: full-probe search ≡ pure-PQ path; recall holds at nprobe=4") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+    Similarity.ivfpqBuild(emb, "vec_id", "embedding", dir)
+    val q = emb.filter(col("vec_id") < 10)
+    // Cells only gate WHICH codes get ADC-scored: probing every cell
+    // must reproduce the pure-PQ path exactly (same codebooks — the
+    // deterministic pqTrain sample — same ADC scores, same re-rank).
+    val full = Similarity.ivfpqSearch(q, "vec_id", "embedding", dir, k = 10, nprobe = 16)
+    val purePq = Similarity.pqTopK(q, emb, "vec_id", "vec_id", "embedding", k = 10)
+    assert(full.exceptAll(purePq).isEmpty && purePq.exceptAll(full).isEmpty,
+      "full-probe IVF-PQ diverges from the pure-PQ path")
+    // planted-neighbor recall with real pruning (nprobe=4 of 16 cells)
+    val qp = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(0.05f) * sin(x * 13.7f)).as("embedding"))
+    val ann = Similarity.ivfpqSearch(qp, "vec_id", "embedding", dir, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (0 until 20).count(i => ann.contains((i + 100000L, i.toLong))) / 20.0
+    assert(recall >= 0.9, s"IVF-PQ planted-neighbor recall $recall")
+    // search twice: deterministic
+    val again = Similarity.ivfpqSearch(q, "vec_id", "embedding", dir, k = 10, nprobe = 16)
+    assert(again.exceptAll(full).isEmpty && full.exceptAll(again).isEmpty)
+  }
+
+  test("IVF-PQ search reads only probed code partitions, and codes stay narrow") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+    Similarity.ivfpqBuild(emb, "vec_id", "embedding", dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.columns.sorted === Array("__codes", "cell", "n_id"))
+    val q = emb.filter(col("vec_id") === 0)
+    val plan = Similarity.ivfpqSearch(q, "vec_id", "embedding", dir, k = 5, nprobe = 2)
+      .queryExecution.executedPlan
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val here = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("/codes")) => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.inputPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(scansOf)
+    }
+    val scans = scansOf(plan)
+    assert(scans.nonEmpty, s"no codes scan found in plan:\n$plan")
+    scans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"codes scan has no partition filter:\n$plan")
+      // 1 query × nprobe=2 → at most 2 of the 16 cell directories read.
+      assert(s.selectedPartitions.partitionCount <= 2,
+        s"expected ≤2 probed partitions, read ${s.selectedPartitions.partitionCount}")
+    }
+  }
+
   test("IVF accepts array<double> embeddings (sampler + expressions)") {
     val dbl = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val q = dbl.filter(col("vec_id") < 3)
