@@ -71,6 +71,25 @@ object TrendStore {
         sum(Fx.dec(value)).as("sum_dec"),
         max(value).as("max_value"))
 
+  /** Grid stride for the gap-fill family: any fixed-width
+    * granularity ("900", "15m", hour, week…) steps by its
+    * [[stepSeconds]] width — the reference's native seconds-based
+    * granularities gap-fill like the calendar ones — and the
+    * variable-width calendar units step by their calendar interval
+    * (`sequence` handles month arithmetic). Buckets produced by
+    * [[bucket]]/[[rollupSeconds]] lie on the grid by construction,
+    * so the generated sequence always hits the observed buckets. */
+  private def gridStep(granularity: String): Column =
+    stepSeconds(granularity) match {
+      case Some(g) => expr(s"interval $g second")
+      case None => granularity.trim.toLowerCase match {
+        case "month"   => expr("interval 1 month")
+        case "quarter" => expr("interval 3 month")
+        case "year"    => expr("interval 1 year")
+        case g => throw new IllegalArgumentException(s"gap-fill granularity: $g")
+      }
+    }
+
   /** Counter→rate derivation over a presented rollup (entity_id,
     * bucket, sum_value): delta to the previous bucket and a
     * per-second rate — Minerva's counter semantics, where trend
@@ -112,11 +131,7 @@ object TrendStore {
     * partitioning and no global sort exists. last(ignoreNulls) over
     * rows-unbounded-preceding is the standard forward-fill window. */
   def gapFill(rolledUp: DataFrame, granularity: String): DataFrame = {
-    val step = granularity match {
-      case "hour" => expr("interval 1 hour")
-      case "day" => expr("interval 1 day")
-      case g => throw new IllegalArgumentException(s"gapFill granularity: $g")
-    }
+    val step = gridStep(granularity)
     val grid = rolledUp.groupBy(col("entity_id"))
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
       .select(col("entity_id"),
@@ -145,11 +160,7 @@ object TrendStore {
     * engine, no rounding needed; the frac denominator is guarded so
     * observed rows never divide 0/0. */
   def gapFillInterpolate(rolledUp: DataFrame, granularity: String): DataFrame = {
-    val step = granularity match {
-      case "hour" => expr("interval 1 hour")
-      case "day" => expr("interval 1 day")
-      case g => throw new IllegalArgumentException(s"gapFillInterpolate granularity: $g")
-    }
+    val step = gridStep(granularity)
     val grid = rolledUp.groupBy(col("entity_id"))
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
       .select(col("entity_id"),

@@ -225,6 +225,24 @@ object Trend {
         .orderBy(col("entity_id"), col("bucket"))
     },
 
+    // Gap fill at a NATIVE seconds granularity (900 s / 15 m) — the
+    // reference's granularities are seconds-based, so its gap filling
+    // runs on those grids, not only calendar hours/days. Same
+    // forward-fill plan as t16, stride = stepSeconds("15m") (the
+    // duration-alias parse path), per-entity aggregate projection.
+    "t19_gapfill_900s" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val q = TrendStore.rollupSeconds(ev, col("user_id"), col("ts"), col("value"), 900L)
+        .select(col("entity_id"), col("bucket"),
+          col("sum_dec").cast("double").as("sum_value"))
+      TrendStore.gapFill(q, "15m")
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("filled"), 1L).otherwise(0L)).as("n_filled"),
+          Fx.dsum(col("sum_value")).as("sum_filled_series"))
+        .orderBy(col("entity_id"))
+    },
+
     // Z-score anomalies over each entity's own hourly series (see
     // TrendStore.anomalies for the decimal-exact moment discipline
     // that makes z bit-identical across engines).
@@ -439,6 +457,23 @@ object Trend {
          |  FROM w)
          |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, sum_value, filled
          |FROM f ORDER BY 1, 2""".stripMargin,
+
+    "t19_gapfill_900s" ->
+      s"""WITH h AS (SELECT user_id AS entity_id,
+         |  make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS bucket,
+         |  $ds AS sum_value FROM events GROUP BY 1, 2),
+         |r AS (SELECT entity_id, min(bucket) AS lo, max(bucket) AS hi FROM h GROUP BY 1),
+         |g AS (SELECT entity_id, unnest(generate_series(lo, hi, INTERVAL 900 SECOND)) AS bucket FROM r),
+         |j AS (SELECT g.entity_id, g.bucket, h.sum_value,
+         |  h.sum_value IS NULL AS filled
+         |  FROM g LEFT JOIN h ON g.entity_id = h.entity_id AND g.bucket = h.bucket),
+         |f AS (SELECT entity_id, filled,
+         |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY entity_id ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value FROM j)
+         |SELECT entity_id, count(*) AS n_buckets,
+         |  CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+         |  CAST(sum(CAST(sum_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_filled_series
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t17_anomaly" ->
       // Moments stay DECIMAL-exact until the final per-row double

@@ -21,6 +21,45 @@ class TrendSpec extends SparkSpec {
     assert(hourly.agg(sum("cnt")).head.getLong(0) === ev.count())
   }
 
+  test("gap fill works on any stepSeconds grid (900 s sweep + planted month case)") {
+    import graft.SparkSpec.spark.implicits._
+    // 900 s grid: a planted series with one interior hole per mode.
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 10.0), (1L, "2024-01-01 00:30:00", 40.0),
+      (2L, "2024-01-01 00:00:00", 8.0), (2L, "2024-01-01 00:45:00", 2.0))
+      .toDF("entity_id", "ts", "v")
+      .select(col("entity_id"), col("ts").cast("timestamp").as("bucket"),
+        col("v").as("sum_value"))
+    for (g <- Seq("900", "15m")) {
+      val ff = TrendStore.gapFill(rows, g)
+        .select(col("entity_id"), col("bucket").cast("string"), col("sum_value"), col("filled"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3))).toSet
+      assert(ff.contains((1L, "2024-01-01 00:15:00", 10.0, true)), s"forward-fill at $g")
+      assert(ff.contains((2L, "2024-01-01 00:30:00", 8.0, true)), s"forward-fill at $g")
+      assert(ff.count(_._1 == 1L) === 3 && ff.count(_._1 == 2L) === 4, s"grid size at $g")
+      val in = TrendStore.gapFillInterpolate(rows, g)
+        .select(col("entity_id"), col("bucket").cast("string"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      // entity 1: hole at 00:15 halfway between 10 (00:00) and 40 (00:30) → 25
+      assert(in.contains((1L, "2024-01-01 00:15:00", 25.0)), s"interpolation at $g")
+      // entity 2: holes at 1/3 and 2/3 of [8 → 2]
+      assert(in.contains((2L, "2024-01-01 00:15:00", 6.0)), s"interpolation at $g")
+      assert(in.contains((2L, "2024-01-01 00:30:00", 4.0)), s"interpolation at $g")
+    }
+    // calendar month stride: variable-width steps stay on the grid
+    val monthly = Seq((1L, "2024-01-01 00:00:00", 3.0), (1L, "2024-04-01 00:00:00", 9.0))
+      .toDF("entity_id", "ts", "v")
+      .select(col("entity_id"), col("ts").cast("timestamp").as("bucket"),
+        col("v").as("sum_value"))
+    val fm = TrendStore.gapFill(monthly, "month")
+      .select(col("bucket").cast("string"), col("sum_value"), col("filled"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(fm === Set(
+      ("2024-01-01 00:00:00", 3.0, false), ("2024-02-01 00:00:00", 3.0, true),
+      ("2024-03-01 00:00:00", 3.0, true), ("2024-04-01 00:00:00", 9.0, false)))
+    intercept[IllegalArgumentException](TrendStore.gapFill(rows, "raw"))
+  }
+
   test("gaps + observed = sum of per-entity active ranges") {
     val g = TrendStore.gaps(ev, col("user_id"), col("ts"), "hour").count()
     val obs = ev.select(col("user_id").as("u"), date_trunc("hour", col("ts")).as("b")).distinct()
