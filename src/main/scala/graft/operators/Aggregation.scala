@@ -51,7 +51,9 @@ object Aggregation {
     gs.sortBy(fineness)
   }
 
-  private def compileMetric(m: MetricAgg): Column = (m.fn.toLowerCase match {
+  // shared with TrendStore's entity aggregation — the reference uses
+  // the same metric-set vocabulary for time AND entity aggregation
+  private[operators] def compileMetric(m: MetricAgg): Column = (m.fn.toLowerCase match {
     case "sum"   => Fx.dsum(col(m.source))
     case "avg"   => Fx.davg(col(m.source))
     case "max"   => max(col(m.source))

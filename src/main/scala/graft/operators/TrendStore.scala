@@ -301,6 +301,24 @@ object TrendStore {
         count(lit(1)).as("cnt"),
         Fx.dsum(value).as("sum_value"))
 
+  /** Entity aggregation with a CONFIGURED metric set — the
+    * reference's entity aggregation materializes whatever metric
+    * functions its definition declares (sum/avg/min/max/count), the
+    * same vocabulary `Aggregation.compile` accepts for time
+    * aggregation. Metric sources are columns of `trend`; the plan
+    * shape is unchanged (broadcast relation ⋈ fact, one
+    * combine-friendly shuffle on the parent key). */
+  def entityRollup(trend: DataFrame, entity: Column,
+                   relation: DataFrame, childCol: String, parentCol: String,
+                   metrics: Seq[Aggregation.MetricAgg]): DataFrame = {
+    require(metrics.nonEmpty, "entityRollup: at least one MetricAgg is required")
+    trend.join(broadcast(relation),
+        entity === relation(childCol), "inner")
+      .groupBy(relation(parentCol).as("parent"))
+      .agg(Aggregation.compileMetric(metrics.head),
+        metrics.tail.map(Aggregation.compileMetric): _*)
+  }
+
   /** Entity aggregation AT A GRANULARITY: roll metrics up
     * `relation(child → parent)` into `(parent, bucket)` cells — the
     * shape Minerva's entity aggregation actually materializes
@@ -319,6 +337,21 @@ object TrendStore {
       .agg(
         count(lit(1)).as("cnt"),
         Fx.dsum(value).as("sum_value"))
+
+  /** [[entityRollupBucketed]] with a configured metric set (see the
+    * metric-set [[entityRollup]] overload). */
+  def entityRollupBucketed(trend: DataFrame, entity: Column, ts: Column,
+                           granularity: String,
+                           relation: DataFrame, childCol: String, parentCol: String,
+                           metrics: Seq[Aggregation.MetricAgg]): DataFrame = {
+    require(metrics.nonEmpty, "entityRollupBucketed: at least one MetricAgg is required")
+    trend.join(broadcast(relation),
+        entity === relation(childCol), "inner")
+      .groupBy(relation(parentCol).as("parent"),
+        date_trunc(granularity, ts).as("bucket"))
+      .agg(Aggregation.compileMetric(metrics.head),
+        metrics.tail.map(Aggregation.compileMetric): _*)
+  }
 
   /** Wide trend-store part: one column per metric name (Minerva's
     * physical trend table layout). Conditional aggregation — a single

@@ -205,9 +205,15 @@ object Store {
       val rel = Relations.compose(custToNation, nationToRegion)
       TrendStore.entityRollupBucketed(c.orders,
           concat(lit("Customer="), col("o_custkey")), col("o_orderdate"),
-          col("o_totalprice"), "month", rel, "child_dn", "parent_dn")
+          "month", rel, "child_dn", "parent_dn",
+          Seq(Aggregation.MetricAgg("o_totalprice", "count", "cnt"),
+            Aggregation.MetricAgg("o_totalprice", "sum", "sum_value"),
+            Aggregation.MetricAgg("o_totalprice", "avg", "avg_value"),
+            Aggregation.MetricAgg("o_totalprice", "min", "min_value"),
+            Aggregation.MetricAgg("o_totalprice", "max", "max_value")))
         .select(col("parent"), date_format(col("bucket"), TS).as("bucket"),
-          col("cnt"), col("sum_value"))
+          col("cnt"), col("sum_value"), col("avg_value"),
+          col("min_value"), col("max_value"))
         .orderBy(col("parent"), col("bucket"))
     },
 
@@ -445,7 +451,10 @@ object Store {
       """SELECT 'Region=' || n_regionkey AS parent,
         |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS bucket,
         |  count(*) AS cnt,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value,
+        |  min(o_totalprice) AS min_value,
+        |  max(o_totalprice) AS max_value
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey

@@ -60,6 +60,27 @@ class TrendSpec extends SparkSpec {
     intercept[IllegalArgumentException](TrendStore.gapFill(rows, "raw"))
   }
 
+  test("entityRollup metric-set overload matches the legacy cnt/sum and direct min/max/avg") {
+    import graft.SparkSpec.spark.implicits._
+    import graft.operators.Aggregation.MetricAgg
+    val rel = Seq((1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("child", "parent_grp")
+    val legacy = TrendStore.entityRollup(ev, col("user_id"), col("value"),
+      rel, "child", "parent_grp")
+    val full = TrendStore.entityRollup(ev, col("user_id"),
+      rel, "child", "parent_grp",
+      Seq(MetricAgg("value", "count", "cnt"), MetricAgg("value", "sum", "sum_value"),
+        MetricAgg("value", "avg", "avg_value"), MetricAgg("value", "min", "min_value"),
+        MetricAgg("value", "max", "max_value")))
+    val a = legacy.select("parent", "cnt", "sum_value")
+    val b = full.select("parent", "cnt", "sum_value")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(full.filter(col("min_value") > col("max_value")).isEmpty)
+    assert(full.filter(abs(col("avg_value") * col("cnt") - col("sum_value")) > 1e-6).isEmpty)
+    intercept[IllegalArgumentException](
+      TrendStore.entityRollup(ev, col("user_id"), rel, "child", "parent_grp", Seq.empty))
+  }
+
   test("gaps + observed = sum of per-entity active ranges") {
     val g = TrendStore.gaps(ev, col("user_id"), col("ts"), "hour").count()
     val obs = ev.select(col("user_id").as("u"), date_trunc("hour", col("ts")).as("b")).distinct()
