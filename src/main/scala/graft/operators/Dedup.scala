@@ -248,25 +248,71 @@ object Dedup {
     * on the cluster; the DuckDB oracle computes the same components
     * with a recursive CTE. */
   def dupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nbr"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"))
-        .select(col("id"),
-          least(col("label"), col("nbr")).as("label"),
-          (col("nbr") < col("label")).as("__ch"))
-        .localCheckpoint()
-      changed = updated.filter(col("__ch")).count()
-      labels = updated.select(col("id"), col("label"))
-    }
+    val (labels, _) = ccStars(pairs)
     labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+  }
+
+  /** Connected components over an undirected pair set via alternating
+    * LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — O(log n) rounds on ANY
+    * graph shape, where plain min-label propagation needs
+    * O(diameter) rounds: near-dup clusters are usually shallow, but
+    * a boilerplate family chained across a web-scale corpus can be
+    * thousands of hops deep, turning the driver loop into thousands
+    * of sequential shuffles. Each round here is the same primitive
+    * machinery (groupBy-min + join over the edge set), and the edge
+    * set itself contracts toward a star forest, so later rounds also
+    * shrink in volume.
+    *
+    *  - large-star: every neighbor v > u re-attaches to
+    *    min(Γ(u) ∪ {u}) — long tails fold onto small ids in halves;
+    *  - small-star: edges orient larger→smaller; u and all its
+    *    smaller neighbors attach to the minimum — stars flatten.
+    *
+    * The fixpoint is a star forest rooted at each component's
+    * minimum id. Every step is a set operation (distinct / groupBy
+    * min), so the result is deterministic under any partitioning.
+    * Returns ((id, label) with label = component min, rounds run) —
+    * rounds exposed for the convergence-bound spec. */
+  private[graft] def ccStars(pairs: DataFrame): (DataFrame, Int) = {
+    var edges = pairs.select(col("a_id").cast("long").as("u"),
+        col("b_id").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var rounds = 0
+    var done = edges.isEmpty
+    while (!done) {
+      require(rounds < 200, "ccStars failed to converge in 200 rounds")
+      // large-star over the symmetric view
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmins = sym.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+        .select(col("u").as("lu"), least(col("__mn"), col("u")).as("m"))
+      val large = sym.join(lmins, sym("u") === lmins("lu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over the larger→smaller orientation
+      val dir = large.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val smins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = dir.join(smins.select(col("u").as("su"), col("m")),
+          dir("u") === col("su"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      rounds += 1
+      // fixpoint = identical edge set (both sides are distinct sets)
+      done = small.count() == edges.count() && small.except(edges).isEmpty
+      edges = small
+    }
+    val labels = edges.select(col("u").as("id"), col("v").as("label"))
+      .union(edges.select(col("v").as("id"), col("v").as("label")))
+      .distinct()
+    (labels, rounds)
   }
 
   /** One staged incremental-dedup batch: the surviving rows plus an

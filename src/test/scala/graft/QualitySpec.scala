@@ -108,6 +108,26 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("ccStars converges in O(log n) rounds on a deep path graph") {
+    // A 1024-node path has diameter 1023: min-label propagation would
+    // need ~1023 driver-loop rounds; large-star/small-star must close
+    // it in O(log n). Bound: 2·log2(n) + slack.
+    val n = 1024
+    val path = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a_id", "b_id")
+    val (labels, rounds) = Dedup.ccStars(path)
+    assert(rounds <= 2 * 10 + 6, s"path-graph convergence took $rounds rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === n)
+    assert(got.forall(_._2 == 0L), "every path node must label to the component min")
+    // and the shape survives id shuffling (labels = min under any ids)
+    val scrambled = (0 until n - 1)
+      .map(i => ((i * 7919L) % 104729L, ((i + 1) * 7919L) % 104729L))
+      .toDF("a_id", "b_id")
+    val (l2, r2) = Dedup.ccStars(scrambled)
+    assert(r2 <= 2 * 10 + 6, s"scrambled-path convergence took $r2 rounds")
+    assert(l2.select(col("label")).distinct().count() === 1)
+  }
+
   test("incremental dedup accepts each content hash exactly once across batches") {
     val root = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
     val idx = root + "/index"
