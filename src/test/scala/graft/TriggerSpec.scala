@@ -156,6 +156,65 @@ class TriggerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming notification sets converge to the batch sets and replay idempotently") {
+    import graft.streaming.SetStream
+    import graft.operators.NotificationStore
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sets_src").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_sets").toString
+    val streamRules = Seq(
+      Trigger.Rule("surge", "hour", Seq(Trigger.Threshold("v", "sum", ">", 10.0)), "major"),
+      Trigger.Rule("burst", "hour", Seq(Trigger.Threshold("v", "count", ">", 2.0)), "minor"))
+    // batch 1: all Jan-1 activity (watermark must not pass a row's
+    // window before it arrives); batch 2: Jan-2 + a pusher that
+    // closes every window.
+    val batch1 = Seq(
+      // entity 1: surge fires in hours 10 AND 11 of Jan 1
+      (1L, "2024-01-01 10:05:00", 12.0), (1L, "2024-01-01 11:05:00", 12.0),
+      // entity 2: burst in hour 10 (3 rows), surge in hour 10 too (12 > 10)
+      (2L, "2024-01-01 10:01:00", 4.0), (2L, "2024-01-01 10:02:00", 4.0),
+      (2L, "2024-01-01 10:03:00", 4.0))
+    val batch2 = Seq((1L, "2024-01-02 09:05:00", 12.0))
+    val allRows = batch1 ++ batch2
+    events(batch1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val fired = TriggerStream.fire(stream, "entity", "ts", "v",
+      streamRules, "1 hour", "1 hour")
+    val q = SetStream.toStore(fired, "rule", s"$base/store", s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      events(batch2 :+ ((9L, "2024-01-03 00:00:00", 0.0)))
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val got = SetStream.present(spark.read.parquet(s"$base/store").drop("p_date"))
+        .select(col("entity_id"), date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+          col("n_notifications"), col("notification_ids"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getSeq[String](3))).toSet
+      // batch twin over the same rows
+      val batchFired = Trigger.evaluate(streamRules)(
+        events(allRows), col("entity"), col("ts"))
+      val want = NotificationStore.sets(batchFired, col("entity_id"),
+          col("bucket"), col("rule"), "day")
+        .select(col("entity_id"), date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+          col("n_notifications"), sort_array(col("notification_ids")).as("ids"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getSeq[String](3))).toSet
+      assert(got === want, s"stream sets $got != batch sets $want")
+      assert(got.contains((1L, "2024-01-01", 2L, Seq("surge", "surge"))),
+        "same rule firing twice in a day must appear twice in the set")
+      // replaying a whole micro-batch is a no-op (set-union merge);
+      // materialize `before` — the merge overwrites its files
+      val before = spark.read.parquet(s"$base/store").drop("p_date").localCheckpoint()
+      SetStream.mergeBatch(
+        Trigger.evaluate(streamRules)(events(allRows), col("entity"), col("ts")),
+        "rule", s"$base/store")
+      val after = spark.read.parquet(s"$base/store").drop("p_date")
+      assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+        "replaying already-merged firings changed the store")
+    } finally q.stop()
+  }
+
   test("evaluateRolled rejects foreign metrics and unavailable fns") {
     val rolled = graft.operators.TrendStore.rollup(
       data, col("entity"), col("ts"), col("v"), "hour")
