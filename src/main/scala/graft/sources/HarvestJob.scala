@@ -99,6 +99,12 @@ object HarvestJob {
     * continuously converges to the identical store a one-shot
     * [[run]] over the same files produces.
     *
+    * All three targets stream: each micro-batch lands through the
+    * SAME [[load]] path as the batch job (trend row-level upsert /
+    * attribute history append + current refresh / notification
+    * exactly-once upsert), so a failure-replayed micro-batch upserts
+    * onto its own rows instead of duplicating them.
+    *
     * The file source needs a declared schema (no blocking inference
     * mid-stream): pass one, or the job samples the files already in
     * the directory with the batch reader. CSV/JSON only — streaming
@@ -110,9 +116,6 @@ object HarvestJob {
     val fmt = job.format.toLowerCase
     require(fmt == "csv" || fmt == "json" || fmt == "jsonlines",
       s"streaming harvest supports csv/json, got: ${job.format}")
-    require(job.target == "trend",
-      s"streaming harvest targets trend stores; got: ${job.target} " +
-        "(attribute/notification loads run on the batch loop)")
     val sch = schema.getOrElse {
       val sample = fmt match {
         case "csv" => spark.read.option("header", "true").csv(job.sourceDir)
@@ -124,7 +127,8 @@ object HarvestJob {
       case "csv" => spark.readStream.schema(sch).option("header", "true").csv(job.sourceDir)
       case _     => spark.readStream.schema(sch).json(job.sourceDir)
     }
-    val rows = Harvest.canonicalize(raw, job.dnCol, job.entityComponent, job.tsCol, job.tsFormat)
+    val rows = Harvest.canonicalize(raw, job.dnCol, job.entityComponent, job.tsCol,
+        job.tsFormat, castMetrics = job.target == "trend")
       .filter(col("ts").isNotNull)
       .withColumn("bucket", alignBucket(col("ts"), job.granularity))
     rows.writeStream
@@ -135,8 +139,7 @@ object HarvestJob {
             EntityRegistry.sync(batch.sparkSession, rp, batch, col("entity_dn"),
               lit(job.entityComponent.toLowerCase), col("entity_name"))
           }
-          TrendStoreWriter.upsert(batch.sparkSession, job.storePath, batch,
-            keyCols = Seq("entity_id", "bucket"))
+          load(batch.sparkSession, job, batch)
         }
       }
       .start()

@@ -235,16 +235,62 @@ class HarvestJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/notif").count() === 2)
   }
 
-  test("streaming harvest rejects non-trend targets") {
-    val e = intercept[IllegalArgumentException] {
-      HarvestJob.stream(spark, HarvestJob.Job(
-        sourceDir = "/tmp/none", format = "csv",
-        dnCol = "dn", entityComponent = "Cell",
-        tsCol = "timestamp", tsFormat = "yyyy-MM-dd HH:mm:ss",
-        granularity = "raw", storePath = "/tmp/none_s", statePath = "/tmp/none_t",
-        target = "attribute"), "/tmp/none_ckpt")
-    }
-    assert(e.getMessage.contains("trend"))
+  test("streaming ATTRIBUTE harvest converges to the batch harvest, current view fresh") {
+    val src = Files.createTempDirectory("graft_sjob_attr_src").toString
+    val base = Files.createTempDirectory("graft_sjob_attr").toString
+    Files.writeString(Path.of(src, "attr_a.csv"),
+      "dn,timestamp,status\nCell=1,2024-01-01 09:00:00,active\nCell=1,2024-01-02 09:00:00,standby\n")
+    val aJob = HarvestJob.Job(sourceDir = src, format = "csv", dnCol = "dn",
+      entityComponent = "Cell", tsCol = "timestamp", tsFormat = "yyyy-MM-dd HH:mm:ss",
+      granularity = "raw", storePath = s"$base/attr", statePath = s"$base/attr_state",
+      target = "attribute", currentPath = Some(s"$base/attr_current"))
+    val q = HarvestJob.stream(spark, aJob, s"$base/attr_ckpt")
+    try {
+      q.processAllAvailable()
+      Files.writeString(Path.of(src, "attr_b.csv"),
+        "dn,timestamp,status\nCell=1,2024-01-03 09:00:00,active\nCell=2,2024-01-01 08:00:00,active\n")
+      q.processAllAvailable()
+    } finally q.stop()
+    val hist = spark.read.parquet(s"$base/attr")
+    assert(hist.count() === 4)
+    // parsed value types preserved: a status string stays a string
+    assert(hist.schema("status").dataType.typeName === "string")
+    // current view refreshed per micro-batch: Cell=1 → Jan-3 'active'
+    val current = spark.read.parquet(s"$base/attr_current")
+    assert(current.count() === 2)
+    assert(current.filter(col("entity_dn") === "Cell=1").head
+      .getAs[String]("status") === "active")
+    // batch twin over the same files produces the identical history
+    val bJob = aJob.copy(storePath = s"$base/attr_twin",
+      statePath = s"$base/attr_twin_state", currentPath = None)
+    HarvestJob.run(spark, bJob)
+    val a = hist.select("entity_id", "ts", "status")
+    val b = spark.read.parquet(s"$base/attr_twin").select("entity_id", "ts", "status")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "streamed attribute history diverges from the batch harvest")
+  }
+
+  test("streaming NOTIFICATION harvest lands redeliveries exactly once") {
+    val src = Files.createTempDirectory("graft_sjob_notif_src").toString
+    val base = Files.createTempDirectory("graft_sjob_notif").toString
+    Files.writeString(Path.of(src, "notif_a.csv"),
+      "dn,timestamp,kind\nCell=1,2024-01-01 12:00:00,link_down\nCell=1,2024-01-01 12:00:00,link_up\n")
+    val nJob = HarvestJob.Job(sourceDir = src, format = "csv", dnCol = "dn",
+      entityComponent = "Cell", tsCol = "timestamp", tsFormat = "yyyy-MM-dd HH:mm:ss",
+      granularity = "raw", storePath = s"$base/notif", statePath = s"$base/notif_state",
+      target = "notification")
+    val q = HarvestJob.stream(spark, nJob, s"$base/notif_ckpt")
+    try {
+      q.processAllAvailable()
+      // both same-second notifications kept (content-hash tie-break)
+      assert(spark.read.parquet(s"$base/notif").count() === 2)
+      // redelivery under a NEW file name: the file source reads it (new
+      // file), but identical content upserts onto its own keys — no dups
+      Files.writeString(Path.of(src, "notif_b.csv"),
+        "dn,timestamp,kind\nCell=1,2024-01-01 12:00:00,link_down\nCell=1,2024-01-01 12:00:00,link_up\n")
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$base/notif").count() === 2)
+    } finally q.stop()
   }
 
   test("jsonlines plugin: same canonical package path as csv") {
