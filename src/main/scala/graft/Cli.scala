@@ -31,6 +31,14 @@ import graft.sources.HarvestJob
   *   [--method exact|minhash|simhash|paragraph] [--id doc_id] [--text text]
   * graft.Cli decontaminate --docs PARQUET --bench PARQUET --out OUT \
   *   [--k 3] [--threshold 0.5]
+  * graft.Cli index-build --corpus PARQUET --index DIR \
+  *   [--kind ivf|pq|ivfpq] [--id vec_id] [--vec embedding] \
+  *   [--cells 16] [--m 8] [--codes 16]
+  * graft.Cli index-search --queries PARQUET --index DIR --out OUT \
+  *   [--kind ivf|pq|ivfpq] [--k 10] [--nprobe 4] [--rerank 4]
+  * graft.Cli gapfill --store S --granularity hour|900|15m|... --out OUT \
+  *   [--mode forward|interpolate] [--value sum_dec]
+  * graft.Cli compact-index --index DIR [--files 8]
   * }}}
   *
   * All heavy lifting stays in the library operators; the CLI only
@@ -189,6 +197,68 @@ object Cli {
       pairs.write.mode("overwrite").parquet(one(f, "out"))
       println(s"dedup: method=${opt(f, "method", "minhash")} out=${one(f, "out")}")
 
+    // ANN index lifecycle — build once, search many (the serving
+    // shape; see Similarity.ivfBuild/pqBuild/ivfpqBuild).
+    case "index-build" :: rest =>
+      val f = parseFlags(rest)
+      val corpus = spark.read.parquet(one(f, "corpus"))
+      val id = opt(f, "id", "vec_id"); val vec = opt(f, "vec", "embedding")
+      val idx = one(f, "index")
+      opt(f, "kind", "ivfpq") match {
+        case "ivf" => graft.similarity.Similarity.ivfBuild(corpus, id, vec, idx,
+          nCells = opt(f, "cells", "16").toInt)
+        case "pq" => graft.similarity.Similarity.pqBuild(corpus, id, vec, idx,
+          m = opt(f, "m", "8").toInt, nCodes = opt(f, "codes", "16").toInt)
+        case "ivfpq" => graft.similarity.Similarity.ivfpqBuild(corpus, id, vec, idx,
+          nCells = opt(f, "cells", "16").toInt,
+          m = opt(f, "m", "8").toInt, nCodes = opt(f, "codes", "16").toInt)
+        case k => throw new IllegalArgumentException(
+          s"--kind must be ivf|pq|ivfpq, got: $k")
+      }
+      println(s"index-build: kind=${opt(f, "kind", "ivfpq")} index=$idx")
+
+    case "index-search" :: rest =>
+      val f = parseFlags(rest)
+      val queries = spark.read.parquet(one(f, "queries"))
+      val id = opt(f, "id", "vec_id"); val vec = opt(f, "vec", "embedding")
+      val idx = one(f, "index"); val k = opt(f, "k", "10").toInt
+      val top = opt(f, "kind", "ivfpq") match {
+        case "ivf" => graft.similarity.Similarity.ivfSearch(queries, id, vec, idx, k,
+          nprobe = opt(f, "nprobe", "4").toInt)
+        case "pq" => graft.similarity.Similarity.pqSearch(queries, id, vec, idx, k,
+          rerank = opt(f, "rerank", "4").toInt)
+        case "ivfpq" => graft.similarity.Similarity.ivfpqSearch(queries, id, vec, idx, k,
+          nprobe = opt(f, "nprobe", "4").toInt, rerank = opt(f, "rerank", "4").toInt)
+        case kd => throw new IllegalArgumentException(
+          s"--kind must be ivf|pq|ivfpq, got: $kd")
+      }
+      top.write.mode("overwrite").parquet(one(f, "out"))
+      println(s"index-search: kind=${opt(f, "kind", "ivfpq")} out=${one(f, "out")}")
+
+    // Gap-filled trend read over a store rollup (t16/t18/t19 family).
+    case "gapfill" :: rest =>
+      val f = parseFlags(rest)
+      val store = TrendStoreWriter.read(spark, one(f, "store"))
+        .select(col(opt(f, "entity", "entity_id")).as("entity_id"),
+          col(opt(f, "bucket", "bucket")).as("bucket"),
+          col(opt(f, "value", "sum_dec")).cast("double").as("sum_value"))
+      val filled = opt(f, "mode", "forward") match {
+        case "forward" => graft.operators.TrendStore.gapFill(store, one(f, "granularity"))
+        case "interpolate" =>
+          graft.operators.TrendStore.gapFillInterpolate(store, one(f, "granularity"))
+        case m => throw new IllegalArgumentException(
+          s"--mode must be forward|interpolate, got: $m")
+      }
+      filled.write.mode("overwrite").parquet(one(f, "out"))
+      println(s"gapfill: mode=${opt(f, "mode", "forward")} out=${one(f, "out")}")
+
+    // Compact the incremental-dedup hash index (small-file tax).
+    case "compact-index" :: rest =>
+      val f = parseFlags(rest)
+      val n = Dedup.compactIndex(spark, one(f, "index"),
+        nFiles = opt(f, "files", "8").toInt)
+      println(s"compact-index: hashes=$n files=${opt(f, "files", "8")}")
+
     case "decontaminate" :: rest =>
       val f = parseFlags(rest)
       val docs = spark.read.parquet(one(f, "docs"))
@@ -203,7 +273,8 @@ object Cli {
     case cmd =>
       throw new IllegalArgumentException(
         s"unknown command: ${cmd.headOption.getOrElse("")} " +
-          "(expected harvest|materialize|materialize-all|aggregate|trigger|retain|compact|dedup|decontaminate)")
+          "(expected harvest|materialize|materialize-all|aggregate|trigger|retain|" +
+          "compact|dedup|decontaminate|index-build|index-search|gapfill|compact-index)")
   }
 
   def main(args: Array[String]): Unit = {

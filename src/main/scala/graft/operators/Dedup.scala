@@ -355,6 +355,29 @@ object Dedup {
       () => survivors.select(col("__h")).write.mode("append").parquet(indexPath))
   }
 
+  /** Compact the incremental-dedup hash index. Every committed batch
+    * appends one file set, so after months of daily batches the
+    * anti-join probe opens thousands of small parquet files — the
+    * classic small-file tax (footer reads + task setup dominate the
+    * 32 B/doc payload). Rewrites the index to `nFiles` files via the
+    * temp-then-swap discipline (StoreFs.replace): a crash mid-compact
+    * leaves either the old or the new index, never neither, and
+    * readers self-heal a torn swap via `recover`. Contents are
+    * unchanged (hashes are unique by construction — each commit
+    * appends only never-seen hashes). Returns the hash count, or 0
+    * when no index exists yet. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                   nFiles: Int = 8): Long = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    StoreFs.recover(spark, indexPath)
+    if (!StoreFs.exists(spark, indexPath)) return 0L
+    val tmp = indexPath + ".compact.tmp"
+    spark.read.parquet(indexPath).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    StoreFs.replace(spark, tmp, indexPath)
+    spark.read.parquet(indexPath).count()
+  }
+
   /** Whole incremental-dedup batch with the write ordering handled:
     * survivors are written (overwrite) to `outputPath` BEFORE the
     * index append, so the crash window between the two writes only

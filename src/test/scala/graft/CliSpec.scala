@@ -187,6 +187,42 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("config"))
   }
 
+  test("index-build / index-search / compact-index / gapfill commands run end-to-end") {
+    val base = Files.createTempDirectory("graft_cli_idx").toString
+    val emb = graft.sources.TableCatalog(spark, sf).embeddings
+    emb.write.mode("overwrite").parquet(s"$base/corpus")
+    emb.filter(col("vec_id") < 5).write.mode("overwrite").parquet(s"$base/queries")
+    Cli.run(spark, Seq("index-build",
+      "--corpus", s"$base/corpus", "--index", s"$base/idx", "--kind", "ivfpq"))
+    Cli.run(spark, Seq("index-search",
+      "--queries", s"$base/queries", "--index", s"$base/idx",
+      "--out", s"$base/top", "--kind", "ivfpq", "--k", "5"))
+    val top = spark.read.parquet(s"$base/top")
+    assert(top.groupBy("q_id").count().filter(col("count") =!= 5).isEmpty)
+    // CLI search ≡ the library call on the same index
+    val lib = graft.similarity.Similarity.ivfpqSearch(
+      spark.read.parquet(s"$base/queries"), "vec_id", "embedding", s"$base/idx", k = 5)
+    assert(top.exceptAll(lib).isEmpty && lib.exceptAll(top).isEmpty)
+
+    // gapfill over a tiny store
+    val rolled = graft.operators.TrendStore.rollup(
+      graft.sources.TableCatalog(spark, sf).events,
+      col("user_id"), col("ts"), col("value"), "hour")
+    TrendStoreWriter.write(rolled, s"$base/trend")
+    Cli.run(spark, Seq("gapfill", "--store", s"$base/trend",
+      "--granularity", "hour", "--out", s"$base/filled", "--mode", "interpolate"))
+    val filled = spark.read.parquet(s"$base/filled")
+    assert(filled.count() >= rolled.count())
+    assert(filled.columns.contains("filled"))
+
+    // compact-index on a dedup index built through the CLI-adjacent path
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    graft.operators.Dedup.dedupIncremental(spark, docs, "doc_id", "text",
+      s"$base/didx", s"$base/dout")
+    Cli.run(spark, Seq("compact-index", "--index", s"$base/didx", "--files", "1"))
+    assert(spark.read.parquet(s"$base/didx").count() === 2)
+  }
+
   test("dedup and decontaminate commands run the curation jobs") {
     val base = Files.createTempDirectory("graft_cli_dedup").toString
     Seq((1L, "shared sentence. alpha beta gamma"),

@@ -108,6 +108,34 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("index compaction shrinks files, preserves hashes, and later batches still dedup") {
+    import graft.SparkSpec.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dedup_cmp").toString
+    val idx = root + "/index"
+    // five committed batches → five appended file sets
+    (1 to 5).foreach { i =>
+      val docs = Seq((i * 10L, s"doc $i a"), (i * 10L + 1, s"doc $i b")).toDF("doc_id", "text")
+      Dedup.dedupIncremental(spark, docs, "doc_id", "text", idx, s"$root/out$i")
+    }
+    val before = spark.read.parquet(idx).collect().map(_.getString(0)).toSet
+    val filesBefore = new java.io.File(idx).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesBefore >= 5, s"expected ≥5 appended files, saw $filesBefore")
+    val n = Dedup.compactIndex(spark, idx, nFiles = 2)
+    assert(n === 10L)
+    val after = spark.read.parquet(idx).collect().map(_.getString(0)).toSet
+    assert(after === before, "compaction changed the hash set")
+    val filesAfter = new java.io.File(idx).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter <= 2, s"expected ≤2 files after compaction, saw $filesAfter")
+    // the compacted index still dedups: a replay of batch 3 yields nothing
+    val replay = Seq((99L, "doc 3 a")).toDF("doc_id", "text")
+    assert(Dedup.dedupIncremental(spark, replay, "doc_id", "text", idx, s"$root/out_r")
+      .isEmpty)
+    // torn swap self-heals: simulate a crash that left only the backup
+    val (f, d) = graft.operators.StoreFs.fs(spark, idx)
+    assert(f.rename(d, new org.apache.hadoop.fs.Path(idx + ".bak")))
+    assert(Dedup.compactIndex(spark, idx, nFiles = 2) === 10L)
+  }
+
   test("ccStars converges in O(log n) rounds on a deep path graph") {
     // A 1024-node path has diameter 1023: min-label propagation would
     // need ~1023 driver-loop rounds; large-star/small-star must close
