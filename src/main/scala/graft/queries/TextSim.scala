@@ -431,6 +431,36 @@ object TextSim {
         .orderBy(col("source"))
     },
 
+    // Cross-document duplicated SPANS — the exact-substring-dedup
+    // signal (Lee et al., "Deduplicating Training Data Makes Language
+    // Models Better") re-expressed over fixed token windows: 16-token
+    // spans at stride 8 are hashed INSIDE the HOF before the explode
+    // (span text never shuffles — only 32-char hashes do), a span is
+    // duplicated iff it occurs in ≥2 DISTINCT docs (min(doc)≠max(doc)
+    // per hash — no countDistinct expand), and each doc reports its
+    // duplicated-span fraction, the per-doc removal signal. Two
+    // combine-friendly shuffles + one hash-keyed join; at 100 TB the
+    // hash join is the only wide exchange and its key is fixed-width.
+    "d25_span_dedup" -> { (s, dir) =>
+      val docs = TableCatalog(s, dir).documents
+      val spans = docs.select(col("doc_id"),
+          explode_outer(when(size(split(col("text"), " ")) >= 16,
+            expr("transform(sequence(1, size(split(text, ' ')) - 15, 8), " +
+              "i -> md5(array_join(slice(split(text, ' '), i, 16), ' ')))"))
+            .otherwise(array().cast("array<string>"))).as("h"))
+      val flags = spans.filter(col("h").isNotNull)
+        .groupBy(col("h"))
+        .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("dup"))
+      spans.join(flags, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("h").isNotNull, 1L).otherwise(0L)).as("n_spans"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_spans"))
+        .withColumn("dup_frac",
+          when(col("n_spans") === 0, lit(null).cast("double"))
+            .otherwise(col("n_dup_spans").cast("double") / col("n_spans").cast("double")))
+        .orderBy(col("doc_id"))
+    },
+
     // Gopher-style repetition signals: unique-token ratio, duplicate-
     // bigram fraction, and most-frequent-token share — the quality
     // gates that catch boilerplate/spam before training. See
@@ -894,6 +924,24 @@ object TextSim {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d25_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sp AS (SELECT doc_id, md5(array_to_string(t[i:i+15], ' ')) AS h
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 15, 8)) AS i
+        |             FROM toks)),
+        |fl AS (SELECT h, min(doc_id) <> max(doc_id) AS dup FROM sp GROUP BY 1),
+        |per AS (SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(CASE WHEN fl.dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |        FROM sp JOIN fl ON sp.h = fl.h GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(per.n_spans, 0) AS n_spans,
+        |  COALESCE(per.n_dup_spans, 0) AS n_dup_spans,
+        |  CASE WHEN per.n_spans IS NULL THEN NULL
+        |       ELSE CAST(per.n_dup_spans AS DOUBLE) / CAST(per.n_spans AS DOUBLE)
+        |  END AS dup_frac
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY 1""".stripMargin,
 
     "d18_repetition" ->
   """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
