@@ -211,7 +211,8 @@ object Cli {
           m = opt(f, "m", "8").toInt, nCodes = opt(f, "codes", "16").toInt)
         case "ivfpq" => graft.similarity.Similarity.ivfpqBuild(corpus, id, vec, idx,
           nCells = opt(f, "cells", "16").toInt,
-          m = opt(f, "m", "8").toInt, nCodes = opt(f, "codes", "16").toInt)
+          m = opt(f, "m", "8").toInt, nCodes = opt(f, "codes", "16").toInt,
+          residual = opt(f, "residual", "false").toBoolean)
         case k => throw new IllegalArgumentException(
           s"--kind must be ivf|pq|ivfpq, got: $k")
       }

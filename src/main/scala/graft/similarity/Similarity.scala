@@ -542,23 +542,46 @@ object Similarity {
     * (spec-asserted). One corpus scan builds everything. */
   def ivfpqBuild(corpus: DataFrame, cId: String, vecCol: String, indexPath: String,
                  nCells: Int = 16, m: Int = 8, nCodes: Int = 16,
-                 seed: Long = 42L): Unit = {
+                 seed: Long = 42L, residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = trainCentroids(corpus, vecCol, nCells, seed)
-    val books = pqTrain(corpus, vecCol, m, nCodes, seed)
     val c = fanOut(corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
       .withColumn("__cn", norm(col("__cv")))
       .localCheckpoint() // one corpus scan feeds assignment, codes and vectors
-    val assigned = c.withColumn("__scores", cellScores(cents)(col("__cv")))
-      .withColumn("cell", expr("array_position(__scores, array_max(__scores))"))
-      .drop("__scores")
-    pqEncode(assigned, books).select(col("n_id"), col("__codes"), col("cell"))
+    val (cents, books, coded) =
+      if (!residual) {
+        val cents = trainCentroids(corpus, vecCol, nCells, seed)
+        val books = pqTrain(corpus, vecCol, m, nCodes, seed)
+        val assigned = c.withColumn("__scores", cellScores(cents)(col("__cv")))
+          .withColumn("cell", expr("array_position(__scores, array_max(__scores))"))
+          .drop("__scores")
+        (cents, books, pqEncode(assigned, books))
+      } else {
+        // RESIDUAL encoding (the FAISS-style production default):
+        // cells live in L2-normalized space, PQ codebooks quantize
+        // v̂ − c_cell instead of v̂. Residual magnitudes shrink with
+        // the cell radius, so the same m×nCodes budget spends its
+        // resolution on the local neighborhood — tighter ADC scores
+        // at identical index size. Search adds the exact q̂·c_cell
+        // per probed cell (one scalar per (query, cell) row).
+        val cents = trainCentroidsNormalized(corpus, vecCol, nCells, seed)
+        val books = pqTrainResidual(corpus, vecCol, cents, m, nCodes, seed)
+        val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+        val assigned = c
+          .withColumn("__nv", expr("transform(__cv, x -> cast(x as double) / __cn)"))
+          .withColumn("__scores", cellScores(cents)(col("__nv")))
+          .withColumn("cell", expr("array_position(__scores, array_max(__scores))"))
+          .drop("__scores")
+          .withColumn("__res", zip_with(col("__nv"),
+            element_at(centsLit, col("cell").cast("int")), (a, b) => a - b))
+        (cents, books, pqEncodeCol(assigned, "__res", books))
+      }
+    coded.select(col("n_id"), col("__codes"), col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$indexPath/codes")
     c.write.mode("overwrite").parquet(s"$indexPath/vectors")
     cents.zipWithIndex
-      .map { case (cent, i) => (i.toLong + 1, cent.toSeq, cent.map(x => x * x).sum) }
-      .toSeq.toDF("cell", "centroid", "norm2")
+      .map { case (cent, i) => (i.toLong + 1, cent.toSeq, cent.map(x => x * x).sum, residual) }
+      .toSeq.toDF("cell", "centroid", "norm2", "residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
     books.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (cent, j) => (s, j, cent.toSeq) }
@@ -578,9 +601,11 @@ object Similarity {
                   indexPath: String, k: Int, nprobe: Int = 4,
                   rerank: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val centRows = spark.read.parquet(s"$indexPath/centroids")
       .orderBy(col("cell")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val cents = centRows.map(_.getSeq[Double](1).toArray)
+    val residual = centRows.head.schema.fieldNames.contains("residual") &&
+      centRows.head.getAs[Boolean]("residual")
     val rows = spark.read.parquet(s"$indexPath/codebooks")
       .orderBy(col("sub"), col("code")).collect()
     val m = rows.map(_.getInt(0)).max + 1
@@ -588,8 +613,22 @@ object Similarity {
     val books = Array.tabulate(m, nCodes) { (s, j) =>
       rows(s * nCodes + j).getSeq[Double](2).toArray
     }
-    val probed = probeQueries(queries, qId, vecCol, cents, nprobe)
-      .select(col("q_id"), col("cell"))
+    // A residual index lives in L2-normalized space: probe, LUTs and
+    // the cell-dot term all use q̂ (re-rank stays on the raw queries —
+    // cosine is scale-invariant).
+    val qEff =
+      if (!residual) queries
+      else queries.select(col(qId),
+        transform(col(vecCol), x => x.cast("double") / norm(col(vecCol))).as(vecCol))
+    // per-(query, cell) exact q·c_cell — the first ADC term of the
+    // residual decomposition q·v̂ = q·c_cell + q·r; zero when codes
+    // quantize v̂ directly.
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val probed = probeQueries(qEff, qId, vecCol, cents, nprobe)
+      .withColumn("__celldot",
+        if (residual) dot(col("__qv"), element_at(centsLit, col("cell").cast("int")))
+        else lit(0.0))
+      .select(col("q_id"), col("cell"), col("__celldot"))
       .localCheckpoint() // tiny; evaluated twice (cell list + join)
     val probeCells = probed.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0))
@@ -597,12 +636,62 @@ object Similarity {
       .filter(col("cell").isin(probeCells.toSeq: _*))
     // (q_id, cell) pairs carry the query's LUTs into a broadcast
     // cell-equi join: |queries|·nprobe rows, still broadcast-small.
-    val probedLuts = probed.join(pqLuts(queries, qId, vecCol, books), "q_id")
+    val probedLuts = probed.join(pqLuts(qEff, qId, vecCol, books), "q_id")
     val approx = codes.join(broadcast(probedLuts), "cell")
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), adcScore(m).as("__adc"))
+      .select(col("q_id"), col("n_id"), (col("__celldot") + adcScore(m)).as("__adc"))
     pqRerank(spark.read.parquet(s"$indexPath/vectors"),
       queries, qId, vecCol, approx, k, rerank)
+  }
+
+  /** The IVF coarse quantizer trained in L2-NORMALIZED space — the
+    * residual path's cells must live in the same space PQ encodes
+    * (v̂), or residuals would mix scales. Same bounded deterministic
+    * sample as [[pqTrain]]. */
+  private def trainCentroidsNormalized(corpus: DataFrame, vecCol: String,
+                                       nCells: Int, seed: Long): Array[Array[Double]] = {
+    val sample = corpus.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)), col(vecCol).cast("string"))
+      .limit(nCells * 256).collect()
+      .map(_.getSeq[Number](0).toArray.map(_.doubleValue))
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+    lloyd(sample, nCells, iters = 8, seed)
+  }
+
+  /** Residual PQ codebooks: the deterministic sample is normalized,
+    * assigned to its nearest cell (driver-side — the sample is
+    * bounded), and the per-subspace Lloyd runs on v̂ − c_cell. */
+  private def pqTrainResidual(corpus: DataFrame, vecCol: String,
+                              cents: Array[Array[Double]], m: Int, nCodes: Int,
+                              seed: Long): Array[Array[Array[Double]]] = {
+    val sample = corpus.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)), col(vecCol).cast("string"))
+      .limit(nCodes * 64).collect()
+      .map(_.getSeq[Number](0).toArray.map(_.doubleValue))
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims=$dims must split evenly into m=$m subvectors")
+    val subDim = dims / m
+    val residuals = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val vn = if (n == 0) v else v.map(_ / n)
+      var best = 0; var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < cents.length) {
+        var d = 0.0; var j = 0
+        while (j < dims) { val t = vn(j) - cents(ci)(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      Array.tabulate(dims)(j => vn(j) - cents(best)(j))
+    }
+    Array.tabulate(m) { s =>
+      lloyd(residuals.map(_.slice(s * subDim, (s + 1) * subDim)), nCodes,
+        iters = 8, seed)
+    }
   }
 
   /** Per-subspace codebooks `[m][nCodes][subDim]`, trained on a
@@ -641,23 +730,32 @@ object Similarity {
     * centroid literals — one scan, no shuffle; this IS the stored
     * index at scale (m bytes + id per vector). */
   private def pqEncode(c: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
-    val m = books.length
-    val subDim = books(0)(0).length
-    // array_position(scores, array_max(scores)) references the scores
-    // array twice — alias it per subspace so it computes once.
     val normed = c.withColumn("__nv",
       expr("transform(__cv, x -> cast(x as double))"))
       .withColumn("__nn", norm(col("__cv")))
       .withColumn("__nv", expr("transform(__nv, x -> x / __nn)"))
-    val withScores = (0 until m).foldLeft(normed) { (df, s) =>
-      val sub = slice(col("__nv"), s * subDim + 1, subDim)
-      df.withColumn(s"__sc$s", array(books(s).map { cent =>
+    pqEncodeCol(normed, "__nv", books).drop("__nv", "__nn")
+  }
+
+  /** Encode an array<double> column AS-IS (no normalization) to the
+    * per-subspace nearest codebook centroids — shared by the plain
+    * path (which normalizes first) and the residual path (which
+    * passes v̂ − c_cell). */
+  private def pqEncodeCol(df: DataFrame, inputCol: String,
+                          books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    // array_position(scores, array_max(scores)) references the scores
+    // array twice — alias it per subspace so it computes once.
+    val withScores = (0 until m).foldLeft(df) { (acc, s) =>
+      val sub = slice(col(inputCol), s * subDim + 1, subDim)
+      acc.withColumn(s"__sc$s", array(books(s).map { cent =>
         dot(sub, typedLit(cent)) * 2.0 - lit(cent.map(x => x * x).sum)
       }: _*))
     }
     withScores.withColumn("__codes", array((0 until m).map(s =>
         expr(s"array_position(__sc$s, array_max(__sc$s))").cast("int")): _*))
-      .drop(((0 until m).map(s => s"__sc$s") ++ Seq("__nv", "__nn")): _*)
+      .drop((0 until m).map(s => s"__sc$s"): _*)
   }
 
   /** Per-group vector norm statistics (order-independent agg only:

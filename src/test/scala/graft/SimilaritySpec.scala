@@ -232,6 +232,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("residual IVF-PQ: recall holds, searches are deterministic, overlap ≥ plain codes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_res").toString
+    Similarity.ivfpqBuild(emb, "vec_id", "embedding", s"$dir/res", residual = true)
+    Similarity.ivfpqBuild(emb, "vec_id", "embedding", s"$dir/plain", residual = false)
+    // planted-neighbor recall with pruning (nprobe=4 of 16 cells)
+    val qp = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(0.05f) * sin(x * 13.7f)).as("embedding"))
+    val ann = Similarity.ivfpqSearch(qp, "vec_id", "embedding", s"$dir/res", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (0 until 20).count(i => ann.contains((i + 100000L, i.toLong))) / 20.0
+    assert(recall >= 0.9, s"residual IVF-PQ planted-neighbor recall $recall")
+    // residual codes spend their resolution on the local neighborhood:
+    // exact-top-k overlap must not trail the plain-code index
+    // (deterministic: fixed seeds, deterministic samples)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def overlap(idx: String) =
+      (Similarity.ivfpqSearch(q, "vec_id", "embedding", idx, k = 10, nprobe = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet & exact).size
+    val (ovRes, ovPlain) = (overlap(s"$dir/res"), overlap(s"$dir/plain"))
+    assert(ovRes >= ovPlain,
+      s"residual overlap $ovRes trails plain overlap $ovPlain")
+    // deterministic across searches
+    val again = Similarity.ivfpqSearch(qp, "vec_id", "embedding", s"$dir/res", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again === ann)
+  }
+
   test("IVF accepts array<double> embeddings (sampler + expressions)") {
     val dbl = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val q = dbl.filter(col("vec_id") < 3)
