@@ -62,6 +62,18 @@ object Aggregation {
     // oracle twins; metric sources in trend packages are non-nullable
     // so this also equals the per-metric sample count.
     case "count" => count(lit(1))
+    // Sample stddev via DECIMAL-exact moments (Σv, Σv² never touch
+    // float summation order — the t17 discipline), collapsed in a
+    // FIXED-op-order double formula: sqrt((s2 − s1²/n) / (n−1)).
+    // Engines' native stddev_samp implementations (Welford updates)
+    // are order-dependent, so the oracle twin writes this exact
+    // formula, not STDDEV_SAMP. n < 2 → NULL on both sides.
+    case "stddev" =>
+      val n = count(lit(1))
+      val s1 = sum(Fx.dec(col(m.source))).cast("double")
+      val s2 = Fx.prodSumDouble(sum(Fx.dec(col(m.source)) * Fx.dec(col(m.source))))
+      when(n < 2, lit(null).cast("double"))
+        .otherwise(sqrt((s2 - s1 * s1 / n) / (n - lit(1))))
     case f       => throw new IllegalArgumentException(s"unknown aggregation fn: $f")
   }).as(m.as)
 

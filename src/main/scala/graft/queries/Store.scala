@@ -350,12 +350,13 @@ object Store {
         Aggregation.MetricAgg("value", "sum", "sum_value"),
         Aggregation.MetricAgg("value", "avg", "avg_value"),
         Aggregation.MetricAgg("value", "min", "min_value"),
-        Aggregation.MetricAgg("value", "max", "max_value")))
+        Aggregation.MetricAgg("value", "max", "max_value"),
+        Aggregation.MetricAgg("value", "stddev", "sd_value")))
       Aggregation.compile(defn)(ev, col("user_id"), col("ts"))
         .select(col("entity_id"),
           date_format(col("bucket"), TS).as("bucket"),
           col("cnt"), col("sum_value"), col("avg_value"),
-          col("min_value"), col("max_value"))
+          col("min_value"), col("max_value"), col("sd_value"))
         .orderBy(col("entity_id"), col("bucket"))
     },
 
@@ -508,10 +509,17 @@ object Store {
     "n06_sustained_triggers" -> triggerSustainedOracleSql(triggerRules, 3),
 
     "g01_agg_def" ->
+      // sd_value mirrors the Spark side's fixed-op-order moment
+      // formula exactly (NOT stddev_samp — Welford is order-dependent)
       s"""SELECT user_id AS entity_id,
          |  strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
          |  count(*) AS cnt, $ds AS sum_value, $ds / count(*) AS avg_value,
-         |  min(value) AS min_value, max(value) AS max_value
+         |  min(value) AS min_value, max(value) AS max_value,
+         |  CASE WHEN count(*) < 2 THEN NULL ELSE
+         |    sqrt((CAST(CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+         |              AS DECIMAL(38,4)) AS DOUBLE)
+         |          - $ds * $ds / count(*)) / (count(*) - 1))
+         |  END AS sd_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "g02_agg_cascade" -> {

@@ -107,6 +107,23 @@ class StoreSpec extends SparkSpec {
     assert(twice.exceptAll(rel.select("child_dn", "parent_dn")).isEmpty)
   }
 
+  test("Relations.closure walks any depth in O(log d) rounds and survives cycles") {
+    // a 21-node chain n0 → n1 → … → n20: closure = all ordered
+    // ancestor pairs, 21·20/2 = 210 of them
+    val chain = (0 until 20).map(i => (s"n$i", s"n${i + 1}")).toDF("c", "p")
+    val rel = Relations.of(chain, col("c"), col("p"), "up")
+    val closed = Relations.closure(rel, maxRounds = 7) // ⌈log2 20⌉ + slack
+    assert(closed.count() === 210)
+    assert(closed.filter(col("child_dn") === "n0" && col("parent_dn") === "n20").count() === 1)
+    assert(closed.filter(col("child_dn") === col("parent_dn")).isEmpty)
+    // a cycle converges to all cross pairs, never self pairs
+    val cyc = Relations.of(Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("c", "p"),
+      col("c"), col("p"), "loop")
+    val closedCyc = Relations.closure(cyc)
+    assert(closedCyc.count() === 6)
+    assert(closedCyc.filter(col("child_dn") === col("parent_dn")).isEmpty)
+  }
+
   test("attribute store persistence: append history, materialize current") {
     val base = Files.createTempDirectory("graft_attr").toString
     def batch(rows: Seq[(Long, String, Long, String)]) =
