@@ -614,6 +614,26 @@ object TextSim {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // Embedding PCA/whitening (rows-only — the model is a float
+    // eigendecomposition; orthonormality / variance≡eigenvalue /
+    // whitening / determinism are spec-asserted): one corpus pass
+    // builds the Gramian (33 KB of partials per partition), the
+    // projection is a broadcast literal matrix multiply per row.
+    // Output: per-label variance of the first two WHITENED
+    // coordinates — ≈1.0 when the rotation is right.
+    "s11_embed_pca" -> { (s, dir) =>
+      val emb = TableCatalog(s, dir).embeddings
+      val model = graft.similarity.Pca.train(emb, "embedding", r = 4)
+      graft.similarity.Pca.project(emb, "embedding", model, whiten = true)
+        .select(col("label"),
+          element_at(col("pca"), 1).as("p1"), element_at(col("pca"), 2).as("p2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("p1") * col("p1")) / count(lit(1))).as("var_pc1"),
+          (sum(col("p2") * col("p2")) / count(lit(1))).as("var_pc2"))
+        .orderBy(col("label"))
+    },
+
     // Hybrid retrieval with reciprocal-rank fusion: a token-Jaccard
     // text ranking and a cosine vector ranking per query, fused as
     // Σ 1/(60 + rank) — the standard RRF the retrieval stack of a

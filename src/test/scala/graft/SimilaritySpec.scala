@@ -270,6 +270,42 @@ class SimilaritySpec extends SparkSpec {
     assert(top.groupBy("q_id").count().filter(col("count") =!= 5).isEmpty)
   }
 
+  test("PCA: orthonormal components, eigen-ordered variance, whitening normalizes") {
+    import graft.similarity.Pca
+    val model = Pca.train(emb, "embedding", r = 8)
+    assert(model.components.length === 8)
+    for (i <- 0 until 8; j <- i until 8) {
+      val ci = model.components(i); val cj = model.components(j)
+      val d = ci.indices.map(k => ci(k) * cj(k)).sum
+      if (i == j) assert(math.abs(d - 1.0) < 1e-9, s"component $i not unit")
+      else assert(math.abs(d) < 1e-9, s"components $i,$j not orthogonal")
+    }
+    assert(model.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12),
+      "eigenvalues not descending")
+    // projected variance along each component equals its eigenvalue
+    val proj = Pca.project(emb, "embedding", model)
+      .select(col("pca")).collect().map(_.getSeq[Double](0).toArray)
+    val n = proj.length
+    for (i <- 0 until 8) {
+      val mean = proj.map(_(i)).sum / n
+      val v = proj.map(p => (p(i) - mean) * (p(i) - mean)).sum / n
+      assert(math.abs(v - model.eigenvalues(i)) <= 1e-6 * math.max(1.0, model.eigenvalues(i)),
+        s"variance $v along component $i != eigenvalue ${model.eigenvalues(i)}")
+    }
+    // whitening → unit variance per coordinate
+    val white = Pca.project(emb, "embedding", model, whiten = true)
+      .select(col("pca")).collect().map(_.getSeq[Double](0).toArray)
+    for (i <- 0 until 8) {
+      val mean = white.map(_(i)).sum / n
+      val v = white.map(p => (p(i) - mean) * (p(i) - mean)).sum / n
+      assert(math.abs(v - 1.0) < 1e-6, s"whitened variance $v along $i")
+    }
+    // deterministic: training twice yields the identical model
+    val again = Pca.train(emb, "embedding", r = 8)
+    assert(again.mean.toSeq === model.mean.toSeq)
+    assert(again.components.map(_.toSeq).toSeq === model.components.map(_.toSeq).toSeq)
+  }
+
   test("norm stats cover every label once") {
     val st = Similarity.normStats(emb, "label", "embedding")
     assert(st.count() === emb.select("label").distinct().count())
