@@ -243,6 +243,26 @@ object Trend {
         .orderBy(col("entity_id"))
     },
 
+    // Sketch-based percentiles (rows-only — Greenwald-Khanna summary
+    // merges are partition-order-dependent, so no cross-engine hash;
+    // the rank-error bound vs the exact quantiles is spec-asserted):
+    // the 100 TB path for the q15 question. q15's percentile_cont
+    // needs the values per group materialized; approx_percentile is
+    // a MERGEABLE fixed-memory sketch — one scan, map-side partials,
+    // rank error ≤ N/accuracy — which is what a monitoring dashboard
+    // runs over a year of trend data.
+    "t20_approx_percentiles" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").as("pcts"))
+        .select(col("event_type"), col("n"),
+          element_at(col("pcts"), 1).as("p50"),
+          element_at(col("pcts"), 2).as("p95"),
+          element_at(col("pcts"), 3).as("p99"))
+        .orderBy(col("event_type"))
+    },
+
     // Z-score anomalies over each entity's own hourly series (see
     // TrendStore.anomalies for the decimal-exact moment discipline
     // that makes z bit-identical across engines).

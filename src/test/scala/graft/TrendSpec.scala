@@ -60,6 +60,26 @@ class TrendSpec extends SparkSpec {
     intercept[IllegalArgumentException](TrendStore.gapFill(rows, "raw"))
   }
 
+  test("approx percentiles stay within the sketch's rank-error bound of the exact quantiles") {
+    // GK guarantee at accuracy a: the returned value's rank is within
+    // N/a of the target rank. Verify per event_type at sf0.001.
+    val acc = 10000
+    val rows = ev.groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(value, array(0.5, 0.95, 0.99), $acc)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { case (et, ps) =>
+      val vals = ev.filter(col("event_type") === et)
+        .select(col("value")).collect().map(_.getDouble(0)).sorted
+      val n = vals.length
+      Seq(0.5, 0.95, 0.99).zip(ps).foreach { case (q, approx) =>
+        val rank = vals.count(_ <= approx)
+        val target = q * n
+        assert(math.abs(rank - target) <= n.toDouble / acc + 1,
+          s"$et q=$q: rank $rank vs target $target (n=$n)")
+      }
+    }
+  }
+
   test("entityRollup metric-set overload matches the legacy cnt/sum and direct min/max/avg") {
     import graft.SparkSpec.spark.implicits._
     import graft.operators.Aggregation.MetricAgg
