@@ -109,23 +109,32 @@ object HarvestJob {
     * mid-stream): pass one, or the job samples the files already in
     * the directory with the batch reader. CSV/JSON only — streaming
     * XML isn't supported by the built-in source; vendor XML stays on
-    * the batch loop. */
+    * the batch loop.
+    *
+    * `glob` filters file NAMES (the streaming twin of the batch
+    * job's regex `pattern` — the file source takes globs, not
+    * regexes), so one mixed directory can feed a trend stream and a
+    * notification stream side by side, each seeing only its files. */
   def stream(spark: SparkSession, job: Job, checkpointDir: String,
-             schema: Option[org.apache.spark.sql.types.StructType] = None)
+             schema: Option[org.apache.spark.sql.types.StructType] = None,
+             glob: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val fmt = job.format.toLowerCase
     require(fmt == "csv" || fmt == "json" || fmt == "jsonlines",
       s"streaming harvest supports csv/json, got: ${job.format}")
     val sch = schema.getOrElse {
-      val sample = fmt match {
-        case "csv" => spark.read.option("header", "true").csv(job.sourceDir)
-        case _     => spark.read.json(job.sourceDir)
-      }
-      sample.schema
+      val rd = spark.read.option("header", "true")
+      glob.foreach(g => rd.option("pathGlobFilter", g))
+      (fmt match {
+        case "csv" => rd.csv(job.sourceDir)
+        case _     => rd.json(job.sourceDir)
+      }).schema
     }
+    val rs = spark.readStream.schema(sch).option("header", "true")
+    glob.foreach(g => rs.option("pathGlobFilter", g))
     val raw = fmt match {
-      case "csv" => spark.readStream.schema(sch).option("header", "true").csv(job.sourceDir)
-      case _     => spark.readStream.schema(sch).json(job.sourceDir)
+      case "csv" => rs.csv(job.sourceDir)
+      case _     => rs.json(job.sourceDir)
     }
     val rows = Harvest.canonicalize(raw, job.dnCol, job.entityComponent, job.tsCol,
         job.tsFormat, castMetrics = job.target == "trend")

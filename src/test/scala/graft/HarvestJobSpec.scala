@@ -293,6 +293,29 @@ class HarvestJobSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("two streams share one mixed directory via glob filters") {
+    val src = Files.createTempDirectory("graft_sjob_glob_src").toString
+    val base = Files.createTempDirectory("graft_sjob_glob").toString
+    writeCsv(src, "trend_a.csv", Seq("Cell=1,2024-01-01 10:03:00,1.5"))
+    Files.writeString(Path.of(src, "notif_a.csv"),
+      "dn,timestamp,kind\nCell=1,2024-01-01 12:00:00,link_down\n")
+    val tJob = HarvestJob.Job(sourceDir = src, format = "csv", dnCol = "dn",
+      entityComponent = "Cell", tsCol = "timestamp", tsFormat = "yyyy-MM-dd HH:mm:ss",
+      granularity = "15m", storePath = s"$base/trend", statePath = s"$base/trend_state")
+    val nJob = tJob.copy(storePath = s"$base/notif", statePath = s"$base/notif_state",
+      granularity = "raw", target = "notification")
+    val tq = HarvestJob.stream(spark, tJob, s"$base/tckpt", glob = Some("trend_*.csv"))
+    val nq = HarvestJob.stream(spark, nJob, s"$base/nckpt", glob = Some("notif_*.csv"))
+    try {
+      tq.processAllAvailable(); nq.processAllAvailable()
+      // each stream saw ONLY its files: one row each, right shapes
+      val trend = spark.read.parquet(s"$base/trend")
+      assert(trend.count() === 1 && trend.columns.contains("v"))
+      val notif = spark.read.parquet(s"$base/notif")
+      assert(notif.count() === 1 && notif.columns.contains("kind"))
+    } finally { tq.stop(); nq.stop() }
+  }
+
   test("jsonlines plugin: same canonical package path as csv") {
     val src = Files.createTempDirectory("graft_job_jsonl").toString
     val base = Files.createTempDirectory("graft_job_jsonl_store").toString
