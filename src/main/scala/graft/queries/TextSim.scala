@@ -443,11 +443,16 @@ object TextSim {
     // hash join is the only wide exchange and its key is fixed-width.
     "d25_span_dedup" -> { (s, dir) =>
       val docs = TableCatalog(s, dir).documents
+      // localCheckpoint: the span set feeds BOTH the dup-flag agg and
+      // the join's probe side — one tokenize+hash pass instead of two
+      // (the d03 discipline; spans are (id, 32-char hash), far
+      // narrower than the text they derive from).
       val spans = docs.select(col("doc_id"),
           explode_outer(when(size(split(col("text"), " ")) >= 16,
             expr("transform(sequence(1, size(split(text, ' ')) - 15, 8), " +
               "i -> md5(array_join(slice(split(text, ' '), i, 16), ' ')))"))
             .otherwise(array().cast("array<string>"))).as("h"))
+        .localCheckpoint()
       val flags = spans.filter(col("h").isNotNull)
         .groupBy(col("h"))
         .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("dup"))
