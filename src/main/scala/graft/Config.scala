@@ -22,11 +22,14 @@ import graft.sources.HarvestJob
   *               "rules": [{"name": N, "granularity": G, "severity": S,
   *                 "thresholds": [{"metric": C, "fn": F, "op": ">", "value": 1.5}, ...]}, ...]}
   * materialize: {"defs": [{"name": N, "source": P, "store": P, "state": P,
-  *                 "granularity": G, "entity": C?, "ts": C?, "value": C?}, ...]}
+  *                 "granularity": G, "entity": C?, "ts": C?, "value": C?,
+  *                 "relation": P?, "relationChild": C?, "relationParent": C?}, ...]}
   * }}}
   * A materialize def WITHOUT `value` is a derived step re-aggregating
-  * another def's store (see `Materialize.runAll`). Config rules may
-  * carry multiple thresholds per rule (ANDed) — richer than the
+  * another def's store (see `Materialize.runAll`); with `relation` it
+  * is an ENTITY-AGGREGATION step rolling the partials up the relation
+  * table (parent-keyed derived store). Config rules may carry
+  * multiple thresholds per rule (ANDed) — richer than the
   * single-threshold `--rule` flag form.
   */
 object Config {
@@ -43,9 +46,14 @@ object Config {
   private case class MatDefJson(name: String, source: String, store: String,
                                 state: String, granularity: String,
                                 entity: Option[String], ts: Option[String],
-                                value: Option[String]) {
+                                value: Option[String],
+                                relation: Option[String],
+                                relationChild: Option[String],
+                                relationParent: Option[String]) {
     def toDef: Materialize.MatDef = Materialize.MatDef(name, source, store, state,
-      granularity, entity.getOrElse("entity_id"), ts.getOrElse("ts"), value)
+      granularity, entity.getOrElse("entity_id"), ts.getOrElse("ts"), value,
+      relation, relationChild.getOrElse("child_dn"),
+      relationParent.getOrElse("parent_dn"))
   }
 
   private def parse(text: String, what: String): JValue =

@@ -119,12 +119,22 @@ object Materialize {
     * set) aggregates a raw source exactly like [[run]]; a DERIVED
     * definition (`valueCol` None) re-aggregates another definition's
     * output store with [[TrendStore.reRollup]] — exact partials, so
-    * chaining loses nothing. */
+    * chaining loses nothing. A derived definition with
+    * `relationPath` set is an ENTITY-AGGREGATION step (the
+    * reference's entity aggregation materializes derived stores —
+    * region-level from cell-level): after the time re-aggregation it
+    * rolls the partials up the relation table at `relationPath` via
+    * [[TrendStore.entityReRollup]], so the derived store is keyed by
+    * PARENT entities and stays a standard trend store for further
+    * chain steps. */
   final case class MatDef(name: String, sourcePath: String,
                           storePath: String, statePath: String,
                           granularity: String,
                           entityCol: String = "entity_id", tsCol: String = "ts",
-                          valueCol: Option[String] = None)
+                          valueCol: Option[String] = None,
+                          relationPath: Option[String] = None,
+                          relationChild: String = "child_dn",
+                          relationParent: String = "parent_dn")
 
   /** Driver-side twin of `date_trunc(granularity, day)` → the p_date
     * of the coarser bucket containing `day`. */
@@ -179,6 +189,9 @@ object Materialize {
       ready.foreach { d =>
         val recomputed =
           if (!produced(d.sourcePath)) {
+            require(d.relationPath.isEmpty,
+              s"root def ${d.name}: entity aggregation (relationPath) is a DERIVED " +
+                "step — roll the raw source up time first, then up the relation")
             val v = d.valueCol.getOrElse(throw new IllegalArgumentException(
               s"root def ${d.name}: sourcePath is not another def's store, valueCol required"))
             run(spark.read.parquet(d.sourcePath), col(d.entityCol), col(d.tsCol),
@@ -207,7 +220,12 @@ object Materialize {
     val parent = spark.read.parquet(d.sourcePath)
       .filter(to_date(date_trunc(d.granularity, col("p_date"))).isin(targetDays: _*))
       .drop("p_date")
-    TrendStoreWriter.write(TrendStore.reRollup(parent, d.granularity), d.storePath)
+    val rolled = TrendStore.reRollup(parent, d.granularity)
+    val out = d.relationPath.fold(rolled) { rp =>
+      TrendStore.entityReRollup(rolled, spark.read.parquet(rp),
+        d.relationChild, d.relationParent)
+    }
+    TrendStoreWriter.write(out, d.storePath)
     targetDays.toArray
   }
 }

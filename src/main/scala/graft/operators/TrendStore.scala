@@ -271,6 +271,25 @@ object TrendStore {
   /** Re-aggregate a finer rollup to a coarser granularity without
     * touching raw rows: sum-of-sums (exact decimal), sum-of-counts,
     * max-of-maxes. */
+  /** Entity aggregation over PARTIALS: roll an already-aggregated
+    * store `(entity_id, bucket, cnt, sum_dec, max_value)` up a
+    * child→parent relation, KEEPING the standard partial schema —
+    * the output is itself a trend store (further re-aggregable,
+    * materializable, readable by every store operator). Exact: sums
+    * of exact decimal sums; the raw data is never re-scanned for the
+    * hierarchy walk (broadcast relation join + one (parent, bucket)
+    * shuffle of partials — at 100 TB the partials are bucket-count
+    * sized, not row-count sized). */
+  def entityReRollup(partials: DataFrame, relation: DataFrame,
+                     childCol: String, parentCol: String): DataFrame =
+    partials.join(broadcast(relation),
+        partials("entity_id") === relation(childCol), "inner")
+      .groupBy(relation(parentCol).as("entity_id"), col("bucket"))
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum_dec")).as("sum_dec"),
+        max(col("max_value")).as("max_value"))
+
   def reRollup(rolled: DataFrame, granularity: String): DataFrame =
     rolled.groupBy(col("entity_id"),
         date_trunc(granularity, col("bucket")).as("bucket"))

@@ -122,6 +122,57 @@ class MaterializeSpec extends SparkSpec {
     assertChainEqualsFullRecompute(batch2)
   }
 
+  test("entity-aggregation chain step materializes a parent-keyed derived store") {
+    import graft.operators.TrendStore
+    import graft.SparkSpec.spark.implicits._
+    val base = Files.createTempDirectory("graft_mat_ent").toString
+    val rawPath = s"$base/raw"
+    // relation: cells 1,2 → site A; cell 3 → site B
+    Seq(("1", "A"), ("2", "A"), ("3", "B")).toDF("child_dn", "parent_dn")
+      .write.mode("overwrite").parquet(s"$base/rel")
+    val defs = Seq(
+      Materialize.MatDef("hourly", rawPath, s"$base/hourly", s"$base/s1",
+        "hour", valueCol = Some("value")),
+      Materialize.MatDef("site_daily", s"$base/hourly", s"$base/site_daily",
+        s"$base/s2", "day", relationPath = Some(s"$base/rel")))
+    def assertSiteStoreMatches(raw: Seq[(Long, String, Double)]): Unit = {
+      // full recompute twin: day rollup per cell, rolled up the relation
+      val daily = TrendStore.rollup(mk(raw), col("entity_id"), col("ts"), col("value"), "day")
+        .withColumn("entity_id", col("entity_id").cast("string"))
+      val rel = spark.read.parquet(s"$base/rel")
+      val want = TrendStore.entityReRollup(daily, rel, "child_dn", "parent_dn")
+        .select(col("entity_id"), col("bucket"), col("cnt").cast("long"),
+          col("sum_dec").cast("double"), col("max_value"))
+      val got = spark.read.parquet(s"$base/site_daily")
+        .select(col("entity_id"), col("bucket"), col("cnt").cast("long"),
+          col("sum_dec").cast("double"), col("max_value"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "site store diverged from full recompute")
+    }
+    val batch1 = Seq(
+      (1L, "2024-01-01 10:05:00", 1.0), (2L, "2024-01-01 11:05:00", 2.0),
+      (3L, "2024-01-02 09:00:00", 5.0))
+    mk(batch1).withColumn("entity_id", col("entity_id").cast("string"))
+      .write.mode("overwrite").parquet(rawPath)
+    val r1 = Materialize.runAll(spark, defs).toMap
+    assert(r1("site_daily").map(_.toString).sorted === Array("2024-01-01", "2024-01-02"))
+    // parent-keyed: sites A and B, never cells
+    assert(spark.read.parquet(s"$base/site_daily")
+      .select("entity_id").distinct().collect().map(_.getString(0)).toSet === Set("A", "B"))
+    assertSiteStoreMatches(batch1)
+    // late arrival on Jan 1 (cell 2 → site A): only Jan 1 refreshes
+    val batch2 = batch1 :+ ((2L, "2024-01-01 23:59:00", 100.0))
+    mk(batch2).withColumn("entity_id", col("entity_id").cast("string"))
+      .write.mode("overwrite").parquet(rawPath)
+    val r2 = Materialize.runAll(spark, defs).toMap
+    assert(r2("site_daily").map(_.toString).toSeq === Seq("2024-01-01"))
+    assertSiteStoreMatches(batch2)
+    // roots cannot be entity-aggregation steps
+    intercept[IllegalArgumentException] {
+      Materialize.runAll(spark, Seq(defs.head.copy(relationPath = Some(s"$base/rel"))))
+    }
+  }
+
   test("coarse-granularity ROOT: a late day re-reads the whole bucket, never shrinking it") {
     // Regression: run() used to scan only the dirty source DAYS while
     // the write dynamic-overwrites the whole coarse p_date partition —
