@@ -74,8 +74,18 @@ object Aggregation {
       val s2 = Fx.prodSumDouble(sum(Fx.dec(col(m.source)) * Fx.dec(col(m.source))))
       when(n < 2, lit(null).cast("double"))
         .otherwise(sqrt((s2 - s1 * s1 / n) / (n - lit(1))))
+    // pNN / pNNN percentiles (p50, p95, p999 → 0.5/0.95/0.999) via
+    // the mergeable GK sketch — the monitoring percentiles a trend
+    // aggregation definition declares. Sketch merges are partition-
+    // order-dependent, so percentile metrics belong in rows-only /
+    // spec-checked outputs, not hash-compared oracles (see t20).
+    case PctFn(ds) =>
+      percentile_approx(col(m.source),
+        lit(ds.toDouble / math.pow(10, ds.length)), lit(10000))
     case f       => throw new IllegalArgumentException(s"unknown aggregation fn: $f")
   }).as(m.as)
+
+  private val PctFn = "^p(\\d{2,3})$".r
 
   /** Compile a definition against a trend source → one groupBy plan
     * (partial aggregation map-side; a single shuffle of partials). */

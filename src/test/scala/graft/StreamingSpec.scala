@@ -85,6 +85,46 @@ class StreamingSpec extends SparkSpec {
     assert(overlapping.isEmpty)
   }
 
+  test("presence monitor fires once per silence, re-arms on resume") {
+    import graft.streaming.PresenceStream
+    val src = Files.createTempDirectory("graft_presence_src").toString
+    import graft.SparkSpec.spark.implicits._
+    def push(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("entity", "ts").withColumn("ts", col("ts").cast("timestamp"))
+        .write.mode("append").parquet(src)
+    // batch 1: entities 1 and 2 report at 10:00; entity 1 again at 11:00
+    push(Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:00:00"),
+      (1L, "2024-01-01 11:00:00")))
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val absences = PresenceStream.absences(spark, stream, "entity", "ts",
+      horizonSeconds = 2 * 3600, lateness = "1 second")
+    val q = absences.writeStream.outputMode("append")
+      .format("memory").queryName("g_presence").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("g_presence").isEmpty) // watermark still at 11:00
+      // batch 2: entity 1 reports at 13:30 → watermark passes 12:00,
+      // entity 2's 10:00 + 2h horizon expires; entity 1 stays alive
+      push(Seq((1L, "2024-01-01 13:30:00")))
+      q.processAllAvailable()
+      val fired = spark.table("g_presence")
+        .select(col("entity_id"), col("last_seen").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(fired === Set((2L, "2024-01-01 10:00:00")))
+      // entity 2 resumes, then goes silent again → a SECOND absence
+      push(Seq((2L, "2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      push(Seq((1L, "2024-01-01 17:00:00")))
+      q.processAllAvailable()
+      val fired2 = spark.table("g_presence")
+        .select(col("entity_id"), col("last_seen").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(fired2 === Set(
+        (2L, "2024-01-01 10:00:00"), (2L, "2024-01-01 14:00:00")))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence within the watermark horizon") {
     import graft.SparkSpec.spark.implicits._
     val srcDir = Files.createTempDirectory("graft_sd_src").toString

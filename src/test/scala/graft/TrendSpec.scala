@@ -80,6 +80,28 @@ class TrendSpec extends SparkSpec {
     }
   }
 
+  test("percentile metric fns in aggregation definitions hit known quantiles") {
+    import graft.SparkSpec.spark.implicits._
+    import graft.operators.Aggregation
+    // one entity, one day, values 0..999: quantiles are known exactly
+    val rows = (0 until 1000).map(i => (1L, "2024-01-01 10:00:00", i.toDouble))
+      .toDF("e", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val got = Aggregation.compile(Aggregation.AggregationDef("day", Seq(
+        Aggregation.MetricAgg("v", "count", "cnt"),
+        Aggregation.MetricAgg("v", "p50", "p50"),
+        Aggregation.MetricAgg("v", "p95", "p95"),
+        Aggregation.MetricAgg("v", "p999", "p999"))))(rows, col("e"), col("ts"))
+      .collect().head
+    assert(got.getAs[Long]("cnt") === 1000L)
+    assert(math.abs(got.getAs[Double]("p50") - 500.0) <= 2.0)
+    assert(math.abs(got.getAs[Double]("p95") - 950.0) <= 2.0)
+    assert(math.abs(got.getAs[Double]("p999") - 999.0) <= 2.0)
+    intercept[IllegalArgumentException] {
+      Aggregation.compile(Aggregation.AggregationDef("day",
+        Seq(Aggregation.MetricAgg("v", "p5x", "bad"))))(rows, col("e"), col("ts"))
+    }
+  }
+
   test("entityRollup metric-set overload matches the legacy cnt/sum and direct min/max/avg") {
     import graft.SparkSpec.spark.implicits._
     import graft.operators.Aggregation.MetricAgg
