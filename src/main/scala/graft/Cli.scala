@@ -253,6 +253,28 @@ object Cli {
       filled.write.mode("overwrite").parquet(one(f, "out"))
       println(s"gapfill: mode=${opt(f, "mode", "forward")} out=${one(f, "out")}")
 
+    // Incremental (cross-batch) dedup: exact via the hash index, or
+    // NEAR via the LSH band+signature index. Survivors land at --out
+    // BEFORE the index commit (the staged-write crash discipline).
+    case "dedup-incremental" :: rest =>
+      val f = parseFlags(rest)
+      val docs = spark.read.parquet(one(f, "docs"))
+      val id = opt(f, "id", "doc_id"); val text = opt(f, "text", "text")
+      val n = opt(f, "method", "exact") match {
+        case "exact" =>
+          Dedup.dedupIncremental(spark, docs, id, text,
+            one(f, "index"), one(f, "out")).count()
+        case "near" =>
+          val staged = Dedup.nearDedupIncrementalStaged(spark, docs, id, text,
+            one(f, "index"), threshold = opt(f, "threshold", "0.7").toDouble)
+          staged.survivors.write.mode("overwrite").parquet(one(f, "out"))
+          staged.commit()
+          spark.read.parquet(one(f, "out")).count()
+        case m => throw new IllegalArgumentException(
+          s"--method must be exact|near, got: $m")
+      }
+      println(s"dedup-incremental: method=${opt(f, "method", "exact")} survivors=$n")
+
     // Compact the incremental-dedup hash index (small-file tax).
     case "compact-index" :: rest =>
       val f = parseFlags(rest)
@@ -275,7 +297,8 @@ object Cli {
       throw new IllegalArgumentException(
         s"unknown command: ${cmd.headOption.getOrElse("")} " +
           "(expected harvest|materialize|materialize-all|aggregate|trigger|retain|" +
-          "compact|dedup|decontaminate|index-build|index-search|gapfill|compact-index)")
+          "compact|dedup|dedup-incremental|decontaminate|index-build|index-search|" +
+          "gapfill|compact-index)")
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.{MinHashFromShinglesExpr, MinMd5Expr, ShinglesExpr, SimHashMd5Expr}
@@ -353,6 +353,83 @@ object Dedup {
     val survivors = fresh.localCheckpoint()
     IncrementalDedup(survivors.drop("__h"),
       () => survivors.select(col("__h")).write.mode("append").parquet(indexPath))
+  }
+
+  /** Cross-batch NEAR-dup dedup against a persisted LSH index — the
+    * production crawl loop [[dedupIncrementalStaged]] solves for
+    * EXACT duplicates, solved for near-duplicates: each new batch
+    * (a crawl day) is near-dedup'd against everything already
+    * accepted, without re-reading the accepted corpus. Index layout
+    * under `indexPath`:
+    *  - `bands/` — `(band, doc_id)` LSH postings the probe joins
+    *    (the only data-sized join key, fixed-width int64);
+    *  - `sigs/` — `(doc_id, sig)` MinHash signatures (numPerm longs
+    *    per accepted doc) for candidate verification.
+    * A new doc drops when a banded candidate — indexed, or an
+    * already-kept smaller-id batch sibling — agrees with it on
+    * ≥ `threshold` of signature slots (the unbiased Jaccard
+    * estimate; the accepted corpus' shingle sets are not stored, so
+    * verification is signature-space on both sides). Within-batch
+    * semantics are greedy: the larger id of every verified pair
+    * drops (chains can over-drop — the standard banding trade; the
+    * exact path's per-hash window has no such chains).
+    *
+    * Staged commit, same discipline as the exact path: persist
+    * survivors FIRST, then `commit()` appends their bands+sigs — a
+    * crash between the two re-runs work, never loses it; a committed
+    * replay drops every doc against its own indexed signature
+    * (sim = 1) and is a no-op. */
+  def nearDedupIncrementalStaged(spark: org.apache.spark.sql.SparkSession,
+                                 newDocs: DataFrame, idCol: String, textCol: String,
+                                 indexPath: String, k: Int = 3, numPerm: Int = 64,
+                                 bands: Int = 32, threshold: Double = 0.7): IncrementalDedup = {
+    require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
+    val rows = numPerm / bands
+    val base = shingled(newDocs, idCol, textCol, k)
+    val sigs = base.select(col("doc_id"),
+        MinHashFromShinglesExpr.minhash(col("__sh"), numPerm).as("sig"))
+      .localCheckpoint() // one sketch pass feeds bands, verify, and the commit
+    val bandCols = (0 until bands).map { bIdx =>
+      xxhash64((lit(bIdx) +: (0 until rows).map(r =>
+        element_at(col("sig"), bIdx * rows + r + 1))): _*)
+    }
+    val bandKeys = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    def sigAgree(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / numPerm
+    def verified(cands: DataFrame): DataFrame = // (doc_id, other sig join) → dropped ids
+      cands.join(sigs.select(col("doc_id").as("__n_id"), col("sig").as("__n_sig")),
+          col("doc_id") === col("__n_id"))
+        .filter(sigAgree(col("__n_sig"), col("__o_sig")) >= threshold)
+        .select(col("doc_id")).distinct()
+    // within-batch: banded sibling pairs, larger id drops
+    val withinCands = bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("__o_id")).distinct()
+      .join(sigs.select(col("doc_id").as("__o_id2"), col("sig").as("__o_sig")),
+        col("__o_id") === col("__o_id2"))
+      .select(col("doc_id"), col("__o_sig"))
+    // cross-batch: banded probe against the index
+    val crossCands =
+      if (!StoreFs.exists(spark, s"$indexPath/bands")) withinCands.limit(0)
+      else bandKeys.join(spark.read.parquet(s"$indexPath/bands")
+          .select(col("band"), col("doc_id").as("__o_id")), "band")
+        .select(col("doc_id"), col("__o_id")).distinct()
+        .join(spark.read.parquet(s"$indexPath/sigs")
+          .select(col("doc_id").as("__o_id2"), col("sig").as("__o_sig")),
+          col("__o_id") === col("__o_id2"))
+        .select(col("doc_id"), col("__o_sig"))
+    val dropped = verified(withinCands.unionByName(crossCands))
+    val survivors = newDocs.join(
+        dropped.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    IncrementalDedup(survivors, () => {
+      val keep = survivors.select(col(idCol).as("doc_id"))
+      bandKeys.join(keep, "doc_id")
+        .write.mode("append").parquet(s"$indexPath/bands")
+      sigs.join(keep, "doc_id")
+        .write.mode("append").parquet(s"$indexPath/sigs")
+    })
   }
 
   /** Compact the incremental-dedup hash index. Every committed batch

@@ -589,6 +589,55 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebooks")
   }
 
+  /** Incrementally ADD vectors to a persisted IVF-PQ index — the
+    * daily-crawl loop: new embeddings join the index without
+    * retraining (centroids and codebooks are frozen at build time,
+    * the standard production posture — quantizer drift is handled by
+    * periodic rebuilds, not per-batch retrains). The batch is
+    * assigned + encoded with the STORED quantizers and appended to
+    * the cell-partitioned codes table and the vectors table; one
+    * batch scan, no shuffle, and existing index files are never
+    * rewritten. Searches see the union immediately. */
+  def ivfpqAdd(batch: DataFrame, cId: String, vecCol: String,
+               indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    val centRows = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell")).collect()
+    val cents = centRows.map(_.getSeq[Double](1).toArray)
+    val residual = centRows.head.schema.fieldNames.contains("residual") &&
+      centRows.head.getAs[Boolean]("residual")
+    val rows = spark.read.parquet(s"$indexPath/codebooks")
+      .orderBy(col("sub"), col("code")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val nCodes = rows.map(_.getInt(1)).max + 1
+    val books = Array.tabulate(m, nCodes) { (s, j) =>
+      rows(s * nCodes + j).getSeq[Double](2).toArray
+    }
+    val c = fanOut(batch.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
+      .withColumn("__cn", norm(col("__cv")))
+      .localCheckpoint() // one batch scan feeds both appends
+    val coded =
+      if (!residual) {
+        val assigned = c.withColumn("__scores", cellScores(cents)(col("__cv")))
+          .withColumn("cell", expr("array_position(__scores, array_max(__scores))"))
+          .drop("__scores")
+        pqEncode(assigned, books)
+      } else {
+        val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+        val assigned = c
+          .withColumn("__nv", expr("transform(__cv, x -> cast(x as double) / __cn)"))
+          .withColumn("__scores", cellScores(cents)(col("__nv")))
+          .withColumn("cell", expr("array_position(__scores, array_max(__scores))"))
+          .drop("__scores")
+          .withColumn("__res", zip_with(col("__nv"),
+            element_at(centsLit, col("cell").cast("int")), (a, b) => a - b))
+        pqEncodeCol(assigned, "__res", books)
+      }
+    coded.select(col("n_id"), col("__codes"), col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$indexPath/codes")
+    c.write.mode("append").parquet(s"$indexPath/vectors")
+  }
+
   /** Search a persisted IVF-PQ index. Centroids and codebooks are
     * O(nCells + m·nCodes) driver metadata. Each query probes its
     * `nprobe` nearest cells; the union of probed cells becomes a

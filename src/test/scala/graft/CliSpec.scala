@@ -223,6 +223,19 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/didx").count() === 2)
   }
 
+  test("dedup-incremental command runs both index kinds end-to-end") {
+    val base = Files.createTempDirectory("graft_cli_dinc").toString
+    Seq((1L, "alpha text here"), (2L, "beta text here"), (3L, "alpha text here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$base/b1")
+    Cli.run(spark, Seq("dedup-incremental", "--docs", s"$base/b1",
+      "--index", s"$base/eidx", "--out", s"$base/eout", "--method", "exact"))
+    assert(spark.read.parquet(s"$base/eout").count() === 2)
+    Cli.run(spark, Seq("dedup-incremental", "--docs", s"$base/b1",
+      "--index", s"$base/nidx", "--out", s"$base/nout", "--method", "near"))
+    // 3-shingle LSH at 0.7: doc 3 is an exact copy of doc 1 → drops
+    assert(spark.read.parquet(s"$base/nout").count() === 2)
+  }
+
   test("dedup and decontaminate commands run the curation jobs") {
     val base = Files.createTempDirectory("graft_cli_dedup").toString
     Seq((1L, "shared sentence. alpha beta gamma"),

@@ -108,6 +108,40 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("incremental NEAR-dup dedup drops cross-batch near-copies via the LSH index") {
+    import graft.SparkSpec.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_neardedup").toString
+    val idx = root + "/index"
+    def doc(words: Int, seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until words).map(_ => s"w${r.nextInt(500)}").mkString(" ")
+    }
+    val origA = doc(80, 1); val origB = doc(80, 2)
+    def perturb(s: String): String = { // change ~2 words of 80 → Jaccard ≫ 0.7
+      val t = s.split(" "); t(10) = "CHANGED"; t(45) = "ALSO"; t.mkString(" ")
+    }
+    // batch 1: two distinct docs + a within-batch near-copy of A
+    val b1 = Seq((1L, origA), (2L, origB), (3L, perturb(origA))).toDF("doc_id", "text")
+    val s1 = Dedup.nearDedupIncrementalStaged(spark, b1, "doc_id", "text", idx)
+    assert(s1.survivors.select("doc_id").as[Long].collect().toSet === Set(1L, 2L),
+      "within-batch near-copy must drop, larger id loses")
+    s1.commit()
+    // batch 2: a near-copy of an INDEXED doc, an exact re-delivery,
+    // and a genuinely new doc
+    val b2 = Seq((10L, perturb(origB)), (11L, origA), (12L, doc(80, 9)))
+      .toDF("doc_id", "text")
+    val s2 = Dedup.nearDedupIncrementalStaged(spark, b2, "doc_id", "text", idx)
+    assert(s2.survivors.select("doc_id").as[Long].collect().toSet === Set(12L),
+      "cross-batch near-copies must drop against the index")
+    // crash window: NOT committed → re-running re-selects the same survivors
+    val s2b = Dedup.nearDedupIncrementalStaged(spark, b2, "doc_id", "text", idx)
+    assert(s2b.survivors.select("doc_id").as[Long].collect().toSet === Set(12L))
+    s2b.commit()
+    // committed replay: every doc drops against its own signature
+    val s3 = Dedup.nearDedupIncrementalStaged(spark, b2, "doc_id", "text", idx)
+    assert(s3.survivors.isEmpty, "committed replay must be a no-op")
+  }
+
   test("index compaction shrinks files, preserves hashes, and later batches still dedup") {
     import graft.SparkSpec.spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_dedup_cmp").toString

@@ -232,6 +232,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfpqAdd: incrementally added vectors become searchable, old results undisturbed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_add").toString + "/idx"
+    // build WITHOUT vectors 0..9, then add them incrementally
+    val rest = emb.filter(col("vec_id") >= 10)
+    Similarity.ivfpqBuild(rest, "vec_id", "embedding", dir, residual = true)
+    val q = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    val before = Similarity.ivfpqSearch(q, "vec_id", "embedding", dir, k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    Similarity.ivfpqAdd(emb.filter(col("vec_id") < 10), "vec_id", "embedding", dir)
+    // planted perturbed copies of the ADDED vectors are now found
+    val qp = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(0.05f) * sin(x * 13.7f)).as("embedding"))
+    val ann = Similarity.ivfpqSearch(qp, "vec_id", "embedding", dir, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (0 until 10).count(i => ann.contains((i + 100000L, i.toLong))) / 10.0
+    assert(recall >= 0.9, s"added-vector recall $recall")
+    // an added-set search equals a search over an index built with the
+    // SAME quantizers: re-run the old queries and require every result
+    // to be either the old hit or a genuinely better new vector
+    val after = Similarity.ivfpqSearch(q, "vec_id", "embedding", dir, k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val oldIds = before.map(_._3)
+    assert(after.forall { case (_, _, n) => oldIds.contains(n) || n < 10 },
+      "post-add results contain ids that exist in neither the old index nor the batch")
+  }
+
   test("residual IVF-PQ: recall holds, searches are deterministic, overlap ≥ plain codes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_res").toString
     Similarity.ivfpqBuild(emb, "vec_id", "embedding", s"$dir/res", residual = true)
