@@ -253,6 +253,17 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
   }
 
+  /** The DROP list a near-dup pair set implies: every doc except its
+    * cluster's minimum id, as `(doc_id, cluster_id)` — the row set a
+    * curation pipeline anti-joins against the corpus (keep-one-per-
+    * cluster; [[dupClusters]] reports the clusters, this names the
+    * casualties). Deterministic: the keeper is the component min. */
+  def dropList(pairs: DataFrame): DataFrame = {
+    val (labels, _) = ccStars(pairs)
+    labels.filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Connected components over an undirected pair set via alternating
     * LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
     * Components in MapReduce and Beyond") — O(log n) rounds on ANY

@@ -263,6 +263,21 @@ object Trend {
         .orderBy(col("event_type"))
     },
 
+    // Sketch-based DISTINCT counts (rows-only — HLL++ register merges
+    // carry engine-specific hashing; the relative-error bound vs the
+    // exact count is spec-asserted): the 100 TB path for q16's
+    // question. Exact multi-distinct expands rows per distinct clause;
+    // HLL is a fixed 2^p-register sketch, mergeable map-side — the
+    // daily-actives query a year-long store answers in one scan.
+    "t21_approx_distinct" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          approx_count_distinct(col("value"), rsd = 0.02).as("approx_values"))
+        .orderBy(col("event_type"))
+    },
+
     // Z-score anomalies over each entity's own hourly series (see
     // TrendStore.anomalies for the decimal-exact moment discipline
     // that makes z bit-identical across engines).

@@ -83,6 +83,10 @@ class QualitySpec extends SparkSpec {
     assert(r(1L).getAs[Long]("n_members") === 4L)
     assert(r(1L).getAs[Long]("max_member") === 4L)
     assert(r(10L).getAs[Long]("n_members") === 2L)
+    // the drop list names everything but each cluster's keeper
+    val drops = Dedup.dropList(pairs).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(drops === Set((2L, 1L), (3L, 1L), (4L, 1L), (11L, 10L)))
   }
 
   test("dup clusters match a union-find oracle on random graphs") {

@@ -80,6 +80,20 @@ class TrendSpec extends SparkSpec {
     }
   }
 
+  test("approx distinct counts stay within the HLL relative-error bound") {
+    // rsd 0.02 → assert a generous 3σ ≈ 6% band vs the exact counts
+    val got = ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("a"),
+        countDistinct(col("user_id")).as("x"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, x) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - x) <= math.max(0.06 * x, 2.0),
+        s"${r.getString(0)}: approx $a vs exact $x")
+    }
+  }
+
   test("percentile metric fns in aggregation definitions hit known quantiles") {
     import graft.SparkSpec.spark.implicits._
     import graft.operators.Aggregation
