@@ -33,12 +33,12 @@ import graft.sources.HarvestJob
   *   [--k 3] [--threshold 0.5]
   * graft.Cli index-build --corpus PARQUET --index DIR \
   *   [--kind ivf|pq|ivfpq] [--id vec_id] [--vec embedding] \
-  *   [--cells 16] [--m 8] [--codes 16]
+  *   [--cells 16] [--m 8] [--codes 16] [--residual BOOL] [--rotate BOOL]
   * graft.Cli index-search --queries PARQUET --index DIR --out OUT \
   *   [--kind ivf|pq|ivfpq] [--k 10] [--nprobe 4] [--rerank 4]
   * graft.Cli gapfill --store S --granularity hour|900|15m|... --out OUT \
   *   [--mode forward|interpolate] [--value sum_dec]
-  * graft.Cli compact-index --index DIR [--files 8]
+  * graft.Cli compact-index --index DIR [--files 8] [--method auto|exact|near]
   * }}}
   *
   * All heavy lifting stays in the library operators; the CLI only
@@ -208,11 +208,13 @@ object Cli {
         case "ivf" => graft.similarity.Similarity.ivfBuild(corpus, id, vec, idx,
           nCells = opt(f, "cells", "16").toInt)
         case "pq" => graft.similarity.Similarity.pqBuild(corpus, id, vec, idx,
-          m = opt(f, "m", "8").toInt, nCodes = opt(f, "codes", "16").toInt)
+          m = opt(f, "m", "8").toInt, nCodes = opt(f, "codes", "16").toInt,
+          rotate = opt(f, "rotate", "false").toBoolean)
         case "ivfpq" => graft.similarity.Similarity.ivfpqBuild(corpus, id, vec, idx,
           nCells = opt(f, "cells", "16").toInt,
           m = opt(f, "m", "8").toInt, nCodes = opt(f, "codes", "16").toInt,
-          residual = opt(f, "residual", "false").toBoolean)
+          residual = opt(f, "residual", "false").toBoolean,
+          rotate = opt(f, "rotate", "false").toBoolean)
         case k => throw new IllegalArgumentException(
           s"--kind must be ivf|pq|ivfpq, got: $k")
       }
@@ -275,12 +277,16 @@ object Cli {
       }
       println(s"dedup-incremental: method=${opt(f, "method", "exact")} survivors=$n")
 
-    // Compact the incremental-dedup hash index (small-file tax).
+    // Compact an incremental-dedup index (small-file tax) — exact
+    // hash layout or the near bands/sigs layout (auto-detected;
+    // --method pins it and mismatches are refused).
     case "compact-index" :: rest =>
       val f = parseFlags(rest)
       val n = Dedup.compactIndex(spark, one(f, "index"),
-        nFiles = opt(f, "files", "8").toInt)
-      println(s"compact-index: hashes=$n files=${opt(f, "files", "8")}")
+        nFiles = opt(f, "files", "8").toInt,
+        method = opt(f, "method", "auto"))
+      println(s"compact-index: rows=$n files=${opt(f, "files", "8")} " +
+        s"method=${opt(f, "method", "auto")}")
 
     case "decontaminate" :: rest =>
       val f = parseFlags(rest)

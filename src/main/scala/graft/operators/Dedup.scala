@@ -395,6 +395,12 @@ object Dedup {
                                  indexPath: String, k: Int = 3, numPerm: Int = 64,
                                  bands: Int = 32, threshold: Double = 0.7): IncrementalDedup = {
     require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
+    // Structural params are pinned by a sidecar written at first
+    // commit: probing an index with different (k, numPerm, bands)
+    // would silently under-detect (band hashes never collide across
+    // configs; zip_with over different-length signatures null-pads,
+    // so sigAgree quietly drops) — fail loudly instead.
+    checkNearParams(spark, indexPath, k, numPerm, bands)
     val rows = numPerm / bands
     val base = shingled(newDocs, idCol, textCol, k)
     val sigs = base.select(col("doc_id"),
@@ -435,6 +441,11 @@ object Dedup {
         dropped.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
       .localCheckpoint()
     IncrementalDedup(survivors, () => {
+      // Sidecar first: a torn commit still records the params the
+      // partial index was built with.
+      if (!StoreFs.exists(spark, s"$indexPath/params.json"))
+        StoreFs.writeText(spark, s"$indexPath/params.json",
+          s"""{"k":$k,"numPerm":$numPerm,"bands":$bands}""")
       val keep = survivors.select(col(idCol).as("doc_id"))
       bandKeys.join(keep, "doc_id")
         .write.mode("append").parquet(s"$indexPath/bands")
@@ -443,27 +454,75 @@ object Dedup {
     })
   }
 
-  /** Compact the incremental-dedup hash index. Every committed batch
+  /** Enforce the near-index params sidecar: reject a probe whose
+    * structural params differ from the ones the index was built with.
+    * No sidecar (pre-existing or brand-new index) passes. */
+  private def checkNearParams(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, k: Int, numPerm: Int,
+                              bands: Int): Unit =
+    if (StoreFs.exists(spark, s"$indexPath/params.json")) {
+      val want = s"""{"k":$k,"numPerm":$numPerm,"bands":$bands}"""
+      val have = StoreFs.readText(spark, s"$indexPath/params.json").trim
+      require(have == want,
+        s"near-dedup index at $indexPath was built with params $have, " +
+          s"probe requested $want — rebuild the index or match its params")
+    }
+
+  /** Compact an incremental-dedup index. Every committed batch
     * appends one file set, so after months of daily batches the
-    * anti-join probe opens thousands of small parquet files — the
-    * classic small-file tax (footer reads + task setup dominate the
-    * 32 B/doc payload). Rewrites the index to `nFiles` files via the
-    * temp-then-swap discipline (StoreFs.replace): a crash mid-compact
-    * leaves either the old or the new index, never neither, and
-    * readers self-heal a torn swap via `recover`. Contents are
-    * unchanged (hashes are unique by construction — each commit
-    * appends only never-seen hashes). Returns the hash count, or 0
-    * when no index exists yet. */
+    * probe joins open thousands of small parquet files — the classic
+    * small-file tax (footer reads + task setup dominate the payload).
+    * Rewrites to `nFiles` files via the temp-then-swap discipline
+    * (StoreFs.replace): a crash mid-compact leaves either the old or
+    * the new table, never neither, and readers self-heal a torn swap
+    * via `recover`.
+    *
+    * Handles BOTH index layouts and refuses a mismatch (flattening a
+    * near index's `bands/`+`sigs/` subdirs through the exact path
+    * would destroy it — and the post-swap .bak delete would make that
+    * permanent):
+    *  - exact (flat hash table): one rewrite; contents unchanged
+    *    (hashes are unique by construction). Returns the hash count.
+    *  - near (`bands/` + `sigs/`): each table rewritten separately,
+    *    `params.json` untouched; posting and signature SETS unchanged
+    *    (duplicates from crash-replayed commits are NOT collapsed —
+    *    they are harmless to probes and candidate `distinct()`s).
+    *    Returns the indexed-doc (signature-row) count.
+    * `method` = "auto" detects from the layout; "exact"/"near" pin it.
+    * Returns 0 when no index exists yet. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-                   nFiles: Int = 8): Long = {
+                   nFiles: Int = 8, method: String = "auto"): Long = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    def rewrite(path: String): Long = {
+      StoreFs.recover(spark, path)
+      if (!StoreFs.exists(spark, path)) return 0L
+      val tmp = path + ".compact.tmp"
+      spark.read.parquet(path).repartition(nFiles)
+        .write.mode("overwrite").parquet(tmp)
+      StoreFs.replace(spark, tmp, path)
+      spark.read.parquet(path).count()
+    }
     StoreFs.recover(spark, indexPath)
-    if (!StoreFs.exists(spark, indexPath)) return 0L
-    val tmp = indexPath + ".compact.tmp"
-    spark.read.parquet(indexPath).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp)
-    StoreFs.replace(spark, tmp, indexPath)
-    spark.read.parquet(indexPath).count()
+    val isNear = StoreFs.exists(spark, s"$indexPath/bands") ||
+      StoreFs.exists(spark, s"$indexPath/sigs")
+    val effective = method match {
+      case "auto" => if (isNear) "near" else "exact"
+      case "exact" =>
+        require(!isNear, s"$indexPath has a near-dedup bands/sigs layout; " +
+          "compacting it as a flat exact index would destroy it — use method=near")
+        "exact"
+      case "near" =>
+        require(isNear || !StoreFs.exists(spark, indexPath),
+          s"$indexPath has no bands/sigs layout — is it an exact index?")
+        "near"
+      case m => throw new IllegalArgumentException(
+        s"method must be auto|exact|near, got: $m")
+    }
+    if (effective == "exact") rewrite(indexPath)
+    else {
+      rewrite(s"$indexPath/bands")
+      rewrite(s"$indexPath/sigs")
+    }
   }
 
   /** Whole incremental-dedup batch with the write ordering handled:

@@ -27,6 +27,28 @@ object StoreFs {
     if (f.exists(p)) f.listStatus(p).toSeq.map(_.getPath) else Seq.empty
   }
 
+  /** Write a small text file (overwrite) — sidecar metadata like the
+    * near-dedup index params. Driver-side, O(bytes). */
+  def writeText(spark: SparkSession, path: String, content: String): Unit = {
+    val (f, p) = fs(spark, path)
+    val out = f.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a small text file written by [[writeText]]. */
+  def readText(spark: SparkSession, path: String): String = {
+    val (f, p) = fs(spark, path)
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** Replace `dest` with `src` via a backup swap: the old `dest` is
     * renamed aside to `dest.bak` BEFORE `src` moves into place, and the
     * backup is deleted last. A crash at any point leaves either the new

@@ -712,7 +712,11 @@ object TextSim {
     // pure function of doc_id.
     "m03_audio_features" -> { (s, dir) =>
       import s.implicits._
-      val docs = TableCatalog(s, dir).documents.select(col("doc_id")).limit(64)
+      // doc_id < 64, not limit(64): limit without orderBy has no
+      // guaranteed row selection (the m04 lesson), so which docs got
+      // synthetic WAVs would vary with the parquet layout.
+      val docs = TableCatalog(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 64)
         .as[Long].map(id => (id, Multimodal.syntheticWav(id)))
         .toDF("doc_id", "payload")
       Multimodal.extractAudioFeatures(s, docs, "doc_id").toDF()

@@ -59,7 +59,37 @@ object Pca {
       i = 0
       while (i < d * d) { gram(i) += pg(i); i += 1 }
     }
+    fromMoments(n, sum, gram, r)
+  }
+
+  /** The same model from an in-memory sample, accumulated in the
+    * array's fixed order — the fully layout-independent trainer the
+    * PQ rotation uses (its sample is already hash-ordered). */
+  def trainPoints(points: Array[Array[Double]], r: Int): Model = {
+    require(points.nonEmpty, "PCA training sample is empty")
+    val d = points.head.length
+    val sum = new Array[Double](d)
+    val gram = new Array[Double](d * d)
+    points.foreach { v =>
+      var i = 0
+      while (i < d) {
+        sum(i) += v(i)
+        var j = 0
+        val base = i * d
+        while (j < d) { gram(base + j) += v(i) * v(j); j += 1 }
+        i += 1
+      }
+    }
+    fromMoments(points.length.toLong, sum, gram, r)
+  }
+
+  /** Eigendecomposition of the moment sums: shared by the corpus-pass
+    * and in-memory trainers so both produce the identical model for
+    * identical moments (deterministic sign convention included). */
+  private def fromMoments(n: Long, sum: Array[Double], gram: Array[Double],
+                          r: Int): Model = {
     require(n > 1, s"PCA needs at least 2 vectors, saw $n")
+    val d = sum.length
     val mean = sum.map(_ / n)
     // population covariance: E[vvᵀ] − μμᵀ
     val cov = breeze.linalg.DenseMatrix.tabulate(d, d) { (i, j) =>
@@ -74,6 +104,48 @@ object Pca {
       if (v(k) < 0) v.map(x => -x) else v
     }.toArray
     Model(mean, order.map(i => math.max(es.eigenvalues(i), 0.0)).toArray, comps)
+  }
+
+  /** OPQ-lite rotation for product quantization: the FULL orthonormal
+    * PCA basis of `points` — orthonormality means inner products are
+    * exactly preserved ((Rq)·(Rv) = q·v), so rotating both sides
+    * changes nothing about ADC semantics — with the basis rows
+    * ALLOCATED to the `m` PQ subspaces by a balanced greedy in the
+    * spirit of parametric OPQ's eigenvalue allocation (Ge et al.,
+    * "Optimized Product Quantization"): eigenvalue-descending greedy
+    * onto the subspace with the smallest current VARIANCE SUM,
+    * capacity d/m rows each. (The paper's log-product criterion
+    * degenerates when eigenvalues are < 1 — negative logs make the
+    * subspace holding the largest components look emptiest, sucking
+    * ALL the signal into one subspace; the sum criterion interleaves
+    * them as intended.) Rows
+    * [s·(d/m), (s+1)·(d/m)) are subspace s's basis, so the
+    * quantizer's blind d/m split sees decorrelated, variance-balanced
+    * subspaces instead of whatever the raw coordinate order happened
+    * to couple together. Deterministic: fixed point order, eigSym,
+    * the train() sign convention, ties to the lowest subspace index. */
+  def rotationFor(points: Array[Array[Double]], m: Int): Array[Array[Double]] = {
+    val d = points.head.length
+    require(d % m == 0, s"dims=$d must split evenly into m=$m subspaces")
+    val subDim = d / m
+    val model = trainPoints(points, d)
+    val sumVar = Array.fill(m)(0.0)
+    val used = Array.fill(m)(0)
+    val assigned = Array.fill(m)(List.empty[Int])
+    var i = 0
+    while (i < d) { // components are eigenvalue-descending already
+      var best = -1
+      var s = 0
+      while (s < m) {
+        if (used(s) < subDim && (best < 0 || sumVar(s) < sumVar(best))) best = s
+        s += 1
+      }
+      sumVar(best) += model.eigenvalues(i)
+      used(best) += 1
+      assigned(best) = i :: assigned(best)
+      i += 1
+    }
+    assigned.flatMap(_.reverse.map(model.components)).toArray
   }
 
   /** Append `outCol` = the r-dim projection of `vecCol` (centered;

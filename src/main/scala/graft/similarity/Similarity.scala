@@ -232,16 +232,35 @@ object Similarity {
     * 10⁹ vectors the quantizer still trains in milliseconds, where a
     * distributed k-means would pay tens of scheduler round-trips to
     * cluster a few thousand points.
-    * Sample straight off the scan (pre-fanOut): a LocalLimit needs no
-    * shuffle, and sample order only seeds the init. Elements are read
-    * as Number — the vector expressions accept array<float> AND
-    * array<double>, and the sampler must too. */
+    * The sample is ordered by a layout-independent hash of the vector
+    * bytes (same discipline as [[pqTrain]]): an unordered limit varies
+    * with partitioning/read order, so a persisted index built from it
+    * would differ across re-runs. Top-k via TakeOrderedAndProject —
+    * never a full sort. Elements are read as Number — the vector
+    * expressions accept array<float> AND array<double>, and the
+    * sampler must too. */
   private def trainCentroids(corpus: DataFrame, vecCol: String,
                              nCells: Int, seed: Long): Array[Array[Double]] = {
-    val sample = corpus.select(col(vecCol)).limit(nCells * 256).collect()
-      .map(_.getSeq[Number](0).toArray.map(_.doubleValue))
+    val sample = sampleVectors(corpus, vecCol, nCells * 256)
     lloyd(sample, nCells, iters = 8, seed)
   }
+
+  /** Deterministic bounded driver sample shared by every quantizer
+    * trainer: the first `n` rows by a layout-independent hash of the
+    * vector bytes (ties broken by the vector itself), so the same
+    * corpus yields the same sample under any partitioning. */
+  private def sampleVectors(corpus: DataFrame, vecCol: String,
+                            n: Int): Array[Array[Double]] =
+    corpus.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)), col(vecCol).cast("string"))
+      .limit(n).collect()
+      .map(_.getSeq[Number](0).toArray.map(_.doubleValue))
+
+  /** v / ‖v‖ with a zero guard: an all-zero vector stays zero instead
+    * of becoming NaN (which would poison codes and ADC scores — the
+    * training samplers already guard `n == 0` the same way). */
+  private def l2normalize(vec: Column, n: Column): Column =
+    transform(vec, x => x.cast("double") / when(n === 0.0, lit(1.0)).otherwise(n))
 
   /** 2·v·cᵢ − ‖cᵢ‖² ranks cells by distance to v without ‖v‖². */
   private def cellScores(cents: Array[Array[Double]])(vec: Column): Column =
@@ -294,6 +313,7 @@ object Similarity {
     val cents = trainCentroids(corpus, vecCol, nCells, seed)
     val c = fanOut(corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
       .withColumn("__cn", norm(col("__cv")))
+      .filter(col("__cn") > 0) // zero-norm rejection, see ivfpqBuild
     c.withColumn("__scores", cellScores(cents)(col("__cv")))
       .withColumn("cell", expr("array_position(__scores, array_max(__scores))"))
       .drop("__scores")
@@ -414,8 +434,14 @@ object Similarity {
   private def pqScore(codes: DataFrame, vectors: DataFrame, queries: DataFrame,
                       qId: String, vecCol: String,
                       books: Array[Array[Array[Double]]],
-                      k: Int, rerank: Int): DataFrame = {
-    val approx = codes.crossJoin(broadcast(pqLuts(queries, qId, vecCol, books)))
+                      k: Int, rerank: Int,
+                      rot: Option[Array[Array[Double]]] = None): DataFrame = {
+    // A rotated index compares Rq against R-coded vectors: (Rq)·(Rv̂)
+    // = q·v̂ exactly, so ONLY the LUT side rotates — the exact re-rank
+    // stays on the raw queries and vectors.
+    val qLut = rot.fold(queries)(r =>
+      queries.select(col(qId), rotateCol(col(vecCol), r).as(vecCol)))
+    val approx = codes.crossJoin(broadcast(pqLuts(qLut, qId, vecCol, books)))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), adcScore(books.length).as("__adc"))
     pqRerank(vectors, queries, qId, vecCol, approx, k, rerank)
@@ -452,9 +478,14 @@ object Similarity {
                        rerank: Int): DataFrame = {
     val wa = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("__adc").desc, col("n_id").asc)
+    // dropDuplicates mirrors ivfScore: a replayed ivfpqAdd can leave
+    // the same n_id in the codes table twice, and without the dedupe
+    // the same neighbor would occupy multiple final ranks, silently
+    // shrinking effective top-k. The set is |queries|·rerank·k rows.
     val cands = approx.withColumn("__r", row_number().over(wa))
       .filter(col("__r") <= rerank * k)
       .select(col("q_id"), col("n_id"))
+      .dropDuplicates("q_id", "n_id")
     val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
     val scored = vectors.join(broadcast(cands), "n_id").join(broadcast(q), "q_id")
@@ -479,20 +510,29 @@ object Similarity {
     *    stored here so the index is self-contained).
     * One corpus scan builds all three. */
   def pqBuild(corpus: DataFrame, cId: String, vecCol: String, indexPath: String,
-              m: Int = 8, nCodes: Int = 16, seed: Long = 42L): Unit = {
+              m: Int = 8, nCodes: Int = 16, seed: Long = 42L,
+              rotate: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val books = pqTrain(corpus, vecCol, m, nCodes, seed)
+    // rotate = OPQ-lite (see ivfpqBuild): codebooks train on, and the
+    // corpus encodes in, the balanced PCA basis of the same sample;
+    // stored under indexPath/rotation, auto-applied at search.
+    val ns = normalizePoints(sampleVectors(corpus, vecCol, nCodes * 64))
+    val rot = if (rotate) Some(Pca.rotationFor(ns, m)) else None
+    val books = pqBooksFromPoints(
+      rot.fold(ns)(r => ns.map(matVec(r, _))), m, nCodes, seed)
     val c = fanOut(corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
       .withColumn("__cn", norm(col("__cv")))
+      .filter(col("__cn") > 0) // zero-norm rejection, see ivfpqBuild
       .localCheckpoint() // one corpus scan feeds both writes below
-    pqEncode(c, books).select(col("n_id"), col("__codes"))
+    pqEncode(c, books, rot).select(col("n_id"), col("__codes"))
       .write.mode("overwrite").parquet(s"$indexPath/codes")
     c.write.mode("overwrite").parquet(s"$indexPath/vectors")
     books.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (cent, j) => (s, j, cent.toSeq) }
     }.toSeq.toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    rot.foreach(writeRotation(spark, indexPath, _))
   }
 
   /** Search a persisted PQ index: codebooks are O(m·nCodes)
@@ -513,7 +553,8 @@ object Similarity {
     }
     pqScore(spark.read.parquet(s"$indexPath/codes"),
       spark.read.parquet(s"$indexPath/vectors"),
-      queries, qId, vecCol, books, k, rerank)
+      queries, qId, vecCol, books, k, rerank,
+      loadRotation(spark, indexPath))
   }
 
   /** Persist a composed IVF-PQ index — the production billion-vector
@@ -542,20 +583,36 @@ object Similarity {
     * (spec-asserted). One corpus scan builds everything. */
   def ivfpqBuild(corpus: DataFrame, cId: String, vecCol: String, indexPath: String,
                  nCells: Int = 16, m: Int = 8, nCodes: Int = 16,
-                 seed: Long = 42L, residual: Boolean = false): Unit = {
+                 seed: Long = 42L, residual: Boolean = false,
+                 rotate: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // Zero-norm vectors are rejected at build (cosine is undefined for
+    // them, and a NaN re-rank sim would desc-sort FIRST, poisoning
+    // every query's top-k) — the same guard the training samplers and
+    // l2normalize apply.
     val c = fanOut(corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
       .withColumn("__cn", norm(col("__cv")))
+      .filter(col("__cn") > 0)
       .localCheckpoint() // one corpus scan feeds assignment, codes and vectors
-    val (cents, books, coded) =
+    // rotate = the OPQ-lite option: codebooks train on, and vectors
+    // encode in, the Pca.rotationFor basis of the SAME training
+    // sample (normalized vectors, or residuals on the residual path).
+    // The rotation is orthonormal — (Rq)·(Rv) = q·v exactly — so it
+    // changes WHICH codebooks exist, never the ADC semantics; it is
+    // stored under indexPath/rotation and auto-applied at search and
+    // add, like the residual flag.
+    val (cents, books, coded, rot) =
       if (!residual) {
         val cents = trainCentroids(corpus, vecCol, nCells, seed)
-        val books = pqTrain(corpus, vecCol, m, nCodes, seed)
+        val ns = normalizePoints(sampleVectors(corpus, vecCol, nCodes * 64))
+        val rot = if (rotate) Some(Pca.rotationFor(ns, m)) else None
+        val books = pqBooksFromPoints(
+          rot.fold(ns)(r => ns.map(matVec(r, _))), m, nCodes, seed)
         val assigned = c.withColumn("__scores", cellScores(cents)(col("__cv")))
           .withColumn("cell", expr("array_position(__scores, array_max(__scores))"))
           .drop("__scores")
-        (cents, books, pqEncode(assigned, books))
+        (cents, books, pqEncode(assigned, books, rot), rot)
       } else {
         // RESIDUAL encoding (the FAISS-style production default):
         // cells live in L2-normalized space, PQ codebooks quantize
@@ -565,16 +622,20 @@ object Similarity {
         // at identical index size. Search adds the exact q̂·c_cell
         // per probed cell (one scalar per (query, cell) row).
         val cents = trainCentroidsNormalized(corpus, vecCol, nCells, seed)
-        val books = pqTrainResidual(corpus, vecCol, cents, m, nCodes, seed)
+        val resSample = residualSample(corpus, vecCol, cents, nCodes * 64)
+        val rot = if (rotate) Some(Pca.rotationFor(resSample, m)) else None
+        val books = pqBooksFromPoints(
+          rot.fold(resSample)(r => resSample.map(matVec(r, _))), m, nCodes, seed)
         val centsLit = typedLit(cents.map(_.toSeq).toSeq)
         val assigned = c
-          .withColumn("__nv", expr("transform(__cv, x -> cast(x as double) / __cn)"))
+          .withColumn("__nv", l2normalize(col("__cv"), col("__cn")))
           .withColumn("__scores", cellScores(cents)(col("__nv")))
           .withColumn("cell", expr("array_position(__scores, array_max(__scores))"))
           .drop("__scores")
           .withColumn("__res", zip_with(col("__nv"),
             element_at(centsLit, col("cell").cast("int")), (a, b) => a - b))
-        (cents, books, pqEncodeCol(assigned, "__res", books))
+          .withColumn("__res", rot.fold(col("__res"))(r => rotateCol(col("__res"), r)))
+        (cents, books, pqEncodeCol(assigned, "__res", books), rot)
       }
     coded.select(col("n_id"), col("__codes"), col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$indexPath/codes")
@@ -587,6 +648,7 @@ object Similarity {
       book.zipWithIndex.map { case (cent, j) => (s, j, cent.toSeq) }
     }.toSeq.toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    rot.foreach(writeRotation(spark, indexPath, _))
   }
 
   /** Incrementally ADD vectors to a persisted IVF-PQ index — the
@@ -597,10 +659,20 @@ object Similarity {
     * assigned + encoded with the STORED quantizers and appended to
     * the cell-partitioned codes table and the vectors table; one
     * batch scan, no shuffle, and existing index files are never
-    * rewritten. Searches see the union immediately. */
+    * rewritten. Searches see the union immediately.
+    *
+    * Replay discipline: pass `batchId` (e.g. the crawl-day name) and
+    * a retried or accidentally repeated add becomes a no-op — a
+    * marker under `indexPath/_adds/` records committed batches and is
+    * written AFTER both appends, so the only crash window re-appends
+    * the same rows, which search tolerates (pqRerank dedupes
+    * (q_id, n_id), matching ivfScore). Returns true when the batch
+    * was appended, false when the marker made it a no-op. */
   def ivfpqAdd(batch: DataFrame, cId: String, vecCol: String,
-               indexPath: String): Unit = {
+               indexPath: String, batchId: Option[String] = None): Boolean = {
     val spark = batch.sparkSession
+    val marker = batchId.map(b => s"$indexPath/_adds/$b")
+    if (marker.exists(m => graft.operators.StoreFs.exists(spark, m))) return false
     val centRows = spark.read.parquet(s"$indexPath/centroids")
       .orderBy(col("cell")).collect()
     val cents = centRows.map(_.getSeq[Double](1).toArray)
@@ -613,29 +685,37 @@ object Similarity {
     val books = Array.tabulate(m, nCodes) { (s, j) =>
       rows(s * nCodes + j).getSeq[Double](2).toArray
     }
+    val rot = loadRotation(spark, indexPath) // auto-detected, like residual
     val c = fanOut(batch.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
       .withColumn("__cn", norm(col("__cv")))
+      .filter(col("__cn") > 0) // same zero-norm rejection as the build
       .localCheckpoint() // one batch scan feeds both appends
     val coded =
       if (!residual) {
         val assigned = c.withColumn("__scores", cellScores(cents)(col("__cv")))
           .withColumn("cell", expr("array_position(__scores, array_max(__scores))"))
           .drop("__scores")
-        pqEncode(assigned, books)
+        pqEncode(assigned, books, rot)
       } else {
         val centsLit = typedLit(cents.map(_.toSeq).toSeq)
         val assigned = c
-          .withColumn("__nv", expr("transform(__cv, x -> cast(x as double) / __cn)"))
+          .withColumn("__nv", l2normalize(col("__cv"), col("__cn")))
           .withColumn("__scores", cellScores(cents)(col("__nv")))
           .withColumn("cell", expr("array_position(__scores, array_max(__scores))"))
           .drop("__scores")
           .withColumn("__res", zip_with(col("__nv"),
             element_at(centsLit, col("cell").cast("int")), (a, b) => a - b))
+          .withColumn("__res", rot.fold(col("__res"))(r => rotateCol(col("__res"), r)))
         pqEncodeCol(assigned, "__res", books)
       }
     coded.select(col("n_id"), col("__codes"), col("cell"))
       .write.partitionBy("cell").mode("append").parquet(s"$indexPath/codes")
     c.write.mode("append").parquet(s"$indexPath/vectors")
+    marker.foreach { m =>
+      val (f, p) = graft.operators.StoreFs.fs(spark, m)
+      f.mkdirs(p)
+    }
+    true
   }
 
   /** Search a persisted IVF-PQ index. Centroids and codebooks are
@@ -668,7 +748,7 @@ object Similarity {
     val qEff =
       if (!residual) queries
       else queries.select(col(qId),
-        transform(col(vecCol), x => x.cast("double") / norm(col(vecCol))).as(vecCol))
+        l2normalize(col(vecCol), norm(col(vecCol))).as(vecCol))
     // per-(query, cell) exact q·c_cell — the first ADC term of the
     // residual decomposition q·v̂ = q·c_cell + q·r; zero when codes
     // quantize v̂ directly.
@@ -683,9 +763,14 @@ object Similarity {
       .collect().map(_.getLong(0))
     val codes = spark.read.parquet(s"$indexPath/codes")
       .filter(col("cell").isin(probeCells.toSeq: _*))
+    // A rotated (OPQ-lite) index codes Rv̂ (or R·residual): only the
+    // LUT side rotates to match — probe, cell-dot and re-rank all
+    // stay in the unrotated space ((Rq)·(Rv) = q·v exactly).
+    val qLut = loadRotation(spark, indexPath).fold(qEff)(r =>
+      qEff.select(col(qId), rotateCol(col(vecCol), r).as(vecCol)))
     // (q_id, cell) pairs carry the query's LUTs into a broadcast
     // cell-equi join: |queries|·nprobe rows, still broadcast-small.
-    val probedLuts = probed.join(pqLuts(qEff, qId, vecCol, books), "q_id")
+    val probedLuts = probed.join(pqLuts(qLut, qId, vecCol, books), "q_id")
     val approx = codes.join(broadcast(probedLuts), "cell")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), (col("__celldot") + adcScore(m)).as("__adc"))
@@ -699,10 +784,7 @@ object Similarity {
     * sample as [[pqTrain]]. */
   private def trainCentroidsNormalized(corpus: DataFrame, vecCol: String,
                                        nCells: Int, seed: Long): Array[Array[Double]] = {
-    val sample = corpus.select(col(vecCol))
-      .orderBy(xxhash64(col(vecCol)), col(vecCol).cast("string"))
-      .limit(nCells * 256).collect()
-      .map(_.getSeq[Number](0).toArray.map(_.doubleValue))
+    val sample = sampleVectors(corpus, vecCol, nCells * 256)
       .map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n == 0) v else v.map(_ / n)
@@ -710,23 +792,19 @@ object Similarity {
     lloyd(sample, nCells, iters = 8, seed)
   }
 
-  /** Residual PQ codebooks: the deterministic sample is normalized,
-    * assigned to its nearest cell (driver-side — the sample is
-    * bounded), and the per-subspace Lloyd runs on v̂ − c_cell. */
-  private def pqTrainResidual(corpus: DataFrame, vecCol: String,
-                              cents: Array[Array[Double]], m: Int, nCodes: Int,
-                              seed: Long): Array[Array[Array[Double]]] = {
-    val sample = corpus.select(col(vecCol))
-      .orderBy(xxhash64(col(vecCol)), col(vecCol).cast("string"))
-      .limit(nCodes * 64).collect()
-      .map(_.getSeq[Number](0).toArray.map(_.doubleValue))
+  /** The residual path's training sample: the deterministic sample is
+    * normalized, assigned to its nearest cell (driver-side — the
+    * sample is bounded), and v̂ − c_cell is what the per-subspace
+    * Lloyd (and the OPQ rotation, when enabled) trains on. */
+  private def residualSample(corpus: DataFrame, vecCol: String,
+                             cents: Array[Array[Double]],
+                             n: Int): Array[Array[Double]] = {
+    val sample = sampleVectors(corpus, vecCol, n)
     require(sample.nonEmpty, "PQ training sample is empty")
     val dims = sample.head.length
-    require(dims % m == 0, s"dims=$dims must split evenly into m=$m subvectors")
-    val subDim = dims / m
-    val residuals = sample.map { v =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      val vn = if (n == 0) v else v.map(_ / n)
+    sample.map { v =>
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      val vn = if (nn == 0) v else v.map(_ / nn)
       var best = 0; var bestD = Double.MaxValue
       var ci = 0
       while (ci < cents.length) {
@@ -737,10 +815,6 @@ object Similarity {
       }
       Array.tabulate(dims)(j => vn(j) - cents(best)(j))
     }
-    Array.tabulate(m) { s =>
-      lloyd(residuals.map(_.slice(s * subDim, (s + 1) * subDim)), nCodes,
-        iters = 8, seed)
-    }
   }
 
   /** Per-subspace codebooks `[m][nCodes][subDim]`, trained on a
@@ -749,40 +823,72 @@ object Similarity {
     * recall that the exact re-rank doesn't already repair). Requires
     * the dimension to split evenly into m subvectors. */
   private def pqTrain(corpus: DataFrame, vecCol: String, m: Int, nCodes: Int,
-                      seed: Long): Array[Array[Array[Double]]] = {
-    // Deterministic sample: an unordered limit().collect() varies
-    // with partitioning/read order, so codebooks (and any persisted
-    // index built from them) would differ across re-runs. Ordering
-    // by a hash of the vector bytes is layout-independent and needs
-    // no id column; top-k via TakeOrderedAndProject, never a full sort.
-    val sample = corpus.select(col(vecCol))
-      .orderBy(xxhash64(col(vecCol)), col(vecCol).cast("string"))
-      .limit(nCodes * 64).collect()
-      .map(_.getSeq[Number](0).toArray.map(_.doubleValue))
-    require(sample.nonEmpty, "PQ training sample is empty")
-    val dims = sample.head.length
+                      seed: Long): Array[Array[Array[Double]]] =
+    pqBooksFromPoints(
+      normalizePoints(sampleVectors(corpus, vecCol, nCodes * 64)), m, nCodes, seed)
+
+  /** Per-subspace Lloyd over an in-memory (already normalized /
+    * residual / rotated) sample — the codebook trainer every PQ
+    * variant bottoms out in. */
+  private def pqBooksFromPoints(points: Array[Array[Double]], m: Int,
+                                nCodes: Int, seed: Long): Array[Array[Array[Double]]] = {
+    require(points.nonEmpty, "PQ training sample is empty")
+    val dims = points.head.length
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subvectors")
     val subDim = dims / m
-    val normalized = sample.map { v =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v else v.map(_ / n)
-    }
     Array.tabulate(m) { s =>
-      lloyd(normalized.map(_.slice(s * subDim, (s + 1) * subDim)), nCodes,
+      lloyd(points.map(_.slice(s * subDim, (s + 1) * subDim)), nCodes,
         iters = 8, seed)
     }
   }
+
+  private def normalizePoints(sample: Array[Array[Double]]): Array[Array[Double]] =
+    sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+
+  /** R·v for a driver-side rotation matrix (rows of R). */
+  private def matVec(rot: Array[Array[Double]], v: Array[Double]): Array[Double] =
+    rot.map { r =>
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += r(j) * v(j); j += 1 }
+      s
+    }
+
+  /** R·vec as a codegen'd column: d native dot products against
+    * broadcast literal rows — the same shape as `cellScores`. */
+  private def rotateCol(vec: Column, rot: Array[Array[Double]]): Column =
+    array(rot.map(r => dot(vec, typedLit(r))): _*)
+
+  /** The OPQ-lite rotation persisted with a PQ-coded index (absent ↔
+    * the index quantizes unrotated vectors — search auto-detects,
+    * like the residual flag). */
+  private def writeRotation(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, rot: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    rot.zipWithIndex.map { case (r, i) => (i, r.toSeq) }
+      .toSeq.toDF("i", "component")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/rotation")
+  }
+
+  private def loadRotation(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String): Option[Array[Array[Double]]] =
+    if (!graft.operators.StoreFs.exists(spark, s"$indexPath/rotation")) None
+    else Some(spark.read.parquet(s"$indexPath/rotation")
+      .orderBy(col("i")).collect()
+      .map(_.getSeq[Double](1).toArray))
 
   /** Encode corpus rows `(n_id, __cv)` → `(n_id, __codes)`: L2-
     * normalize, then per subspace pick the nearest codebook centroid
     * (argmax of 2·v·c − ‖c‖², as the IVF assignment). Broadcast
     * centroid literals — one scan, no shuffle; this IS the stored
     * index at scale (m bytes + id per vector). */
-  private def pqEncode(c: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
-    val normed = c.withColumn("__nv",
-      expr("transform(__cv, x -> cast(x as double))"))
-      .withColumn("__nn", norm(col("__cv")))
-      .withColumn("__nv", expr("transform(__nv, x -> x / __nn)"))
+  private def pqEncode(c: DataFrame, books: Array[Array[Array[Double]]],
+                       rot: Option[Array[Array[Double]]] = None): DataFrame = {
+    val normed = c.withColumn("__nn", norm(col("__cv")))
+      .withColumn("__nv", l2normalize(col("__cv"), col("__nn")))
+      .withColumn("__nv", rot.fold(col("__nv"))(r => rotateCol(col("__nv"), r)))
     pqEncodeCol(normed, "__nv", books).drop("__nv", "__nn")
   }
 

@@ -174,6 +174,68 @@ class QualitySpec extends SparkSpec {
     assert(Dedup.compactIndex(spark, idx, nFiles = 2) === 10L)
   }
 
+  test("near index pins its params in a sidecar and refuses a mismatched probe") {
+    import graft.SparkSpec.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_nearparams").toString
+    val idx = root + "/index"
+    def doc(words: Int, seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until words).map(_ => s"w${r.nextInt(500)}").mkString(" ")
+    }
+    val b1 = Seq((1L, doc(80, 1)), (2L, doc(80, 2))).toDF("doc_id", "text")
+    Dedup.nearDedupIncrementalStaged(spark, b1, "doc_id", "text", idx).commit()
+    assert(graft.operators.StoreFs.exists(spark, s"$idx/params.json"))
+    // a probe with different structural params would silently
+    // under-detect (band hashes never collide) — it must fail loudly
+    val b2 = Seq((10L, doc(80, 3))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDedupIncrementalStaged(spark, b2, "doc_id", "text", idx, numPerm = 32, bands = 16)
+    }
+    assert(e.getMessage.contains("params"))
+    // matching params still probe fine
+    Dedup.nearDedupIncrementalStaged(spark, b2, "doc_id", "text", idx).commit()
+  }
+
+  test("near index compaction rewrites bands+sigs, preserves sets, refuses the exact path") {
+    import graft.SparkSpec.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_nearcmp").toString
+    val idx = root + "/index"
+    def doc(words: Int, seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until words).map(_ => s"w${r.nextInt(500)}").mkString(" ")
+    }
+    val origA = doc(80, 1)
+    // several committed batches → several appended file sets per table
+    (1 to 4).foreach { i =>
+      val b = Seq((i * 10L, doc(80, i)), (i * 10L + 1, doc(80, 100 + i)))
+        .toDF("doc_id", "text")
+      Dedup.nearDedupIncrementalStaged(spark, b, "doc_id", "text", idx).commit()
+    }
+    def bandSet() = spark.read.parquet(s"$idx/bands").collect()
+      .map(r => (r.getLong(r.fieldIndex("band")), r.getLong(r.fieldIndex("doc_id")))).toSet
+    def sigSet() = spark.read.parquet(s"$idx/sigs").collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getSeq[Long](r.fieldIndex("sig")))).toSet
+    val (bandsBefore, sigsBefore) = (bandSet(), sigSet())
+    // flat-compacting a near index would destroy it — refused
+    val e = intercept[IllegalArgumentException] {
+      Dedup.compactIndex(spark, idx, nFiles = 2, method = "exact")
+    }
+    assert(e.getMessage.contains("near"))
+    val n = Dedup.compactIndex(spark, idx, nFiles = 2) // auto-detects near
+    assert(n === 8L, s"expected 8 indexed docs, got $n")
+    assert(bandSet() === bandsBefore, "compaction changed the posting set")
+    assert(sigSet() === sigsBefore, "compaction changed the signature set")
+    def files(p: String) = new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files(s"$idx/bands") <= 2 && files(s"$idx/sigs") <= 2)
+    // the compacted index still near-dedups: a near-copy of an indexed
+    // doc drops, params sidecar still enforced
+    val t = origA.split(" "); t(10) = "CHANGED"; t(45) = "ALSO"
+    val b5 = Seq((90L, t.mkString(" ")), (91L, doc(80, 999))).toDF("doc_id", "text")
+    val s5 = Dedup.nearDedupIncrementalStaged(spark, b5, "doc_id", "text", idx)
+    assert(s5.survivors.select("doc_id").as[Long].collect().toSet === Set(91L),
+      "compacted index no longer near-dedups")
+  }
+
   test("ccStars converges in O(log n) rounds on a deep path graph") {
     // A 1024-node path has diameter 1023: min-label propagation would
     // need ~1023 driver-loop rounds; large-star/small-star must close

@@ -334,6 +334,155 @@ class SimilaritySpec extends SparkSpec {
     assert(again.components.map(_.toSeq).toSeq === model.components.map(_.toSeq).toSeq)
   }
 
+  // Anisotropic corpus for the OPQ-rotation specs: a rank-4 signal
+  // mixed into 16 dims through a dense orthonormal basis + small
+  // noise, so the raw coordinate order couples every PQ subspace to
+  // every other — the regime the rotation exists for.
+  private lazy val anisoCorpus: org.apache.spark.sql.DataFrame = {
+    import graft.SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val basis = Array.fill(4)(Array.fill(16)(rnd.nextGaussian()))
+    // Gram-Schmidt
+    for (i <- 0 until 4) {
+      for (j <- 0 until i) {
+        val d = (0 until 16).map(k => basis(i)(k) * basis(j)(k)).sum
+        for (k <- 0 until 16) basis(i)(k) -= d * basis(j)(k)
+      }
+      val n = math.sqrt(basis(i).map(x => x * x).sum)
+      for (k <- 0 until 16) basis(i)(k) /= n
+    }
+    (0 until 400).map { i =>
+      val c = Array.fill(4)(rnd.nextGaussian())
+      val v = Array.tabulate(16) { k =>
+        ((0 until 4).map(s => c(s) * basis(s)(k)).sum +
+          0.05 * rnd.nextGaussian()).toFloat
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("OPQ rotation: rotated PQ exact-top-k overlap >= unrotated on an anisotropic corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_opq").toString
+    Similarity.pqBuild(anisoCorpus, "vec_id", "embedding", s"$dir/plain",
+      m = 4, nCodes = 8)
+    Similarity.pqBuild(anisoCorpus, "vec_id", "embedding", s"$dir/rot",
+      m = 4, nCodes = 8, rotate = true)
+    assert(new java.io.File(s"$dir/rot/rotation").exists(), "rotation not persisted")
+    assert(!new java.io.File(s"$dir/plain/rotation").exists())
+    val q = anisoCorpus.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(q, anisoCorpus, "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // rerank=1 → candidates = k: recall is purely ADC-quality-driven,
+    // so the comparison measures the codebooks, not the repair stage.
+    def overlap(idx: String) =
+      (Similarity.pqSearch(q, "vec_id", "embedding", idx, k = 10, rerank = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet & exact).size
+    val (ovRot, ovPlain) = (overlap(s"$dir/rot"), overlap(s"$dir/plain"))
+    assert(ovRot >= ovPlain,
+      s"rotated overlap $ovRot trails unrotated $ovPlain")
+    // searching the rotated index twice is deterministic
+    val a = Similarity.pqSearch(q, "vec_id", "embedding", s"$dir/rot", k = 10)
+    val b = Similarity.pqSearch(q, "vec_id", "embedding", s"$dir/rot", k = 10)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("rotated IVF-PQ: full-probe ≡ rotated pure-PQ; rotation composes with residual") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_opq_ivfpq").toString
+    // plain (non-residual) rotated build trains rotation + codebooks
+    // on the SAME hash-ordered sample as a rotated pqBuild → with
+    // every cell probed the two searches must agree exactly (cells
+    // only gate WHICH codes get ADC-scored).
+    Similarity.ivfpqBuild(emb, "vec_id", "embedding", s"$dir/ivfpq", rotate = true)
+    Similarity.pqBuild(emb, "vec_id", "embedding", s"$dir/pq", rotate = true)
+    val q = emb.filter(col("vec_id") < 10)
+    val full = Similarity.ivfpqSearch(q, "vec_id", "embedding", s"$dir/ivfpq",
+      k = 10, nprobe = 16)
+    val pure = Similarity.pqSearch(q, "vec_id", "embedding", s"$dir/pq", k = 10)
+    assert(full.exceptAll(pure).isEmpty && pure.exceptAll(full).isEmpty,
+      "rotated full-probe IVF-PQ diverges from the rotated pure-PQ path")
+    // rotation + residual compose: planted-neighbor recall under real
+    // pruning (nprobe=4 of 16 cells) holds on the doubly-encoded index
+    Similarity.ivfpqBuild(emb, "vec_id", "embedding", s"$dir/rr",
+      residual = true, rotate = true)
+    val qp = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(0.05f) * sin(x * 13.7f)).as("embedding"))
+    val ann = Similarity.ivfpqSearch(qp, "vec_id", "embedding", s"$dir/rr", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (0 until 20).count(i => ann.contains((i + 100000L, i.toLong))) / 20.0
+    assert(recall >= 0.9, s"rotated-residual IVF-PQ recall $recall")
+  }
+
+  test("persisted quantizer indexes are bit-identical across corpus partitionings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_det").toString
+    // the PLAIN ivf path (this round's fix: its centroid sample is now
+    // hash-ordered like the residual/PQ paths)
+    Similarity.ivfBuild(emb, "vec_id", "embedding", s"$dir/ivf_a")
+    Similarity.ivfBuild(emb.repartition(7), "vec_id", "embedding", s"$dir/ivf_b")
+    def cents(p: String) = spark.read.parquet(s"$p/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(cents(s"$dir/ivf_a").toSeq === cents(s"$dir/ivf_b").toSeq,
+      "plain IVF centroids differ across corpus partitionings")
+    // a rotated (plain-path) IVF-PQ index: rotation, codebooks and the
+    // full code set are all layout-independent
+    Similarity.ivfpqBuild(emb, "vec_id", "embedding", s"$dir/pq_a", rotate = true)
+    Similarity.ivfpqBuild(emb.repartition(5), "vec_id", "embedding", s"$dir/pq_b",
+      rotate = true)
+    def rotation(p: String) = spark.read.parquet(s"$p/rotation")
+      .orderBy(col("i")).collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(rotation(s"$dir/pq_a").toSeq === rotation(s"$dir/pq_b").toSeq,
+      "rotation differs across corpus partitionings")
+    def codes(p: String) = spark.read.parquet(s"$p/codes").collect()
+      .map(r => (r.getLong(r.fieldIndex("n_id")),
+        r.getSeq[Int](r.fieldIndex("__codes")),
+        r.get(r.fieldIndex("cell")).toString)).toSet // partition col type is inferred
+    assert(codes(s"$dir/pq_a") === codes(s"$dir/pq_b"),
+      "code assignments differ across corpus partitionings")
+  }
+
+  test("ivfpqAdd: batch-id marker makes replays no-ops; duplicate appends never duplicate ranks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_add_replay").toString + "/idx"
+    Similarity.ivfpqBuild(emb.filter(col("vec_id") >= 10), "vec_id", "embedding", dir)
+    val batch = emb.filter(col("vec_id") < 10)
+    assert(Similarity.ivfpqAdd(batch, "vec_id", "embedding", dir, Some("day1")))
+    val n1 = spark.read.parquet(s"$dir/codes").count()
+    // a crash-retried add with the same batch id is a no-op
+    assert(!Similarity.ivfpqAdd(batch, "vec_id", "embedding", dir, Some("day1")))
+    assert(spark.read.parquet(s"$dir/codes").count() === n1)
+    // an UNguarded replay (no batch id) does duplicate rows — but the
+    // search must still return each neighbor at ONE rank (pqRerank
+    // dedupes (q_id, n_id), matching ivfScore)
+    Similarity.ivfpqAdd(batch, "vec_id", "embedding", dir)
+    assert(spark.read.parquet(s"$dir/codes").count() > n1)
+    val res = Similarity.ivfpqSearch(emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", dir, k = 10, nprobe = 16).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      val ids = rows.map(_.getLong(2))
+      assert(ids.distinct.length === ids.length, s"query $q repeats a neighbor")
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 10), s"query $q ranks not contiguous")
+    }
+  }
+
+  test("zero-norm vectors are rejected at build and cannot poison top-k") {
+    import graft.SparkSpec.spark.implicits._
+    val dim = emb.head.getSeq[Float](emb.head.fieldIndex("embedding")).length
+    val zero = Seq((99999L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    val poisoned = emb.select(col("vec_id"), col("embedding")).unionByName(zero)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zero").toString + "/idx"
+    Similarity.ivfpqBuild(poisoned, "vec_id", "embedding", dir,
+      residual = true, rotate = true)
+    val q = emb.filter(col("vec_id") < 5)
+    val res = Similarity.ivfpqSearch(q, "vec_id", "embedding", dir, k = 10, nprobe = 16)
+      .collect()
+    // without the guard the zero vector's NaN re-rank sim desc-sorts
+    // FIRST and it takes rank 1 for every query it reaches
+    assert(!res.exists(_.getLong(2) == 99999L), "zero vector leaked into top-k")
+    assert(res.groupBy(_.getLong(0)).forall(_._2.length == 10))
+  }
+
   test("norm stats cover every label once") {
     val st = Similarity.normStats(emb, "label", "embedding")
     assert(st.count() === emb.select("label").distinct().count())
