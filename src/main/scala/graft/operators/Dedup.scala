@@ -401,16 +401,7 @@ object Dedup {
     // configs; zip_with over different-length signatures null-pads,
     // so sigAgree quietly drops) — fail loudly instead.
     checkNearParams(spark, indexPath, k, numPerm, bands)
-    val rows = numPerm / bands
-    val base = shingled(newDocs, idCol, textCol, k)
-    val sigs = base.select(col("doc_id"),
-        MinHashFromShinglesExpr.minhash(col("__sh"), numPerm).as("sig"))
-      .localCheckpoint() // one sketch pass feeds bands, verify, and the commit
-    val bandCols = (0 until bands).map { bIdx =>
-      xxhash64((lit(bIdx) +: (0 until rows).map(r =>
-        element_at(col("sig"), bIdx * rows + r + 1))): _*)
-    }
-    val bandKeys = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    val (sigs, bandKeys) = nearSketch(newDocs, idCol, textCol, k, numPerm, bands)
     def sigAgree(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, x) => acc + x).cast("double") / numPerm
@@ -452,6 +443,46 @@ object Dedup {
       sigs.join(keep, "doc_id")
         .write.mode("append").parquet(s"$indexPath/sigs")
     })
+  }
+
+  /** The near index's sketch pass: MinHash signatures + banded
+    * posting keys for a set of docs (one localCheckpoint'd sketch
+    * pass feeds both). Shared by the probe, the commit, and
+    * [[nearIndexAppend]]. */
+  private def nearSketch(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, numPerm: Int, bands: Int): (DataFrame, DataFrame) = {
+    val rows = numPerm / bands
+    val base = shingled(docs, idCol, textCol, k)
+    val sigs = base.select(col("doc_id"),
+        MinHashFromShinglesExpr.minhash(col("__sh"), numPerm).as("sig"))
+      .localCheckpoint()
+    val bandCols = (0 until bands).map { bIdx =>
+      xxhash64((lit(bIdx) +: (0 until rows).map(r =>
+        element_at(col("sig"), bIdx * rows + r + 1))): _*)
+    }
+    (sigs, sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band")))
+  }
+
+  /** Append `docs` to a near-dedup index WITHOUT probing it — the
+    * recovery primitive the streaming loop needs: when a crash landed
+    * between persisting a batch's survivors and committing their
+    * signatures, the replay must index the already-persisted
+    * survivors but must NOT re-probe (the index may already hold part
+    * of this batch, and a re-probe would drop every doc against its
+    * own signature). Duplicate postings from a torn earlier commit
+    * are harmless — probes `distinct()` candidates and drops. */
+  def nearIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                      docs: DataFrame, idCol: String, textCol: String,
+                      indexPath: String, k: Int = 3, numPerm: Int = 64,
+                      bands: Int = 32): Unit = {
+    require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
+    checkNearParams(spark, indexPath, k, numPerm, bands)
+    if (!StoreFs.exists(spark, s"$indexPath/params.json"))
+      StoreFs.writeText(spark, s"$indexPath/params.json",
+        s"""{"k":$k,"numPerm":$numPerm,"bands":$bands}""")
+    val (sigs, bandKeys) = nearSketch(docs, idCol, textCol, k, numPerm, bands)
+    bandKeys.write.mode("append").parquet(s"$indexPath/bands")
+    sigs.write.mode("append").parquet(s"$indexPath/sigs")
   }
 
   /** Enforce the near-index params sidecar: reject a probe whose

@@ -163,6 +163,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup ≡ batch incremental loop; recovery replays lose nothing") {
+    import graft.SparkSpec.spark.implicits._
+    val root = Files.createTempDirectory("graft_nsd").toString
+    val (srcDir, idx, outDir, ckpt) =
+      (s"$root/src", s"$root/index", s"$root/out", s"$root/ckpt")
+    val batchIdx = s"$root/batch_index" // the batch twin's index
+    def doc(words: Int, seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until words).map(_ => s"w${r.nextInt(500)}").mkString(" ")
+    }
+    val origA = doc(80, 1); val origB = doc(80, 2)
+    def perturb(s: String): String = {
+      val t = s.split(" "); t(10) = "CHANGED"; t(45) = "ALSO"; t.mkString(" ")
+    }
+    // batch 0: two distinct docs + a within-batch near-copy of A;
+    // batch 1: a near-copy of an INDEXED doc, an exact re-delivery,
+    // and a genuinely new doc — the QualitySpec batch scenario, fed
+    // through the stream one micro-batch at a time.
+    val b0 = Seq((1L, origA), (2L, origB), (3L, perturb(origA)))
+    val b1 = Seq((10L, perturb(origB)), (11L, origA), (12L, doc(80, 9)))
+    b0.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = graft.streaming.NearStreamDedup.toStore(
+      stream, "doc_id", "text", idx, outDir, ckpt)
+    try {
+      q.processAllAvailable()
+      b1.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    // batch twin over the same slicing
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      val staged = graft.operators.Dedup.nearDedupIncrementalStaged(
+        spark, b.toDF("doc_id", "text"), "doc_id", "text", batchIdx)
+      staged.survivors.write.mode("overwrite").parquet(s"$root/bt$i")
+      staged.commit()
+    }
+    val batched = (0 to 1).flatMap(i =>
+      spark.read.parquet(s"$root/bt$i").select("doc_id").as[Long].collect()).toSet
+    assert(streamed === batched, s"stream $streamed != batch $batched")
+    assert(streamed === Set(1L, 2L, 12L))
+    // committed replay (checkpoint recovery redelivers batch 1):
+    // the done marker short-circuits — output and index unchanged
+    val sigsBefore = spark.read.parquet(s"$idx/sigs").count()
+    graft.streaming.NearStreamDedup.processBatch(
+      b1.toDF("doc_id", "text"), 1L, "doc_id", "text", idx, outDir)
+    assert(spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet === streamed)
+    assert(spark.read.parquet(s"$idx/sigs").count() === sigsBefore)
+    // crash WINDOW drill: intent written, commit torn (delete done →
+    // replay must take the append-only path: survivors preserved,
+    // NEVER re-probed — a re-probe would self-drop everything)
+    val (fs, donePath) = graft.operators.StoreFs.fs(spark, s"$idx/_batches/done-1")
+    assert(fs.delete(donePath, true))
+    graft.streaming.NearStreamDedup.processBatch(
+      b1.toDF("doc_id", "text"), 1L, "doc_id", "text", idx, outDir)
+    assert(spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet === streamed,
+      "crash-window replay lost or resurrected survivors")
+    // duplicate postings from the re-append are harmless: a near-copy
+    // of an accepted doc still drops against the healed index
+    graft.streaming.NearStreamDedup.processBatch(
+      Seq((20L, perturb(origA)), (21L, doc(80, 77))).toDF("doc_id", "text"),
+      2L, "doc_id", "text", idx, outDir)
+    assert(spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet ===
+      streamed + 21L, "post-recovery batch dedup broke")
+  }
+
   test("streaming counter rates converge to the batch derivation") {
     import graft.SparkSpec.spark.implicits._
     val srcDir = Files.createTempDirectory("graft_rs_src").toString
