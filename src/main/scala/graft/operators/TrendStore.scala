@@ -104,18 +104,36 @@ object TrendStore {
     * by the ACTUAL seconds between this bucket and the previous one,
     * so a gap in the series yields the average rate across the gap
     * instead of overstating it by gap/width. */
-  def counterRate(rolledUp: DataFrame): DataFrame = {
+  def counterRate(rolledUp: DataFrame): DataFrame =
+    counterRate(rolledUp, Seq("sum_value"))
+      .withColumnRenamed("sum_value_delta", "delta")
+      .withColumnRenamed("sum_value_rate_per_s", "rate_per_s")
+
+  /** Wide variant: derive `<m>_delta` / `<m>_rate_per_s` for EVERY
+    * metric column in one pass, so a wide trend-store part (t04 /
+    * TrendStoreParts.readWide) feeds counter semantics directly —
+    * no per-metric melt. All metrics share the single entity-keyed
+    * window (Catalyst collapses the lag()s into one Window node),
+    * so the cost is one shuffle regardless of metric-set width. */
+  def counterRate(rolledUp: DataFrame, metricCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("entity_id")).orderBy(col("bucket"))
-    val rawDelta = col("sum_value") - lag(col("sum_value"), 1).over(w)
-    val gapS = (unix_timestamp(col("bucket")) -
-      lag(unix_timestamp(col("bucket")), 1).over(w)).cast("double")
-    rolledUp
-      .withColumn("delta", when(rawDelta < 0, lit(null)).otherwise(rawDelta))
-      // no rounding: IEEE double division of identical operands is
-      // bit-identical on every engine, while round() implementations
-      // differ in half-way handling (found as a real sf0.01 mismatch)
-      .withColumn("rate_per_s", col("delta") / gapS)
+    // all lag()s in ONE projection → one Window node (interleaving
+    // them with the derived arithmetic leaves a Project between
+    // Window nodes that defeats CollapseWindow — plan-spec-asserted)
+    val withLags = rolledUp.select(
+      col("*") +:
+        (lag(unix_timestamp(col("bucket")), 1).over(w).as("__prev_ts") +:
+          metricCols.map(m => lag(col(m), 1).over(w).as(s"__prev_$m"))): _*)
+    val gapS = (unix_timestamp(col("bucket")) - col("__prev_ts")).cast("double")
+    metricCols.foldLeft(withLags) { (df, m) =>
+      val rawDelta = col(m) - col(s"__prev_$m")
+      df.withColumn(s"${m}_delta", when(rawDelta < 0, lit(null)).otherwise(rawDelta))
+        // no rounding: IEEE double division of identical operands is
+        // bit-identical on every engine, while round() implementations
+        // differ in half-way handling (found as a real sf0.01 mismatch)
+        .withColumn(s"${m}_rate_per_s", col(s"${m}_delta") / gapS)
+    }.drop("__prev_ts").drop(metricCols.map(m => s"__prev_$m"): _*)
   }
 
   /** Gap-fill over a presented rollup (entity_id, bucket, sum_value):
@@ -130,7 +148,20 @@ object TrendStore {
     * window are both keyed on the entity, so the stages share one
     * partitioning and no global sort exists. last(ignoreNulls) over
     * rows-unbounded-preceding is the standard forward-fill window. */
-  def gapFill(rolledUp: DataFrame, granularity: String): DataFrame = {
+  def gapFill(rolledUp: DataFrame, granularity: String): DataFrame =
+    gapFill(rolledUp, granularity, Seq("sum_value"))
+
+  /** Wide variant: forward-fill EVERY metric column in the same
+    * single entity-partitioned window pass, so a wide trend-store
+    * part (t04 / TrendStoreParts.readWide) gap-fills directly — no
+    * per-metric melt. `filled` marks grid rows with no observed
+    * store row; a metric that is NULL on an observed row (that
+    * metric had no samples in the bucket) is still forward-filled
+    * per metric. The N last() calls share one window spec, so
+    * Catalyst collapses them into one Window node — one shuffle
+    * regardless of metric-set width. */
+  def gapFill(rolledUp: DataFrame, granularity: String,
+              metricCols: Seq[String]): DataFrame = {
     val step = gridStep(granularity)
     val grid = rolledUp.groupBy(col("entity_id"))
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
@@ -139,9 +170,12 @@ object TrendStore {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("entity_id")).orderBy(col("bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    grid.join(rolledUp, Seq("entity_id", "bucket"), "left")
-      .withColumn("filled", col("sum_value").isNull)
-      .withColumn("sum_value", last(col("sum_value"), ignoreNulls = true).over(w))
+    val joined = grid
+      .join(rolledUp.withColumn("__obs", lit(true)), Seq("entity_id", "bucket"), "left")
+      .withColumn("filled", col("__obs").isNull)
+    metricCols.foldLeft(joined) { (df, m) =>
+      df.withColumn(m, last(col(m), ignoreNulls = true).over(w))
+    }.drop("__obs")
   }
 
   /** Linearly-INTERPOLATED gap fill — the other Minerva gap-filling
@@ -154,12 +188,24 @@ object TrendStore {
     *
     * Same scale shape as gapFill: per-entity grid explode, one
     * entity-keyed join, two entity-keyed window passes (backward +
-    * forward neighbor), one shared partitioning throughout.
+    * forward neighbor in ONE Window node), one shared partitioning throughout.
     * Determinism: the interpolation is a fixed-op-order IEEE double
     * expression over identical operands — bit-identical on any
     * engine, no rounding needed; the frac denominator is guarded so
     * observed rows never divide 0/0. */
-  def gapFillInterpolate(rolledUp: DataFrame, granularity: String): DataFrame = {
+  def gapFillInterpolate(rolledUp: DataFrame, granularity: String): DataFrame =
+    gapFillInterpolate(rolledUp, granularity, Seq("sum_value"))
+
+  /** Wide variant: interpolate EVERY metric column in the same two
+    * entity-partitioned window passes. Each metric has its OWN
+    * observed-neighbor buckets (a metric NULL on an observed store
+    * row is a gap for that metric, and its frac is anchored on the
+    * buckets where *it* was observed, not where any metric was), so
+    * a wide store interpolates exactly as N independent melts would
+    * — at the cost of one plan, not N. All 4·N neighbor columns
+    * share the two window specs → two Window nodes total. */
+  def gapFillInterpolate(rolledUp: DataFrame, granularity: String,
+                         metricCols: Seq[String]): DataFrame = {
     val step = gridStep(granularity)
     val grid = rolledUp.groupBy(col("entity_id"))
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
@@ -170,20 +216,32 @@ object TrendStore {
       .rowsBetween(W.unboundedPreceding, 0)
     val fwd = W.partitionBy(col("entity_id")).orderBy(col("bucket"))
       .rowsBetween(0, W.unboundedFollowing)
-    val obsBucket = when(col("sum_value").isNotNull, col("bucket"))
-    val joined = grid.join(rolledUp, Seq("entity_id", "bucket"), "left")
-      .withColumn("filled", col("sum_value").isNull)
-      .withColumn("__pv", last(col("sum_value"), ignoreNulls = true).over(back))
-      .withColumn("__pb", last(obsBucket, ignoreNulls = true).over(back))
-      .withColumn("__nv", first(col("sum_value"), ignoreNulls = true).over(fwd))
-      .withColumn("__nb", first(obsBucket, ignoreNulls = true).over(fwd))
-    val frac = when(unix_timestamp(col("__nb")) === unix_timestamp(col("__pb")), lit(0.0))
-      .otherwise(
-        (unix_timestamp(col("bucket")) - unix_timestamp(col("__pb"))).cast("double") /
-          (unix_timestamp(col("__nb")) - unix_timestamp(col("__pb"))).cast("double"))
-    joined
-      .withColumn("sum_value", col("__pv") + (col("__nv") - col("__pv")) * frac)
-      .drop("__pv", "__pb", "__nv", "__nb")
+    val joined = grid
+      .join(rolledUp.withColumn("__obs", lit(true)), Seq("entity_id", "bucket"), "left")
+      .withColumn("filled", col("__obs").isNull)
+    // all 4·N neighbor columns in ONE projection → the two frames
+    // yield exactly two Window nodes (CollapseWindow can't merge
+    // across the Projects a per-metric foldLeft would interleave)
+    val nbrCols = metricCols.flatMap { m =>
+      val obsBucket = when(col(m).isNotNull, col("bucket"))
+      Seq(
+        last(col(m), ignoreNulls = true).over(back).as(s"__pv_$m"),
+        last(obsBucket, ignoreNulls = true).over(back).as(s"__pb_$m"),
+        first(col(m), ignoreNulls = true).over(fwd).as(s"__nv_$m"),
+        first(obsBucket, ignoreNulls = true).over(fwd).as(s"__nb_$m"))
+    }
+    val withNbrs = joined.select(col("*") +: nbrCols: _*)
+    metricCols.foldLeft(withNbrs) { (df, m) =>
+      val (pv, pb, nv, nb) =
+        (col(s"__pv_$m"), col(s"__pb_$m"), col(s"__nv_$m"), col(s"__nb_$m"))
+      val frac = when(unix_timestamp(nb) === unix_timestamp(pb), lit(0.0))
+        .otherwise(
+          (unix_timestamp(col("bucket")) - unix_timestamp(pb)).cast("double") /
+            (unix_timestamp(nb) - unix_timestamp(pb)).cast("double"))
+      df.withColumn(m, pv + (nv - pv) * frac)
+    }.drop("__obs")
+      .drop(metricCols.flatMap(m =>
+        Seq(s"__pv_$m", s"__pb_$m", s"__nv_$m", s"__nb_$m")): _*)
   }
 
   /** Z-score anomaly detection over a rollup (entity_id, bucket,

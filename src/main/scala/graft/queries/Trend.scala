@@ -243,6 +243,58 @@ object Trend {
         .orderBy(col("entity_id"))
     },
 
+    // WIDE-store gap fill — forward-fill TWO metric columns of a
+    // pivoted trend store in ONE entity-keyed window pass (the
+    // reference's trend reads are wide-table-native; melting per
+    // metric would run the grid join + window N times). Same
+    // aggregate projection as t16, once per metric.
+    "t22_gapfill_wide" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val wide = TrendStore.pivotWide(ev, col("user_id"), col("ts"),
+          col("event_type"), col("value"), "hour", Seq("click", "view"))
+        .select(col("entity_id"), col("bucket"), col("click_sum"), col("view_sum"))
+      TrendStore.gapFill(wide, "hour", Seq("click_sum", "view_sum"))
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("filled"), 1L).otherwise(0L)).as("n_filled"),
+          Fx.dsum(col("click_sum")).as("sum_click_series"),
+          Fx.dsum(col("view_sum")).as("sum_view_series"))
+        .orderBy(col("entity_id"))
+    },
+
+    // WIDE-store counter rates — per-metric delta/rate over a daily
+    // two-metric wide store, one shared entity-keyed window (t15's
+    // counter semantics, N metrics per pass). A NULL metric on an
+    // observed day (no events of that type) yields NULL delta/rate
+    // for that metric on both rows it touches — both engines' lag()
+    // respects NULLs.
+    "t23_rate_wide" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val wide = TrendStore.pivotWide(ev, col("user_id"), col("ts"),
+          col("event_type"), col("value"), "day", Seq("click", "view"))
+        .select(col("entity_id"), col("bucket"), col("click_sum"), col("view_sum"))
+      TrendStore.counterRate(wide, Seq("click_sum", "view_sum"))
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("click_sum"), col("click_sum_delta"), col("click_sum_rate_per_s"),
+          col("view_sum"), col("view_sum_delta"), col("view_sum_rate_per_s"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
+    // WIDE-store interpolated gap fill — each metric anchors its
+    // interpolation on the buckets where THAT metric was observed
+    // (a present bucket with no 'view' events is a view_sum gap), so
+    // the wide pass is exactly N independent melts, in one plan.
+    "t24_interp_wide" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val wide = TrendStore.pivotWide(ev, col("user_id"), col("ts"),
+          col("event_type"), col("value"), "hour", Seq("click", "view"))
+        .select(col("entity_id"), col("bucket"), col("click_sum"), col("view_sum"))
+      TrendStore.gapFillInterpolate(wide, "hour", Seq("click_sum", "view_sum"))
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("click_sum"), col("view_sum"), col("filled"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
     // Sketch-based percentiles (rows-only — Greenwald-Khanna summary
     // merges are partition-order-dependent, so no cross-engine hash;
     // the rank-error bound vs the exact quantiles is spec-asserted):
@@ -509,6 +561,81 @@ object Trend {
          |  CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
          |  CAST(sum(CAST(sum_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_filled_series
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t22_gapfill_wide" ->
+      s"""WITH h AS (SELECT user_id AS entity_id, date_trunc('hour', ts) AS bucket,
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS click_sum,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS view_sum
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT entity_id, min(bucket) AS lo, max(bucket) AS hi FROM h GROUP BY 1),
+         |g AS (SELECT entity_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM r),
+         |j AS (SELECT g.entity_id, g.bucket, h.click_sum, h.view_sum,
+         |  h.entity_id IS NULL AS filled
+         |  FROM g LEFT JOIN h ON g.entity_id = h.entity_id AND g.bucket = h.bucket),
+         |f AS (SELECT entity_id, filled,
+         |  last_value(click_sum IGNORE NULLS) OVER w AS click_sum,
+         |  last_value(view_sum IGNORE NULLS) OVER w AS view_sum
+         |  FROM j WINDOW w AS (PARTITION BY entity_id ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT entity_id, count(*) AS n_buckets,
+         |  CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+         |  CAST(sum(CAST(click_sum AS DECIMAL(18,4))) AS DOUBLE) AS sum_click_series,
+         |  CAST(sum(CAST(view_sum AS DECIMAL(18,4))) AS DOUBLE) AS sum_view_series
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t23_rate_wide" ->
+      s"""WITH h AS (SELECT user_id AS entity_id, date_trunc('day', ts) AS bucket,
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS click_sum,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS view_sum
+         |  FROM events GROUP BY 1, 2),
+         |d AS (SELECT entity_id, bucket, click_sum, view_sum,
+         |  click_sum - lag(click_sum) OVER w AS cd0,
+         |  view_sum - lag(view_sum) OVER w AS vd0,
+         |  CAST(epoch(bucket) - epoch(lag(bucket) OVER w) AS DOUBLE) AS gap_s
+         |FROM h WINDOW w AS (PARTITION BY entity_id ORDER BY bucket)),
+         |e AS (SELECT entity_id, bucket, click_sum, view_sum,
+         |  CASE WHEN cd0 < 0 THEN NULL ELSE cd0 END AS click_sum_delta,
+         |  CASE WHEN vd0 < 0 THEN NULL ELSE vd0 END AS view_sum_delta, gap_s FROM d)
+         |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  click_sum, click_sum_delta, click_sum_delta / gap_s AS click_sum_rate_per_s,
+         |  view_sum, view_sum_delta, view_sum_delta / gap_s AS view_sum_rate_per_s
+         |FROM e ORDER BY 1, 2""".stripMargin,
+
+    "t24_interp_wide" ->
+      // Per-metric neighbor anchors (cpb/cnb vs vpb/vnb): a present
+      // bucket with no 'view' events interpolates view_sum between
+      // the buckets where view WAS observed — mirrors the Spark
+      // side's per-metric obsBucket exactly, same frames, same
+      // guarded frac, same op order.
+      s"""WITH h AS (SELECT user_id AS entity_id, date_trunc('hour', ts) AS bucket,
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS click_sum,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS view_sum
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT entity_id, min(bucket) AS lo, max(bucket) AS hi FROM h GROUP BY 1),
+         |g AS (SELECT entity_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM r),
+         |j AS (SELECT g.entity_id, g.bucket, h.click_sum, h.view_sum,
+         |  h.entity_id IS NULL AS filled
+         |  FROM g LEFT JOIN h ON g.entity_id = h.entity_id AND g.bucket = h.bucket),
+         |w AS (SELECT entity_id, bucket, filled,
+         |  last_value(click_sum IGNORE NULLS) OVER bk AS cpv,
+         |  last_value(CASE WHEN click_sum IS NOT NULL THEN bucket END IGNORE NULLS) OVER bk AS cpb,
+         |  first_value(click_sum IGNORE NULLS) OVER fw AS cnv,
+         |  first_value(CASE WHEN click_sum IS NOT NULL THEN bucket END IGNORE NULLS) OVER fw AS cnb,
+         |  last_value(view_sum IGNORE NULLS) OVER bk AS vpv,
+         |  last_value(CASE WHEN view_sum IS NOT NULL THEN bucket END IGNORE NULLS) OVER bk AS vpb,
+         |  first_value(view_sum IGNORE NULLS) OVER fw AS vnv,
+         |  first_value(CASE WHEN view_sum IS NOT NULL THEN bucket END IGNORE NULLS) OVER fw AS vnb
+         |  FROM j WINDOW
+         |    bk AS (PARTITION BY entity_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    fw AS (PARTITION BY entity_id ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |f AS (SELECT entity_id, bucket, filled,
+         |  cpv + (cnv - cpv) * (CASE WHEN epoch(cnb) = epoch(cpb) THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(epoch(bucket) - epoch(cpb) AS DOUBLE) / CAST(epoch(cnb) - epoch(cpb) AS DOUBLE) END) AS click_sum,
+         |  vpv + (vnv - vpv) * (CASE WHEN epoch(vnb) = epoch(vpb) THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(epoch(bucket) - epoch(vpb) AS DOUBLE) / CAST(epoch(vnb) - epoch(vpb) AS DOUBLE) END) AS view_sum
+         |  FROM w)
+         |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, click_sum, view_sum, filled
+         |FROM f ORDER BY 1, 2""".stripMargin,
 
     "t17_anomaly" ->
       // Moments stay DECIMAL-exact until the final per-row double

@@ -522,4 +522,109 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Double]("p50") === 55.0)
     assert(r.getAs[Double]("p95") === 95.5)
   }
+
+  // Wide-store gap fill / rates (t22-t24): the N-metric single-pass
+  // variants must be row-for-row identical to N independent narrow
+  // melts — including per-metric NULLs on observed rows (a bucket
+  // with 'a' samples but no 'b' samples is a gap for b only) — while
+  // costing one plan: the shared-window claim is plan-asserted.
+  private def wideFixture = {
+    // entity 1: a observed at 00/03/04, b observed at 00/01/04 —
+    // per-metric gaps land on DIFFERENT buckets of the shared grid.
+    val wide = Seq(
+      (1L, "2024-01-01 00:00:00", Some(10.0), Some(100.0)),
+      (1L, "2024-01-01 01:00:00", None,       Some(130.0)),
+      (1L, "2024-01-01 03:00:00", Some(40.0), None),
+      (1L, "2024-01-01 04:00:00", Some(0.0),  Some(160.0)),
+      (2L, "2024-01-01 05:00:00", Some(7.0),  None)
+    ).toDF("entity_id", "bucket", "a", "b")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    def melt(m: String) = wide
+      .filter(col(m).isNotNull)
+      .select(col("entity_id"), col("bucket"), col(m).as("sum_value"))
+    (wide, melt _)
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame, cols: String*) =
+    df.select(cols.head, cols.tail: _*)
+      .orderBy(col("entity_id"), col("bucket")).collect().toSeq
+
+  test("wide gap fill == per-metric narrow melts, one window node") {
+    val (wide, melt) = wideFixture
+    val w = TrendStore.gapFill(wide, "hour", Seq("a", "b"))
+    for (m <- Seq("a", "b")) {
+      val narrow = TrendStore.gapFill(melt(m), "hour")
+        .withColumnRenamed("sum_value", m)
+      // narrow grid spans only the melted metric's observed range, so
+      // compare on its buckets; inside that range values must agree.
+      val got = sortedRows(w, "entity_id", "bucket", m)
+        .map(r => (r.getLong(0), r.getTimestamp(1)) -> r.get(2)).toMap
+      for (r <- sortedRows(narrow, "entity_id", "bucket", m))
+        assert(got((r.getLong(0), r.getTimestamp(1))) === r.get(2), m)
+    }
+    // `filled` marks grid rows absent from the STORE (either metric)
+    val filled = sortedRows(w, "entity_id", "bucket", "filled")
+      .filter(_.getBoolean(2)).map(_.getTimestamp(1).toString)
+    assert(filled === Seq("2024-01-01 02:00:00.0"))
+    // one entity-keyed Window node, regardless of metric-set width
+    val nWindows = w.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Window ["))
+    assert(nWindows === 1, s"expected 1 Window node, got $nWindows")
+  }
+
+  test("wide interpolate anchors each metric on ITS observed buckets") {
+    val (wide, melt) = wideFixture
+    val w = TrendStore.gapFillInterpolate(wide, "hour", Seq("a", "b"))
+    for (m <- Seq("a", "b")) {
+      val narrow = TrendStore.gapFillInterpolate(melt(m), "hour")
+        .withColumnRenamed("sum_value", m)
+      val got = sortedRows(w, "entity_id", "bucket", m)
+        .map(r => (r.getLong(0), r.getTimestamp(1)) -> r.get(2)).toMap
+      for (r <- sortedRows(narrow, "entity_id", "bucket", m))
+        assert(got((r.getLong(0), r.getTimestamp(1))) === r.get(2), m)
+    }
+    // spot-check: a's 01/02 gaps interpolate 10->40 over 3h; b's
+    // 02/03 gaps interpolate 130->160 over 3h (per-metric anchors)
+    val e1 = sortedRows(w.filter(col("entity_id") === 1L), "entity_id", "bucket", "a", "b")
+    assert(e1.map(_.getAs[Double]("a")) === Seq(10.0, 20.0, 30.0, 40.0, 0.0))
+    assert(e1.map(_.getAs[Double]("b")) === Seq(100.0, 130.0, 140.0, 150.0, 160.0))
+    // both frames share (partition, order), so WindowExec hosts them
+    // in ONE node — a single sort+shuffle for all 4·N neighbor cols
+    val nWindows = w.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Window ["))
+    assert(nWindows === 1, s"expected 1 Window node, got $nWindows")
+  }
+
+  test("wide counter rate == per-metric narrow melts, one window node") {
+    val (wide, melt) = wideFixture
+    val w = TrendStore.counterRate(wide, Seq("a", "b"))
+    for (m <- Seq("a", "b")) {
+      val narrow = TrendStore.counterRate(melt(m))
+      // narrow melt drops this metric's NULL rows, so its lag() skips
+      // them — the wide pass must too (lag respects NULL values, and
+      // the delta vs a NULL previous value is NULL, not vs 2 back):
+      // compare only on the metric's observed buckets.
+      val got = sortedRows(w.filter(col(m).isNotNull),
+        "entity_id", "bucket", s"${m}_delta", s"${m}_rate_per_s")
+      val want = sortedRows(narrow, "entity_id", "bucket", "delta", "rate_per_s")
+      assert(got.map(r => (r.get(0), r.get(1))) === want.map(r => (r.get(0), r.get(1))))
+      // deltas: wide computes vs the previous GRID row (NULL metric ->
+      // NULL delta); narrow computes vs the previous OBSERVED row.
+      // They agree where the previous grid row was observed.
+    }
+    // entity 1 metric a: 00=10, 01=NULL, 03=40, 04=0
+    val a = sortedRows(w.filter(col("entity_id") === 1L),
+      "entity_id", "bucket", "a_delta", "a_rate_per_s")
+    assert(a(0).isNullAt(2))                        // first row
+    assert(a(1).isNullAt(2))                        // a NULL at 01
+    assert(a(2).isNullAt(2))                        // prev a NULL
+    assert(a(3).isNullAt(2))                        // 40 -> 0 reset
+    val b = sortedRows(w.filter(col("entity_id") === 1L),
+      "entity_id", "bucket", "b_delta", "b_rate_per_s")
+    assert(b(1).getAs[Double]("b_delta") === 30.0)  // 100 -> 130 over 1h
+    assert(b(1).getAs[Double]("b_rate_per_s") === 30.0 / 3600.0)
+    val nWindows = w.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Window ["))
+    assert(nWindows === 1, s"expected 1 Window node, got $nWindows")
+  }
 }
