@@ -466,6 +466,48 @@ object TextSim {
         .orderBy(col("doc_id"))
     },
 
+    // Exact incremental-dedup SERVING path — the probe a crawl loop
+    // runs daily: one warm batch anti-joined against a prebuilt hash
+    // index of the accepted corpus (even doc_ids; cached per JVM, the
+    // s09/s10 discipline, so Bench's min-of-2 measures the pure
+    // probe). The batch re-submits every even doc under a shifted id
+    // plus all odd docs, so the drop AND survivor paths both execute
+    // at corpus scale. No commit — the index stays frozen, keeping
+    // the key deterministic across warm re-runs.
+    "d26_dedup_serve" -> { (s, dir) =>
+      val docs = TableCatalog(s, dir).documents
+      val idx = cachedIndex(s, dir, "dedup_exact") { p =>
+        val b0 = Dedup.dedupIncrementalStaged(s,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+        b0.commit()
+      }
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 2 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+      Dedup.dedupIncrementalStaged(s, batch, "doc_id", "text", idx)
+        .survivors.select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
+    // NEAR-dup incremental-dedup serving path (rows-only — MinHash
+    // signature-space verification has no SQL twin; within/cross-
+    // batch drop semantics are spec-asserted, and DedupSpec pins this
+    // key's exact survivor set on sf0.001): same frozen-index probe
+    // shape as d26 — band-postings join + signature verify of one
+    // warm batch against the accepted corpus' LSH index.
+    "d27_near_dedup_serve" -> { (s, dir) =>
+      val docs = TableCatalog(s, dir).documents
+      val idx = cachedIndex(s, dir, "dedup_near") { p =>
+        val b0 = Dedup.nearDedupIncrementalStaged(s,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+        b0.commit()
+      }
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 2 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+      Dedup.nearDedupIncrementalStaged(s, batch, "doc_id", "text", idx)
+        .survivors.select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
     // Gopher-style repetition signals: unique-token ratio, duplicate-
     // bigram fraction, and most-frequent-token share — the quality
     // gates that catch boilerplate/spam before training. See
@@ -970,6 +1012,22 @@ object TextSim {
         |       ELSE CAST(per.n_dup_spans AS DOUBLE) / CAST(per.n_spans AS DOUBLE)
         |  END AS dup_frac
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY 1""".stripMargin,
+
+    "d26_dedup_serve" ->
+      // The frozen index's hash set == DISTINCT md5 of the even half
+      // (dedupIncrementalStaged keeps one row per hash before the
+      // append); NOT EXISTS, not NOT IN (NULL-safe by construction
+      // but anti-join is the semantic the Spark side runs).
+      """WITH idx AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |      UNION ALL
+        |      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 2 = 0),
+        |f AS (SELECT doc_id, md5(text) AS h,
+        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM b)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM f
+        |WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM idx WHERE idx.h = f.h)
         |ORDER BY 1""".stripMargin,
 
     "d18_repetition" ->

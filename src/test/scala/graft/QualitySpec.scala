@@ -146,6 +146,27 @@ class QualitySpec extends SparkSpec {
     assert(s3.survivors.isEmpty, "committed replay must be a no-op")
   }
 
+  // d26/d27 serving keys: the wiring spec (the operators themselves
+  // are modeled above). Every shifted even id is an exact copy of an
+  // indexed doc — both keys must drop it; near-dedup can only drop
+  // MORE than exact (identical sigs share every band and agree on
+  // every slot), so d27 ⊆ d26; warm re-runs against the frozen
+  // per-JVM index must be bit-identical.
+  test("dedup serving keys drop indexed re-probes; near ⊆ exact; warm-deterministic") {
+    def ids(key: String): Seq[Long] =
+      SparkEntry.queries(key)(spark, sf).collect().map(_.getLong(0)).toSeq
+    val exact = ids("d26_dedup_serve")
+    val near1 = ids("d27_near_dedup_serve")
+    val near2 = ids("d27_near_dedup_serve")
+    assert(near1 === near2, "warm re-run must be identical against the frozen index")
+    assert(exact === ids("d26_dedup_serve"))
+    assert(exact.nonEmpty && near1.nonEmpty)
+    assert(exact.forall(id => id < 10000000L && id % 2 == 1),
+      "every shifted even doc is an exact copy of an indexed doc and must drop")
+    assert(near1.toSet.subsetOf(exact.toSet),
+      "near-dedup drops a superset of exact dedup's drops")
+  }
+
   test("index compaction shrinks files, preserves hashes, and later batches still dedup") {
     import graft.SparkSpec.spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_dedup_cmp").toString
