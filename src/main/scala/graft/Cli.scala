@@ -38,7 +38,7 @@ import graft.sources.HarvestJob
   *   [--kind ivf|pq|ivfpq] [--k 10] [--nprobe 4] [--rerank 4]
   * graft.Cli gapfill --store S --granularity hour|900|15m|... --out OUT \
   *   [--mode forward|interpolate] [--value sum_dec]
-  * graft.Cli compact-index --index DIR [--files 8] [--method auto|exact|near]
+  * graft.Cli compact-index --index DIR [--files 8] [--method auto|exact|near|ann]
   * }}}
   *
   * All heavy lifting stays in the library operators; the CLI only
@@ -277,16 +277,29 @@ object Cli {
       }
       println(s"dedup-incremental: method=${opt(f, "method", "exact")} survivors=$n")
 
-    // Compact an incremental-dedup index (small-file tax) — exact
-    // hash layout or the near bands/sigs layout (auto-detected;
-    // --method pins it and mismatches are refused).
+    // Compact an incremental index (small-file tax) — dedup layouts
+    // (exact hash or near bands/sigs) and ANN layouts (ivf/pq/ivfpq)
+    // are auto-detected; --method pins one and mismatches are
+    // refused on both sides.
     case "compact-index" :: rest =>
       val f = parseFlags(rest)
-      val n = Dedup.compactIndex(spark, one(f, "index"),
-        nFiles = opt(f, "files", "8").toInt,
-        method = opt(f, "method", "auto"))
+      val path = one(f, "index")
+      val isAnn = Seq("codes", "cells", "centroids")
+        .exists(d => graft.operators.StoreFs.exists(spark, s"$path/$d"))
+      val method = opt(f, "method", "auto") match {
+        case "auto" => if (isAnn) "ann" else "auto"
+        case m => m
+      }
+      val n =
+        if (method == "ann") {
+          require(isAnn, s"$path has no codes/ or cells/ table — " +
+            "not an ANN index (did you mean --method exact|near?)")
+          graft.similarity.Similarity.compactIndex(spark, path,
+            nFiles = opt(f, "files", "8").toInt)
+        } else Dedup.compactIndex(spark, path,
+          nFiles = opt(f, "files", "8").toInt, method = method)
       println(s"compact-index: rows=$n files=${opt(f, "files", "8")} " +
-        s"method=${opt(f, "method", "auto")}")
+        s"method=$method")
 
     case "decontaminate" :: rest =>
       val f = parseFlags(rest)

@@ -534,6 +534,14 @@ object Dedup {
       spark.read.parquet(path).count()
     }
     StoreFs.recover(spark, indexPath)
+    // An ANN index (codes/cells/centroids subdirs) must go through
+    // Similarity.compactIndex — flattening it through the exact path
+    // here would destroy it, and the post-swap .bak delete would make
+    // that permanent (the same trap the bands/sigs guard closes).
+    require(!Seq("codes", "cells", "centroids")
+        .exists(d => StoreFs.exists(spark, s"$indexPath/$d")),
+      s"$indexPath has a persisted ANN-index layout — " +
+        "use Similarity.compactIndex (CLI: --method ann)")
     val isNear = StoreFs.exists(spark, s"$indexPath/bands") ||
       StoreFs.exists(spark, s"$indexPath/sigs")
     val effective = method match {

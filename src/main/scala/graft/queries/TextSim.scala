@@ -668,6 +668,23 @@ object TextSim {
     // projection is a broadcast literal matrix multiply per row.
     // Output: per-label variance of the first two WHITENED
     // coordinates — ≈1.0 when the rotation is right.
+    // Rotated (OPQ-lite) PQ serving path (rows-only; rotated ≡
+    // unrotated semantics and recall ≥ unrotated are spec-asserted):
+    // the s10 counterpart with the balanced-PCA rotation baked into
+    // the index — codebooks trained on, and codes stored in, the
+    // rotated basis; search rotates only the LUT side. The bench
+    // number prices the rotation's per-query cost (one broadcast
+    // matrix multiply per query vector) against s10.
+    "s12_ann_opq_serve" -> { (s, dir) =>
+      val emb = TableCatalog(s, dir).embeddings
+      val idx = cachedIndex(s, dir, "opq") { p =>
+        Similarity.pqBuild(emb, "vec_id", "embedding", p, rotate = true)
+      }
+      Similarity.pqSearch(emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", idx, k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     "s11_embed_pca" -> { (s, dir) =>
       val emb = TableCatalog(s, dir).embeddings
       val model = graft.similarity.Pca.train(emb, "embedding", r = 4)

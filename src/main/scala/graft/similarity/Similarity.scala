@@ -718,6 +718,53 @@ object Similarity {
     true
   }
 
+  /** Compact a persisted ANN index after incremental adds. Every
+    * [[ivfpqAdd]] batch appends one file set to `codes/` and
+    * `vectors/`, so after months of daily batches a search opens
+    * thousands of small parquet files — footer reads and task setup
+    * dominate the m-int payload (the same small-file tax
+    * `Dedup.compactIndex` fixes for the dedup indexes). Rewrites the
+    * DATA-sized tables via the temp-then-swap discipline
+    * (StoreFs.replace: a crash mid-compact leaves the old or the new
+    * table, never neither; readers self-heal a torn swap via
+    * `recover`):
+    *  - cell-partitioned tables (IVF-PQ `codes/`, IVF `cells/`) are
+    *    rewritten hash-partitioned ON the cell, so each cell
+    *    directory collapses to ~one file and the partition-pruned
+    *    search (s08/s09) reads one file per probed cell;
+    *  - flat tables (PQ `codes/`, `vectors/`) repartition to
+    *    `nFiles`.
+    * Quantizers (`centroids/`, `codebooks/`, `rotation/`) and the
+    * `_adds/` replay markers are metadata-sized and untouched — a
+    * compaction changes file layout only, never a search result
+    * (spec-asserted identical before/after). Works on all three
+    * persisted layouts (ivf / pq / ivfpq, auto-detected). Returns
+    * the indexed row count. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String, nFiles: Int = 8): Long = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    import graft.operators.StoreFs
+    def rewrite(path: String): Long = {
+      StoreFs.recover(spark, path)
+      if (!StoreFs.exists(spark, path)) return 0L
+      val df = spark.read.parquet(path)
+      val tmp = path + ".compact.tmp"
+      if (df.schema.fieldNames.contains("cell"))
+        df.repartition(nFiles, col("cell"))
+          .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+      else df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+      StoreFs.replace(spark, tmp, path)
+      spark.read.parquet(path).count()
+    }
+    require(StoreFs.exists(spark, s"$indexPath/codes") ||
+      StoreFs.exists(spark, s"$indexPath/cells"),
+      s"$indexPath has no codes/ or cells/ table — not a persisted ANN index")
+    val nCodes = rewrite(s"$indexPath/codes")   // pq / ivfpq
+    val nCells = rewrite(s"$indexPath/cells")   // ivf
+    rewrite(s"$indexPath/vectors")              // pq / ivfpq re-rank side
+    math.max(nCodes, nCells)
+  }
+
   /** Search a persisted IVF-PQ index. Centroids and codebooks are
     * O(nCells + m·nCodes) driver metadata. Each query probes its
     * `nprobe` nearest cells; the union of probed cells becomes a

@@ -221,6 +221,15 @@ class CliSpec extends SparkSpec {
       s"$base/didx", s"$base/dout")
     Cli.run(spark, Seq("compact-index", "--index", s"$base/didx", "--files", "1"))
     assert(spark.read.parquet(s"$base/didx").count() === 2)
+
+    // compact-index auto-detects the ANN layout (method=ann path) and
+    // search results survive the rewrite unchanged (compare against
+    // the PERSISTED pre-compact output — a lazy plan over the old
+    // index files would re-read paths the swap deleted)
+    Cli.run(spark, Seq("compact-index", "--index", s"$base/idx", "--files", "1"))
+    val top2 = graft.similarity.Similarity.ivfpqSearch(
+      spark.read.parquet(s"$base/queries"), "vec_id", "embedding", s"$base/idx", k = 5)
+    assert(top2.exceptAll(top).isEmpty && top.exceptAll(top2).isEmpty)
   }
 
   test("dedup-incremental command runs both index kinds end-to-end") {

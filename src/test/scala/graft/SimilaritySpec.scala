@@ -260,6 +260,48 @@ class SimilaritySpec extends SparkSpec {
       "post-add results contain ids that exist in neither the old index nor the batch")
   }
 
+  test("compactIndex: post-add small files collapse; searches bit-identical; dedup path refuses ANN") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_cmp").toString + "/idx"
+    Similarity.ivfpqBuild(emb.filter(col("vec_id") >= 40), "vec_id", "embedding", dir,
+      residual = true, rotate = true)
+    // five daily add batches → five appended file sets per table
+    (0 until 5).foreach { d =>
+      Similarity.ivfpqAdd(emb.filter(col("vec_id") >= d * 8 && col("vec_id") < (d + 1) * 8),
+        "vec_id", "embedding", dir, Some(s"day$d"))
+    }
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
+    val q = emb.filter(col("vec_id") < 10)
+    val before = Similarity.ivfpqSearch(q, "vec_id", "embedding", dir, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val codesBefore = parquetFiles(s"$dir/codes")
+    val n = Similarity.compactIndex(spark, dir, nFiles = 2)
+    assert(n === spark.read.parquet(s"$dir/codes").count())
+    assert(parquetFiles(s"$dir/codes") < codesBefore,
+      s"codes/ still has ${parquetFiles(s"$dir/codes")} files (was $codesBefore)")
+    assert(parquetFiles(s"$dir/vectors") <= 2)
+    // layout-only: every (q_id, rank, n_id) identical after the swap
+    val after = Similarity.ivfpqSearch(q, "vec_id", "embedding", dir, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(after === before, "compaction changed a search result")
+    // a further add lands in the compacted layout and is found
+    Similarity.ivfpqAdd(emb.filter(col("vec_id") >= 490), "vec_id", "embedding", dir, Some("day5"))
+    assert(spark.read.parquet(s"$dir/codes").count() > n)
+    // the dedup compactor must refuse the ANN layout (the .bak-delete
+    // trap) and the ANN compactor must refuse a non-ANN path
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.compactIndex(spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.compactIndex(spark,
+        java.nio.file.Files.createTempDirectory("graft_not_ann").toString)
+    }
+  }
+
   test("residual IVF-PQ: recall holds, searches are deterministic, overlap ≥ plain codes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_res").toString
     Similarity.ivfpqBuild(emb, "vec_id", "embedding", s"$dir/res", residual = true)
