@@ -295,46 +295,71 @@ object Multimodal {
   case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int, height: Int,
                            mean_luma: Double)
 
-  /** Frame sampling over multi-frame images (e.g. animated GIF —
-    * `javax.imageio` reads frame sequences natively): every `step`-th
-    * frame decodes to (width, height, mean_luma). The video analogue
-    * — swap the reader for a codec, keep the batching and the
-    * one-row-per-sampled-frame output shape. Single-frame and
-    * undecodable payloads yield their 0 or 1 rows rather than
-    * erroring. */
+  /** Codec seam for [[sampleFrames]]: the payload-format decode is
+    * the ONLY format-specific piece of the frame pipeline, so it is a
+    * pluggable strategy. This container ships the `javax.imageio`
+    * multi-frame reader ([[ImageIoFrameDecoder]], animated GIF); a
+    * video deployment plugs an FFmpeg/JCodec-backed instance with the
+    * same contract, and the Spark-side plumbing — batching, schema,
+    * one row per sampled frame — is untouched (spec-verified against
+    * a synthetic decoder). Contract: yield `(frame_idx, frame)` for
+    * every `step`-th frame in order (a seekable codec should skip,
+    * not decode-and-drop); yield NOTHING for an undecodable payload;
+    * never throw; be Serializable (instances ship to executors). */
+  trait FrameDecoder extends Serializable {
+    def frames(payload: Array[Byte], step: Int): Iterator[(Int, java.awt.image.BufferedImage)]
+  }
+
+  /** The in-container default: `javax.imageio` frame sequences.
+    * `reader.read(i)` seeks, so `step` skips decode work, not just
+    * output rows; frames materialize eagerly because the reader is
+    * disposed on exit. */
+  object ImageIoFrameDecoder extends FrameDecoder {
+    def frames(payload: Array[Byte], step: Int): Iterator[(Int, java.awt.image.BufferedImage)] = {
+      val stream = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      val readers = ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) { stream.close(); Iterator.empty }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(stream)
+          val n = reader.getNumImages(true)
+          (0 until n by step).map(i => (i, reader.read(i))).iterator
+        } catch { case _: Exception => Iterator.empty }
+        finally { reader.dispose(); stream.close() }
+      }
+    }
+  }
+
+  /** Frame sampling over multi-frame payloads: every `step`-th frame
+    * decodes to (width, height, mean_luma), one output row per
+    * sampled frame; single-frame and undecodable payloads yield their
+    * 0 or 1 rows rather than erroring. The decode is batched
+    * `mapPartitions` (the one legitimate non-Catalyst spot — binary
+    * codecs have no Catalyst expression); the codec itself is the
+    * pluggable [[FrameDecoder]], GIF-via-imageio by default. */
   def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
-                   step: Int = 2, batchSize: Int = 16): Dataset[FrameFeatures] = {
+                   step: Int = 2, batchSize: Int = 16,
+                   decoder: FrameDecoder = ImageIoFrameDecoder): Dataset[FrameFeatures] = {
     import spark.implicits._
     require(step >= 1, "step must be >= 1")
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { case (id, bytes) =>
-        val stream = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-        val readers = ImageIO.getImageReaders(stream)
-        if (!readers.hasNext) { stream.close(); Iterator.empty }
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(stream)
-            val n = reader.getNumImages(true)
-            (0 until n by step).iterator.map { i =>
-              val im = reader.read(i)
-              var sum = 0.0
-              var y = 0
-              while (y < im.getHeight) {
-                var x = 0
-                while (x < im.getWidth) {
-                  val rgb = im.getRGB(x, y)
-                  sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
-                  x += 1
-                }
-                y += 1
-              }
-              FrameFeatures(id, i, im.getWidth, im.getHeight,
-                sum / (im.getWidth.toLong * im.getHeight))
-            }.toVector
-          } catch { case _: Exception => Vector.empty }
-          finally { reader.dispose(); stream.close() }
+        decoder.frames(bytes, step).map { case (i, im) =>
+          var sum = 0.0
+          var y = 0
+          while (y < im.getHeight) {
+            var x = 0
+            while (x < im.getWidth) {
+              val rgb = im.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+              x += 1
+            }
+            y += 1
+          }
+          FrameFeatures(id, i, im.getWidth, im.getHeight,
+            sum / (im.getWidth.toLong * im.getHeight))
         }
       }))
   }

@@ -125,6 +125,42 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(spark, docs, "doc_id", step = 1).count() === 4)
   }
 
+  // The FrameDecoder seam: a synthetic "video codec" (payload bytes =
+  // [nFrames, w, h, greyBase] of a trivial container format) proves
+  // the Spark-side plumbing — batching, schema, per-frame rows, step
+  // sampling — is codec-independent: a production video deployment
+  // plugs FFmpeg/JCodec behind the same trait and touches nothing
+  // else.
+  test("frame sampling is codec-pluggable: a synthetic video decoder reuses the plumbing") {
+    import graft.SparkSpec.spark.implicits._
+    object FakeVideoDecoder extends Multimodal.FrameDecoder {
+      def frames(payload: Array[Byte], step: Int): Iterator[(Int, BufferedImage)] = {
+        if (payload.length != 4) return Iterator.empty // not our container
+        val Array(n, w, h, base) = payload.map(_.toInt & 0xff)
+        (0 until n by step).iterator.map { i =>
+          val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val v = (base + i) & 0xff
+          for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, (v << 16) | (v << 8) | v)
+          (i, im)
+        }
+      }
+    }
+    val docs = Seq(
+      (1L, Array[Byte](5, 4, 2, 50)),    // 5 frames, 4×2, luma 50,51,…
+      (2L, Array[Byte](1, 2, 2, 10)),    // single frame
+      (3L, "noise".getBytes("UTF-8"))    // undecodable → 0 rows
+    ).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(spark, docs, "doc_id", step = 2,
+        decoder = FakeVideoDecoder)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(frames.map(f => (f.doc_id, f.frame_idx)).toSeq ===
+      Seq((1L, 0), (1L, 2), (1L, 4), (2L, 0)))
+    assert(frames.filter(_.doc_id == 1L).map(_.mean_luma).toSeq === Seq(50.0, 52.0, 54.0))
+    assert(frames.forall(f => f.doc_id == 2L || (f.width == 4 && f.height == 2)))
+    // the default decoder still handles the same rows' GIF payloads
+    // (mixed-format corpora route by format in the decoder, not here)
+  }
+
   test("real image payloads decode to (width, height, mean_luma)") {
     import graft.SparkSpec.spark.implicits._
     val white = png(3, 2, (_, _) => 0xffffff)          // luma 255
