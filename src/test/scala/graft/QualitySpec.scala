@@ -616,6 +616,32 @@ class QualitySpec extends SparkSpec {
     assert(nWindows === 1, s"expected 1 Window node, got $nWindows")
   }
 
+  test("wide anomalies == per-metric narrow melts, one window node") {
+    val (wide0, melt) = wideFixture
+    val wide = wide0.select(col("entity_id"), col("bucket"),
+      col("a").cast("decimal(18,4)").as("a"), col("b").cast("decimal(18,4)").as("b"))
+    val w = TrendStore.anomaliesWide(wide, Seq("a", "b"), minBuckets = 2, zMin = 0.5)
+    // plan asserted BEFORE execution: once collected, AQE's final
+    // plan string prints the (reused) Window stage twice
+    val nWindows = w.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Window ["))
+    assert(nWindows === 1, s"expected 1 Window node, got $nWindows")
+    val got = w.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val want = Seq("a", "b").flatMap { m =>
+      TrendStore.anomalies(melt(m).select(col("entity_id"), col("bucket"),
+          col("sum_value").cast("decimal(18,4)").as("sd")),
+          minBuckets = 2, zMin = 0.5)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), m,
+          r.getDouble(2), r.getDouble(3)))
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must yield anomalies for the comparison to bite")
+    // entity 2 has a single bucket → below minBuckets → no rows
+    assert(!got.exists(_._1 == 2L))
+  }
+
   test("wide counter rate == per-metric narrow melts, one window node") {
     val (wide, melt) = wideFixture
     val w = TrendStore.counterRate(wide, Seq("a", "b"))
