@@ -230,6 +230,51 @@ class StreamingSpec extends SparkSpec {
       streamed + 21L, "post-recovery batch dedup broke")
   }
 
+  test("streaming ANN adds: streamed vectors become searchable; committed replays are no-ops") {
+    import graft.SparkSpec.spark.implicits._
+    val root = Files.createTempDirectory("graft_annstream").toString
+    val (srcDir, idx, ckpt) = (s"$root/src", s"$root/index", s"$root/ckpt")
+    val emb = graft.sources.TableCatalog(spark, sf).embeddings
+    // index built WITHOUT vectors 0..19; the stream feeds them in
+    // two micro-batches (10 each)
+    graft.similarity.Similarity.ivfpqBuild(
+      emb.filter(col("vec_id") >= 20), "vec_id", "embedding", idx, residual = true)
+    emb.filter(col("vec_id") < 10).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = graft.streaming.AnnAddStream.toIndex(stream, "vec_id", "embedding", idx, ckpt)
+    try {
+      q.processAllAvailable()
+      emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    // perturbed copies of the STREAMED vectors are found by search
+    val qp = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.05f) * sin(x * 13.7f)).as("embedding"))
+    val ann = graft.similarity.Similarity.ivfpqSearch(qp, "vec_id", "embedding", idx, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (0 until 20).count(i => ann.contains((i + 100000L, i.toLong))) / 20.0
+    assert(recall >= 0.9, s"streamed-vector recall $recall")
+    // committed replay (checkpoint recovery): the add marker makes it
+    // a no-op — codes table unchanged
+    val codesBefore = spark.read.parquet(s"$idx/codes").count()
+    assert(!graft.streaming.AnnAddStream.processBatch(
+      emb.filter(col("vec_id") < 10), 0L, "vec_id", "embedding", idx))
+    assert(spark.read.parquet(s"$idx/codes").count() === codesBefore)
+    // crash-window replay (marker missing, rows already appended):
+    // re-appends, and search STILL returns each neighbor once
+    val (fs, marker) = graft.operators.StoreFs.fs(spark, s"$idx/_adds/stream-0")
+    assert(fs.delete(marker, true))
+    assert(graft.streaming.AnnAddStream.processBatch(
+      emb.filter(col("vec_id") < 10), 0L, "vec_id", "embedding", idx))
+    val dup = graft.similarity.Similarity.ivfpqSearch(
+        emb.filter(col("vec_id") === 25), "vec_id", "embedding", idx, k = 10)
+      .groupBy("q_id", "n_id").count().filter(col("count") > 1)
+    assert(dup.isEmpty, "duplicate appends must never occupy multiple ranks")
+  }
+
   test("streaming counter rates converge to the batch derivation") {
     import graft.SparkSpec.spark.implicits._
     val srcDir = Files.createTempDirectory("graft_rs_src").toString
