@@ -35,7 +35,8 @@ import graft.sources.HarvestJob
   *   [--kind ivf|pq|ivfpq] [--id vec_id] [--vec embedding] \
   *   [--cells 16] [--m 8] [--codes 16] [--residual BOOL] [--rotate BOOL]
   * graft.Cli index-search --queries PARQUET --index DIR --out OUT \
-  *   [--kind ivf|pq|ivfpq] [--k 10] [--nprobe 4] [--rerank 4]
+  *   [--kind ivf|pq|ivfpq] [--k 10] [--nprobe 4] [--rerank 4] \
+  *   [--allowed PARQUET]   (metadata filter: first column = permitted ids)
   * graft.Cli gapfill --store S --granularity hour|900|15m|... --out OUT \
   *   [--mode forward|interpolate] [--value sum_dec]
   * graft.Cli compact-index --index DIR [--files 8] [--method auto|exact|near|ann]
@@ -225,13 +226,17 @@ object Cli {
       val queries = spark.read.parquet(one(f, "queries"))
       val id = opt(f, "id", "vec_id"); val vec = opt(f, "vec", "embedding")
       val idx = one(f, "index"); val k = opt(f, "k", "10").toInt
+      // --allowed PARQUET: metadata-filtered search — first column =
+      // permitted neighbor ids; candidates prune BEFORE ranking.
+      val allowed = f.get("allowed").map(p => spark.read.parquet(p.last))
       val top = opt(f, "kind", "ivfpq") match {
         case "ivf" => graft.similarity.Similarity.ivfSearch(queries, id, vec, idx, k,
-          nprobe = opt(f, "nprobe", "4").toInt)
+          nprobe = opt(f, "nprobe", "4").toInt, allowed = allowed)
         case "pq" => graft.similarity.Similarity.pqSearch(queries, id, vec, idx, k,
-          rerank = opt(f, "rerank", "4").toInt)
+          rerank = opt(f, "rerank", "4").toInt, allowed = allowed)
         case "ivfpq" => graft.similarity.Similarity.ivfpqSearch(queries, id, vec, idx, k,
-          nprobe = opt(f, "nprobe", "4").toInt, rerank = opt(f, "rerank", "4").toInt)
+          nprobe = opt(f, "nprobe", "4").toInt, rerank = opt(f, "rerank", "4").toInt,
+          allowed = allowed)
         case kd => throw new IllegalArgumentException(
           s"--kind must be ivf|pq|ivfpq, got: $kd")
       }

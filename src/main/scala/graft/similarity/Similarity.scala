@@ -331,7 +331,8 @@ object Similarity {
     * as a STATIC partition filter, so the cells scan reads only the
     * probed directory partitions — spec-asserted on the plan. */
   def ivfSearch(queries: DataFrame, qId: String, vecCol: String,
-                indexPath: String, k: Int, nprobe: Int = 4): DataFrame = {
+                indexPath: String, k: Int, nprobe: Int = 4,
+                allowed: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$indexPath/centroids")
       .orderBy(col("cell")).collect()
@@ -340,10 +341,27 @@ object Similarity {
       .localCheckpoint() // tiny; evaluated twice (cell list + join)
     val probeCells = probed.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0))
-    val corpusCells = spark.read.parquet(s"$indexPath/cells")
-      .filter(col("cell").isin(probeCells.toSeq: _*))
+    val corpusCells = allowedFilter(spark.read.parquet(s"$indexPath/cells")
+      .filter(col("cell").isin(probeCells.toSeq: _*)), allowed)
     ivfScore(corpusCells, probed, k)
   }
+
+  /** Metadata-FILTERED search support (the FAISS-IDSelector /
+    * filtered-ANN shape every retrieval deployment needs: "top-k
+    * among docs with lang = en"): `allowed` carries the permitted
+    * neighbor ids in its FIRST column; the candidate table
+    * left_semi-joins it BEFORE ranking, so top-k selects within the
+    * allowed subset — a post-filter would silently return fewer than
+    * k rows and let disallowed vectors crowd the candidate list. The
+    * semi join is on fixed-width ids; AQE broadcasts a small allowed
+    * set and shuffle-joins a large one — both declarative. */
+  private def allowedFilter(candidates: DataFrame,
+                            allowed: Option[DataFrame]): DataFrame =
+    allowed.fold(candidates) { a =>
+      candidates.join(
+        a.select(col(a.columns.head).cast("long").as("n_id")).distinct(),
+        Seq("n_id"), "left_semi")
+    }
 
   /** Seeded Lloyd k-means over an in-memory sample (the IVF coarse
     * quantizer). Deterministic: init = evenly-strided sample points,
@@ -542,7 +560,8 @@ object Similarity {
     * Equivalent to the inline `pqTopK` given the same parameters
     * (spec-asserted). */
   def pqSearch(queries: DataFrame, qId: String, vecCol: String,
-               indexPath: String, k: Int, rerank: Int = 4): DataFrame = {
+               indexPath: String, k: Int, rerank: Int = 4,
+               allowed: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     val rows = spark.read.parquet(s"$indexPath/codebooks")
       .orderBy(col("sub"), col("code")).collect()
@@ -551,7 +570,7 @@ object Similarity {
     val books = Array.tabulate(m, nCodes) { (s, j) =>
       rows(s * nCodes + j).getSeq[Double](2).toArray
     }
-    pqScore(spark.read.parquet(s"$indexPath/codes"),
+    pqScore(allowedFilter(spark.read.parquet(s"$indexPath/codes"), allowed),
       spark.read.parquet(s"$indexPath/vectors"),
       queries, qId, vecCol, books, k, rerank,
       loadRotation(spark, indexPath))
@@ -775,7 +794,8 @@ object Similarity {
     * Exact-cosine re-rank fetches just the candidate vectors. */
   def ivfpqSearch(queries: DataFrame, qId: String, vecCol: String,
                   indexPath: String, k: Int, nprobe: Int = 4,
-                  rerank: Int = 4): DataFrame = {
+                  rerank: Int = 4,
+                  allowed: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     val centRows = spark.read.parquet(s"$indexPath/centroids")
       .orderBy(col("cell")).collect()
@@ -808,8 +828,8 @@ object Similarity {
       .localCheckpoint() // tiny; evaluated twice (cell list + join)
     val probeCells = probed.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0))
-    val codes = spark.read.parquet(s"$indexPath/codes")
-      .filter(col("cell").isin(probeCells.toSeq: _*))
+    val codes = allowedFilter(spark.read.parquet(s"$indexPath/codes")
+      .filter(col("cell").isin(probeCells.toSeq: _*)), allowed)
     // A rotated (OPQ-lite) index codes Rv̂ (or R·residual): only the
     // LUT side rotates to match — probe, cell-dot and re-rank all
     // stay in the unrotated space ((Rq)·(Rv) = q·v exactly).

@@ -260,6 +260,51 @@ class SimilaritySpec extends SparkSpec {
       "post-add results contain ids that exist in neither the old index nor the batch")
   }
 
+  test("filtered search: every hit allowed, top-k selects WITHIN the subset, all three paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_filt").toString
+    Similarity.ivfBuild(emb, "vec_id", "embedding", s"$dir/ivf")
+    Similarity.pqBuild(emb, "vec_id", "embedding", s"$dir/pq")
+    Similarity.ivfpqBuild(emb, "vec_id", "embedding", s"$dir/ivfpq", residual = true)
+    val q = emb.filter(col("vec_id") < 5)
+    val allowedDf = emb.filter(col("label") === 0).select("vec_id")
+    val allowedIds = allowedDf.collect().map(_.getLong(0)).toSet
+    assert(allowedIds.size >= 20, "fixture needs a usable allowed subset")
+    // exact filtered baseline: brute-force over the allowed corpus
+    val exact = Similarity.cosineTopK(q, emb.filter(col("label") === 0),
+        "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def check(res: org.apache.spark.sql.DataFrame, path: String,
+              recallFloor: Double): Unit = {
+      val rows = res.collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(rows.nonEmpty, s"$path returned nothing")
+      assert(rows.forall { case (_, n) => allowedIds(n) },
+        s"$path returned a disallowed neighbor")
+      // k rows per query — the subset is large enough that a
+      // pre-ranking filter must fill the full k (a post-filter would
+      // come up short)
+      rows.groupBy(_._1).foreach { case (qid, hs) =>
+        assert(hs.length === 10, s"$path query $qid returned ${hs.length} < k rows")
+      }
+      val hits = rows.count { case (qid, n) => exact.getOrElse(qid, Set.empty)(n) }
+      val recall = hits.toDouble / rows.length
+      assert(recall >= recallFloor, s"$path filtered recall $recall")
+    }
+    // full probe + generous re-rank ⇒ near-exact on the subset
+    check(Similarity.ivfSearch(q, "vec_id", "embedding", s"$dir/ivf",
+      k = 10, nprobe = 16, allowed = Some(allowedDf)), "ivf", 1.0)
+    check(Similarity.pqSearch(q, "vec_id", "embedding", s"$dir/pq",
+      k = 10, rerank = 16, allowed = Some(allowedDf)), "pq", 0.8)
+    check(Similarity.ivfpqSearch(q, "vec_id", "embedding", s"$dir/ivfpq",
+      k = 10, nprobe = 16, rerank = 16, allowed = Some(allowedDf)), "ivfpq", 0.8)
+    // no filter ⇒ unchanged behavior (default None path still exact
+    // on the unfiltered corpus for IVF full probe)
+    val unf = Similarity.ivfSearch(q, "vec_id", "embedding", s"$dir/ivf",
+      k = 10, nprobe = 16).collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(unf.exists { case (_, n) => !allowedIds(n) },
+      "unfiltered search should reach outside the subset")
+  }
+
   test("compactIndex: post-add small files collapse; searches bit-identical; dedup path refuses ANN") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ann_cmp").toString + "/idx"
     Similarity.ivfpqBuild(emb.filter(col("vec_id") >= 40), "vec_id", "embedding", dir,

@@ -63,6 +63,44 @@ class TrendStorePartsSpec extends SparkSpec {
       from = Some("2024-01-02")).count() === 1)
   }
 
+  // The integration VERDICT item 3 asked for: a PERSISTED multi-part
+  // wide store feeds the wide-metric operators (gap fill, rates,
+  // anomalies) directly — no per-metric melt between the store read
+  // and the analytics.
+  test("readWide feeds the wide gap-fill / rate / anomaly operators directly") {
+    import graft.operators.TrendStore
+    val base = Files.createTempDirectory("graft_parts_ops").toString
+    // hourly series with a hole at 11:00 for radio_a only (radio_b
+    // observed) and a full-row hole at 12:00
+    val w = Seq(
+      (1L, "2024-01-01 10:00:00", Some(10.0), Some(100.0), Some(1.0)),
+      (1L, "2024-01-01 11:00:00", None,       Some(130.0), Some(2.0)),
+      (1L, "2024-01-01 13:00:00", Some(40.0), Some(160.0), Some(3.0)))
+      .toDF("entity_id", "bucket", "radio_a", "radio_b", "core_x")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    TrendStoreParts.write(w, base,
+      Map("radio" -> Seq("radio_a", "radio_b"), "core" -> Seq("core_x")))
+    val store = TrendStoreParts.readWide(spark, base, Seq("radio", "core"))
+    val filled = TrendStore.gapFill(store, "hour", Seq("radio_a", "radio_b", "core_x"))
+      .orderBy(col("bucket")).collect()
+    assert(filled.length === 4, "10..13 inclusive on the hourly grid")
+    assert(filled.map(_.getAs[Boolean]("filled")).toSeq ===
+      Seq(false, false, true, false))
+    assert(filled(1).getAs[Double]("radio_a") === 10.0) // per-metric ffill
+    assert(filled(2).getAs[Double]("radio_b") === 130.0)
+    val rates = TrendStore.counterRate(store, Seq("radio_b"))
+      .orderBy(col("bucket")).collect()
+    assert(rates(1).getAs[Double]("radio_b_delta") === 30.0)
+    assert(rates(1).getAs[Double]("radio_b_rate_per_s") === 30.0 / 3600.0)
+    // anomaliesWide over the decimal-cast store runs end-to-end
+    val dec = store.select(col("entity_id"), col("bucket"),
+      col("radio_a").cast("decimal(18,4)").as("radio_a"),
+      col("radio_b").cast("decimal(18,4)").as("radio_b"))
+    val an = TrendStore.anomaliesWide(dec, Seq("radio_a", "radio_b"),
+      minBuckets = 2, zMin = 0.1)
+    assert(an.collect().forall(r => Set("radio_a", "radio_b")(r.getString(2))))
+  }
+
   test("upserting one part leaves the others untouched; outer join fills gaps") {
     val base = Files.createTempDirectory("graft_parts_up").toString
     TrendStoreParts.write(wide(), base,
