@@ -668,6 +668,25 @@ object TextSim {
     // projection is a broadcast literal matrix multiply per row.
     // Output: per-label variance of the first two WHITENED
     // coordinates — ≈1.0 when the rotation is right.
+    // Metadata-FILTERED ANN serving path — "top-k among label=0
+    // docs", the predicate+vector retrieval every RAG deployment
+    // runs. ORACLE-graded, not rows-only: with nprobe = nCells the
+    // IVF scan is a full probe, so search over the allowed subset IS
+    // the exact filtered top-k, and rank = (sim DESC, n_id) mirrors
+    // s01's oracle discipline exactly. The allowed-id semi-join
+    // prunes candidates BEFORE ranking (a post-filter would return
+    // fewer than k rows).
+    "s13_ann_filtered" -> { (s, dir) =>
+      val emb = TableCatalog(s, dir).embeddings
+      val idx = cachedIndex(s, dir, "ivf") { p =>
+        Similarity.ivfBuild(emb, "vec_id", "embedding", p)
+      }
+      Similarity.ivfSearch(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          idx, k = 10, nprobe = 16,
+          allowed = Some(emb.filter(col("label") === 0).select(col("vec_id"))))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // Rotated (OPQ-lite) PQ serving path (rows-only; rotated ≡
     // unrotated semantics and recall ≥ unrotated are spec-asserted):
     // the s10 counterpart with the balanced-PCA rotation baked into
@@ -1147,6 +1166,20 @@ object TextSim {
         |s AS (SELECT q_id, vec_id AS n_id,
         |        list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS sim
         |      FROM q, embeddings WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, n_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "s13_ann_filtered" ->
+      // s01's oracle restricted to the allowed subset — the filtered
+      // exact top-k the full-probe IVF search must reproduce.
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ae
+        |      FROM embeddings WHERE label = 0),
+        |s AS (SELECT q_id, vec_id AS n_id, list_cosine_similarity(qe, ae) AS sim
+        |      FROM q, a WHERE vec_id <> q_id),
         |r AS (SELECT q_id, n_id,
         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
         |      FROM s)
