@@ -413,6 +413,29 @@ object TrendStore {
         count(lit(1)).as("cnt"),
         Fx.dsum(value).as("sum_value"))
 
+  /** Entity aggregation through a TEMPORAL relation — the directory
+    * shape where an entity's parent CHANGES over time (a cell
+    * re-homed to another site, a customer migrated to another
+    * segment): relation rows carry `[fromCol, toCol)` validity
+    * intervals, and each trend bucket rolls up to the parent valid
+    * AT THAT BUCKET. The join stays an EQUI-join on the entity key
+    * (hash/broadcast — the entity carries all the selectivity; the
+    * interval test is a post-join filter, never a range-only nested
+    * loop). Buckets covered by no interval drop, matching the
+    * reference's directory lookups; overlapping intervals for one
+    * entity contribute once per covering row (the caller keeps
+    * intervals disjoint, as a directory does). */
+  def entityRollupTemporal(rolled: DataFrame, relation: DataFrame,
+                           childCol: String, parentCol: String,
+                           fromCol: String, toCol: String,
+                           value: Column): DataFrame =
+    rolled.join(broadcast(relation),
+        rolled("entity_id") === relation(childCol) &&
+          rolled("bucket") >= relation(fromCol) &&
+          rolled("bucket") < relation(toCol), "inner")
+      .groupBy(relation(parentCol).as("parent"))
+      .agg(count(lit(1)).as("cnt"), Fx.dsum(value).as("sum_value"))
+
   /** Entity aggregation with a CONFIGURED metric set — the
     * reference's entity aggregation materializes whatever metric
     * functions its definition declares (sum/avg/min/max/count), the

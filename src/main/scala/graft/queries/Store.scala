@@ -217,6 +217,30 @@ object Store {
         .orderBy(col("parent"), col("bucket"))
     },
 
+    // Entity aggregation through a TEMPORAL relation — entities
+    // migrate parents mid-month (even customers move to 'MIGRATED'
+    // at the Jan-15 cutover) and each daily bucket rolls up to the
+    // parent valid AT that bucket. Equi-join on the entity + interval
+    // post-filter — the directory-versioned rollup the reference's
+    // attribute-tracked hierarchies imply.
+    "e06_entity_rollup_temporal" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val daily = TrendStore.rollup(c.events, col("user_id"), col("ts"),
+        col("value"), "day")
+      val lo = lit("2024-01-01 00:00:00").cast("timestamp")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val hi = lit("2024-12-31 00:00:00").cast("timestamp")
+      val rel = c.customer.select(col("c_custkey").as("child"),
+          col("c_mktsegment").as("parent"), lo.as("vfrom"), cut.as("vto"))
+        .unionByName(c.customer.select(col("c_custkey").as("child"),
+          when(col("c_custkey") % 2 === 0, lit("MIGRATED"))
+            .otherwise(col("c_mktsegment")).as("parent"),
+          cut.as("vfrom"), hi.as("vto")))
+      TrendStore.entityRollupTemporal(daily, rel,
+          "child", "parent", "vfrom", "vto", col("sum_dec"))
+        .orderBy(col("parent"))
+    },
+
     // Multi-hop entity aggregation — the reference's signature rollup
     // up a materialized transitive relation (cell→site→region): a
     // METRIC (order totals) carried from the leaf entity through
@@ -460,6 +484,25 @@ object Store {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e06_entity_rollup_temporal" ->
+      """WITH d AS (SELECT user_id AS entity_id, date_trunc('day', ts) AS bucket,
+        |  sum(CAST(value AS DECIMAL(18,4))) AS sum_dec
+        |  FROM events GROUP BY 1, 2),
+        |rel AS (
+        |  SELECT c_custkey AS child, c_mktsegment AS parent,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS vfrom,
+        |    TIMESTAMP '2024-01-15 00:00:00' AS vto FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'MIGRATED' ELSE c_mktsegment END,
+        |    TIMESTAMP '2024-01-15 00:00:00',
+        |    TIMESTAMP '2024-12-31 00:00:00' FROM customer)
+        |SELECT parent, count(*) AS cnt,
+        |  CAST(sum(CAST(sum_dec AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM d JOIN rel ON d.entity_id = rel.child
+        |  AND d.bucket >= rel.vfrom AND d.bucket < rel.vto
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e03_entity_rollup_2hop" ->
       """SELECT 'Region=' || n_regionkey AS parent, count(*) AS cnt,

@@ -137,6 +137,32 @@ class TrendSpec extends SparkSpec {
       TrendStore.entityRollup(ev, col("user_id"), rel, "child", "parent_grp", Seq.empty))
   }
 
+  test("temporal entityRollup sends each bucket to the parent valid AT that bucket") {
+    import graft.SparkSpec.spark.implicits._
+    // entity 1 migrates a -> b at Jan-10; entity 2 stays a; entity 3
+    // has an uncovered bucket (before its interval opens)
+    val rolled = Seq(
+      (1L, "2024-01-05 00:00:00", 10.0),
+      (1L, "2024-01-10 00:00:00", 20.0), // cutover bucket: [from, to) → b
+      (1L, "2024-01-15 00:00:00", 30.0),
+      (2L, "2024-01-05 00:00:00", 5.0),
+      (3L, "2024-01-01 00:00:00", 99.0)  // interval opens Jan-02 → drops
+    ).toDF("entity_id", "bucket", "sum_value")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    val relDf = Seq(
+      (1L, "a", "2024-01-01 00:00:00", "2024-01-10 00:00:00"),
+      (1L, "b", "2024-01-10 00:00:00", "2024-12-31 00:00:00"),
+      (2L, "a", "2024-01-01 00:00:00", "2024-12-31 00:00:00"),
+      (3L, "c", "2024-01-02 00:00:00", "2024-12-31 00:00:00")
+    ).toDF("child", "parent", "vfrom", "vto")
+      .withColumn("vfrom", col("vfrom").cast("timestamp"))
+      .withColumn("vto", col("vto").cast("timestamp"))
+    val got = TrendStore.entityRollupTemporal(rolled, relDf,
+        "child", "parent", "vfrom", "vto", col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set(("a", 2L, 15.0), ("b", 2L, 50.0)))
+  }
+
   test("gaps + observed = sum of per-entity active ranges") {
     val g = TrendStore.gaps(ev, col("user_id"), col("ts"), "hour").count()
     val obs = ev.select(col("user_id").as("u"), date_trunc("hour", col("ts")).as("b")).distinct()
