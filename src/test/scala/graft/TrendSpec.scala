@@ -163,6 +163,32 @@ class TrendSpec extends SparkSpec {
     assert(got === Set(("a", 2L, 15.0), ("b", 2L, 50.0)))
   }
 
+  // The full Minerva loop composed: attribute HISTORY is itself a
+  // temporal relation (entity → state over [valid_from, valid_to)),
+  // so trend buckets roll up to "the state the entity was in AT that
+  // bucket" with no new operator — history feeds entityRollupTemporal
+  // directly.
+  test("attribute history drives the temporal rollup: buckets aggregate by state-at-the-time") {
+    import graft.SparkSpec.spark.implicits._
+    val attrs = Seq( // entity 1: free → paid at Jan-10
+      (1L, "2024-01-01 00:00:00", 1L, "free"),
+      (1L, "2024-01-10 00:00:00", 2L, "paid"))
+      .toDF("entity_id", "ts", "eid", "plan")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val hist = AttributeStore.history(attrs, col("entity_id"), col("ts"), col("eid"))
+      .withColumn("valid_to",
+        coalesce(col("valid_to"), lit("9999-01-01 00:00:00").cast("timestamp")))
+    val rolled = Seq(
+      (1L, "2024-01-05 00:00:00", 10.0),
+      (1L, "2024-01-20 00:00:00", 30.0))
+      .toDF("entity_id", "bucket", "sum_value")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    val got = TrendStore.entityRollupTemporal(rolled, hist,
+        "entity_id", "plan", "valid_from", "valid_to", col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(got === Set(("free", 10.0), ("paid", 30.0)))
+  }
+
   test("gaps + observed = sum of per-entity active ranges") {
     val g = TrendStore.gaps(ev, col("user_id"), col("ts"), "hour").count()
     val obs = ev.select(col("user_id").as("u"), date_trunc("hour", col("ts")).as("b")).distinct()
