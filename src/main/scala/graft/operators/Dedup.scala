@@ -353,6 +353,12 @@ object Dedup {
   def dedupIncrementalStaged(spark: org.apache.spark.sql.SparkSession,
                              newDocs: DataFrame, idCol: String, textCol: String,
                              indexPath: String): IncrementalDedup = {
+    // Self-heal a torn compaction swap BEFORE the exists check: in
+    // the crash window between replace()'s two renames the index dir
+    // is absent and only .bak holds the state — without recover the
+    // probe would treat the index as EMPTY and silently re-accept
+    // every already-seen document.
+    StoreFs.recover(spark, indexPath)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h")).orderBy(col(idCol).asc)
     val firsts = newDocs.withColumn("__h", md5(col(textCol)))
@@ -395,6 +401,11 @@ object Dedup {
                                  indexPath: String, k: Int = 3, numPerm: Int = 64,
                                  bands: Int = 32, threshold: Double = 0.7): IncrementalDedup = {
     require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
+    // Self-heal torn compaction swaps first (see the exact path): a
+    // missing bands/ or sigs/ with a .bak would read as an empty
+    // index and silently re-accept near-duplicates.
+    StoreFs.recover(spark, s"$indexPath/bands")
+    StoreFs.recover(spark, s"$indexPath/sigs")
     // Structural params are pinned by a sidecar written at first
     // commit: probing an index with different (k, numPerm, bands)
     // would silently under-detect (band hashes never collide across
@@ -476,6 +487,8 @@ object Dedup {
                       indexPath: String, k: Int = 3, numPerm: Int = 64,
                       bands: Int = 32): Unit = {
     require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
+    StoreFs.recover(spark, s"$indexPath/bands")
+    StoreFs.recover(spark, s"$indexPath/sigs")
     checkNearParams(spark, indexPath, k, numPerm, bands)
     if (!StoreFs.exists(spark, s"$indexPath/params.json"))
       StoreFs.writeText(spark, s"$indexPath/params.json",

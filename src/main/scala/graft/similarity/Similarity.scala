@@ -334,6 +334,7 @@ object Similarity {
                 indexPath: String, k: Int, nprobe: Int = 4,
                 allowed: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
+    recoverIndex(spark, indexPath) // heal a torn compaction swap
     val cents = spark.read.parquet(s"$indexPath/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
@@ -362,6 +363,16 @@ object Similarity {
         a.select(col(a.columns.head).cast("long").as("n_id")).distinct(),
         Seq("n_id"), "left_semi")
     }
+
+  /** Self-heal the data-sized index tables after a torn
+    * [[compactIndex]] swap: in the crash window between replace()'s
+    * two renames a table dir is absent and only its .bak holds the
+    * state — an un-healed search would fail (or, for an exists-probe
+    * path, silently see an empty table). O(1) metadata per call. */
+  private def recoverIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String): Unit =
+    Seq("codes", "cells", "vectors").foreach(t =>
+      graft.operators.StoreFs.recover(spark, s"$indexPath/$t"))
 
   /** Seeded Lloyd k-means over an in-memory sample (the IVF coarse
     * quantizer). Deterministic: init = evenly-strided sample points,
@@ -563,6 +574,7 @@ object Similarity {
                indexPath: String, k: Int, rerank: Int = 4,
                allowed: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
+    recoverIndex(spark, indexPath) // heal a torn compaction swap
     val rows = spark.read.parquet(s"$indexPath/codebooks")
       .orderBy(col("sub"), col("code")).collect()
     val m = rows.map(_.getInt(0)).max + 1
@@ -692,6 +704,8 @@ object Similarity {
     val spark = batch.sparkSession
     val marker = batchId.map(b => s"$indexPath/_adds/$b")
     if (marker.exists(m => graft.operators.StoreFs.exists(spark, m))) return false
+    recoverIndex(spark, indexPath) // heal a torn compaction swap
+
     val centRows = spark.read.parquet(s"$indexPath/centroids")
       .orderBy(col("cell")).collect()
     val cents = centRows.map(_.getSeq[Double](1).toArray)
@@ -797,6 +811,7 @@ object Similarity {
                   rerank: Int = 4,
                   allowed: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
+    recoverIndex(spark, indexPath) // heal a torn compaction swap
     val centRows = spark.read.parquet(s"$indexPath/centroids")
       .orderBy(col("cell")).collect()
     val cents = centRows.map(_.getSeq[Double](1).toArray)

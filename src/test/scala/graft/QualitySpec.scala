@@ -193,6 +193,13 @@ class QualitySpec extends SparkSpec {
     val (f, d) = graft.operators.StoreFs.fs(spark, idx)
     assert(f.rename(d, new org.apache.hadoop.fs.Path(idx + ".bak")))
     assert(Dedup.compactIndex(spark, idx, nFiles = 2) === 10L)
+    // PROBE-path self-heal: a torn swap followed DIRECTLY by a probe
+    // (no compaction in between) must still drop — an un-healed probe
+    // would see "no index" and silently re-accept every seen doc
+    assert(f.rename(d, new org.apache.hadoop.fs.Path(idx + ".bak")))
+    assert(Dedup.dedupIncremental(spark, Seq((100L, "doc 4 a")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, s"$root/out_r2").isEmpty,
+      "probe after a torn swap re-accepted an already-seen doc")
   }
 
   test("near index pins its params in a sidecar and refuses a mismatched probe") {

@@ -345,6 +345,16 @@ class SimilaritySpec extends SparkSpec {
       Similarity.compactIndex(spark,
         java.nio.file.Files.createTempDirectory("graft_not_ann").toString)
     }
+    // TORN-SWAP drill: simulate replace() dying between its two
+    // renames (codes/ absent, only codes.bak) — the next search must
+    // self-heal and return the same results
+    val expected = Similarity.ivfpqSearch(q, "vec_id", "embedding", dir, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val (fsys, codesP) = graft.operators.StoreFs.fs(spark, s"$dir/codes")
+    assert(fsys.rename(codesP, new org.apache.hadoop.fs.Path(s"$dir/codes.bak")))
+    val healed = Similarity.ivfpqSearch(q, "vec_id", "embedding", dir, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(healed === expected, "torn-swap recovery changed search results")
   }
 
   test("residual IVF-PQ: recall holds, searches are deterministic, overlap ≥ plain codes") {
