@@ -230,6 +230,18 @@ class CliSpec extends SparkSpec {
     val top2 = graft.similarity.Similarity.ivfpqSearch(
       spark.read.parquet(s"$base/queries"), "vec_id", "embedding", s"$base/idx", k = 5)
     assert(top2.exceptAll(top).isEmpty && top.exceptAll(top2).isEmpty)
+
+    // metadata-filtered search through the CLI: --allowed restricts
+    // every returned neighbor to the id set
+    val allow = emb.filter(col("label") === 0).select("vec_id")
+    allow.write.mode("overwrite").parquet(s"$base/allow")
+    val allowSet = allow.collect().map(_.getLong(0)).toSet
+    Cli.run(spark, Seq("index-search", "--queries", s"$base/queries",
+      "--index", s"$base/idx", "--out", s"$base/ftop", "--kind", "ivfpq",
+      "--k", "5", "--allowed", s"$base/allow"))
+    val ftop = spark.read.parquet(s"$base/ftop").collect()
+    assert(ftop.nonEmpty && ftop.forall(r => allowSet(r.getLong(2))),
+      "CLI filtered search returned a disallowed neighbor")
   }
 
   test("dedup-incremental command runs both index kinds end-to-end") {
