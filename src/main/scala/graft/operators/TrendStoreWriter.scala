@@ -36,20 +36,28 @@ object TrendStoreWriter {
     * no replacement (left_anti), merged ∪ incoming is rewritten via
     * dynamic partition overwrite — untouched days are never read or
     * written. The anti-join is one registry-×-day-sized shuffle, not
-    * a store-wide one. */
+    * a store-wide one.
+    *
+    * Schema evolution (Minerva's trend-store alter surface: a new
+    * metric appears mid-history): `allowMissingColumns` pads either
+    * side with typed NULLs, so an upsert may ADD a metric column
+    * (survivors get NULL) or omit one the store already has (incoming
+    * gets NULL). Untouched day-partitions keep their on-disk schema;
+    * [[read]] merges footers so old days surface the new metric as
+    * NULL. */
   def upsert(spark: org.apache.spark.sql.SparkSession, path: String,
              incoming: DataFrame, keyCols: Seq[String] = Seq("entity_id", "bucket")): Unit = {
     if (StoreFs.list(spark, path).isEmpty) { write(incoming, path); return }
     val dirtyDays = incoming.select(to_date(col("bucket")).as("p_date"))
       .distinct().collect().map(_.getDate(0))
-    val existing = spark.read.parquet(path)
+    val existing = spark.read.option("mergeSchema", "true").parquet(path)
       .filter(col("p_date").isin(dirtyDays.toSeq: _*))
       .drop("p_date")
     // localCheckpoint materializes the survivors (bounded by the dirty
     // days' volume, not the store) and cuts the lineage back to `path`,
     // so the overwrite below doesn't read the files it replaces.
     val survivors = existing.join(incoming, keyCols, "left_anti").localCheckpoint()
-    write(survivors.unionByName(incoming), path)
+    write(survivors.unionByName(incoming, allowMissingColumns = true), path)
   }
 
   /** Partition retention: drop `p_date` partitions strictly older
@@ -76,10 +84,17 @@ object TrendStoreWriter {
     expired.map(_.getName.stripPrefix("p_date="))
   }
 
-  /** Read back, pruning to an optional inclusive date range. */
+  /** Read back, pruning to an optional inclusive date range.
+    *
+    * `mergeSchema` defaults ON so an evolved store (a metric added
+    * mid-history via [[upsert]]) reads as the union schema, with NULL
+    * for the new metric on pre-evolution days. The cost is footer
+    * reads (distributed, metadata-only), not data reads — acceptable
+    * even at 100 TB where day-partition counts are O(thousands). */
   def read(spark: org.apache.spark.sql.SparkSession, path: String,
-           from: Option[String] = None, to: Option[String] = None): DataFrame = {
-    val df = spark.read.parquet(path)
+           from: Option[String] = None, to: Option[String] = None,
+           mergeSchema: Boolean = true): DataFrame = {
+    val df = spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
     val lo = from.map(d => col("p_date") >= lit(d)).getOrElse(lit(true))
     val hi = to.map(d => col("p_date") <= lit(d)).getOrElse(lit(true))
     df.filter(lo && hi)

@@ -13,10 +13,21 @@ final case class TableCatalog(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. Read it as a ns-epoch long (keeps full precision for
-    * ordering/as-of ties), and expose a derived micro-precision
-    * `ts` TimestampType column for bucketing and formatting. */
+  /** `events.ts` has shipped under several physical parquet encodings
+    * across data images: TIMESTAMP(NANOS) (loads as BIGINT under
+    * `nanosAsLong`), TIMESTAMP(MICROS, isAdjustedToUTC=false) (loads as
+    * TIMESTAMP_NTZ), and plain instant TIMESTAMP. A reader hard-coded to
+    * one physical type zeroes every events-family query when the image
+    * regenerates, so branch on the *loaded* schema instead and normalise
+    * to the same logical pair on every path:
+    *   - `ts`    TimestampType (UTC instant; session TZ is UTC, so an
+    *             NTZ wall-clock cast is identity w.r.t. the oracle)
+    *   - `ts_ns` BIGINT ns-epoch (full precision for ordering/as-of ties)
+    *
+    * `nanosAsLong` must be set BEFORE the read for a NANOS-encoded file
+    * to load at all; it is a no-op for every other encoding, so setting
+    * it unconditionally here is safe (and session builders set it too).
+    */
   private def eventsRaw: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
@@ -31,9 +42,23 @@ final case class TableCatalog(spark: SparkSession, dir: String) {
   def lineitem: DataFrame  = table("lineitem")
   def events: DataFrame = {
     import org.apache.spark.sql.functions._
-    eventsRaw
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    import org.apache.spark.sql.types._
+    val raw = eventsRaw
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as ns-epoch long
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case TimestampNTZType => // TIMESTAMP(MICROS/MILLIS, utc=false)
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+      case TimestampType => // instant micros/millis
+        raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts loaded as unsupported type $other; expected BIGINT (nanos), TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")

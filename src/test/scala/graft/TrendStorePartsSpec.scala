@@ -125,4 +125,49 @@ class TrendStorePartsSpec extends SparkSpec {
     assert(w.getAs[Double]("radio_a") === 7.0)
     assert(w.isNullAt(w.fieldIndex("core_x")))
   }
+
+  test("schema evolution: a metric added mid-history reads as NULL for old days") {
+    import graft.operators.TrendStoreWriter
+    val path = Files.createTempDirectory("graft_evolve").toString + "/store"
+    val v1 = Seq((1L, "2024-01-01 10:00:00", 1.0), (2L, "2024-01-02 10:00:00", 2.0))
+      .toDF("entity_id", "bucket", "pw_in")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    TrendStoreWriter.write(v1, path)
+
+    // the alter: a new metric appears in a later harvest, touching only day 3
+    val v2 = Seq((1L, "2024-01-03 10:00:00", 3.0, 30.0))
+      .toDF("entity_id", "bucket", "pw_in", "pw_out")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    TrendStoreWriter.upsert(spark, path, v2)
+
+    val back = TrendStoreWriter.read(spark, path)
+    assert(back.columns.sorted === Array("bucket", "entity_id", "p_date", "pw_in", "pw_out"))
+    // pre-evolution days surface the new metric as NULL
+    val old = back.filter(col("entity_id") === 1L && to_date(col("bucket")) === lit("2024-01-01")).head
+    assert(old.getAs[Double]("pw_in") === 1.0 && old.isNullAt(old.fieldIndex("pw_out")))
+    val nw = back.filter(col("entity_id") === 1L && to_date(col("bucket")) === lit("2024-01-03")).head
+    assert(nw.getAs[Double]("pw_out") === 30.0)
+
+    // upsert INTO an evolved day with the old (narrower) schema:
+    // replaced row keeps NULL for the metric the batch doesn't carry
+    val narrow = Seq((1L, "2024-01-03 10:00:00", 9.0))
+      .toDF("entity_id", "bucket", "pw_in")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    TrendStoreWriter.upsert(spark, path, narrow)
+    val re = TrendStoreWriter.read(spark, path)
+      .filter(col("entity_id") === 1L && to_date(col("bucket")) === lit("2024-01-03")).head
+    assert(re.getAs[Double]("pw_in") === 9.0 && re.isNullAt(re.fieldIndex("pw_out")))
+
+    // and an upsert touching a PRE-evolution day keeps that day readable
+    // alongside the evolved one (mixed on-disk schemas merge)
+    val day1fix = Seq((2L, "2024-01-01 11:00:00", 5.0))
+      .toDF("entity_id", "bucket", "pw_in")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    TrendStoreWriter.upsert(spark, path, day1fix)
+    // day1: (1L original + 2L fix), day2: 2L, day3: 1L — 4 rows
+    val all = TrendStoreWriter.read(spark, path)
+    assert(all.count() === 4)
+    val fixed = all.filter(col("entity_id") === 2L && to_date(col("bucket")) === lit("2024-01-01")).head
+    assert(fixed.getAs[Double]("pw_in") === 5.0 && fixed.isNullAt(fixed.fieldIndex("pw_out")))
+  }
 }
