@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   * same size Minerva keeps in its materialization_state table, and it
   * is what makes the target-store write prune instead of rewriting
   * history.
+  *
+  * Concurrency contract: ONE writer per target store. Minerva
+  * serializes competing materialization runs through its job tables;
+  * graft assumes the single-scheduler deployment Spark jobs normally
+  * run under (Airflow/cron with one slot per target). The
+  * temp-then-swap in the state write protects against crashes, not
+  * against two concurrent runs of the same target — run those under
+  * an external lock if the scheduler cannot guarantee exclusivity.
   */
 object Materialize {
 

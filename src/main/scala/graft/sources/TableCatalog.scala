@@ -61,5 +61,25 @@ final case class TableCatalog(spark: SparkSession, dir: String) {
     }
   }
   def documents: DataFrame = table("documents")
-  def embeddings: DataFrame = table("embeddings")
+
+  /** `embeddings.embedding` has shipped as `list<float>`; the whole
+    * similarity family types against `Array[Float]`. Guard against the
+    * same physical-type drift that hit `events.ts` in round 9: if a
+    * future image regenerates the column as `list<double>` (pandas'
+    * default float64), cast it back to the canonical float32 — today's
+    * operators already compute at float precision, so behavior is
+    * unchanged on the current image and merely survives the next one. */
+  def embeddings: DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val raw = table("embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case ArrayType(_: NumericType, _) =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other =>
+        throw new IllegalStateException(
+          s"embeddings.embedding loaded as unsupported type $other; expected array<numeric>")
+    }
+  }
 }

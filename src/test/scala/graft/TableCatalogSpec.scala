@@ -92,6 +92,23 @@ class TableCatalogSpec extends SparkSpec {
       ("2024-01-03 10:00:00", 3.0)))
   }
 
+  test("embeddings reader conforms a double[] regeneration back to float[]") {
+    import org.apache.spark.sql.types._
+    val base = TableCatalog(spark, sf).embeddings.limit(100).cache()
+    val root = Files.createTempDirectory("graft_emb").toString
+    base.withColumn("embedding", col("embedding").cast(ArrayType(DoubleType)))
+      .write.parquet(s"$root/embeddings.parquet")
+    val back = TableCatalog(spark, root).embeddings
+    assert(back.schema("embedding").dataType === ArrayType(FloatType, containsNull = true))
+    // float→double→float is exact, so the round trip is lossless
+    val a = base.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val b = back.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    base.unpersist()
+  }
+
   test("events reader normalizes the driver image to (ts TIMESTAMP, ts_ns BIGINT)") {
     val ev = TableCatalog(spark, sf).events
     assert(ev.schema("ts").dataType === TimestampType)
