@@ -51,7 +51,11 @@ object AttributeStoreWriter {
   def compactHistory(spark: SparkSession, historyPath: String, valueCol: String,
                      entityCol: String = "entity_id", tsCol: String = "ts",
                      tieCol: String = "event_id"): (Long, Seq[java.sql.Date]) = {
-    val hist = spark.read.parquet(historyPath)
+    // mergeSchema: on an evolved history (an attribute column added
+    // mid-history) parquet may otherwise resolve the schema from a
+    // pre-evolution footer and the rewrite would silently DROP the
+    // new column from every day it touches.
+    val hist = spark.read.option("mergeSchema", "true").parquet(historyPath)
     val compacted = AttributeStore.compact(hist,
       col(entityCol), col(tsCol), col(tieCol), col(valueCol))
     // Dirty days = p_dates whose row count shrank. Both sides are

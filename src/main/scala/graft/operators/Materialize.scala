@@ -202,7 +202,8 @@ object Materialize {
                 "step — roll the raw source up time first, then up the relation")
             val v = d.valueCol.getOrElse(throw new IllegalArgumentException(
               s"root def ${d.name}: sourcePath is not another def's store, valueCol required"))
-            run(spark.read.parquet(d.sourcePath), col(d.entityCol), col(d.tsCol),
+            run(spark.read.option("mergeSchema", "true").parquet(d.sourcePath),
+              col(d.entityCol), col(d.tsCol),
               col(v), d.granularity, d.statePath, d.storePath)
               .map(day => truncDay(d.granularity, day)).distinct
           } else runDerived(spark, d, dirtyByStore(d.sourcePath))
@@ -225,7 +226,10 @@ object Materialize {
     // All parent days of the affected coarse buckets (a dirty Jan-17
     // forces re-reading ALL of January for the monthly bucket); the
     // predicate is a function of p_date, so the scan partition-prunes.
-    val parent = spark.read.parquet(d.sourcePath)
+    // mergeSchema: the upstream store may have evolved (metric column
+    // added mid-history) — schema must not depend on which footer
+    // parquet samples.
+    val parent = spark.read.option("mergeSchema", "true").parquet(d.sourcePath)
       .filter(to_date(date_trunc(d.granularity, col("p_date"))).isin(targetDays: _*))
       .drop("p_date")
     val rolled = TrendStore.reRollup(parent, d.granularity)

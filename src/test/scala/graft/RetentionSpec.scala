@@ -92,6 +92,44 @@ class RetentionSpec extends SparkSpec {
     assert(AttributeStoreWriter.compactHistory(spark, hist, "attr")._1 === 0)
   }
 
+  test("attribute schema evolution: new attribute column mid-history survives compact + current") {
+    val dir = tmpDir()
+    val hist = dir + "/history"; val cur = dir + "/current"
+    val v1 = Seq(
+      (1L, "2024-01-01 08:00:00", 1L, "A"),
+      (1L, "2024-01-02 08:00:00", 2L, "A"), // repeat → compaction drop
+      (2L, "2024-01-01 09:00:00", 3L, "X"))
+      .toDF("entity_id", "ts", "event_id", "attr")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    AttributeStoreWriter.append(spark, hist, v1)
+    // evolution: a second attribute appears in a later delivery
+    val v2 = Seq((1L, "2024-01-03 08:00:00", 4L, "B", "gold"))
+      .toDF("entity_id", "ts", "event_id", "attr", "tier")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    AttributeStoreWriter.append(spark, hist, v2)
+
+    val back = AttributeStoreWriter.readHistory(spark, hist)
+    assert(back.columns.contains("tier"))
+    val old = back.filter(col("event_id") === 1L).head
+    assert(old.isNullAt(old.fieldIndex("tier")))
+
+    // compaction on the original attribute must keep the new column
+    // on the days it rewrites (mergeSchema in the compactor's read)
+    val (dropped, _) = AttributeStoreWriter.compactHistory(spark, hist, "attr")
+    assert(dropped === 1)
+    val after = AttributeStoreWriter.readHistory(spark, hist)
+    assert(after.columns.contains("tier"))
+    val evolved = after.filter(col("event_id") === 4L).head
+    assert(evolved.getAs[String]("tier") === "gold")
+
+    // current view carries the union schema: latest row per entity
+    val current = AttributeStoreWriter.materializeCurrent(spark, hist, cur)
+    val e1 = current.filter(col("entity_id") === 1L).head
+    assert(e1.getAs[String]("attr") === "B" && e1.getAs[String]("tier") === "gold")
+    val e2 = current.filter(col("entity_id") === 2L).head
+    assert(e2.getAs[String]("attr") === "X" && e2.isNullAt(e2.fieldIndex("tier")))
+  }
+
   test("replace survives a crash between the two renames (recover)") {
     val dir = tmpDir()
     val dest = dir + "/state"

@@ -126,6 +126,28 @@ class TrendStorePartsSpec extends SparkSpec {
     assert(w.isNullAt(w.fieldIndex("core_x")))
   }
 
+  test("schema evolution flows through readWide: part gains a metric mid-history") {
+    val base = Files.createTempDirectory("graft_parts_evolve").toString
+    TrendStoreParts.write(wide(), base,
+      Map("radio" -> Seq("radio_a", "radio_b"), "core" -> Seq("core_x")))
+    // the radio part gains a metric on a new day
+    val evolved = Seq((2L, "2024-01-03 10:00:00", 4.0, 40.0, 7.0))
+      .toDF("entity_id", "bucket", "radio_a", "radio_b", "radio_c")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    TrendStoreParts.upsertPart(spark, base, "radio", evolved)
+    for (reader <- Seq(TrendStoreParts.read _, TrendStoreParts.readWide _)) {
+      val w = reader(spark, base, Seq("radio", "core"),
+        Seq("entity_id", "bucket"), None, None)
+      assert(w.columns.contains("radio_c"))
+      assert(w.count() === 4)
+      val nw = w.filter(col("entity_id") === 2L && to_date(col("bucket")) === lit("2024-01-03")).head
+      assert(nw.getAs[Double]("radio_c") === 7.0)
+      val old = w.filter(col("entity_id") === 1L && to_date(col("bucket")) === lit("2024-01-01")).head
+      assert(old.isNullAt(old.fieldIndex("radio_c")))
+      assert(old.getAs[Double]("core_x") === 100.0)
+    }
+  }
+
   test("schema evolution: a metric added mid-history reads as NULL for old days") {
     import graft.operators.TrendStoreWriter
     val path = Files.createTempDirectory("graft_evolve").toString + "/store"
