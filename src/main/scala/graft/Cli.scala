@@ -40,6 +40,7 @@ import graft.sources.HarvestJob
   * graft.Cli gapfill --store S --granularity hour|900|15m|... --out OUT \
   *   [--mode forward|interpolate] [--value sum_dec]
   * graft.Cli compact-index --index DIR [--files 8] [--method auto|exact|near|ann]
+  * graft.Cli store-info --store S [--counts true]   (schema + partition range)
   * }}}
   *
   * All heavy lifting stays in the library operators; the CLI only
@@ -306,6 +307,25 @@ object Cli {
       println(s"compact-index: rows=$n files=${opt(f, "files", "8")} " +
         s"method=$method")
 
+    case "store-info" :: rest =>
+      // `minerva trend-store show` analogue: schema + partition range
+      // without reading a data row (schema = footer merge; partitions
+      // = O(days) directory listing; --counts opts into the one scan)
+      val f = parseFlags(rest)
+      val path = one(f, "store")
+      val parts = graft.operators.StoreFs.list(spark, path)
+        .map(_.getName).filter(_.startsWith("p_date=")).sorted
+      val df = spark.read.option("mergeSchema", "true").parquet(path)
+      println(s"store-info: path=$path")
+      println("  schema: " + df.schema.fields
+        .map(fd => s"${fd.name}:${fd.dataType.simpleString}").mkString(", "))
+      println(s"  partitions: ${parts.size}" +
+        (if (parts.nonEmpty)
+           s" [${parts.head.stripPrefix("p_date=")} .. ${parts.last.stripPrefix("p_date=")}]"
+         else ""))
+      if (opt(f, "counts", "false").toBoolean)
+        println(s"  rows: ${df.count()}")
+
     case "decontaminate" :: rest =>
       val f = parseFlags(rest)
       val docs = spark.read.parquet(one(f, "docs"))
@@ -322,7 +342,7 @@ object Cli {
         s"unknown command: ${cmd.headOption.getOrElse("")} " +
           "(expected harvest|materialize|materialize-all|aggregate|trigger|retain|" +
           "compact|dedup|dedup-incremental|decontaminate|index-build|index-search|" +
-          "gapfill|compact-index)")
+          "gapfill|compact-index|store-info)")
   }
 
   def main(args: Array[String]): Unit = {

@@ -105,6 +105,29 @@ class CliSpec extends SparkSpec {
       .select("rule").head.getString(0) === "quiet")
   }
 
+  test("store-info reports the merged schema and partition range") {
+    import graft.operators.TrendStoreWriter
+    val base = Files.createTempDirectory("graft_cli_info").toString
+    val v1 = Seq((1L, "2024-01-01 10:00:00", 1.0))
+      .toDF("entity_id", "bucket", "pw_in")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    TrendStoreWriter.write(v1, s"$base/store")
+    val v2 = Seq((1L, "2024-01-03 10:00:00", 2.0, 20.0))
+      .toDF("entity_id", "bucket", "pw_in", "pw_out")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    TrendStoreWriter.upsert(spark, s"$base/store", v2)
+
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.run(spark, Seq("store-info", "--store", s"$base/store", "--counts", "true"))
+    }
+    val text = out.toString
+    // merged schema includes the evolved metric; range spans both days
+    assert(text.contains("pw_in:double") && text.contains("pw_out:double"))
+    assert(text.contains("partitions: 2 [2024-01-01 .. 2024-01-03]"))
+    assert(text.contains("rows: 2"))
+  }
+
   test("config files round-trip to identical output as the flag form") {
     val base = Files.createTempDirectory("graft_cli_cfg").toString
     Seq((1L, "2024-01-01 10:05:00", 9.0), (1L, "2024-01-01 10:35:00", 2.0),

@@ -5,7 +5,9 @@ import java.nio.file.Files
 import scala.collection.mutable
 import scala.util.Random
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import graft.operators.{Materialize, TrendStore, TrendStoreWriter}
 
 /** Randomized model-based tests: drive the store machinery with
@@ -66,5 +68,52 @@ class ModelSpec extends SparkSpec {
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
         s"divergence after round $round")
     }
+  }
+
+  test("upsert under random schema evolution converges to last-write-wins per column set") {
+    val rnd = new Random(47)
+    val path = Files.createTempDirectory("graft_model_evolve").toString + "/store"
+    // model: key -> (metric name -> value); a batch REPLACES the whole
+    // row, so metrics absent from the replacing batch become NULL
+    val model = mutable.Map.empty[(Long, String), Map[String, Double]]
+    val metricPool = Seq("m1", "m2", "m3", "m4")
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+    var live = 1 // metrics visible so far; grows over time (evolution)
+    for (_ <- 1 to 10) {
+      live = math.min(metricPool.size, live + (if (rnd.nextBoolean()) 1 else 0))
+      // each batch carries a random non-empty subset of the live metrics
+      val cols = metricPool.take(live).filter(_ => rnd.nextBoolean()) match {
+        case Nil => Seq(metricPool.head)
+        case s   => s
+      }
+      val batch = (1 to rnd.nextInt(8) + 1).map { _ =>
+        val key = (rnd.nextInt(3) + 1L,
+          s"${days(rnd.nextInt(days.size))} ${"%02d".format(rnd.nextInt(24))}:00:00")
+        key -> cols.map(c => c -> rnd.nextInt(1000).toDouble).toMap
+      }.toMap
+      batch.foreach { case (k, v) => model(k) = v }
+      val rows = batch.toSeq.map { case ((e, ts), v) =>
+        Row.fromSeq(e +: ts +: cols.map(v))
+      }
+      val schema = StructType(
+        StructField("entity_id", LongType) +: StructField("bucket", StringType) +:
+          cols.map(c => StructField(c, DoubleType)))
+      val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), schema)
+        .withColumn("bucket", col("bucket").cast("timestamp"))
+      TrendStoreWriter.upsert(spark, path, df)
+    }
+    val back = TrendStoreWriter.read(spark, path)
+    val metricCols = metricPool.filter(back.columns.contains)
+    val got = back
+      .select(col("entity_id") +: date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("b") +:
+        metricCols.map(col): _*)
+      .collect().map { r =>
+        val vals = metricCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(2 + i)) None else Some(c -> r.getDouble(2 + i))
+        }.toMap
+        (r.getLong(0), r.getString(1)) -> vals
+      }.toMap
+    assert(got === model.toMap)
   }
 }
