@@ -825,6 +825,36 @@ object TextSim {
         .filter(col("decoded")).select(col("doc_id"), col("fp"))
       Dedup.hammingPairs(fps, maxHamming = 6)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Corpus vocabulary profile: top-100 tokens by occurrence count
+    // with document frequency — the first thing a tokenizer team asks
+    // of a new corpus. One explode → token-keyed groupBy (map-side
+    // combined; the Zipf head is the AQE skew case d20 documents),
+    // then TakeOrderedAndProject for the top-k — no global sort ever
+    // materializes at 100 TB. Fully deterministic: the tie-break on
+    // the token itself pins the rank-100 boundary on both engines.
+    "d28_vocab_topk" -> { (s, dir) =>
+      TableCatalog(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(100)
+    },
+
+    // Document-length histogram (500-char buckets): the corpus-shape
+    // profile that drives chunking/packing decisions. Integer-exact
+    // (div + sums of longs), one partial-agg shuffle over O(buckets)
+    // keys — the cheapest possible full-corpus statistic.
+    "d29_doc_len_hist" -> { (s, dir) =>
+      TableCatalog(s, dir).documents
+        .select(expr("(n_chars div 500) * 500").as("bucket_lo"))
+        .groupBy(col("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("bucket_lo"))
     }
   )
 
@@ -1234,6 +1264,17 @@ object TextSim {
     "m01_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  lower(substr(hex(encode(text)), 1, 16)) AS head_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d28_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM toks WHERE token <> ''
+        |GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+
+    "d29_doc_len_hist" ->
+      """SELECT (n_chars // 500) * 500 AS bucket_lo, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
