@@ -41,6 +41,7 @@ import graft.sources.HarvestJob
   *   [--mode forward|interpolate] [--value sum_dec]
   * graft.Cli compact-index --index DIR [--files 8] [--method auto|exact|near|ann]
   * graft.Cli store-info --store S [--counts true]   (schema + partition range)
+  * graft.Cli index-info --index DIR   (layout autodetect + size/params)
   * }}}
   *
   * All heavy lifting stays in the library operators; the CLI only
@@ -326,6 +327,42 @@ object Cli {
       if (opt(f, "counts", "false").toBoolean)
         println(s"  rows: ${df.count()}")
 
+    case "index-info" :: rest =>
+      // Introspection twin of compact-index: detect the persisted
+      // layout (exact / near / ivf / pq / ivfpq) from the directory
+      // shape and report size + structural params. Counts are scans
+      // of the (narrow) index tables only, never a corpus read.
+      val f = parseFlags(rest)
+      val path = one(f, "index")
+      import graft.operators.StoreFs
+      def ex(d: String) = StoreFs.exists(spark, s"$path/$d")
+      val layout =
+        if (ex("codes") && ex("centroids")) "ivfpq"
+        else if (ex("codes")) "pq"
+        else if (ex("cells")) "ivf"
+        else if (ex("bands") || ex("sigs")) "near"
+        else "exact"
+      println(s"index-info: path=$path layout=$layout")
+      layout match {
+        case "ivfpq" | "pq" =>
+          val books = spark.read.parquet(s"$path/codebooks")
+          val mc = books.agg(org.apache.spark.sql.functions.max(col("sub")),
+            org.apache.spark.sql.functions.max(col("code"))).head
+          println(s"  codebooks: m=${mc.getInt(0) + 1} codes=${mc.getInt(1) + 1}")
+          if (layout == "ivfpq")
+            println(s"  cells: ${spark.read.parquet(s"$path/centroids").count()}")
+          println(s"  rows: ${spark.read.parquet(s"$path/codes").count()}")
+        case "ivf" =>
+          println(s"  cells: ${spark.read.parquet(s"$path/centroids").count()}")
+          println(s"  rows: ${spark.read.parquet(s"$path/cells").count()}")
+        case "near" =>
+          if (ex("params.json"))
+            println(s"  params: ${StoreFs.readText(spark, s"$path/params.json").trim}")
+          println(s"  rows: ${spark.read.parquet(s"$path/sigs").count()}")
+        case _ =>
+          println(s"  rows: ${spark.read.parquet(path).count()}")
+      }
+
     case "decontaminate" :: rest =>
       val f = parseFlags(rest)
       val docs = spark.read.parquet(one(f, "docs"))
@@ -342,7 +379,7 @@ object Cli {
         s"unknown command: ${cmd.headOption.getOrElse("")} " +
           "(expected harvest|materialize|materialize-all|aggregate|trigger|retain|" +
           "compact|dedup|dedup-incremental|decontaminate|index-build|index-search|" +
-          "gapfill|compact-index|store-info)")
+          "gapfill|compact-index|store-info|index-info)")
   }
 
   def main(args: Array[String]): Unit = {

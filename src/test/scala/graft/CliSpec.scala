@@ -265,6 +265,20 @@ class CliSpec extends SparkSpec {
     val ftop = spark.read.parquet(s"$base/ftop").collect()
     assert(ftop.nonEmpty && ftop.forall(r => allowSet(r.getLong(2))),
       "CLI filtered search returned a disallowed neighbor")
+
+    // index-info autodetects both layouts and reports size/params
+    def info(p: String): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        Cli.run(spark, Seq("index-info", "--index", p))
+      }
+      out.toString
+    }
+    val annInfo = info(s"$base/idx")
+    assert(annInfo.contains("layout=ivfpq") && annInfo.contains("codebooks: m="))
+    assert(annInfo.contains(s"rows: ${emb.count()}"))
+    val exactInfo = info(s"$base/didx")
+    assert(exactInfo.contains("layout=exact") && exactInfo.contains("rows: 2"))
   }
 
   test("dedup-incremental command runs both index kinds end-to-end") {

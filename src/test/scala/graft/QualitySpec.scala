@@ -438,6 +438,22 @@ class QualitySpec extends SparkSpec {
       plan)
   }
 
+  test("vocab top-k plans as TakeOrderedAndProject with no distinct Expand") {
+    val df = graft.SparkEntry.queries("d28_vocab_topk")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // ranked by occurrences, token tie-break — verify monotone order
+    val occs = rows.map(_.getAs[Long]("n_occurrences"))
+    assert(occs.zip(occs.tail).forall { case (a, b) => a >= b })
+    // doc frequency can never exceed occurrences
+    assert(rows.forall(r => r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occurrences")))
+    val plan = df.queryExecution.executedPlan.toString
+    // top-k must not materialize a global sort, and the countDistinct
+    // must plan as two-level agg, not an Expand blowup of the tokens
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Expand"), plan)
+  }
+
   test("paragraph dedup keeps the globally first instance only") {
     val docs = Seq(
       (1L, "alpha beta. shared sentence. unique one"),
