@@ -331,6 +331,60 @@ object Multimodal {
     }
   }
 
+  /** A REAL video container in pure JVM: MJPEG-in-AVI. The AVI RIFF
+    * structure is a public format (fourcc chunks: `"RIFF" size "AVI "`
+    * then nested `LIST`s; the `movi` list's `##dc`/`##db` chunks are
+    * the video frames, optionally grouped in `rec ` lists, everything
+    * even-byte aligned) and an MJPEG frame is a plain JPEG —
+    * decodable by `javax.imageio` with no native libs. This makes the
+    * codec seam more than a GIF toy: any camera/capture MJPEG AVI
+    * samples frames end-to-end in this container, and `step` skips
+    * JPEG decodes entirely (the chunk walk is just offset arithmetic,
+    * so seeking is free — the contract's "skip, not decode-and-drop").
+    * Non-MJPEG AVIs (a DivX fourcc, say) yield nothing rather than
+    * throwing, per the [[FrameDecoder]] contract. */
+  object MjpegAviFrameDecoder extends FrameDecoder {
+    private def le32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Collect (offset, size) of every video-frame chunk inside a
+      * chunk range, recursing into LISTs. */
+    private def frameChunks(b: Array[Byte], from: Long, until: Long,
+                            acc: scala.collection.mutable.ArrayBuffer[(Long, Long)]): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = fourcc(b, off.toInt)
+        val size = le32(b, off.toInt + 4)
+        if (id == "LIST" && off + 12 <= until)
+          frameChunks(b, off + 12, math.min(off + 8 + size, until), acc)
+        else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.endsWith("dc") || id.endsWith("db")) && size > 0 &&
+          off + 8 + size <= until)
+          acc += ((off + 8, size))
+        off += 8 + size + (size % 2) // chunks are even-byte aligned
+      }
+    }
+
+    def frames(payload: Array[Byte], step: Int): Iterator[(Int, java.awt.image.BufferedImage)] = {
+      if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
+        fourcc(payload, 8) != "AVI ") return Iterator.empty
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      try frameChunks(payload,
+        12L, math.min(8L + le32(payload, 4), payload.length.toLong), chunks)
+      catch { case _: Exception => return Iterator.empty }
+      chunks.zipWithIndex.iterator.collect { case ((off, size), i) if i % step == 0 =>
+        try {
+          val img = ImageIO.read(
+            new ByteArrayInputStream(payload, off.toInt, size.toInt))
+          if (img == null) None else Some((i, img))
+        } catch { case _: Exception => None }
+      }.flatten
+    }
+  }
+
   /** Frame sampling over multi-frame payloads: every `step`-th frame
     * decodes to (width, height, mean_luma), one output row per
     * sampled frame; single-frame and undecodable payloads yield their

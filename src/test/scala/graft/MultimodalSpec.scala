@@ -125,6 +125,61 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(spark, docs, "doc_id", step = 1).count() === 4)
   }
 
+  /** Assemble a spec-conformant MJPEG AVI: RIFF("AVI ") with an hdrl
+    * LIST (opaque to the frame walk, as in real files), a movi LIST
+    * whose 00dc chunks are real JPEGs, one frame wrapped in a
+    * `rec ` grouping LIST and odd-size chunks padded to even — the
+    * container details a real capture file exercises. */
+  private def mjpegAvi(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    def jpeg(im: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(im, "jpg", out)
+      out.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val Seq(f0, rest @ _*) = frames
+    val movi = list("movi",
+      list("rec ", chunk("00dc", jpeg(f0))) ++
+        rest.flatMap(f => chunk("00dc", jpeg(f))).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(body.length))
+    out.write(body)
+    out.toByteArray
+  }
+
+  test("MJPEG-AVI: a real video container decodes through the codec seam") {
+    import graft.SparkSpec.spark.implicits._
+    def grey(v: Int) = {
+      val im = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8) im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      im
+    }
+    val avi = mjpegAvi(Seq(grey(20), grey(80), grey(140), grey(200)))
+    val docs = Seq((1L, avi), (2L, "not a riff".getBytes("UTF-8")),
+        (3L, "RIFF????NOPE".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(spark, docs, "doc_id", step = 2,
+        decoder = Multimodal.MjpegAviFrameDecoder)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    // only the AVI decodes; step=2 samples frames 0 and 2
+    assert(frames.map(f => (f.doc_id, f.frame_idx)).toSeq === Seq((1L, 0), (1L, 2)))
+    assert(frames.forall(f => f.width === 8 && f.height === 6))
+    // JPEG is lossy but flat-grey survives within a few levels
+    assert(math.abs(frames(0).mean_luma - 20.0) < 4.0 &&
+      math.abs(frames(1).mean_luma - 140.0) < 4.0)
+    assert(Multimodal.sampleFrames(spark, docs, "doc_id", step = 1,
+      decoder = Multimodal.MjpegAviFrameDecoder).count() === 4)
+  }
+
   // The FrameDecoder seam: a synthetic "video codec" (payload bytes =
   // [nFrames, w, h, greyBase] of a trivial container format) proves
   // the Spark-side plumbing — batching, schema, per-frame rows, step
