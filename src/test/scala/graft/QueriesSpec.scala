@@ -17,11 +17,32 @@ class QueriesSpec extends SparkSpec {
   // scale; everything else must produce rows.
   private val mayBeEmpty = Set("q05_no_orders_anti", "d04_simhash")
 
+  // Plan-hygiene allowlist: the ONLY keys whose plan carries a
+  // product join, each intentional (probed empirically — every other
+  // key, including the rest of the s-family, plans pure hash joins).
+  // d09 is the declared all-pairs exact baseline (crossJoin in the
+  // source, documented); s01/s06/s07/s10/s12 score a BROADCAST query
+  // batch against candidates — a bounded BroadcastNestedLoopJoin
+  // over the tiny query side, not a data×data product.
+  private val mayProduct = Set(
+    "d09_embed_dup",
+    "s01_cosine_topk", "s06_rrf_fusion",
+    "s07_ann_pq", "s10_ann_pq_serve", "s12_ann_opq_serve")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf)
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+      // global plan hygiene: nothing may silently plan a cartesian /
+      // nested-loop product — the O(n²) trap that kills a key at
+      // 100 TB while passing every small-scale correctness check
+      if (!mayProduct(name)) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a product join:\n$plan")
+      }
     }
   }
 }
