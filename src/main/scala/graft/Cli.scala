@@ -42,6 +42,8 @@ import graft.sources.HarvestJob
   * graft.Cli compact-index --index DIR [--files 8] [--method auto|exact|near|ann]
   * graft.Cli store-info --store S [--counts true]   (schema + partition range)
   * graft.Cli index-info --index DIR   (layout autodetect + size/params)
+  * graft.Cli harvest-stream --source DIR --format csv … --checkpoint DIR \
+  *   [--once true] [--glob RE]   (continuous harvest; --once drains + exits)
   * }}}
   *
   * All heavy lifting stays in the library operators; the CLI only
@@ -87,6 +89,30 @@ object Cli {
         println(s"harvest: target=${job.target} store=${job.storePath} " +
           s"processed=${result.processed.size} skipped=${result.skipped.size}")
       }
+
+    case "harvest-stream" :: rest =>
+      // Continuous twin of `harvest`: Structured Streaming file
+      // source with a checkpointed file log (exactly-once per file).
+      // `--once true` (default) drains what's currently in the
+      // directory and exits — the cron-friendly shape; `--once false`
+      // runs until killed, the always-on daemon the reference's
+      // scheduled harvesting approximates with frequent job runs.
+      val f = parseFlags(rest)
+      val job = HarvestJob.Job(
+        sourceDir = one(f, "source"), format = one(f, "format"),
+        dnCol = one(f, "dn-col"), entityComponent = one(f, "entity-component"),
+        tsCol = one(f, "ts-col"), tsFormat = one(f, "ts-format"),
+        granularity = one(f, "granularity"),
+        storePath = one(f, "store"), statePath = one(f, "state"),
+        target = opt(f, "target", "trend"),
+        tieCol = f.get("tie").map(_.last),
+        currentPath = f.get("current").map(_.last))
+      val q = HarvestJob.stream(spark, job, one(f, "checkpoint"),
+        glob = f.get("glob").map(_.last))
+      if (opt(f, "once", "true").toBoolean) {
+        q.processAllAvailable(); q.stop()
+        println(s"harvest-stream: drained target=${job.target} store=${job.storePath}")
+      } else q.awaitTermination()
 
     case "materialize" :: rest =>
       val f = parseFlags(rest)
@@ -379,7 +405,7 @@ object Cli {
         s"unknown command: ${cmd.headOption.getOrElse("")} " +
           "(expected harvest|materialize|materialize-all|aggregate|trigger|retain|" +
           "compact|dedup|dedup-incremental|decontaminate|index-build|index-search|" +
-          "gapfill|compact-index|store-info|index-info)")
+          "gapfill|compact-index|store-info|index-info|harvest-stream)")
   }
 
   def main(args: Array[String]): Unit = {

@@ -281,6 +281,30 @@ class CliSpec extends SparkSpec {
     assert(exactInfo.contains("layout=exact") && exactInfo.contains("rows: 2"))
   }
 
+  test("harvest-stream --once drains the directory; a rerun reprocesses nothing") {
+    val src = Files.createTempDirectory("graft_cli_hs_src").toString
+    val base = Files.createTempDirectory("graft_cli_hs").toString
+    Files.writeString(Path.of(src, "a.csv"),
+      "dn,timestamp,v\n\"Cell=1\",2024-01-01 10:00:00,1.0\n\"Cell=2\",2024-01-01 10:03:00,2.0\n")
+    val args = Seq("harvest-stream",
+      "--source", src, "--format", "csv",
+      "--dn-col", "dn", "--entity-component", "Cell",
+      "--ts-col", "timestamp", "--ts-format", "yyyy-MM-dd HH:mm:ss",
+      "--granularity", "15m",
+      "--store", s"$base/store", "--state", s"$base/state",
+      "--checkpoint", s"$base/ckpt", "--once", "true")
+    Cli.run(spark, args)
+    assert(TrendStoreWriter.read(spark, s"$base/store").count() === 2)
+    // second invocation with the same checkpoint: a new file lands,
+    // the old one is NOT re-read (checkpointed file log)
+    Files.writeString(Path.of(src, "b.csv"),
+      "dn,timestamp,v\n\"Cell=1\",2024-01-02 11:30:00,4.0\n")
+    Cli.run(spark, args)
+    val store = TrendStoreWriter.read(spark, s"$base/store")
+    assert(store.count() === 3)
+    assert(store.agg(org.apache.spark.sql.functions.sum("v")).head.getDouble(0) === 7.0)
+  }
+
   test("dedup-incremental command runs both index kinds end-to-end") {
     val base = Files.createTempDirectory("graft_cli_dinc").toString
     Seq((1L, "alpha text here"), (2L, "beta text here"), (3L, "alpha text here"))
