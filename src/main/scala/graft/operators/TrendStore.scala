@@ -71,6 +71,30 @@ object TrendStore {
         sum(Fx.dec(value)).as("sum_dec"),
         max(value).as("max_value"))
 
+  /** Exact interpolated percentile rollup — the monitoring "p95 per
+    * entity per day" question (the reference's aggregate surface is
+    * sum/avg/max; percentile dashboards sit on top of the same trend
+    * stores). `percentile` is a single-pass typed aggregate: each
+    * group's values collect into ONE aggregation buffer keyed by
+    * (entity, bucket) — the same shuffle as [[rollup]], no window, no
+    * global sort. Groups here are entity×bucket-bounded (a day of one
+    * entity's samples), so the buffer never scales with the store; an
+    * unbounded-group deployment switches to approx_percentile (t20)
+    * for fixed memory. Results round to 4 decimals, which is exact
+    * for the interpolation of 2-decimal inputs on any IEEE engine. */
+  def percentileRollup(trend: DataFrame, entity: Column, ts: Column,
+                       value: Column, granularity: String,
+                       ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"percentiles must lie in [0,1], got: $ps")
+    val aggs = count(lit(1)).as("cnt") +: ps.map(p =>
+      round(expr(s"percentile(__pv, $p)"), 4)
+        .as(s"p${(p * 100).round.toInt}"))
+    trend.withColumn("__pv", value)
+      .groupBy(entity.as("entity_id"), date_trunc(granularity, ts).as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Grid stride for the gap-fill family: any fixed-width
     * granularity ("900", "15m", hour, week…) steps by its
     * [[stepSeconds]] width — the reference's native seconds-based

@@ -318,6 +318,19 @@ object Trend {
         .orderBy(col("entity_id"), col("bucket"), col("metric"))
     },
 
+    // EXACT per-entity percentile rollup — the monitoring "p95 per
+    // entity per day" question, on entity×bucket-bounded groups where
+    // the exact single-pass aggregate is affordable (t20 is the
+    // sketch path for unbounded groups). Same shuffle shape as t01.
+    "t26_percentile_rollup" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      TrendStore.percentileRollup(ev, col("user_id"), col("ts"),
+          col("value"), "day", Seq(0.5, 0.95))
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("cnt"), col("p50"), col("p95"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
     // Sketch-based percentiles (rows-only — Greenwald-Khanna summary
     // merges are partition-order-dependent, so no cross-engine hash;
     // the rank-error bound vs the exact quantiles is spec-asserted):
@@ -567,6 +580,14 @@ object Trend {
          |  FROM w)
          |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, sum_value, filled
          |FROM f ORDER BY 1, 2""".stripMargin,
+
+    "t26_percentile_rollup" ->
+      """SELECT user_id AS entity_id,
+        |  strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  count(*) AS cnt,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t19_gapfill_900s" ->
       s"""WITH h AS (SELECT user_id AS entity_id,
