@@ -384,7 +384,10 @@ object Cli {
         case "near" =>
           if (ex("params.json"))
             println(s"  params: ${StoreFs.readText(spark, s"$path/params.json").trim}")
-          println(s"  rows: ${spark.read.parquet(s"$path/sigs").count()}")
+          // A crash between Dedup's bands append and sigs append leaves
+          // bands/ without sigs/ — introspection must report, not throw.
+          if (ex("sigs")) println(s"  rows: ${spark.read.parquet(s"$path/sigs").count()}")
+          else println("  rows: unknown (sigs missing — partial commit)")
         case _ =>
           println(s"  rows: ${spark.read.parquet(path).count()}")
       }

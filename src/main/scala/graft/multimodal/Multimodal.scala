@@ -350,10 +350,14 @@ object Multimodal {
     private def fourcc(b: Array[Byte], off: Int): String =
       new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-    /** Collect (offset, size) of every video-frame chunk inside a
-      * chunk range, recursing into LISTs. */
+    /** Collect (stream, offset, size) of every video-frame chunk inside
+      * a chunk range, recursing into LISTs. The two-digit prefix of a
+      * `##dc`/`##db` id is the AVI stream number: a multi-stream AVI
+      * interleaves several `##dc` sequences, and mixing them into one
+      * frame_idx order would sample across tracks — the caller keeps
+      * only the first video stream seen. */
     private def frameChunks(b: Array[Byte], from: Long, until: Long,
-                            acc: scala.collection.mutable.ArrayBuffer[(Long, Long)]): Unit = {
+                            acc: scala.collection.mutable.ArrayBuffer[(String, Long, Long)]): Unit = {
       var off = from
       while (off + 8 <= until) {
         val id = fourcc(b, off.toInt)
@@ -363,7 +367,7 @@ object Multimodal {
         else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
           (id.endsWith("dc") || id.endsWith("db")) && size > 0 &&
           off + 8 + size <= until)
-          acc += ((off + 8, size))
+          acc += ((id.substring(0, 2), off + 8, size))
         off += 8 + size + (size % 2) // chunks are even-byte aligned
       }
     }
@@ -371,17 +375,21 @@ object Multimodal {
     def frames(payload: Array[Byte], step: Int): Iterator[(Int, java.awt.image.BufferedImage)] = {
       if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
         fourcc(payload, 8) != "AVI ") return Iterator.empty
-      val chunks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
       try frameChunks(payload,
         12L, math.min(8L + le32(payload, 4), payload.length.toLong), chunks)
       catch { case _: Exception => return Iterator.empty }
-      chunks.zipWithIndex.iterator.collect { case ((off, size), i) if i % step == 0 =>
-        try {
-          val img = ImageIO.read(
-            new ByteArrayInputStream(payload, off.toInt, size.toInt))
-          if (img == null) None else Some((i, img))
-        } catch { case _: Exception => None }
-      }.flatten
+      // One video track only: follow the first video stream's number
+      // (stream 00 in practice) so multi-stream AVIs don't interleave.
+      val videoStream = chunks.headOption.map(_._1)
+      chunks.iterator.filter(c => videoStream.contains(c._1)).map(c => (c._2, c._3))
+        .zipWithIndex.collect { case ((off, size), i) if i % step == 0 =>
+          try {
+            val img = ImageIO.read(
+              new ByteArrayInputStream(payload, off.toInt, size.toInt))
+            if (img == null) None else Some((i, img))
+          } catch { case _: Exception => None }
+        }.flatten
     }
   }
 

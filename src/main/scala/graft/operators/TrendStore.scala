@@ -87,6 +87,8 @@ object TrendStore {
                        ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       s"percentiles must lie in [0,1], got: $ps")
+    require(ps.map(p => (p * 100).round).distinct.size == ps.size,
+      s"percentile labels collide after rounding to integer percent: $ps")
     val aggs = count(lit(1)).as("cnt") +: ps.map(p =>
       round(expr(s"percentile(__pv, $p)"), 4)
         .as(s"p${(p * 100).round.toInt}"))

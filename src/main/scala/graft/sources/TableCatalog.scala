@@ -27,9 +27,17 @@ final case class TableCatalog(spark: SparkSession, dir: String) {
     * `nanosAsLong` must be set BEFORE the read for a NANOS-encoded file
     * to load at all; it is a no-op for every other encoding, so setting
     * it unconditionally here is safe (and session builders set it too).
+    *
+    * The NTZ branch's `cast(TimestampType)` interprets the wall-clock in
+    * the SESSION time zone — correct only under UTC. Engine/Bench/Verify
+    * all set UTC, but an external caller's session may not; the same
+    * data must never yield shifted `ts`/`ts_ns` depending on session
+    * config, so pin the TZ here with the same defensive-set discipline
+    * as `nanosAsLong`.
     */
   private def eventsRaw: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$dir/events.parquet")
   }
 

@@ -279,6 +279,14 @@ class CliSpec extends SparkSpec {
     assert(annInfo.contains(s"rows: ${emb.count()}"))
     val exactInfo = info(s"$base/didx")
     assert(exactInfo.contains("layout=exact") && exactInfo.contains("rows: 2"))
+
+    // a torn near-index commit (bands appended, crash before sigs):
+    // index-info reports the partial state instead of throwing
+    Seq((1L, 0, 42L)).toDF("doc_id", "band", "band_hash")
+      .write.parquet(s"$base/torn/bands")
+    val tornInfo = info(s"$base/torn")
+    assert(tornInfo.contains("layout=near") &&
+      tornInfo.contains("rows: unknown (sigs missing"))
   }
 
   test("harvest-stream --once drains the directory; a rerun reprocesses nothing") {

@@ -180,6 +180,44 @@ class MultimodalSpec extends SparkSpec {
       decoder = Multimodal.MjpegAviFrameDecoder).count() === 4)
   }
 
+  test("MJPEG-AVI: multi-stream files sample only the first video stream") {
+    import graft.SparkSpec.spark.implicits._
+    def grey(w: Int, v: Int) = {
+      val im = new BufferedImage(w, 2, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until w) im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      im
+    }
+    def jpeg(im: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(im, "jpg", out)
+      out.toByteArray
+    }
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
+    // Two interleaved video streams: 00dc frames are 4px wide, 01dc
+    // frames 6px wide — a frame's width tells which track it came from.
+    val movi = list("movi",
+      chunk("00dc", jpeg(grey(4, 20))) ++ chunk("01dc", jpeg(grey(6, 20))) ++
+        chunk("00dc", jpeg(grey(4, 120))) ++ chunk("01dc", jpeg(grey(6, 120))) ++
+        chunk("00dc", jpeg(grey(4, 220))) ++ chunk("01dc", jpeg(grey(6, 220))))
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val docs = Seq((1L, avi)).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(spark, docs, "doc_id", step = 1,
+        decoder = Multimodal.MjpegAviFrameDecoder)
+      .collect().sortBy(_.frame_idx)
+    // only stream 00's three frames, contiguously indexed, all 4px wide
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 1, 2))
+    assert(frames.forall(_.width === 4))
+  }
+
   // The FrameDecoder seam: a synthetic "video codec" (payload bytes =
   // [nFrames, w, h, greyBase] of a trivial container format) proves
   // the Spark-side plumbing — batching, schema, per-frame rows, step

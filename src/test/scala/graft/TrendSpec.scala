@@ -21,6 +21,20 @@ class TrendSpec extends SparkSpec {
     assert(hourly.agg(sum("cnt")).head.getLong(0) === ev.count())
   }
 
+  test("percentileRollup refuses percentile labels that collide after rounding") {
+    // 0.95 and 0.954 would both name their column p95 — the second
+    // silently shadows the first in the agg list; refuse loudly.
+    intercept[IllegalArgumentException](
+      TrendStore.percentileRollup(ev, col("user_id"), col("ts"), col("value"),
+        "day", ps = Seq(0.95, 0.954)))
+    intercept[IllegalArgumentException](
+      TrendStore.percentileRollup(ev, col("user_id"), col("ts"), col("value"),
+        "day", ps = Seq(0.995, 1.0)))
+    // distinct integer-percent labels pass validation
+    TrendStore.percentileRollup(ev, col("user_id"), col("ts"), col("value"),
+      "day", ps = Seq(0.5, 0.95, 0.99))
+  }
+
   test("gap fill works on any stepSeconds grid (900 s sweep + planted month case)") {
     import graft.SparkSpec.spark.implicits._
     // 900 s grid: a planted series with one interior hole per mode.
