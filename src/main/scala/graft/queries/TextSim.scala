@@ -166,17 +166,68 @@ object TextSim {
   }
 
   /** Corpus-rarity scoring over any (doc_id, text) corpus — the d20
-    * plan (integer-exact unigram-LM signal; see the query notes). */
-  def rarity(docs: DataFrame): DataFrame = {
+    * plan (integer-exact unigram-LM signal; see the query notes).
+    *
+    * Skew posture (SkewSpec demonstrates all three branches):
+    *  - `hotTokens = 0` (default): one token-keyed shuffle join of the
+    *    exploded corpus against the inline frequency table. The Zipf
+    *    head all lands in one join partition, and AQE CANNOT split it
+    *    here: `OptimizeSkewedJoin` only matches sorts sitting DIRECTLY
+    *    on shuffle stages, and the inline freq side keeps its final
+    *    aggregate between the shuffle and the sort. Fine at bench
+    *    scale; not the 100 TB plan.
+    *  - `hotTokens = N`: Zipf-head separation — the top-N tokens by
+    *    corpus frequency (the head is small BY DEFINITION of the skew
+    *    being a head) broadcast, so the hot ~half of all token rows
+    *    never shuffles at all; the tail joins with its heavy keys
+    *    removed. Exactly equal to the default (spec-asserted).
+    *  - a PRECOMPUTED frequency table ([[rarityScore]]): both join
+    *    inputs are then plain shuffles and AQE's skew-join split
+    *    engages (spec-asserted `skew=true`). */
+  def rarity(docs: DataFrame, hotTokens: Int = 0): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("__tok"))
     val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cf"))
-    toks.join(freq, "__tok")
+    val joined =
+      if (hotTokens <= 0) toks.join(freq, "__tok")
+      else {
+        // head by frequency: tiny (N rows) and covers the skew mass
+        val hot = freq.orderBy(col("__cf").desc, col("__tok")).limit(hotTokens)
+        val hotJoined = toks.join(broadcast(hot), "__tok")
+        val coldJoined = toks
+          .join(broadcast(hot.select(col("__tok"))), Seq("__tok"), "left_anti")
+          .join(freq, "__tok")
+        hotJoined.unionAll(coldJoined)
+      }
+    joined
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__cf") === 1, 1L).otherwise(0L)).as("n_hapax"),
         sum(when(col("__cf") <= 5, 1L).otherwise(0L)).as("n_rare"),
         sum(col("__cf")).as("sum_cf"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hapax"), col("n_rare"),
+        round(col("n_rare") / col("n_tokens"), 6).as("rare_ratio"),
+        round(col("sum_cf") / col("n_tokens"), 6).as("avg_corpus_freq"))
+  }
+
+  /** [[rarity]] against a PRECOMPUTED frequency table `freq(token,
+    * cf)` — the deployment shape where the unigram LM is trained once
+    * and scored many times (and the reason it matters: with the freq
+    * side a plain stored table, BOTH join inputs are direct shuffle
+    * reads, which is the exact plan shape AQE's skew-join splitting
+    * handles — the Zipf-head partition splits at runtime instead of
+    * serializing into one task). Tokens absent from `freq` (new corpus
+    * vs old LM) score as unseen: they count toward `n_tokens` only. */
+  def rarityScore(docs: DataFrame, freq: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("__tok"))
+    toks.join(freq.select(col("token").as("__tok"), col("cf").as("__cf")),
+        Seq("__tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__cf") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("__cf") <= 5, 1L).otherwise(0L)).as("n_rare"),
+        sum(coalesce(col("__cf"), lit(0L))).as("sum_cf"))
       .select(col("doc_id"), col("n_tokens"), col("n_hapax"), col("n_rare"),
         round(col("n_rare") / col("n_tokens"), 6).as("rare_ratio"),
         round(col("sum_cf") / col("n_tokens"), 6).as("avg_corpus_freq"))
@@ -573,8 +624,11 @@ object TextSim {
     // counts and average corpus frequency. Two shuffles: the corpus
     // token-frequency groupBy (map-side combined) and the frequency
     // join keyed on the token — at 100 TB the vocabulary is too big
-    // to broadcast, and the Zipf head (a few ultra-hot token keys) is
-    // exactly what AQE skew-join splitting handles.
+    // to broadcast. Skew posture (SkewSpec): the Zipf head splits via
+    // AQE skew-join when the LM is a stored table (rarityScore), or
+    // broadcasts outright via rarity(hotTokens = N); the inline
+    // default here cannot AQE-split (agg between shuffle and sort —
+    // see the rarity scaladoc) and is sized for the bench corpus.
     "d20_rarity" -> { (s, dir) =>
       rarity(TableCatalog(s, dir).documents).orderBy(col("doc_id"))
     },
