@@ -82,10 +82,21 @@ object Aggregation {
     case PctFn(ds) =>
       percentile_approx(col(m.source),
         lit(ds.toDouble / math.pow(10, ds.length)), lit(10000))
+    // pNN_exact / pNNN_exact — EXACT interpolated percentiles (the
+    // t26 `percentile` typed aggregate: one group-bounded buffer per
+    // (parent, bucket) cell, same single shuffle as every other
+    // metric). Deterministic under any partitioning, so unlike the
+    // sketch variant above these ARE hash-oracle-gradeable (DuckDB
+    // quantile_cont twin); 4-dec rounding is exact for 2-dec money.
+    // Use on entity/time cells whose group size is bounded (a month
+    // of one region's orders); unbounded groups stay on the sketch.
+    case ExactPctFn(ds) =>
+      round(expr(s"percentile(`${m.source}`, ${ds.toDouble / math.pow(10, ds.length)})"), 4)
     case f       => throw new IllegalArgumentException(s"unknown aggregation fn: $f")
   }).as(m.as)
 
   private val PctFn = "^p(\\d{2,3})$".r
+  private val ExactPctFn = "^p(\\d{2,3})_exact$".r
 
   /** Compile a definition against a trend source → one groupBy plan
     * (partial aggregation map-side; a single shuffle of partials). */

@@ -462,6 +462,24 @@ object TrendStore {
       .groupBy(relation(parentCol).as("parent"))
       .agg(count(lit(1)).as("cnt"), Fx.dsum(value).as("sum_value"))
 
+  /** [[entityRollupTemporal]] with a configured metric set — the same
+    * MetricAgg vocabulary as the bucketed/plain overloads (incl.
+    * `pNN_exact` percentiles, round 11), over the versioned
+    * hierarchy. Metric sources name columns of `rolled`. */
+  def entityRollupTemporal(rolled: DataFrame, relation: DataFrame,
+                           childCol: String, parentCol: String,
+                           fromCol: String, toCol: String,
+                           metrics: Seq[Aggregation.MetricAgg]): DataFrame = {
+    require(metrics.nonEmpty, "entityRollupTemporal: at least one MetricAgg is required")
+    rolled.join(broadcast(relation),
+        rolled("entity_id") === relation(childCol) &&
+          rolled("bucket") >= relation(fromCol) &&
+          rolled("bucket") < relation(toCol), "inner")
+      .groupBy(relation(parentCol).as("parent"))
+      .agg(Aggregation.compileMetric(metrics.head),
+        metrics.tail.map(Aggregation.compileMetric): _*)
+  }
+
   /** Entity aggregation with a CONFIGURED metric set — the
     * reference's entity aggregation materializes whatever metric
     * functions its definition declares (sum/avg/min/max/count), the

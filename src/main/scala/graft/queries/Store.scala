@@ -217,6 +217,34 @@ object Store {
         .orderBy(col("parent"), col("bucket"))
     },
 
+    // Entity aggregation with EXACT percentile cells — p50/p95 per
+    // (region, month) rolled up the composed relation through the
+    // same MetricAgg vocabulary (`pNN_exact`, round 11): a monitoring
+    // deployment declares percentiles in the SAME definition as its
+    // count/sum cells instead of composing t26 + entityRollup by
+    // hand. Exact single-pass `percentile` on the group-bounded cells
+    // (a month of one region's orders), so unlike the pNN sketch
+    // metrics this key hash-matches a DuckDB quantile_cont twin.
+    "e07_entity_rollup_pct" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val custToNation = Relations.of(c.customer,
+        concat(lit("Customer="), col("c_custkey")),
+        concat(lit("Nation="), col("c_nationkey")), "customer->nation")
+      val nationToRegion = Relations.of(c.nation,
+        concat(lit("Nation="), col("n_nationkey")),
+        concat(lit("Region="), col("n_regionkey")), "nation->region")
+      val rel = Relations.compose(custToNation, nationToRegion)
+      TrendStore.entityRollupBucketed(c.orders,
+          concat(lit("Customer="), col("o_custkey")), col("o_orderdate"),
+          "month", rel, "child_dn", "parent_dn",
+          Seq(Aggregation.MetricAgg("o_totalprice", "count", "cnt"),
+            Aggregation.MetricAgg("o_totalprice", "p50_exact", "p50_value"),
+            Aggregation.MetricAgg("o_totalprice", "p95_exact", "p95_value")))
+        .select(col("parent"), date_format(col("bucket"), TS).as("bucket"),
+          col("cnt"), col("p50_value"), col("p95_value"))
+        .orderBy(col("parent"), col("bucket"))
+    },
+
     // Entity aggregation through a TEMPORAL relation — entities
     // migrate parents mid-month (even customers move to 'MIGRATED'
     // at the Jan-15 cutover) and each daily bucket rolls up to the
@@ -480,6 +508,17 @@ object Store {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value,
         |  min(o_totalprice) AS min_value,
         |  max(o_totalprice) AS max_value
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e07_entity_rollup_pct" ->
+      """SELECT 'Region=' || n_regionkey AS parent,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  count(*) AS cnt,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50_value,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95_value
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey

@@ -124,6 +124,14 @@ class TrendSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("p50") - 500.0) <= 2.0)
     assert(math.abs(got.getAs[Double]("p95") - 950.0) <= 2.0)
     assert(math.abs(got.getAs[Double]("p999") - 999.0) <= 2.0)
+    // the EXACT variants interpolate precisely: p50 of 0..999 is
+    // 499.5, p95 is 949.05 — no sketch tolerance
+    val exact = Aggregation.compile(Aggregation.AggregationDef("day", Seq(
+        Aggregation.MetricAgg("v", "p50_exact", "p50x"),
+        Aggregation.MetricAgg("v", "p95_exact", "p95x"))))(rows, col("e"), col("ts"))
+      .collect().head
+    assert(exact.getAs[Double]("p50x") === 499.5)
+    assert(exact.getAs[Double]("p95x") === 949.05)
     intercept[IllegalArgumentException] {
       Aggregation.compile(Aggregation.AggregationDef("day",
         Seq(Aggregation.MetricAgg("v", "p5x", "bad"))))(rows, col("e"), col("ts"))
@@ -175,6 +183,18 @@ class TrendSpec extends SparkSpec {
         "child", "parent", "vfrom", "vto", col("sum_value"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got === Set(("a", 2L, 15.0), ("b", 2L, 50.0)))
+    // metrics overload: same vocabulary as the bucketed path, incl.
+    // exact percentiles — a {10, 5} cell interpolates p50 = 7.5
+    import graft.operators.Aggregation.MetricAgg
+    val m = TrendStore.entityRollupTemporal(rolled, relDf,
+        "child", "parent", "vfrom", "vto",
+        Seq(MetricAgg("sum_value", "count", "cnt"),
+          MetricAgg("sum_value", "sum", "sum_value"),
+          MetricAgg("sum_value", "p50_exact", "p50")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(m === Set(("a", 2L, 15.0, 7.5), ("b", 2L, 50.0, 25.0)))
+    intercept[IllegalArgumentException](TrendStore.entityRollupTemporal(
+      rolled, relDf, "child", "parent", "vfrom", "vto", Seq.empty[MetricAgg]))
   }
 
   // The full Minerva loop composed: attribute HISTORY is itself a
