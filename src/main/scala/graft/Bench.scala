@@ -144,6 +144,28 @@ object Bench {
       .mkString("[", ",", "]")
     val total = cleaned.map(_._2).sum
     val validTotal = cleaned.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","valid_total":$validTotal,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","valid_total":$validTotal,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the FULL artifact ourselves: the driver's committed
+    // BENCH_r*.json files truncate to a 2000-char tail, cutting the
+    // head of the per-key map — so headline numbers were only
+    // reproducible from in-round logs. The complete per-key JSON
+    // (plus run metadata) lands next to the repo so every board
+    // number is auditable from committed files alone. Skipped for
+    // partial runs (query-name args) — only a full sweep is a board.
+    if (only.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+      val stamp = java.time.Instant.now().toString
+      val mode = if (inproc) "inproc" else "forked"
+      val full = s"""{"written_at":"$stamp","mode":"$mode","n_queries":${cleaned.size},""" +
+        s""""metric":"total","value":$total,"unit":"sec","valid_total":$validTotal,""" +
+        s""""queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+      }
+    }
   }
 }

@@ -34,10 +34,43 @@ import org.apache.spark.sql.functions._
   * graft assumes the single-scheduler deployment Spark jobs normally
   * run under (Airflow/cron with one slot per target). The
   * temp-then-swap in the state write protects against crashes, not
-  * against two concurrent runs of the same target — run those under
-  * an external lock if the scheduler cannot guarantee exclusivity.
+  * against two concurrent runs of the same target — those are REFUSED
+  * loudly by a best-effort lease file next to the state
+  * (`<statePath>.lease`, [[StoreFs.acquireLease]]): a second run of
+  * the same target throws [[ConcurrentRunException]] instead of
+  * racing the swap. A lease left by a CRASHED (kill -9) run is taken
+  * over once older than `leaseTtlMs` (default 6 h — longer than any
+  * sane incremental run; a run that legitimately exceeds the TTL must
+  * raise it, or takeover can fire mid-run). The lease is advisory and
+  * near-atomic on S3A — a belt for the scheduler's suspenders, not
+  * distributed consensus.
   */
 object Materialize {
+
+  /** Another run holds the target's lease — refuse, don't race. */
+  final class ConcurrentRunException(msg: String) extends IllegalStateException(msg)
+
+  /** Default lease age after which a holder is presumed crashed. */
+  val DefaultLeaseTtlMs: Long = 6L * 3600 * 1000
+
+  private def holderId: String =
+    s"${java.net.InetAddress.getLocalHost.getHostName}:" +
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
+
+  /** Run `body` holding the single-writer lease at `leasePath`.
+    * Throws [[ConcurrentRunException]] when another live run holds
+    * it; an exception inside `body` still releases (the crash the
+    * lease protects against is a dead JVM, which the TTL handles). */
+  def withLease[T](spark: SparkSession, leasePath: String,
+                   ttlMs: Long = DefaultLeaseTtlMs)(body: => T): T = {
+    if (!StoreFs.acquireLease(spark, leasePath, holderId, ttlMs))
+      throw new ConcurrentRunException(
+        s"another materialization run holds $leasePath " +
+          s"(held by: ${try StoreFs.readText(spark, leasePath).trim catch { case _: Exception => "?" }}); " +
+          "concurrent runs of one target race the state swap — serialize them, " +
+          "or delete the lease if its holder is known dead")
+    try body finally StoreFs.releaseLease(spark, leasePath)
+  }
 
   /** Per-day modified log of a trend source: `(day, last_modified,
     * n_rows)`. This is the store-level twin of
@@ -77,9 +110,19 @@ object Materialize {
   }
 
   /** One incremental materialization run. Returns the dirty days that
-    * were recomputed (empty when the target is already current). */
+    * were recomputed (empty when the target is already current).
+    * Holds the target's single-writer lease for the whole run (see
+    * the object scaladoc). */
   def run(source: DataFrame, entity: Column, ts: Column, value: Column,
-          granularity: String, statePath: String, storePath: String): Array[java.sql.Date] = {
+          granularity: String, statePath: String, storePath: String,
+          leaseTtlMs: Long = DefaultLeaseTtlMs): Array[java.sql.Date] =
+    withLease(source.sparkSession, statePath + ".lease", leaseTtlMs) {
+      runLocked(source, entity, ts, value, granularity, statePath, storePath)
+    }
+
+  private def runLocked(source: DataFrame, entity: Column, ts: Column, value: Column,
+                        granularity: String, statePath: String,
+                        storePath: String): Array[java.sql.Date] = {
     val spark = source.sparkSession
     val state = readState(spark, statePath)
     val dirty = dirtySet(modifiedLogByDay(source, ts), state)
@@ -218,26 +261,30 @@ object Materialize {
   /** Refresh the target buckets of `d` affected by the upstream dirty
     * days. No own state: correctness is inductive — upstream
     * recomputed exactly those days, so exactly their coarse buckets
-    * are stale here. */
+    * are stale here. The step's statePath hosts the single-writer
+    * lease (derived steps keep no state table, but the lease location
+    * stays uniform with root steps). */
   private def runDerived(spark: SparkSession, d: MatDef,
                          upstreamDirty: Array[java.sql.Date]): Array[java.sql.Date] = {
     val targetDays = upstreamDirty.map(truncDay(d.granularity, _)).distinct.toSeq
     if (targetDays.isEmpty) return Array.empty
-    // All parent days of the affected coarse buckets (a dirty Jan-17
-    // forces re-reading ALL of January for the monthly bucket); the
-    // predicate is a function of p_date, so the scan partition-prunes.
-    // mergeSchema: the upstream store may have evolved (metric column
-    // added mid-history) — schema must not depend on which footer
-    // parquet samples.
-    val parent = spark.read.option("mergeSchema", "true").parquet(d.sourcePath)
-      .filter(to_date(date_trunc(d.granularity, col("p_date"))).isin(targetDays: _*))
-      .drop("p_date")
-    val rolled = TrendStore.reRollup(parent, d.granularity)
-    val out = d.relationPath.fold(rolled) { rp =>
-      TrendStore.entityReRollup(rolled, spark.read.parquet(rp),
-        d.relationChild, d.relationParent)
+    withLease(spark, d.statePath + ".lease") {
+      // All parent days of the affected coarse buckets (a dirty Jan-17
+      // forces re-reading ALL of January for the monthly bucket); the
+      // predicate is a function of p_date, so the scan partition-prunes.
+      // mergeSchema: the upstream store may have evolved (metric column
+      // added mid-history) — schema must not depend on which footer
+      // parquet samples.
+      val parent = spark.read.option("mergeSchema", "true").parquet(d.sourcePath)
+        .filter(to_date(date_trunc(d.granularity, col("p_date"))).isin(targetDays: _*))
+        .drop("p_date")
+      val rolled = TrendStore.reRollup(parent, d.granularity)
+      val out = d.relationPath.fold(rolled) { rp =>
+        TrendStore.entityReRollup(rolled, spark.read.parquet(rp),
+          d.relationChild, d.relationParent)
+      }
+      TrendStoreWriter.write(out, d.storePath)
+      targetDays.toArray
     }
-    TrendStoreWriter.write(out, d.storePath)
-    targetDays.toArray
   }
 }

@@ -80,4 +80,41 @@ object StoreFs {
     val bak = new Path(dest + ".bak")
     if (!f.exists(d) && f.exists(bak)) f.rename(bak, d) else false
   }
+
+  /** Best-effort exclusive lease: atomically create the lease file
+    * (`create` with overwrite=false — atomic on HDFS and file://;
+    * near-atomic on S3A, hence "best-effort") carrying the holder id
+    * and acquisition time. An existing lease older than `ttlMs` (by
+    * filesystem modification time) is treated as abandoned by a
+    * crashed holder and taken over. Returns whether the lease was
+    * acquired. This is an ADVISORY lock for single-writer protocols
+    * (materialization state swaps): it turns two concurrent runs of
+    * the same target into one run + one loud refusal, not a
+    * distributed-consensus guarantee. */
+  def acquireLease(spark: SparkSession, path: String, holder: String,
+                   ttlMs: Long): Boolean = {
+    val (f, p) = fs(spark, path)
+    def tryCreate(): Boolean =
+      try {
+        val out = f.create(p, false)
+        try out.write(s"$holder ${System.currentTimeMillis()}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    tryCreate() || {
+      val age =
+        try System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MinValue }
+      // takeover of an abandoned lease: delete + re-race the create —
+      // if two takeovers race, exactly one atomic create wins
+      age > ttlMs && { f.delete(p, false); tryCreate() }
+    }
+  }
+
+  /** Release a lease taken by [[acquireLease]] (idempotent). */
+  def releaseLease(spark: SparkSession, path: String): Unit = {
+    val (f, p) = fs(spark, path)
+    f.delete(p, false)
+  }
 }

@@ -221,4 +221,45 @@ class MaterializeSpec extends SparkSpec {
     val state = log.select(col("day"), col("last_modified").as("watermark"), col("n_rows"))
     assert(Materialize.dirtySet(log, state).isEmpty)
   }
+
+  test("concurrent runs of one target are refused by the lease; a stale lease is taken over") {
+    import graft.operators.StoreFs
+    val statePath = Files.createTempDirectory("graft_mat_lease").toString + "/state"
+    val storePath = Files.createTempDirectory("graft_mat_lease_store").toString
+    val src = mk(Seq((1L, "2024-01-01 10:05:00", 1.0)))
+    val lease = statePath + ".lease"
+
+    // another run "holds" the target: a second run refuses loudly
+    // instead of racing the state swap
+    assert(StoreFs.acquireLease(spark, lease, "other-run", ttlMs = 3600000))
+    val e = intercept[Materialize.ConcurrentRunException](
+      Materialize.run(src, col("entity_id"), col("ts"), col("value"),
+        "hour", statePath, storePath))
+    assert(e.getMessage.contains("other-run"))
+    // the refused run must not have advanced state or store
+    assert(!StoreFs.exists(spark, statePath))
+
+    // holder finishes → lease released → next run proceeds and
+    // releases its own lease on completion
+    StoreFs.releaseLease(spark, lease)
+    val dirty = Materialize.run(src, col("entity_id"), col("ts"), col("value"),
+      "hour", statePath, storePath)
+    assert(dirty.nonEmpty && !StoreFs.exists(spark, lease))
+
+    // a lease whose holder crashed (kill -9 — never released) ages
+    // out: backdate its mtime past the TTL and the next run takes over
+    assert(StoreFs.acquireLease(spark, lease, "crashed-run", ttlMs = 3600000))
+    val (f, p) = StoreFs.fs(spark, lease)
+    f.setTimes(p, System.currentTimeMillis() - 7200000, -1)
+    val dirty2 = Materialize.run(mk(Seq((1L, "2024-01-01 10:05:00", 1.0),
+      (1L, "2024-01-02 09:00:00", 2.0))), col("entity_id"), col("ts"), col("value"),
+      "hour", statePath, storePath, leaseTtlMs = 3600000)
+    assert(dirty2.map(_.toString).toSeq === Seq("2024-01-02"))
+    assert(!StoreFs.exists(spark, lease))
+
+    // a FRESH foreign lease inside its TTL is NOT taken over
+    assert(StoreFs.acquireLease(spark, lease, "live-run", ttlMs = 3600000))
+    assert(!StoreFs.acquireLease(spark, lease, "poacher", ttlMs = 3600000))
+    StoreFs.releaseLease(spark, lease)
+  }
 }
