@@ -58,6 +58,40 @@ object AttributeStoreWriter {
     val hist = spark.read.option("mergeSchema", "true").parquet(historyPath)
     val compacted = AttributeStore.compact(hist,
       col(entityCol), col(tsCol), col(tieCol), col(valueCol))
+    rewriteCompacted(spark, historyPath, hist, compacted)
+  }
+
+  /** Evolution-aware compaction over the FULL tracked attribute set:
+    * drop a row only when EVERY listed attribute repeats the entity's
+    * previous row. On an evolved history this is the correct
+    * maintenance job — compacting on one column would drop a row that
+    * changed only a newer column (losing, e.g., the first `tier`
+    * value of an entity whose `status` happened not to change). The
+    * repeat test is NULL-SAFE (`<=>`): a pre-evolution NULL turning
+    * into a value is a change and the row is kept; [[compactHistory]]
+    * keeps the reference's three-valued single-column semantics (the
+    * a03 oracle twin) for un-evolved stores. */
+  def compactHistoryAll(spark: SparkSession, historyPath: String,
+                        valueCols: Seq[String],
+                        entityCol: String = "entity_id", tsCol: String = "ts",
+                        tieCol: String = "event_id"): (Long, Seq[java.sql.Date]) = {
+    require(valueCols.nonEmpty, "compactHistoryAll: at least one value column required")
+    val hist = spark.read.option("mergeSchema", "true").parquet(historyPath)
+    val v = struct(valueCols.map(col): _*)
+    import org.apache.spark.sql.expressions.Window
+    val compacted = hist.withColumn("__prev",
+        lag(v, 1).over(Window.partitionBy(col(entityCol))
+          .orderBy(col(tsCol).asc, col(tieCol).asc)))
+      .filter(col("__prev").isNull || !(col("__prev") <=> v))
+      .drop("__prev")
+    rewriteCompacted(spark, historyPath, hist, compacted)
+  }
+
+  /** Shared rewrite: diff per-day row counts, dynamic-overwrite only
+    * the shrunken days, drop emptied partitions. */
+  private def rewriteCompacted(spark: SparkSession, historyPath: String,
+                               hist: DataFrame,
+                               compacted: DataFrame): (Long, Seq[java.sql.Date]) = {
     // Dirty days = p_dates whose row count shrank. Both sides are
     // partial-agg groupBys; the collect is O(days).
     val before = hist.groupBy(col("p_date")).agg(count(lit(1)).as("__n_before"))
