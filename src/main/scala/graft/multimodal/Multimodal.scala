@@ -393,6 +393,95 @@ object Multimodal {
     }
   }
 
+  /** Plug ANY external video decoder as a [[FrameDecoder]] with no new
+    * JVM dependencies: the payload reaches `command` (stdin pipe, or a
+    * temp file substituted for a `{}` placeholder — the temp-file form
+    * is what seek-hungry containers like non-faststart MP4 need) and
+    * the command emits the decoded frames as a CONCATENATED-JPEG
+    * stream (MJPEG) on stdout — exactly what
+    * `ffmpeg -i INPUT -f image2pipe -vcodec mjpeg pipe:1` produces for
+    * any codec ffmpeg understands (H.264/VP9/AV1…).
+    * [[FfmpegFrameDecoder]] is that instance; the class itself is
+    * command-agnostic, which is how the spec drives the full plumbing
+    * (`cat` / `cat {}` over an already-concatenated-JPEG payload) in
+    * this offline container, where no ffmpeg binary exists.
+    *
+    * Sampling: the stream is SPLIT on JPEG SOI/EOI markers (offset
+    * arithmetic — JPEG byte-stuffing guarantees FF D9 cannot occur
+    * inside entropy-coded data) and only every `step`-th frame pays a
+    * JPEG decode. A missing binary, failing command, or timeout
+    * yields nothing, per the contract. Scale shape: one short-lived
+    * process per payload inside the batched mapPartitions — the same
+    * per-task process discipline any external-tool UDF pipeline runs;
+    * size `batchSize` to amortize. */
+  final class ProcessFrameDecoder(command: Seq[String],
+                                  timeoutSec: Long = 300) extends FrameDecoder {
+    def frames(payload: Array[Byte], step: Int): Iterator[(Int, java.awt.image.BufferedImage)] = {
+      val viaFile = command.exists(_.contains("{}"))
+      val tmp: Option[java.nio.file.Path] =
+        if (!viaFile) None
+        else try {
+          val p = java.nio.file.Files.createTempFile("graft_frames", ".bin")
+          java.nio.file.Files.write(p, payload)
+          Some(p)
+        } catch { case _: Exception => return Iterator.empty }
+      val out: Array[Byte] =
+        try {
+          val cmd = tmp.fold(command)(p =>
+            command.map(_.replace("{}", p.toString)))
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+          val proc = pb.start()
+          val writer = new Thread(() => {
+            try {
+              if (!viaFile) proc.getOutputStream.write(payload)
+              proc.getOutputStream.close()
+            } catch { case _: java.io.IOException => () } // decoder exited early
+          })
+          writer.setDaemon(true); writer.start()
+          val buf = new java.io.ByteArrayOutputStream()
+          proc.getInputStream.transferTo(buf)
+          val done = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+          if (!done) { proc.destroyForcibly(); return Iterator.empty }
+          writer.join(10000)
+          if (proc.exitValue() != 0) return Iterator.empty
+          buf.toByteArray
+        } catch { case _: Exception => return Iterator.empty }
+        finally tmp.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0
+      while (i + 1 < out.length) {
+        if ((out(i) & 0xff) == 0xff && (out(i + 1) & 0xff) == 0xd8) {
+          var j = i + 2
+          var end = -1
+          while (end < 0 && j + 1 < out.length) {
+            if ((out(j) & 0xff) == 0xff && (out(j + 1) & 0xff) == 0xd9) end = j + 2
+            j += 1
+          }
+          if (end < 0) i = out.length else { spans += ((i, end)); i = end }
+        } else i += 1
+      }
+      spans.zipWithIndex.iterator.collect { case ((s, e), idx) if idx % step == 0 =>
+        (try Option(ImageIO.read(new ByteArrayInputStream(out, s, e - s)))
+         catch { case _: Exception => None }).map((idx, _))
+      }.flatten
+    }
+  }
+
+  /** [[ProcessFrameDecoder]] wired to the ffmpeg CLI — the production
+    * H.264/VP9/AV1 path: `sampleFrames(..., decoder =
+    * FfmpegFrameDecoder())` on a cluster whose executor images carry
+    * the ffmpeg binary. Uses the temp-file input form so non-faststart
+    * MP4s (moov atom at the end) decode too. Not runnable in this
+    * offline container (no binary); the process/split/decode plumbing
+    * is spec-covered command-agnostically via `cat`. */
+  object FfmpegFrameDecoder {
+    def apply(ffmpeg: String = "ffmpeg"): ProcessFrameDecoder =
+      new ProcessFrameDecoder(Seq(ffmpeg, "-v", "error", "-i", "{}",
+        "-f", "image2pipe", "-vcodec", "mjpeg", "pipe:1"))
+  }
+
   /** Frame sampling over multi-frame payloads: every `step`-th frame
     * decodes to (width, height, mean_luma), one output row per
     * sampled frame; single-frame and undecodable payloads yield their

@@ -218,6 +218,54 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.width === 4))
   }
 
+  test("ProcessFrameDecoder drives an external command through the ffmpeg image2pipe contract") {
+    import graft.SparkSpec.spark.implicits._
+    // payload = concatenated JPEGs, exactly what
+    // `ffmpeg ... -f image2pipe -vcodec mjpeg` emits; `cat` stands in
+    // for ffmpeg (this container carries no binary), so the spec
+    // exercises the REAL plumbing — process spawn, stdin feed /
+    // temp-file substitution, SOI/EOI stream split, step sampling —
+    // with only the codec binary itself swapped out.
+    def grey(v: Int) = {
+      val im = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8) im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      im
+    }
+    def jpeg(im: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(im, "jpg", out)
+      out.toByteArray
+    }
+    val stream = Seq(20, 80, 140, 200).map(v => jpeg(grey(v))).reduce(_ ++ _)
+    val docs = Seq((1L, stream), (2L, "not a jpeg stream".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    // stdin-pipe form
+    val piped = new Multimodal.ProcessFrameDecoder(Seq("cat"))
+    val frames = Multimodal.sampleFrames(spark, docs, "doc_id", step = 2,
+        decoder = piped)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(frames.map(f => (f.doc_id, f.frame_idx)).toSeq === Seq((1L, 0), (1L, 2)))
+    assert(frames.forall(f => f.width === 8 && f.height === 6))
+    assert(math.abs(frames(0).mean_luma - 20.0) < 4.0 &&
+      math.abs(frames(1).mean_luma - 140.0) < 4.0)
+    // temp-file form (the {} placeholder FfmpegFrameDecoder uses for
+    // seek-hungry containers like non-faststart MP4)
+    val viaFile = new Multimodal.ProcessFrameDecoder(Seq("cat", "{}"))
+    assert(Multimodal.sampleFrames(spark, docs, "doc_id", step = 1,
+      decoder = viaFile).count() === 4)
+    // a failing / absent decoder binary yields nothing, never throws
+    val failing = new Multimodal.ProcessFrameDecoder(Seq("false"))
+    assert(Multimodal.sampleFrames(spark, docs, "doc_id", step = 1,
+      decoder = failing).count() === 0)
+    val missing = new Multimodal.ProcessFrameDecoder(Seq("/no/such/binary"))
+    assert(Multimodal.sampleFrames(spark, docs, "doc_id", step = 1,
+      decoder = missing).count() === 0)
+    // the ffmpeg instance constructs (compile-checked recipe) and is
+    // serializable like every FrameDecoder
+    val ff = Multimodal.FfmpegFrameDecoder()
+    new java.io.ObjectOutputStream(new ByteArrayOutputStream()).writeObject(ff)
+  }
+
   // The FrameDecoder seam: a synthetic "video codec" (payload bytes =
   // [nFrames, w, h, greyBase] of a trivial container format) proves
   // the Spark-side plumbing — batching, schema, per-frame rows, step
