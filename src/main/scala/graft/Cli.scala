@@ -204,9 +204,17 @@ object Cli {
 
     case "compact" :: rest =>
       val f = parseFlags(rest)
-      val (dropped, days) = AttributeStoreWriter.compactHistory(spark,
-        one(f, "history"), one(f, "value"),
-        opt(f, "entity", "entity_id"), opt(f, "ts", "ts"), opt(f, "tie", "event_id"))
+      // --value a single column keeps the reference's three-valued
+      // compaction; a comma list compacts on the FULL attribute set
+      // null-safely (compactHistoryAll — the evolved-store form).
+      val values = one(f, "value").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val (dropped, days) =
+        if (values.size == 1)
+          AttributeStoreWriter.compactHistory(spark, one(f, "history"), values.head,
+            opt(f, "entity", "entity_id"), opt(f, "ts", "ts"), opt(f, "tie", "event_id"))
+        else
+          AttributeStoreWriter.compactHistoryAll(spark, one(f, "history"), values,
+            opt(f, "entity", "entity_id"), opt(f, "ts", "ts"), opt(f, "tie", "event_id"))
       println(s"compact: dropped=$dropped days=${days.size}")
 
     // Training-data curation entry points — the batch jobs an LLM

@@ -194,8 +194,19 @@ object HarvestJob {
   /** Run the job once: list the source directory, skip files already
     * in state, parse + row-level-upsert the fresh ones, extend state.
     * Malformed rows (unparseable timestamp) are quarantined out
-    * rather than failing the load. */
-  def run(spark: SparkSession, job: Job): RunResult = {
+    * rather than failing the load.
+    *
+    * Single-writer: the whole run holds the same best-effort lease as
+    * materialization (`<statePath>.lease` — see Materialize's
+    * concurrency contract). Two cron harvesters racing one target
+    * would each read the pre-run processed-file state and upsert the
+    * same files; the second run now refuses loudly instead. */
+  def run(spark: SparkSession, job: Job): RunResult =
+    graft.operators.Materialize.withLease(spark, job.statePath + ".lease") {
+      runLocked(spark, job)
+    }
+
+  private def runLocked(spark: SparkSession, job: Job): RunResult = {
     import spark.implicits._
     val all = StoreFs.list(spark, job.sourceDir).map(_.toString)
       .filter(f => f.substring(f.lastIndexOf('/') + 1).matches(job.pattern))

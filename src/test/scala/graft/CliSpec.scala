@@ -289,6 +289,24 @@ class CliSpec extends SparkSpec {
       tornInfo.contains("rows: unknown (sigs missing"))
   }
 
+  test("compact --value with a comma list compacts on the full attribute set") {
+    import graft.operators.AttributeStoreWriter
+    val base = Files.createTempDirectory("graft_cli_compact").toString
+    val hist = s"$base/history"
+    AttributeStoreWriter.append(spark, hist, Seq(
+        (1L, "2024-01-01 08:00:00", 1L, "free", "gold"),
+        (1L, "2024-01-02 08:00:00", 2L, "free", "gold"),   // full repeat → drop
+        (1L, "2024-01-03 08:00:00", 3L, "free", "silver")) // tier changed → keep
+      .toDF("entity_id", "ts", "event_id", "status", "tier")
+      .withColumn("ts", col("ts").cast("timestamp")))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.run(spark, Seq("compact", "--history", hist, "--value", "status,tier"))
+    }
+    assert(out.toString.contains("dropped=1"))
+    assert(AttributeStoreWriter.readHistory(spark, hist).count() === 2)
+  }
+
   test("harvest-stream --once drains the directory; a rerun reprocesses nothing") {
     val src = Files.createTempDirectory("graft_cli_hs_src").toString
     val base = Files.createTempDirectory("graft_cli_hs").toString

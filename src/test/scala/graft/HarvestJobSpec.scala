@@ -60,6 +60,29 @@ class HarvestJobSpec extends SparkSpec {
     assert(after.agg(sum("v")).head.getDouble(0) === 109.0)
   }
 
+  test("a second harvester racing the same target is refused by the lease") {
+    import graft.operators.{Materialize, StoreFs}
+    val src = Files.createTempDirectory("graft_job_lease_src").toString
+    val base = Files.createTempDirectory("graft_job_lease").toString
+    val job = HarvestJob.Job(
+      sourceDir = src, format = "csv",
+      dnCol = "dn", entityComponent = "Cell",
+      tsCol = "timestamp", tsFormat = "yyyy-MM-dd HH:mm:ss",
+      granularity = "15m",
+      storePath = s"$base/store", statePath = s"$base/state",
+      pattern = ".*\\.csv")
+    writeCsv(src, "a.csv", Seq("Cell=1,2024-01-01 10:00:00,1.0"))
+    // another harvester "holds" the target
+    assert(StoreFs.acquireLease(spark, job.statePath + ".lease", "other", 3600000))
+    intercept[Materialize.ConcurrentRunException](HarvestJob.run(spark, job))
+    assert(!StoreFs.exists(spark, job.statePath)) // refused run advanced nothing
+    // released → the run proceeds and cleans up its own lease
+    StoreFs.releaseLease(spark, job.statePath + ".lease")
+    assert(HarvestJob.run(spark, job).processed.size === 1)
+    assert(!StoreFs.exists(spark, job.statePath + ".lease"))
+    assert(TrendStoreWriter.read(spark, job.storePath).count() === 1)
+  }
+
   test("off-grid vendor timestamps land on the declared granularity grid") {
     val src = Files.createTempDirectory("graft_job_grid").toString
     val base = Files.createTempDirectory("graft_job_grid_store").toString
