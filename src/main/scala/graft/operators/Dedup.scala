@@ -649,4 +649,65 @@ object Dedup {
         round(col("n_overlap") / col("n_shingles"), 6))
       .withColumn("contaminated", col("overlap_ratio") >= threshold)
   }
+
+  /** Cross-document duplicated-span REMOVAL — the transform on top of
+    * the d25 signal (Lee et al. exact-substring dedup): `window`-token
+    * spans at `stride` are hashed; a hash occurring in ≥ 2 DISTINCT
+    * docs keeps only its globally-first instance (lexicographic min
+    * (doc, pos) — deterministic on any engine/partitioning) and every
+    * other instance becomes a DROP window; a token is removed iff
+    * some drop window of its doc covers it; the cleaned text is the
+    * remaining tokens re-joined (single-space split/join is lossless,
+    * so an untouched doc round-trips bit-identically). Overlapping
+    * windows compose by coverage: a kept keeper window can still lose
+    * tokens to an overlapping drop window — removal is per TOKEN, the
+    * deterministic composition both engines agree on.
+    *
+    * Output: (doc_id, text [cleaned], n_tokens [pre-clean],
+    * n_removed). Docs shorter than `window` tokens pass through
+    * untouched.
+    *
+    * Scale shape: span hashes+positions (fixed width — span text
+    * never shuffles) explode once and feed both the hash-keyed
+    * dup/keeper aggregation and the join probe (localCheckpoint, the
+    * d03/d25 discipline); drop positions collect per doc (bounded by
+    * n/stride ints/doc, only docs that LOSE spans appear); the final
+    * doc-keyed join rejoins the (small) drop lists to the corpus and
+    * the token filter is one codegen'd HOF pass per row. Three
+    * shuffles total, all on fixed-width keys. */
+  def spanScrub(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 16, stride: Int = 8): DataFrame = {
+    require(window >= 2 && stride >= 1,
+      s"spanScrub: window >= 2 and stride >= 1 required, got ($window, $stride)")
+    val spanArr =
+      s"""transform(sequence(1, size(split(`$textCol`, ' ')) - ${window - 1}, $stride),
+         | i -> named_struct('pos', i,
+         |   'h', md5(array_join(slice(split(`$textCol`, ' '), i, $window), ' '))))"""
+        .stripMargin.replace("\n", " ")
+    val spans = docs.select(col(idCol).as("doc_id"),
+        explode(when(size(split(col(textCol), " ")) >= window, expr(spanArr))
+          .otherwise(expr("cast(array() as array<struct<pos:int,h:string>>)"))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+      .localCheckpoint()
+    val flags = spans.groupBy(col("h")).agg(
+      (min(col("doc_id")) =!= max(col("doc_id"))).as("dup"),
+      min(struct(col("doc_id"), col("pos"))).as("k"))
+    val drops = spans.join(flags, Seq("h"))
+      .filter(col("dup") &&
+        !(col("doc_id") === col("k.doc_id") && col("pos") === col("k.pos")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__drops"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(drops, Seq("doc_id"), "left")
+      .withColumn("__drops", coalesce(col("__drops"), expr("cast(array() as array<int>)")))
+      .withColumn("__kept", expr(
+        s"""filter(zip_with(split(__text, ' '), sequence(1, size(split(__text, ' '))),
+           | (t, p) -> named_struct('t', t, 'p', p)),
+           | s -> NOT exists(__drops, i -> i <= s.p AND s.p <= i + ${window - 1}))"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("doc_id"),
+        expr("array_join(transform(__kept, s -> s.t), ' ')").as("text"),
+        expr("size(split(__text, ' '))").cast("long").as("n_tokens"),
+        (expr("size(split(__text, ' '))") - size(col("__kept"))).cast("long").as("n_removed"))
+  }
 }

@@ -517,6 +517,21 @@ object TextSim {
         .orderBy(col("doc_id"))
     },
 
+    // Duplicated-span REMOVAL — the transform on top of d25's signal
+    // (Lee et al.): every cross-doc-duplicated 16-token window keeps
+    // its globally-first instance and is scrubbed everywhere else,
+    // token-level coverage semantics (see Dedup.spanScrub). Graded on
+    // counts + an md5 of the cleaned text per doc — the oracle
+    // reconstructs the identical removal in SQL (keeper = min doc,
+    // then min pos; removed token = covered by any non-keeper dup
+    // window of its doc).
+    "d31_span_scrub" -> { (s, dir) =>
+      Dedup.spanScrub(TableCatalog(s, dir).documents, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text")).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact incremental-dedup SERVING path — the probe a crawl loop
     // runs daily: one warm batch anti-joined against a prebuilt hash
     // index of the accepted corpus (even doc_ids; cached per JVM, the
@@ -1152,6 +1167,33 @@ object TextSim {
         |  END AS dup_frac
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY 1""".stripMargin,
+
+    "d31_span_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sp AS (SELECT doc_id, i, md5(array_to_string(t[i:i+15], ' ')) AS h
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 15, 8)) AS i
+        |             FROM toks)),
+        |fl AS (SELECT h, min(doc_id) <> max(doc_id) AS dup, min(doc_id) AS kdoc
+        |       FROM sp GROUP BY 1),
+        |kp AS (SELECT sp.h, min(sp.i) AS kpos FROM sp
+        |       JOIN fl ON sp.h = fl.h AND sp.doc_id = fl.kdoc
+        |       WHERE fl.dup GROUP BY 1),
+        |dr AS (SELECT sp.doc_id, sp.i FROM sp
+        |       JOIN fl ON sp.h = fl.h JOIN kp ON sp.h = kp.h
+        |       WHERE fl.dup AND NOT (sp.doc_id = fl.kdoc AND sp.i = kp.kpos)),
+        |tk AS (SELECT doc_id, k, t[k] AS tok
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS k FROM toks)),
+        |rem AS (SELECT DISTINCT tk.doc_id, tk.k FROM tk
+        |        JOIN dr ON tk.doc_id = dr.doc_id AND tk.k BETWEEN dr.i AND dr.i + 15),
+        |kept AS (SELECT tk.doc_id, tk.k, tk.tok FROM tk
+        |         LEFT JOIN rem ON tk.doc_id = rem.doc_id AND tk.k = rem.k
+        |         WHERE rem.k IS NULL)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split(d.text, ' ')) - count(kept.k) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(kept.tok, ' ' ORDER BY kept.k), '')) AS clean_hash
+        |FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+        |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin,
 
     "d26_dedup_serve" ->
       // The frozen index's hash set == DISTINCT md5 of the even half

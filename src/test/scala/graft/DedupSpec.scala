@@ -117,4 +117,37 @@ class DedupSpec extends SparkSpec {
     assert(rows(0) === Seq("a b c", "b c d"))
     assert(rows(1) === Seq.empty)
   }
+
+  test("spanScrub removes every non-first instance of a cross-doc span, token-exactly") {
+    import graft.SparkSpec.spark.implicits._
+    // window=4, stride=2 for a readable case. The shared 4-token span
+    // "p q r s" appears in docs 1 (keeper: lowest doc), 2 and 3.
+    val docs = Seq(
+      (1L, "p q r s a1 a2 a3 a4"),            // keeper — untouched
+      (2L, "b1 b2 p q r s b3 b4"),            // loses the span only
+      (3L, "p q r s"),                        // the whole doc is the span
+      (4L, "solo c1 c2"),                     // < window tokens — untouched
+      (5L, "d1 d2 d3 d4 d5 d6")               // no dup spans — untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(docs, "doc_id", "text", window = 4, stride = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("p q r s a1 a2 a3 a4", 8L, 0L)))
+    assert(out(4L) === (("solo c1 c2", 3L, 0L)))
+    assert(out(5L) === (("d1 d2 d3 d4 d5 d6", 6L, 0L)))
+    // doc 2: windows start at 1,3,5; "p q r s" sits at 3 → tokens 3-6 drop
+    assert(out(2L) === (("b1 b2 b3 b4", 8L, 4L)))
+    // doc 3: its only window duplicates doc 1's → everything drops
+    assert(out(3L) === (("", 4L, 4L)))
+
+    // keeper choice is positional, not insertion-order: same corpus
+    // with ids permuted keeps the NEW lowest doc intact
+    val permuted = docs.withColumn("doc_id",
+      when(col("doc_id") === 1, 9L).otherwise(col("doc_id")))
+    val out2 = Dedup.spanScrub(permuted, "doc_id", "text", window = 4, stride = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(2L) === "b1 b2 p q r s b3 b4") // doc 2 is now the keeper
+    assert(out2(9L) === "a1 a2 a3 a4")         // old keeper loses the span
+    assert(out2(3L) === "")
+  }
 }
