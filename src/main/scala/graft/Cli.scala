@@ -228,8 +228,13 @@ object Cli {
         case "minhash" => Dedup.minhashLsh(docs, id, text)
         case "simhash" => Dedup.simhashPairs(docs, id, text)
         case "paragraph" => Dedup.paraDedup(docs, id, text)
+        // span = Lee-et-al duplicated-span REMOVAL: writes the CLEANED
+        // corpus (doc_id, text, n_tokens, n_removed), not pair rows
+        case "span" => Dedup.spanScrub(docs, id, text,
+          window = opt(f, "window", "16").toInt,
+          stride = opt(f, "stride", "8").toInt)
         case m => throw new IllegalArgumentException(
-          s"--method must be exact|minhash|simhash|paragraph, got: $m")
+          s"--method must be exact|minhash|simhash|paragraph|span, got: $m")
       }
       pairs.write.mode("overwrite").parquet(one(f, "out"))
       println(s"dedup: method=${opt(f, "method", "minhash")} out=${one(f, "out")}")
@@ -313,8 +318,19 @@ object Cli {
           staged.survivors.write.mode("overwrite").parquet(one(f, "out"))
           staged.commit()
           spark.read.parquet(one(f, "out")).count()
+        // span = incremental duplicated-span SCRUB: the out table is
+        // the CLEANED batch; --batch tags the commit for exactly-once
+        // replay (see Dedup.spanScrubIncremental)
+        case "span" =>
+          val staged = Dedup.spanScrubIncremental(spark, docs, id, text,
+            one(f, "index"), one(f, "batch"),
+            window = opt(f, "window", "16").toInt,
+            stride = opt(f, "stride", "8").toInt)
+          staged.survivors.write.mode("overwrite").parquet(one(f, "out"))
+          staged.commit()
+          spark.read.parquet(one(f, "out")).count()
         case m => throw new IllegalArgumentException(
-          s"--method must be exact|near, got: $m")
+          s"--method must be exact|near|span, got: $m")
       }
       println(s"dedup-incremental: method=${opt(f, "method", "exact")} survivors=$n")
 

@@ -679,16 +679,7 @@ object Dedup {
                 window: Int = 16, stride: Int = 8): DataFrame = {
     require(window >= 2 && stride >= 1,
       s"spanScrub: window >= 2 and stride >= 1 required, got ($window, $stride)")
-    val spanArr =
-      s"""transform(sequence(1, size(split(`$textCol`, ' ')) - ${window - 1}, $stride),
-         | i -> named_struct('pos', i,
-         |   'h', md5(array_join(slice(split(`$textCol`, ' '), i, $window), ' '))))"""
-        .stripMargin.replace("\n", " ")
-    val spans = docs.select(col(idCol).as("doc_id"),
-        explode(when(size(split(col(textCol), " ")) >= window, expr(spanArr))
-          .otherwise(expr("cast(array() as array<struct<pos:int,h:string>>)"))).as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
-      .localCheckpoint()
+    val spans = spanify(docs, idCol, textCol, window, stride).localCheckpoint()
     val flags = spans.groupBy(col("h")).agg(
       (min(col("doc_id")) =!= max(col("doc_id"))).as("dup"),
       min(struct(col("doc_id"), col("pos"))).as("k"))
@@ -697,6 +688,27 @@ object Dedup {
         !(col("doc_id") === col("k.doc_id") && col("pos") === col("k.pos")))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("__drops"))
+    applyDrops(docs, idCol, textCol, drops, window)
+  }
+
+  /** `(doc_id, pos, h)` for every `window`-token span at `stride` —
+    * hashed inside the HOF so span text never leaves the row. */
+  private def spanify(docs: DataFrame, idCol: String, textCol: String,
+                      window: Int, stride: Int): DataFrame = {
+    val spanArr =
+      s"""transform(sequence(1, size(split(`$textCol`, ' ')) - ${window - 1}, $stride),
+         | i -> named_struct('pos', i,
+         |   'h', md5(array_join(slice(split(`$textCol`, ' '), i, $window), ' '))))"""
+        .stripMargin.replace("\n", " ")
+    docs.select(col(idCol).as("doc_id"),
+        explode(when(size(split(col(textCol), " ")) >= window, expr(spanArr))
+          .otherwise(expr("cast(array() as array<struct<pos:int,h:string>>)"))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+  }
+
+  /** Remove every token covered by a drop window; re-join the rest. */
+  private def applyDrops(docs: DataFrame, idCol: String, textCol: String,
+                         drops: DataFrame, window: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .join(drops, Seq("doc_id"), "left")
       .withColumn("__drops", coalesce(col("__drops"), expr("cast(array() as array<int>)")))
@@ -709,5 +721,64 @@ object Dedup {
         expr("array_join(transform(__kept, s -> s.t), ' ')").as("text"),
         expr("size(split(__text, ' '))").cast("long").as("n_tokens"),
         (expr("size(split(__text, ' '))") - size(col("__kept"))).cast("long").as("n_removed"))
+
+  /** Incremental [[spanScrub]] against a persisted span index — the
+    * crawl-loop form: each batch scrubs (a) every window whose hash
+    * the ACCEPTED corpus already contains, with no keeper (the corpus
+    * holds the original), and (b) within-batch cross-doc duplicates
+    * beyond the batch keeper (the spanScrub rule). `commit()` appends
+    * the span hashes of the CLEANED text (recomputed post-scrub, so
+    * the index only ever describes spans that exist in the accepted
+    * corpus), tagged with `batchId`.
+    *
+    * Exactly-once via the batch tag, stronger than a marker: the
+    * probe EXCLUDES index rows carrying this `batchId`, so a replay
+    * after a completed commit scrubs against exactly the pre-commit
+    * index and reproduces the identical cleaned batch (instead of
+    * emptying its own docs against their own spans); `commit()` is a
+    * no-op when rows with this tag already exist. A crash between the
+    * survivors' persist and the commit replays to the same output
+    * trivially (index unchanged). Same staged discipline as
+    * [[dedupIncrementalStaged]]: persist survivors FIRST. */
+  def spanScrubIncremental(spark: org.apache.spark.sql.SparkSession,
+                           newDocs: DataFrame, idCol: String, textCol: String,
+                           indexPath: String, batchId: String,
+                           window: Int = 16, stride: Int = 8): IncrementalDedup = {
+    require(window >= 2 && stride >= 1,
+      s"spanScrubIncremental: window >= 2 and stride >= 1 required, got ($window, $stride)")
+    require(batchId.nonEmpty, "spanScrubIncremental: batchId required (exactly-once tag)")
+    StoreFs.recover(spark, indexPath)
+    val spans = spanify(newDocs, idCol, textCol, window, stride).localCheckpoint()
+    val indexed: Option[DataFrame] =
+      if (!StoreFs.exists(spark, indexPath)) None
+      else Some(spark.read.parquet(indexPath)
+        .filter(col("batch") =!= batchId) // replay: exclude own prior commit
+        .select(col("h")).distinct()
+        .withColumn("__ixd", lit(true)))
+    val flagged = indexed match {
+      case Some(ix) => spans.join(ix, Seq("h"), "left")
+        .withColumn("__ixd", coalesce(col("__ixd"), lit(false)))
+      case None => spans.withColumn("__ixd", lit(false))
+    }
+    // batch-keeper rule applies only to spans the corpus does NOT hold
+    val flags = flagged.filter(!col("__ixd"))
+      .groupBy(col("h")).agg(
+        (min(col("doc_id")) =!= max(col("doc_id"))).as("dup"),
+        min(struct(col("doc_id"), col("pos"))).as("k"))
+    val drops = flagged.join(flags, Seq("h"), "left")
+      .filter(col("__ixd") || (col("dup") &&
+        !(col("doc_id") === col("k.doc_id") && col("pos") === col("k.pos"))))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__drops"))
+    val cleaned = applyDrops(newDocs, idCol, textCol, drops, window).localCheckpoint()
+    IncrementalDedup(cleaned, () => {
+      val alreadyCommitted = StoreFs.exists(spark, indexPath) &&
+        !spark.read.parquet(indexPath).filter(col("batch") === batchId).isEmpty
+      if (!alreadyCommitted)
+        spanify(cleaned, "doc_id", "text", window, stride)
+          .select(col("h")).distinct()
+          .withColumn("batch", lit(batchId))
+          .write.mode("append").parquet(indexPath)
+    })
   }
 }

@@ -371,4 +371,25 @@ class CliSpec extends SparkSpec {
         "--method", "bogus", "--out", s"$base/x"))
     }
   }
+
+  test("span-scrub commands: one-shot dedup --method span + incremental with a batch tag") {
+    val base = Files.createTempDirectory("graft_cli_span").toString
+    Seq((1L, "p q r s x1 x2"), (2L, "p q r s y1 y2"))
+      .toDF("doc_id", "text").write.parquet(s"$base/b1")
+    // one-shot: cleaned corpus written, non-keeper loses the span
+    Cli.run(spark, Seq("dedup", "--docs", s"$base/b1", "--method", "span",
+      "--window", "4", "--stride", "2", "--out", s"$base/clean"))
+    val clean = spark.read.parquet(s"$base/clean").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean === Map(1L -> "p q r s x1 x2", 2L -> "y1 y2"))
+    // incremental: commit batch 1, then a later batch scrubs its spans
+    Cli.run(spark, Seq("dedup-incremental", "--docs", s"$base/b1",
+      "--method", "span", "--window", "4", "--stride", "2",
+      "--index", s"$base/spanidx", "--batch", "b1", "--out", s"$base/out1"))
+    Seq((3L, "p q r s z1 z2")).toDF("doc_id", "text").write.parquet(s"$base/b2")
+    Cli.run(spark, Seq("dedup-incremental", "--docs", s"$base/b2",
+      "--method", "span", "--window", "4", "--stride", "2",
+      "--index", s"$base/spanidx", "--batch", "b2", "--out", s"$base/out2"))
+    assert(spark.read.parquet(s"$base/out2").head.getString(1) === "z1 z2")
+  }
 }

@@ -150,4 +150,47 @@ class DedupSpec extends SparkSpec {
     assert(out2(9L) === "a1 a2 a3 a4")         // old keeper loses the span
     assert(out2(3L) === "")
   }
+
+  test("spanScrubIncremental: cross-batch scrub with batch-tag exactly-once replay") {
+    import graft.SparkSpec.spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_spanidx").toString + "/idx"
+    def scrub(docs: org.apache.spark.sql.DataFrame, batch: String) =
+      Dedup.spanScrubIncremental(spark, docs, "doc_id", "text", idx, batch,
+        window = 4, stride = 2)
+    def texts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // batch 1 against an empty index ≡ one-shot spanScrub
+    val b1 = Seq((1L, "p q r s x1 x2"), (2L, "p q r s y1 y2")).toDF("doc_id", "text")
+    val r1 = scrub(b1, "b1")
+    val got1 = texts(r1.survivors)
+    assert(got1 === texts(Dedup.spanScrub(b1, "doc_id", "text", 4, 2)))
+    assert(got1 === Map(1L -> "p q r s x1 x2", 2L -> "y1 y2"))
+    r1.commit()
+
+    // batch 2: an indexed span scrubs with NO keeper (the corpus holds
+    // the original); a batch-internal dup keeps its batch keeper
+    val b2 = Seq(
+      (3L, "p q r s z1 z2"),          // "p q r s" indexed → drops
+      (4L, "m1 m2 m3 m4 m5 m6"),      // batch keeper of "m1 m2 m3 m4"
+      (5L, "m1 m2 m3 m4 n5 n6")       // batch dup → loses it
+    ).toDF("doc_id", "text")
+    val r2 = scrub(b2, "b2")
+    val got2 = texts(r2.survivors)
+    assert(got2 === Map(3L -> "z1 z2", 4L -> "m1 m2 m3 m4 m5 m6", 5L -> "n5 n6"))
+    r2.commit()
+    val idxRows = spark.read.parquet(idx).count()
+
+    // committed replay of batch 2: the probe excludes its own tag, so
+    // the output is bit-identical (NOT emptied against its own spans)
+    // and the re-commit is a no-op
+    val r2b = scrub(b2, "b2")
+    assert(texts(r2b.survivors) === got2)
+    r2b.commit()
+    assert(spark.read.parquet(idx).count() === idxRows)
+
+    // batch 3 sees batch 2's committed cleaned spans
+    val b3 = Seq((6L, "m1 m2 m3 m4 q7 q8")).toDF("doc_id", "text")
+    assert(texts(scrub(b3, "b3").survivors) === Map(6L -> "q7 q8"))
+  }
 }
