@@ -66,6 +66,34 @@ object TextSim {
     "id" -> Seq("yang", "dan", "untuk", "dengan", "tidak", "dari", "pada",
       "adalah", "dalam", "akan", "juga", "sudah", "karena", "oleh", "bisa"))
 
+  /** PII scrub vocabulary: (label, regex, replacement), applied in
+    * declaration order (emails before IPs before bare digit runs, so
+    * the host part of an address is consumed by the more specific
+    * class first). One table generates BOTH the Spark plan and the
+    * DuckDB oracle — the langProfiles discipline — and the patterns
+    * stay inside the RE2 ∩ java.util.regex common subset so the two
+    * engines match identically. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("number", "[0-9]+", "<NUM>"))
+
+  /** The d35 transform over any DataFrame: per-class match counts on
+    * the ORIGINAL `textCol` (so classes report independently) plus a
+    * `scrubbed` column with the patterns replaced sequentially.
+    * Regexes are passed as Columns, never through SQL-literal
+    * escaping. Map-only — no shuffle. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (d, (label, re, _)) =>
+      d.withColumn(s"n_$label",
+        size(regexp_extract_all(col(textCol), lit(re), lit(0))))
+    }
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) { case (c, (_, re, repl)) =>
+      regexp_replace(c, lit(re), lit(repl))
+    }
+    counted.withColumn("scrubbed", scrubbed)
+  }
+
   /** The d05 plan over any DataFrame with (doc_id, text) — shared by
     * the sf query and the planted multilingual spec corpus. Custom
     * `profiles` let specs contrast shallow vs deep profile tables;
@@ -943,6 +971,74 @@ object TextSim {
         .groupBy(col("bucket_lo"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("bucket_lo"))
+    },
+
+    // Temperature-weighted source-mixing table — the mixture-design
+    // step of a training run (sample sources ∝ token_mass^(1/T), here
+    // T = 2, flattening the natural distribution toward small
+    // sources). Counts are exact longs; the only doubles are one sqrt
+    // + one division each, rounded to 6 dp on both engines. The
+    // unpartitioned window normalizer runs over O(sources) rows — a
+    // catalog-sized frame (20 here, maybe thousands at 100 TB), never
+    // corpus-sized; the corpus itself is touched once by the
+    // map-side-combined groupBy.
+    "d32_source_mix" -> { (s, dir) =>
+      val per = TableCatalog(s, dir).documents
+        .select(col("source"),
+          size(filter(split(col("text"), " "), t => t =!= "")).as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      per
+        .withColumn("mix_weight",
+          round(sqrt(col("n_tokens")) / sum(sqrt(col("n_tokens"))).over(all), 6))
+        .withColumn("epochs_per_1m",
+          round(col("mix_weight") * lit(1000000L) / col("n_tokens"), 6))
+        .orderBy(col("source"))
+    },
+
+    // Top-3 characteristic terms per document by an integer-exact
+    // tf-idf surrogate: score = tf * 1e6 div df (the corpus-size
+    // factor N is constant per corpus, so dividing by df alone
+    // preserves the tf-idf ranking while keeping every score an exact
+    // long — no log, no doubles, bit-identical across engines). Plan:
+    // one explode → (doc, token) partial-agg shuffle, a token-keyed
+    // df join (the Zipf head is AQE skew-join territory, same posture
+    // as d30's stored-LM join), and a per-doc row_number window. At
+    // 100 TB the df table is vocabulary-sized — orders of magnitude
+    // smaller than the corpus but too big to broadcast, hence the
+    // shuffle join.
+    "d33_tfidf_topk" -> { (s, dir) =>
+      val tf = TableCatalog(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+      tf.join(dfTab, "token")
+        .withColumn("score", expr("tf * 1000000L div df"))
+        .withColumn("term_rank", row_number().over(byDoc))
+        .filter(col("term_rank") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("score"), col("term_rank"))
+        .orderBy(col("doc_id"), col("term_rank"))
+    },
+
+    // PII scrubbing — redact emails / IPv4s / digit runs (declaration
+    // order) with per-class match counts, over the events props
+    // payload (the corpus field that actually carries digits; the
+    // planted-PII spec proves each class end-to-end). Pure codegen'd
+    // regexp_replace/regexp_extract_all — a narrow per-row transform
+    // with no shuffle at all: at 100 TB this is a map-only pass that
+    // rides whatever partitioning the scan has.
+    "d35_pii_scrub" -> { (s, dir) =>
+      piiScrub(TableCatalog(s, dir).events.select(col("event_id"), col("props")),
+          "props")
+        .select(col("event_id"), col("scrubbed"),
+          col("n_email"), col("n_ipv4"), col("n_number"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -1403,6 +1499,41 @@ object TextSim {
 
     "d29_doc_len_hist" ->
       """SELECT (n_chars // 500) * 500 AS bucket_lo, count(*) AS n_docs
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d32_source_mix" ->
+      """WITH t AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |  round(sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER (), 6) AS mix_weight FROM t)
+        |SELECT source, n_docs, n_tokens, mix_weight,
+        |  round(mix_weight * 1000000 / n_tokens, 6) AS epochs_per_1m
+        |FROM w ORDER BY source""".stripMargin,
+
+    "d33_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, (tf.tf * 1000000) // df.df AS score
+        |      FROM tf JOIN df USING (token)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS term_rank
+        |      FROM s)
+        |SELECT doc_id, token, tf, df, score, term_rank
+        |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+
+    "d35_pii_scrub" -> {
+      // Generated from piiPatterns — the Spark plan and this SQL share
+      // one pattern table, so the two sides cannot drift.
+      val counts = piiPatterns.map { case (label, re, _) =>
+        s"len(regexp_extract_all(props, '$re')) AS n_$label"
+      }.mkString(",\n        |  ")
+      val scrub = piiPatterns.foldLeft("props") { case (e, (_, re, repl)) =>
+        s"regexp_replace($e, '$re', '$repl', 'g')"
+      }
+      s"""SELECT event_id, $scrub AS scrubbed,
+         |  $counts
+         |FROM events ORDER BY event_id""".stripMargin
+    }
   )
 }

@@ -331,6 +331,34 @@ object Trend {
         .orderBy(col("entity_id"), col("bucket"))
     },
 
+    // Period-over-period monitoring — the "how did this week compare
+    // to last week" dashboard question over a trend store. Weekly
+    // DECIMAL-exact per-entity totals (t01's sum discipline), then one
+    // lag window per entity: absolute delta stays exact decimal
+    // arithmetic; percent change is a single double division on
+    // exactly-representable decimal casts, rounded to 4 dp on both
+    // engines. One groupBy shuffle + one window shuffle, both keyed
+    // on the entity — at 100 TB this reads a year of weekly partials
+    // from the trend store, never the raw events.
+    "t27_week_over_week" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val weekly = ev.groupBy(col("user_id").as("entity_id"),
+          date_trunc("week", col("ts")).as("bucket"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("entity_id")).orderBy(col("bucket"))
+      weekly
+        .withColumn("prev_dec", lag(col("sum_dec"), 1).over(w))
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("sum_dec").cast("double").as("sum_value"),
+          col("prev_dec").cast("double").as("prev_value"),
+          (col("sum_dec") - col("prev_dec")).cast("double").as("delta"),
+          when(col("prev_dec") =!= 0,
+            round((col("sum_dec") - col("prev_dec")).cast("double") /
+              col("prev_dec").cast("double"), 4)).as("pct_change"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
     // Sketch-based percentiles (rows-only — Greenwald-Khanna summary
     // merges are partition-order-dependent, so no cross-engine hash;
     // the rank-error bound vs the exact quantiles is spec-asserted):
@@ -588,6 +616,20 @@ object Trend {
         |  round(quantile_cont(value, 0.5), 4) AS p50,
         |  round(quantile_cont(value, 0.95), 4) AS p95
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t27_week_over_week" ->
+      """WITH wk AS (SELECT user_id AS entity_id, date_trunc('week', ts) AS bucket,
+        |  sum(CAST(value AS DECIMAL(18,4))) AS sum_dec FROM events GROUP BY 1, 2),
+        |l AS (SELECT entity_id, bucket, sum_dec,
+        |  lag(sum_dec) OVER (PARTITION BY entity_id ORDER BY bucket) AS prev_dec FROM wk)
+        |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(sum_dec AS DOUBLE) AS sum_value,
+        |  CAST(prev_dec AS DOUBLE) AS prev_value,
+        |  CAST(sum_dec - prev_dec AS DOUBLE) AS delta,
+        |  CASE WHEN prev_dec <> 0 THEN
+        |    round(CAST(sum_dec - prev_dec AS DOUBLE) / CAST(prev_dec AS DOUBLE), 4)
+        |  END AS pct_change
+        |FROM l ORDER BY 1, 2""".stripMargin,
 
     "t19_gapfill_900s" ->
       s"""WITH h AS (SELECT user_id AS entity_id,

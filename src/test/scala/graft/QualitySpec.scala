@@ -697,4 +697,40 @@ class QualitySpec extends SparkSpec {
       .linesIterator.count(_.contains("Window ["))
     assert(nWindows === 1, s"expected 1 Window node, got $nWindows")
   }
+
+  test("PII scrub redacts each planted class and counts matches on the original") {
+    // The sf corpus carries digits only, so each class is proven here:
+    // an email (whose host digits must NOT double-count as an IP), a
+    // bare IPv4, a digit run, a clean row, and a mixed row.
+    val rows = Seq(
+      (1L, "contact alice.smith+spam@mail-host.example.org today"),
+      (2L, "peer at 192.168.001.254 timed out"),
+      (3L, "order 123456 shipped 78 units"),
+      (4L, "no identifiers here"),
+      (5L, "bob@x.io pinged 10.0.0.1 at 0900")
+    ).toDF("event_id", "props")
+    val r = TextSim.piiScrub(rows, "props").collect()
+      .map(x => x.getLong(0) -> x).toMap
+
+    assert(r(1L).getAs[String]("scrubbed") === "contact <EMAIL> today")
+    assert(r(1L).getAs[Int]("n_email") === 1)
+    assert(r(1L).getAs[Int]("n_ipv4") === 0)
+
+    assert(r(2L).getAs[String]("scrubbed") === "peer at <IP> timed out")
+    assert(r(2L).getAs[Int]("n_ipv4") === 1)
+    // the IP's digit groups ARE digit runs on the original string —
+    // counts report per class independently, scrubbing is sequential
+    assert(r(2L).getAs[Int]("n_number") === 4)
+
+    assert(r(3L).getAs[String]("scrubbed") === "order <NUM> shipped <NUM> units")
+    assert(r(3L).getAs[Int]("n_number") === 2)
+    assert(r(3L).getAs[Int]("n_email") === 0)
+
+    assert(r(4L).getAs[String]("scrubbed") === "no identifiers here")
+    assert(Seq("n_email", "n_ipv4", "n_number").forall(c => r(4L).getAs[Int](c) === 0))
+
+    assert(r(5L).getAs[String]("scrubbed") === "<EMAIL> pinged <IP> at <NUM>")
+    assert(r(5L).getAs[Int]("n_email") === 1)
+    assert(r(5L).getAs[Int]("n_ipv4") === 1)
+  }
 }
