@@ -1026,6 +1026,29 @@ object TextSim {
         .orderBy(col("doc_id"), col("term_rank"))
     },
 
+    // Inverted-index build — the retrieval-serving artifact (token →
+    // document frequency + the first 20 postings by doc_id). The
+    // bounded posting head uses graft's native CollectMinK
+    // DeclarativeAggregate: O(k) state per token with map-side partial
+    // combine, so the Zipf head token ("a", in every document) costs
+    // each mapper one 20-element array instead of an unbounded
+    // collect_list or a full-partition row_number window — THE shape
+    // that survives a 100 TB corpus. Two shuffles: the (token, doc)
+    // distinct and the token agg.
+    "d34_inverted_index" -> { (s, dir) =>
+      import graft.functions.CollectMinK.collectMinK
+      TableCatalog(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("token"), col("doc_id"))
+        .filter(col("token") =!= "")
+        .distinct()
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"),
+          collectMinK(col("doc_id"), 20).as("arr"))
+        .select(col("token"), col("df"),
+          array_join(transform(col("arr"), _.cast("string")), ",").as("postings"))
+        .orderBy(col("token"))
+    },
+
     // PII scrubbing — redact emails / IPv4s / digit runs (declaration
     // order) with per-class match counts, over the events props
     // payload (the corpus field that actually carries digits; the
@@ -1521,6 +1544,15 @@ object TextSim {
         |      FROM s)
         |SELECT doc_id, token, tf, df, score, term_rank
         |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+
+    "d34_inverted_index" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |td AS (SELECT DISTINCT token, doc_id FROM toks WHERE token <> ''),
+        |r AS (SELECT token, doc_id,
+        |      row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM td)
+        |SELECT token, count(*) AS df,
+        |  string_agg(CASE WHEN rn <= 20 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id) AS postings
+        |FROM r GROUP BY 1 ORDER BY token""".stripMargin,
 
     "d35_pii_scrub" -> {
       // Generated from piiPatterns — the Spark plan and this SQL share

@@ -34,4 +34,44 @@ class GraftFunctionsSpec extends SparkSpec {
       MinMd5Expr.minMd5(sh).as("mm"))
     assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
   }
+
+  test("collect_min_k equals sorted-collect-truncate under any partitioning") {
+    import graft.SparkSpec.spark.implicits._
+    import graft.functions.CollectMinK.collectMinK
+    val rnd = new scala.util.Random(42)
+    // skewed groups: group 0 gets 2000 rows (saturation fast path +
+    // merge), group 9 gets 3 (< k buffer); 20% null values (ignored)
+    val rows = (0 until 3000).map { i =>
+      val g = if (i < 2000) 0L else (i % 9) + 1L
+      val v: java.lang.Long = if (rnd.nextInt(5) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(100000).toLong)
+      (g, v)
+    }
+    for (nPart <- Seq(1, 7, 32)) {
+      val df = rows.toDF("g", "v").repartition(nPart)
+      val got = df.groupBy("g").agg(collectMinK(col("v"), 20).as("mk"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val want = df.filter(col("v").isNotNull)
+        .groupBy("g").agg(slice(sort_array(collect_list(col("v"))), 1, 20).as("mk"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got === want, s"nPart=$nPart")
+      assert(got(0L).size === 20 && got(0L) === got(0L).sorted)
+    }
+    // all-null group yields an empty array, not null
+    val empty = Seq((1L, null: java.lang.Long)).toDF("g", "v")
+      .groupBy("g").agg(collectMinK(col("v"), 5).as("mk")).collect()
+    assert(empty.head.getSeq[Long](1) === Seq.empty)
+  }
+
+  test("collect_min_k buffers stay bounded at k in the aggregate plan") {
+    import graft.SparkSpec.spark.implicits._
+    import graft.functions.CollectMinK.collectMinK
+    // plan sanity: a partial_collect_min_k appears before the exchange
+    // (map-side combine), so skewed keys never ship unbounded state
+    val df = (0 until 100).map(i => (i % 3, i.toLong)).toDF("g", "v")
+      .groupBy("g").agg(collectMinK(col("v"), 4).as("mk"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_collect_min_k"),
+      s"expected a partial aggregation phase, plan:\n$plan")
+  }
 }
