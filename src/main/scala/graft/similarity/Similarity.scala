@@ -70,6 +70,26 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("d_id"), col("rrf"))
   }
 
+  /** Ranks `scored` (q_id, n_id, `simCol`) by similarity desc /
+    * n_id asc and keeps the top k per query — via CollectMinK on the
+    * (−sim, n_id) struct, whose lexicographic natural ordering equals
+    * the window `ORDER BY sim DESC, n_id ASC`. Every similarity path
+    * used to rank with a per-query row_number window, which shuffles
+    * EVERY scored pair to the query's reducer and sorts the full
+    * candidate set there; the bounded aggregate keeps k rows per
+    * (query, map partition) before the exchange, so at 100 TB the
+    * shuffle is |Q|·k·partitions rows instead of |Q|·|candidates| —
+    * and a skew-heavy query (one probe bucket holding half the
+    * corpus) no longer serializes on a single reducer sort. */
+  private def rankTopK(scored: DataFrame, k: Int,
+                       simCol: String = "sim"): DataFrame =
+    scored
+      .groupBy(col("q_id"))
+      .agg(graft.functions.CollectMinK.collectMinK(
+        struct(negate(col(simCol)).as("ns"), col("n_id").as("n_id")), k).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"), col("col.n_id").as("n_id"))
+
   /** Exact top-k neighbors for each query vector. `queries` must be
     * broadcast-small (it is crossJoin-broadcast against the corpus).
     * Norms are computed once per row per side — never per pair. */
@@ -83,11 +103,7 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic sign-sketch bucket id over `planes` pseudo-random
@@ -141,11 +157,7 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"))
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: every (a, b), a < b, with
@@ -287,11 +299,7 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
       .dropDuplicates("q_id", "n_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"))
+    rankTopK(scored, k)
   }
 
   /** Persist an IVF index: the index-once/query-many shape a 100 TB
@@ -505,14 +513,11 @@ object Similarity {
   private def pqRerank(vectors: DataFrame, queries: DataFrame, qId: String,
                        vecCol: String, approx: DataFrame, k: Int,
                        rerank: Int): DataFrame = {
-    val wa = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("__adc").desc, col("n_id").asc)
     // dropDuplicates mirrors ivfScore: a replayed ivfpqAdd can leave
     // the same n_id in the codes table twice, and without the dedupe
     // the same neighbor would occupy multiple final ranks, silently
     // shrinking effective top-k. The set is |queries|·rerank·k rows.
-    val cands = approx.withColumn("__r", row_number().over(wa))
-      .filter(col("__r") <= rerank * k)
+    val cands = rankTopK(approx, rerank * k, simCol = "__adc")
       .select(col("q_id"), col("n_id"))
       .dropDuplicates("q_id", "n_id")
     val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"),
@@ -520,11 +525,7 @@ object Similarity {
     val scored = vectors.join(broadcast(cands), "n_id").join(broadcast(q), "q_id")
       .select(col("q_id"), col("n_id"),
         (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"))
+    rankTopK(scored, k)
   }
 
   /** Persist a PQ index — the build-once/search-many twin of
