@@ -44,5 +44,9 @@ object GraftFunctions {
       wrap1(SimHashMd5Expr.simhash))
     ColumnBridge.registerFunction(spark, "graft_minmd5",
       wrap1(MinMd5Expr.minMd5))
+    // aggregate: the analyzer wraps a bare AggregateFunction in its
+    // AggregateExpression, same as the builtin registry entries
+    ColumnBridge.registerFunction(spark, "graft_collect_min_k",
+      es => CollectMinK(es(0), constInt(es(1), "graft_collect_min_k(col, k): k")))
   }
 }

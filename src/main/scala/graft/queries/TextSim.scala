@@ -1049,6 +1049,32 @@ object TextSim {
         .orderBy(col("token"))
     },
 
+    // Boolean retrieval over the STORED postings index — the serving
+    // twin of d34 (build-once/query-many, the d26/s09 discipline):
+    // coverage-ranked AND-ish retrieval for a fixed token set. The
+    // index is written `partitionBy(token)`, so a query reads ONLY
+    // its tokens' directories (static partition pruning, asserted in
+    // TextIndexSpec) — at 100 TB a 3-token query touches 3 posting
+    // directories, never the corpus. TakeOrderedAndProject caps the
+    // result without a global sort.
+    "d36_bool_retrieval" -> { (s, dir) =>
+      val idxPath = cachedIndex(s, dir, "text_postings") { p =>
+        TableCatalog(s, dir).documents
+          .select(explode(split(col("text"), " ")).as("token"), col("doc_id"))
+          .filter(col("token") =!= "")
+          .distinct()
+          .write.partitionBy("token").parquet(p)
+      }
+      val qTokens = Seq("spark", "vector", "stream")
+      s.read.parquet(idxPath)
+        .filter(col("token").isin(qTokens: _*))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matched"))
+        .filter(col("n_matched") >= 2)
+        .orderBy(col("n_matched").desc, col("doc_id"))
+        .limit(100)
+    },
+
     // PII scrubbing — redact emails / IPv4s / digit runs (declaration
     // order) with per-class match counts, over the events props
     // payload (the corpus field that actually carries digits; the
@@ -1553,6 +1579,14 @@ object TextSim {
         |SELECT token, count(*) AS df,
         |  string_agg(CASE WHEN rn <= 20 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id) AS postings
         |FROM r GROUP BY 1 ORDER BY token""".stripMargin,
+
+    "d36_bool_retrieval" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |td AS (SELECT DISTINCT doc_id, token FROM toks
+        |       WHERE token IN ('spark', 'vector', 'stream'))
+        |SELECT doc_id, count(*) AS n_matched FROM td GROUP BY 1
+        |HAVING count(*) >= 2
+        |ORDER BY n_matched DESC, doc_id LIMIT 100""".stripMargin,
 
     "d35_pii_scrub" -> {
       // Generated from piiPatterns — the Spark plan and this SQL share

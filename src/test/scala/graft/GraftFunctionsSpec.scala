@@ -63,6 +63,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(empty.head.getSeq[Long](1) === Seq.empty)
   }
 
+  test("graft_collect_min_k is callable from SQL and matches the Column API") {
+    import graft.SparkSpec.spark.implicits._
+    import graft.functions.CollectMinK.collectMinK
+    GraftFunctions.register(spark)
+    Seq((1L, 5L), (1L, 2L), (1L, 9L), (2L, 7L)).toDF("g", "v")
+      .createOrReplaceTempView("mk_in")
+    val viaSql = spark.sql(
+      "SELECT g, graft_collect_min_k(v, 2) AS mk FROM mk_in GROUP BY g")
+    val viaApi = spark.table("mk_in").groupBy("g")
+      .agg(collectMinK(col("v"), 2).as("mk"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
+
   test("collect_min_k buffers stay bounded at k in the aggregate plan") {
     import graft.SparkSpec.spark.implicits._
     import graft.functions.CollectMinK.collectMinK
