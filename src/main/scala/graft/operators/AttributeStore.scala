@@ -74,4 +74,27 @@ object AttributeStore {
           .otherwise(lit("changed")))
       .drop("__in_before", "__in_after")
   }
+
+  /** Attribute CHURN report: per-bucket counts of real value changes
+    * — "how many config changes landed per day, across how many
+    * entities" (fleet change-rate monitoring over an attribute
+    * store's history). A change is a row [[compact]] keeps EXCLUDING
+    * each entity's first row (initial provisioning is not churn);
+    * the null-safe inequality counts a value toggling to/from NULL
+    * as a change, matching compactHistoryAll's discipline. Shape:
+    * the compact window's entity shuffle + one combine-friendly
+    * groupBy over O(buckets) keys. */
+  def churn(attrs: DataFrame, entity: Column, ts: Column, tie: Column,
+            value: Column, granularity: String): DataFrame = {
+    // row_number (not lag-is-null) marks first rows, so a NULL-valued
+    // previous row is a real predecessor and NULL→X counts as churn.
+    val w = Window.partitionBy(col("__e")).orderBy(ts.asc, tie.asc)
+    attrs.withColumn("__e", entity)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(value, 1).over(w))
+      .filter(col("__rn") > 1 && !(col("__prev") <=> value))
+      .groupBy(date_trunc(granularity, ts).as("bucket"))
+      .agg(count(lit(1)).as("n_changes"),
+        countDistinct(col("__e")).as("n_entities"))
+  }
 }

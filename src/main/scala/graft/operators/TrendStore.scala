@@ -532,6 +532,76 @@ object TrendStore {
         metrics.tail.map(Aggregation.compileMetric): _*)
   }
 
+  /** Top-k contributing child entities per (parent, bucket) cell —
+    * the drill-down behind an entity-aggregation dashboard ("which
+    * customers drive this region's monthly revenue"). Two bounded
+    * aggregations: the broadcast relation ⋈ fact groupBy produces
+    * per-(parent, bucket, child) DECIMAL-exact sums (one
+    * combine-friendly shuffle, the e05 shape), then graft's
+    * CollectMinK folds them to k rows per cell with O(k) state and
+    * map-side partials — a parent with 10⁷ children costs each
+    * mapper one k-array, where a `row_number` window would sort the
+    * full child list on one reducer. Ranking orders on the NEGATED
+    * exact decimal sum (ties broken by child id), so the rank order
+    * is bit-identical on any engine or partitioning. */
+  def topContributors(trend: DataFrame, entity: Column, ts: Column,
+                      value: Column, granularity: String,
+                      relation: DataFrame, childCol: String,
+                      parentCol: String, k: Int): DataFrame = {
+    require(k > 0, s"topContributors: k must be positive, got $k")
+    import graft.functions.CollectMinK.collectMinK
+    val per = trend.join(broadcast(relation),
+        entity === relation(childCol), "inner")
+      .groupBy(relation(parentCol).as("parent"),
+        date_trunc(granularity, ts).as("bucket"),
+        relation(childCol).as("child"))
+      .agg(sum(Fx.dec(value)).as("sum_dec"))
+    per.groupBy(col("parent"), col("bucket"))
+      .agg(collectMinK(
+        struct((-col("sum_dec")).as("neg"), col("child").as("child")), k).as("arr"))
+      .select(col("parent"), col("bucket"),
+        posexplode(col("arr")).as(Seq("pos", "e")))
+      .select(col("parent"), col("bucket"),
+        col("e.child").as("child"),
+        (-col("e.neg")).cast("double").as("sum_value"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Seasonal-baseline anomaly report: each bucket of the evaluation
+    * window scored against the entity's SAME-SEASON history — Monday
+    * compares to past Mondays, not to the whole series (t17's global
+    * z flags every weekend of a weekday-heavy metric). `seasonCol`
+    * derives the season key from the bucket (day-of-week here;
+    * hour-of-week at denser granularities). Baseline = buckets before
+    * `evalFrom`, aggregated per (entity, season) with the t17
+    * DECIMAL-exact moment discipline; evaluation buckets join the
+    * baseline on (entity, season) — one combine-friendly moment
+    * shuffle over O(entities × seasons) keys plus one equi-join whose
+    * left side is the evaluation window only. z uses the same
+    * fixed-op-order double formula as [[anomalies]], so it is
+    * bit-identical on any engine. Buckets whose baseline has fewer
+    * than `minObs` observations or zero variance are skipped. */
+  def seasonalAnomalies(rolled: DataFrame, season: Column => Column,
+                        evalFrom: Column, minObs: Int = 2): DataFrame = {
+    val base = rolled.filter(col("bucket") < evalFrom)
+      .groupBy(col("entity_id"), season(col("bucket")).as("season"))
+      .agg(count(lit(1)).as("n_base"),
+        sum(col("sd")).cast("double").as("__s1"),
+        Fx.prodSumDouble(sum(col("sd") * col("sd"))).as("__s2"))
+      .filter(col("n_base") >= minObs)
+    rolled.filter(col("bucket") >= evalFrom)
+      .withColumn("season", season(col("bucket")))
+      .join(base, Seq("entity_id", "season"))
+      .withColumn("v", col("sd").cast("double"))
+      .withColumn("__mean", col("__s1") / col("n_base"))
+      .withColumn("__var",
+        col("__s2") / col("n_base") - col("__mean") * col("__mean"))
+      .filter(col("__var") > 0)
+      .withColumn("z", round((col("v") - col("__mean")) / sqrt(col("__var")), 6))
+      .select(col("entity_id"), col("bucket"), col("season"),
+        col("v"), col("n_base"), col("z"))
+  }
+
   /** Wide trend-store part: one column per metric name (Minerva's
     * physical trend table layout). Conditional aggregation — a single
     * shuffle, no per-metric passes. */

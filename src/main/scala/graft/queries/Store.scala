@@ -245,6 +245,32 @@ object Store {
         .orderBy(col("parent"), col("bucket"))
     },
 
+    // Top-3 contributing customers per (region, month) — the
+    // drill-down behind e05's cells ("which children drive this
+    // parent's number"). Per-(parent, bucket, child) DECIMAL-exact
+    // sums (broadcast relation ⋈ fact, one shuffle), then graft's
+    // CollectMinK bounds the rank step at O(k) state per cell with
+    // map-side partials — no per-parent row_number window sorting
+    // the full child list on one reducer. Rank order = (-sum_dec,
+    // child) on exact decimals, bit-identical to the oracle's
+    // row_number.
+    "e08_top_contributors" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val custToNation = Relations.of(c.customer,
+        concat(lit("Customer="), col("c_custkey")),
+        concat(lit("Nation="), col("c_nationkey")), "customer->nation")
+      val nationToRegion = Relations.of(c.nation,
+        concat(lit("Nation="), col("n_nationkey")),
+        concat(lit("Region="), col("n_regionkey")), "nation->region")
+      val rel = Relations.compose(custToNation, nationToRegion)
+      TrendStore.topContributors(c.orders,
+          concat(lit("Customer="), col("o_custkey")), col("o_orderdate"),
+          col("o_totalprice"), "month", rel, "child_dn", "parent_dn", 3)
+        .select(col("parent"), date_format(col("bucket"), TS).as("bucket"),
+          col("child"), col("sum_value"), col("rank"))
+        .orderBy(col("parent"), col("bucket"), col("rank"))
+    },
+
     // Entity aggregation through a TEMPORAL relation — entities
     // migrate parents mid-month (even customers move to 'MIGRATED'
     // at the Jan-15 cutover) and each daily bucket rolls up to the
@@ -523,6 +549,22 @@ object Store {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e08_top_contributors" ->
+      """WITH per AS (SELECT 'Region=' || n_regionkey AS parent,
+        |    date_trunc('month', o_orderdate) AS bucket,
+        |    'Customer=' || c_custkey AS child,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_dec
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY parent, bucket ORDER BY sum_dec DESC, child) AS rank
+        |  FROM per)
+        |SELECT parent, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, child,
+        |  CAST(sum_dec AS DOUBLE) AS sum_value, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY parent, bucket, rank""".stripMargin,
 
     "e06_entity_rollup_temporal" ->
       """WITH d AS (SELECT user_id AS entity_id, date_trunc('day', ts) AS bucket,

@@ -406,6 +406,40 @@ object Trend {
         .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
           col("v"), col("z"))
         .orderBy(col("entity_id"), col("bucket"))
+    },
+
+    // Seasonal-baseline deviation report: the final week's daily
+    // totals scored against each entity's SAME-WEEKDAY history —
+    // Monday vs past Mondays (t17's global z flags every weekend of
+    // a weekday-shaped metric; a seasonal baseline doesn't). Moments
+    // stay DECIMAL-exact per (entity, dow) until the fixed-op-order
+    // z; one combine-friendly moment shuffle over O(entities × 7)
+    // keys + one equi-join whose left side is only the evaluation
+    // week.
+    "t28_seasonal_baseline" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val daily = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "day")
+        .select(col("entity_id"), col("bucket"),
+          col("sum_dec").cast("decimal(18,4)").as("sd"))
+      TrendStore.seasonalAnomalies(daily, b => dayofweek(b),
+          lit("2024-01-24 00:00:00").cast("timestamp"), minObs = 2)
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("season").cast("int").as("dow"), col("v"), col("n_base"), col("z"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
+    // Attribute churn report — config-change rate over the attribute
+    // history ("how many changes landed per day, across how many
+    // entities"). A change is a compact-surviving row excluding each
+    // entity's first (provisioning) row; one entity-keyed window
+    // shuffle + one O(days) groupBy.
+    "a06_attr_churn" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      AttributeStore.churn(ev, col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), "day")
+        .select(date_format(col("bucket"), TS).as("bucket"),
+          col("n_changes"), col("n_entities"))
+        .orderBy(col("bucket"))
     }
   )
 
@@ -770,6 +804,40 @@ object Trend {
         |  round((v - mean) / sqrt(variance), 6) AS z
         |  FROM vv WHERE variance > 0)
         |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, v, z
-        |FROM z WHERE abs(z) >= 2.0 ORDER BY 1, 2""".stripMargin
+        |FROM z WHERE abs(z) >= 2.0 ORDER BY 1, 2""".stripMargin,
+
+    "t28_seasonal_baseline" ->
+      // DuckDB dayofweek is 0-based (Sunday = 0); Spark's is 1-based
+      // — the +1 aligns them. Moment/op-order discipline = t17's.
+      """WITH d AS (SELECT user_id AS entity_id, date_trunc('day', ts) AS bucket,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sd
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT entity_id, dayofweek(bucket) + 1 AS dow,
+        |    count(*) AS n_base,
+        |    CAST(sum(sd) AS DOUBLE) AS s1,
+        |    CAST(CAST(sum(sd * sd) AS DECIMAL(38,4)) AS DOUBLE) AS s2
+        |  FROM d WHERE bucket < TIMESTAMP '2024-01-24 00:00:00'
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ev AS (SELECT entity_id, bucket, dayofweek(bucket) + 1 AS dow,
+        |    CAST(sd AS DOUBLE) AS v
+        |  FROM d WHERE bucket >= TIMESTAMP '2024-01-24 00:00:00'),
+        |j AS (SELECT ev.entity_id, ev.bucket, ev.dow, ev.v, base.n_base,
+        |    s1 / n_base AS mean, s2 FROM ev
+        |  JOIN base ON ev.entity_id = base.entity_id AND ev.dow = base.dow),
+        |vv AS (SELECT *, s2 / n_base - mean * mean AS variance FROM j)
+        |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(dow AS INT) AS dow, v, n_base,
+        |  round((v - mean) / sqrt(variance), 6) AS z
+        |FROM vv WHERE variance > 0 ORDER BY 1, 2""".stripMargin,
+
+    "a06_attr_churn" ->
+      """WITH r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  count(*) AS n_changes, count(DISTINCT user_id) AS n_entities
+        |FROM r WHERE rn > 1 AND prev IS DISTINCT FROM event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
