@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted full-text retrieval index: token-partitioned postings
+  * with term frequencies, a document-length table, and an O(1)
+  * `stats.json` sidecar (corpus size + total token count) — the
+  * build-once/query-many artifact behind ranked (BM25) and boolean
+  * retrieval, following the d26/s09 serving discipline.
+  *
+  * Layout under `path`:
+  *   - `postings/token=<t>/` — (doc_id, tf) parquet, partitioned by
+  *     token: a query's tokens map to STATIC partition filters, so a
+  *     3-token query reads 3 directories, never the corpus.
+  *   - `doclen/` — (doc_id, dl) parquet (dl = token count; rows for
+  *     zero-length docs too, so avgdl matches the corpus definition).
+  *   - `stats.json` — `n_docs` / `sum_dl`, read driver-side at query
+  *     time (avgdl and the idf corpus constant come from here — no
+  *     corpus-sized aggregation on the serving path).
+  *   - `batches/<id>` — incremental-add markers (see [[addBatch]]).
+  *
+  * Incremental adds append postings/doclen rows then write a batch
+  * marker; a replay with the marker present is a no-op. The crash
+  * window between append and marker can leave DUPLICATE rows, so
+  * every reader aggregates per key ([[postings]] max(tf) per
+  * (token, doc), [[doclen]] max(dl) per doc) — the pqRerank
+  * discipline: duplicates can never change a score or occupy two
+  * ranks, and [[compact]] physically removes them later.
+  */
+object TextIndex {
+
+  /** Tokenization shared by build and every query path: whitespace
+    * split, empty tokens dropped. */
+  private def toks(textCol: String) =
+    filter(split(col(textCol), " "), t => t =!= "")
+
+  /** Build the index from a corpus. One explode + one (doc, token)
+    * partial-agg shuffle for the postings; the doclen pass is a
+    * map-only projection; stats is one O(1) aggregate. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            path: String): Unit = {
+    val spark = docs.sparkSession
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(toks(textCol)).cast("long").as("dl"))
+    dl.write.parquet(s"$path/doclen")
+    docs.select(col(idCol).as("doc_id"),
+        explode(toks(textCol)).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .write.partitionBy("token").parquet(s"$path/postings")
+    writeStats(spark, path)
+  }
+
+  /** Append a new document batch with the frozen tokenization —
+    * the daily-crawl update path. Exactly-once via a post-append
+    * marker: a committed replay is a no-op; a torn replay leaves
+    * duplicate rows the readers aggregate away. Stats are recomputed
+    * from the (deduplicated) doclen table and swapped in last, so a
+    * crash anywhere leaves a queryable index. */
+  def addBatch(docs: DataFrame, idCol: String, textCol: String,
+               path: String, batchId: String): Unit = {
+    val spark = docs.sparkSession
+    require(!batchId.contains("/"), s"bad batchId: $batchId")
+    if (StoreFs.exists(spark, s"$path/batches/$batchId")) return
+    docs.select(col(idCol).as("doc_id"),
+      size(toks(textCol)).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$path/doclen")
+    docs.select(col(idCol).as("doc_id"),
+        explode(toks(textCol)).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("append").partitionBy("token").parquet(s"$path/postings")
+    writeStats(spark, path)
+    StoreFs.writeText(spark, s"$path/batches/$batchId", "done")
+  }
+
+  /** Deduplicated postings read, restricted to `tokens` — the static
+    * partition filters are the whole point of the layout. */
+  def postings(spark: SparkSession, path: String,
+               tokens: Seq[String]): DataFrame =
+    spark.read.parquet(s"$path/postings")
+      .filter(col("token").isin(tokens: _*))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(max(col("tf")).as("tf"))
+
+  /** Deduplicated document-length read. */
+  def doclen(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/doclen")
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+
+  /** Corpus stats from the sidecar: (n_docs, sum_dl). */
+  def stats(spark: SparkSession, path: String): (Long, Long) = {
+    val txt = StoreFs.readText(spark, s"$path/stats.json")
+    def grab(k: String): Long =
+      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(sys.error(s"stats.json: missing $k")).group(1).toLong
+    (grab("n_docs"), grab("sum_dl"))
+  }
+
+  private def writeStats(spark: SparkSession, path: String): Unit = {
+    val row = doclen(spark, path)
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val json = s"""{"n_docs": ${row.getLong(0)}, "sum_dl": ${row.getLong(1)}}"""
+    if (StoreFs.exists(spark, s"$path/stats.json")) {
+      StoreFs.writeText(spark, s"$path/stats.json.tmp", json)
+      StoreFs.replace(spark, s"$path/stats.json.tmp", s"$path/stats.json")
+    } else StoreFs.writeText(spark, s"$path/stats.json", json)
+  }
+
+  /** Okapi BM25 over the stored index. Per query token: one pruned
+    * postings directory read; df is counted over that pruned read
+    * (vocabulary-local — never a corpus scan). The doclen join is
+    * the only corpus-order-sized shuffle, and its left side is only
+    * the matching postings. Determinism for the cross-engine oracle:
+    * idf is rounded to 6 decimals (ln is the one non-IEEE-specified
+    * op in the formula; every other step is correctly-rounded double
+    * arithmetic in a fixed op order), each per-token term is rounded
+    * to 6 decimals and summed as DECIMAL — exact and associative, so
+    * the distributed sum order cannot change a score — and ranking
+    * orders on the exact decimal score with a doc-id tie-break.
+    *
+    * Returns (doc_id, n_terms, score) for the `topK` docs by score.
+    */
+  def bm25(spark: SparkSession, path: String, tokens: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75, topK: Int = 100): DataFrame = {
+    require(tokens.nonEmpty, "bm25: at least one query token")
+    val (nDocs, sumDl) = stats(spark, path)
+    val avgdl = sumDl.toDouble / nDocs
+    val post = postings(spark, path, tokens)
+    val dfTab = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        round(log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))), 6))
+    post.join(broadcast(dfTab), "token")
+      .join(doclen(spark, path), "doc_id")
+      .withColumn("w", round(col("idf") *
+        ((col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))),
+        6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("score_dec"))
+      .orderBy(col("score_dec").desc, col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), col("n_terms"),
+        col("score_dec").cast("double").as("score"))
+  }
+
+  /** Rewrite the index to a bounded file count, physically removing
+    * crash-window duplicate rows — months of daily [[addBatch]]
+    * appends otherwise tax every query with thousands of small-file
+    * footer reads. Temp-then-swap per table (a crash leaves the old
+    * or the new table, never neither); `stats.json` and batch
+    * markers untouched (dedup does not change them); queries are
+    * bit-identical before/after. Refuses a path that is not a text
+    * index. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    require(StoreFs.exists(spark, s"$path/postings") &&
+      StoreFs.exists(spark, s"$path/doclen") &&
+      StoreFs.exists(spark, s"$path/stats.json"),
+      s"compact: $path is not a text index (postings/ + doclen/ + stats.json)")
+    val dedupPost = spark.read.parquet(s"$path/postings")
+      .groupBy(col("token"), col("doc_id")).agg(max(col("tf")).as("tf"))
+      .select(col("doc_id"), col("tf"), col("token"))
+    dedupPost.write.partitionBy("token").parquet(s"$path/postings.tmp")
+    StoreFs.replace(spark, s"$path/postings.tmp", s"$path/postings")
+    val dedupDl = doclen(spark, path)
+    dedupDl.write.parquet(s"$path/doclen.tmp")
+    StoreFs.replace(spark, s"$path/doclen.tmp", s"$path/doclen")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, Sampling, TextIndex}
 import graft.similarity.Similarity
 import graft.sources.TableCatalog
 
@@ -1075,6 +1075,24 @@ object TextSim {
         .limit(100)
     },
 
+    // Okapi BM25 ranked retrieval over the stored text index — the
+    // ranked twin of d36's boolean coverage (build-once/query-many,
+    // the d26/s09 discipline). Each query token reads ONE pruned
+    // postings directory (static partition filters); df is counted
+    // over that pruned read; avgdl and N come from the index's O(1)
+    // stats sidecar, so the serving path never aggregates the
+    // corpus. Determinism: idf (the one ln in the engine) and each
+    // per-token term round to 6 decimals, terms sum as DECIMAL
+    // (exact/associative), ranking orders on the exact decimal with
+    // a doc-id tie-break — see TextIndex.bm25.
+    "d37_bm25_topk" -> { (s, dir) =>
+      val idxPath = cachedIndex(s, dir, "text_bm25") { p =>
+        TextIndex.build(TableCatalog(s, dir).documents, "doc_id", "text", p)
+      }
+      TextIndex.bm25(s, idxPath, Seq("spark", "vector", "stream"))
+        .orderBy(col("score").desc, col("doc_id"))
+    },
+
     // PII scrubbing — redact emails / IPv4s / digit runs (declaration
     // order) with per-class match counts, over the events props
     // payload (the corpus field that actually carries digits; the
@@ -1587,6 +1605,27 @@ object TextSim {
         |SELECT doc_id, count(*) AS n_matched FROM td GROUP BY 1
         |HAVING count(*) >= 2
         |ORDER BY n_matched DESC, doc_id LIMIT 100""".stripMargin,
+
+    "d37_bm25_topk" ->
+      // Mirrors TextIndex.bm25 op-for-op: idf rounded 6-dec (the one
+      // ln), per-token terms rounded 6-dec and summed as DECIMAL,
+      // ranking on the exact decimal score. avgdl = exact Σdl / N in
+      // one double division on both engines.
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+        |       FROM documents),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |qtf AS (SELECT * FROM tf WHERE token IN ('spark', 'vector', 'stream')),
+        |idf AS (SELECT token, round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
+        |        FROM (SELECT token, count(*) AS df FROM qtf GROUP BY 1), st),
+        |w AS (SELECT qtf.doc_id,
+        |    CAST(round(idf.idf * ((qtf.tf * 2.2) /
+        |      (qtf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS DECIMAL(18,6)) AS w
+        |  FROM qtf JOIN idf USING (token) JOIN dl USING (doc_id), st),
+        |sc AS (SELECT doc_id, count(*) AS n_terms, sum(w) AS score_dec FROM w GROUP BY 1)
+        |SELECT doc_id, n_terms, CAST(score_dec AS DOUBLE) AS score
+        |FROM sc ORDER BY score_dec DESC, doc_id LIMIT 100""".stripMargin,
 
     "d35_pii_scrub" -> {
       // Generated from piiPatterns — the Spark plan and this SQL share

@@ -54,4 +54,99 @@ class TextIndexSpec extends SparkSpec {
         s"expected 3 pruned partitions, read ${s.selectedPartitions.partitionCount}")
     }
   }
+
+  import graft.operators.TextIndex
+
+  private def tmpIdx(): String =
+    java.nio.file.Files.createTempDirectory("graft_ti").toString + "/idx"
+
+  private def bm25Rows(path: String): Seq[(Long, Long, Double)] =
+    TextIndex.bm25(spark, path, Seq("spark", "vector", "stream"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("bm25 over the stored index: rarer tokens and shorter docs score higher") {
+    val docs = Seq(
+      (1L, "spark vector stream"),          // all 3 terms, short
+      (2L, "spark spark spark pad pad pad pad pad pad pad"), // common term, long
+      (3L, "vector pad"),                   // one rare term, short
+      (4L, "spark pad"),
+      (5L, "spark pad pad"),
+      (6L, "pad pad pad")
+    ).toDF("doc_id", "text")
+    val dir = tmpIdx()
+    TextIndex.build(docs, "doc_id", "text", dir)
+
+    val (n, s) = TextIndex.stats(spark, dir)
+    assert(n === 6L && s === 3L + 10L + 2L + 2L + 3L + 3L)
+
+    val res = TextIndex.bm25(spark, dir, Seq("spark", "vector", "stream"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1 matches all three terms and is short → top score
+    assert(res.head._1 === 1L && res.head._2 === 3L)
+    // every scored doc contains at least one query term
+    assert(res.map(_._1).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    // vector (df=2) outscores spark (df=4) at equal tf and dl: doc 3 vs doc 4
+    val byDoc = res.map(r => r._1 -> r._3).toMap
+    assert(byDoc(3L) > byDoc(4L), "rarer term must out-idf the common one")
+  }
+
+  test("addBatch is exactly-once: committed replay is a no-op, crash-window duplicates never change a score") {
+    val b0 = Seq((1L, "spark vector"), (2L, "spark pad")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "stream vector pad"), (4L, "pad only")).toDF("doc_id", "text")
+    val all = b0.unionByName(b1)
+
+    val oneShot = tmpIdx()
+    TextIndex.build(all, "doc_id", "text", oneShot)
+    val expected = bm25Rows(oneShot)
+
+    val inc = tmpIdx()
+    TextIndex.build(b0, "doc_id", "text", inc)
+    TextIndex.addBatch(b1, "doc_id", "text", inc, "b1")
+    assert(bm25Rows(inc) === expected, "incremental ≠ one-shot build")
+
+    // committed replay: marker present → no-op, scores identical
+    TextIndex.addBatch(b1, "doc_id", "text", inc, "b1")
+    assert(bm25Rows(inc) === expected, "committed replay changed the index")
+
+    // crash-window replay: appends landed but the marker did not —
+    // simulate by deleting the marker and re-adding. Readers
+    // aggregate per key, so the duplicate rows change nothing.
+    val (fs, marker) = graft.operators.StoreFs.fs(spark, s"$inc/batches/b1")
+    fs.delete(marker, false)
+    TextIndex.addBatch(b1, "doc_id", "text", inc, "b1")
+    assert(bm25Rows(inc) === expected, "torn-replay duplicates changed a score")
+
+    // stats recomputed from the deduplicated doclen: still the truth
+    val (n, s) = TextIndex.stats(spark, inc)
+    assert(n === 4L && s === 2L + 2L + 3L + 2L)
+  }
+
+  test("compact removes duplicate rows and bounds files; queries bit-identical; non-index refused") {
+    val b0 = Seq((1L, "spark vector"), (2L, "spark pad")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "stream vector pad")).toDF("doc_id", "text")
+    val dir = tmpIdx()
+    TextIndex.build(b0, "doc_id", "text", dir)
+    TextIndex.addBatch(b1, "doc_id", "text", dir, "b1")
+    // plant a crash-window duplicate append
+    val (fs, marker) = graft.operators.StoreFs.fs(spark, s"$dir/batches/b1")
+    fs.delete(marker, false)
+    TextIndex.addBatch(b1, "doc_id", "text", dir, "b1")
+
+    val before = bm25Rows(dir)
+    val rawBefore = spark.read.parquet(s"$dir/postings").count()
+    TextIndex.compact(spark, dir)
+    assert(bm25Rows(dir) === before, "compaction changed a score")
+    val rawAfter = spark.read.parquet(s"$dir/postings").count()
+    assert(rawAfter < rawBefore, "compaction did not drop duplicate rows")
+    // physically deduplicated: raw row count equals the keyed count
+    assert(rawAfter === spark.read.parquet(s"$dir/postings")
+      .select(col("token"), col("doc_id")).distinct().count())
+
+    val bogus = tmpIdx()
+    Seq((1L, 2L)).toDF("a", "b").write.parquet(s"$bogus/postings")
+    intercept[IllegalArgumentException] {
+      TextIndex.compact(spark, bogus)
+    }
+  }
 }
