@@ -46,4 +46,23 @@ object Sampling {
     }
     docs.filter(sampleHash(col(idCol)) < thr)
   }
+
+  /** DATA-DRIVEN stratified subsample: rates come from a computed
+    * table (stratum, rate) instead of a config map — the shape a
+    * mixture design produces (d32's temperature-flattened weights →
+    * per-source keep rates). The rate column converts to an integer
+    * threshold IN-PLAN (`floor(rate · 2¹⁶)` — floor, not round, so
+    * there is no half-way convention for engines to disagree on) and
+    * the rate table broadcasts onto the corpus scan: one map-side
+    * hash-join + codegen'd filter, no shuffle of the corpus. Strata
+    * absent from `rates` are dropped (inner join) — a mixture that
+    * does not mention a source samples none of it. */
+  def weighted(docs: DataFrame, idCol: String, stratumCol: String,
+               rates: DataFrame, rateCol: String): DataFrame = {
+    val thr = rates.select(col(stratumCol),
+      floor(col(rateCol) * lit(65536.0)).cast("long").as("__thr"))
+    docs.join(broadcast(thr), stratumCol)
+      .filter(sampleHash(col(idCol)) < col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -1075,6 +1075,36 @@ object TextSim {
         .limit(100)
     },
 
+    // Mixture-design MATERIALIZATION — d32's temperature-flattened
+    // weights driving an actual sample: each source's keep rate is
+    // min(1, weight·budget / token_mass) for a 100k-token slice,
+    // applied as Sampling.weighted's deterministic hash-priority
+    // filter (floor(rate·2¹⁶) integer thresholds — reproducible on
+    // any engine/partitioning, nested across budgets). The rate
+    // table is catalog-sized and broadcasts onto the corpus scan;
+    // the summary shows what the mixture actually kept. Rate
+    // arithmetic: the 6-dec-rounded weight is the only windowed
+    // value, everything after is fixed-order IEEE double + floor.
+    "d38_mix_sample" -> { (s, dir) =>
+      val docs = TableCatalog(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          size(filter(split(col("text"), " "), t => t =!= "")).as("n_tok"))
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      val rates = docs.groupBy(col("source"))
+        .agg(sum(col("n_tok")).cast("long").as("n_tokens"))
+        .withColumn("mix_weight",
+          round(sqrt(col("n_tokens")) / sum(sqrt(col("n_tokens"))).over(all), 6))
+        .withColumn("rate",
+          least(lit(1.0), col("mix_weight") * lit(100000.0) / col("n_tokens")))
+      val kept = Sampling.weighted(docs, "doc_id", "source", rates, "rate")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).cast("long").as("kept_tokens"))
+      kept.join(rates.select(col("source"),
+          floor(col("rate") * lit(65536.0)).cast("long").as("thr")), "source")
+        .select(col("source"), col("thr"), col("n_kept"), col("kept_tokens"))
+        .orderBy(col("source"))
+    },
+
     // Okapi BM25 ranked retrieval over the stored text index — the
     // ranked twin of d36's boolean coverage (build-once/query-many,
     // the d26/s09 discipline). Each query token reads ONE pruned
@@ -1605,6 +1635,27 @@ object TextSim {
         |SELECT doc_id, count(*) AS n_matched FROM td GROUP BY 1
         |HAVING count(*) >= 2
         |ORDER BY n_matched DESC, doc_id LIMIT 100""".stripMargin,
+
+    "d38_mix_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok FROM documents),
+        |per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |w AS (SELECT source, n_tokens,
+        |    round(sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER (), 6) AS mix_weight FROM per),
+        |r AS (SELECT source,
+        |    CAST(floor(least(1.0, mix_weight * 100000.0 / n_tokens) * 65536.0) AS BIGINT) AS thr
+        |  FROM w),
+        |x AS (SELECT doc_id, source, n_tok,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hh FROM d),
+        |hv AS (SELECT doc_id, source, n_tok,
+        |    CAST(sum(CAST(strpos('0123456789abcdef', substr(hh, i, 1)) - 1 AS BIGINT)
+        |      << ((4 - i) * 4)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, source, n_tok, hh, unnest(generate_series(1, 4)) AS i FROM x)
+        |  GROUP BY doc_id, source, n_tok, hh)
+        |SELECT r.source, r.thr, count(*) AS n_kept,
+        |  CAST(sum(hv.n_tok) AS BIGINT) AS kept_tokens
+        |FROM hv JOIN r ON hv.source = r.source WHERE hv.h < r.thr
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "d37_bm25_topk" ->
       // Mirrors TextIndex.bm25 op-for-op: idf rounded 6-dec (the one

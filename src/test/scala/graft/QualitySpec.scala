@@ -405,6 +405,31 @@ class QualitySpec extends SparkSpec {
       Map("nope" -> 0.0), defaultRate = 1.0).count() === 2000)
   }
 
+  test("weighted sampling: data-driven rates equal the config-map sample, mixture hits its budget") {
+    import graft.operators.Sampling
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "source")
+    // a computed rate table must sample exactly like the same rates
+    // as a config map (floor vs round only differ on half-way values;
+    // these rates are exact 2^-k so both conventions agree)
+    val rateTab = Seq(("web", 0.25), ("books", 1.0)).toDF("source", "rate")
+    val viaTable = Sampling.weighted(docs, "doc_id", "source", rateTab, "rate")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaMap = Sampling.stratified(docs, "doc_id", "source",
+      Map("web" -> 0.25, "books" -> 1.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaTable === viaMap)
+    // strata missing from the rate table are dropped, not defaulted
+    val webOnly = Sampling.weighted(docs, "doc_id", "source",
+      Seq(("web", 1.0)).toDF("source", "rate"), "rate")
+    assert(webOnly.count() === 1000L)
+    // deterministic under repartitioning of both sides
+    val again = Sampling.weighted(docs.repartition(7), "doc_id", "source",
+      rateTab.repartition(3), "rate")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === viaTable)
+  }
+
   test("range join matches the naive BETWEEN join, without a nested loop") {
     import graft.operators.RangeJoin
     val iv = Seq(
