@@ -32,14 +32,18 @@ import graft.sources.HarvestJob
   * graft.Cli decontaminate --docs PARQUET --bench PARQUET --out OUT \
   *   [--k 3] [--threshold 0.5]
   * graft.Cli index-build --corpus PARQUET --index DIR \
-  *   [--kind ivf|pq|ivfpq] [--id vec_id] [--vec embedding] \
-  *   [--cells 16] [--m 8] [--codes 16] [--residual BOOL] [--rotate BOOL]
+  *   [--kind ivf|pq|ivfpq|text] [--id vec_id] [--vec embedding] \
+  *   [--cells 16] [--m 8] [--codes 16] [--residual BOOL] [--rotate BOOL] \
+  *   (text: [--id doc_id] [--text text] [--batch ID] — incremental add)
   * graft.Cli index-search --queries PARQUET --index DIR --out OUT \
   *   [--kind ivf|pq|ivfpq] [--k 10] [--nprobe 4] [--rerank 4] \
   *   [--allowed PARQUET]   (metadata filter: first column = permitted ids)
+  * graft.Cli text-search --index DIR --tokens a,b,c --out OUT \
+  *   [--mode bm25|bool] [--k 100] [--k1 1.2] [--b 0.75] [--min-match 1]
   * graft.Cli gapfill --store S --granularity hour|900|15m|... --out OUT \
   *   [--mode forward|interpolate] [--value sum_dec]
-  * graft.Cli compact-index --index DIR [--files 8] [--method auto|exact|near|ann]
+  * graft.Cli compact-index --index DIR [--files 8] \
+  *   [--method auto|exact|near|ann|text]
   * graft.Cli store-info --store S [--counts true]   (schema + partition range)
   * graft.Cli index-info --index DIR   (layout autodetect + size/params)
   * graft.Cli harvest-stream --source DIR --format csv … --checkpoint DIR \
@@ -257,8 +261,16 @@ object Cli {
           m = opt(f, "m", "8").toInt, nCodes = opt(f, "codes", "16").toInt,
           residual = opt(f, "residual", "false").toBoolean,
           rotate = opt(f, "rotate", "false").toBoolean)
+        // full-text retrieval index (postings + doclen + stats);
+        // --batch ID switches to the exactly-once incremental add
+        case "text" =>
+          val docId = opt(f, "id", "doc_id"); val text = opt(f, "text", "text")
+          f.get("batch").map(_.last) match {
+            case Some(b) => graft.operators.TextIndex.addBatch(corpus, docId, text, idx, b)
+            case None => graft.operators.TextIndex.build(corpus, docId, text, idx)
+          }
         case k => throw new IllegalArgumentException(
-          s"--kind must be ivf|pq|ivfpq, got: $k")
+          s"--kind must be ivf|pq|ivfpq|text, got: $k")
       }
       println(s"index-build: kind=${opt(f, "kind", "ivfpq")} index=$idx")
 
@@ -283,6 +295,32 @@ object Cli {
       }
       top.write.mode("overwrite").parquet(one(f, "out"))
       println(s"index-search: kind=${opt(f, "kind", "ivfpq")} out=${one(f, "out")}")
+
+    // Retrieval over the stored TEXT index (d36/d37 serving paths):
+    // --tokens is the query, --mode bm25 ranks, --mode bool
+    // coverage-ranks with an AND-ish floor.
+    case "text-search" :: rest =>
+      val f = parseFlags(rest)
+      val idx = one(f, "index"); val k = opt(f, "k", "100").toInt
+      val tokens = one(f, "tokens").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val res = opt(f, "mode", "bm25") match {
+        case "bm25" => graft.operators.TextIndex.bm25(spark, idx, tokens,
+          k1 = opt(f, "k1", "1.2").toDouble, b = opt(f, "b", "0.75").toDouble,
+          topK = k)
+        case "bool" =>
+          graft.operators.TextIndex.postings(spark, idx, tokens)
+            .groupBy(col("doc_id"))
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n_matched"))
+            .filter(col("n_matched") >= opt(f, "min-match", "1").toInt)
+            .orderBy(col("n_matched").desc, col("doc_id"))
+            .limit(k)
+        case m => throw new IllegalArgumentException(
+          s"--mode must be bm25|bool, got: $m")
+      }
+      res.write.mode("overwrite").parquet(one(f, "out"))
+      println(s"text-search: mode=${opt(f, "mode", "bm25")} " +
+        s"tokens=${tokens.mkString(",")} out=${one(f, "out")}")
 
     // Gap-filled trend read over a store rollup (t16/t18/t19 family).
     case "gapfill" :: rest =>
@@ -343,8 +381,10 @@ object Cli {
       val path = one(f, "index")
       val isAnn = Seq("codes", "cells", "centroids")
         .exists(d => graft.operators.StoreFs.exists(spark, s"$path/$d"))
+      val isText = graft.operators.StoreFs.exists(spark, s"$path/postings") &&
+        graft.operators.StoreFs.exists(spark, s"$path/stats.json")
       val method = opt(f, "method", "auto") match {
-        case "auto" => if (isAnn) "ann" else "auto"
+        case "auto" => if (isAnn) "ann" else if (isText) "text" else "auto"
         case m => m
       }
       val n =
@@ -353,6 +393,11 @@ object Cli {
             "not an ANN index (did you mean --method exact|near?)")
           graft.similarity.Similarity.compactIndex(spark, path,
             nFiles = opt(f, "files", "8").toInt)
+        } else if (method == "text") {
+          require(isText, s"$path has no postings/ + stats.json — " +
+            "not a text index (did you mean --method exact|near|ann?)")
+          graft.operators.TextIndex.compact(spark, path)
+          spark.read.parquet(s"$path/postings").count()
         } else Dedup.compactIndex(spark, path,
           nFiles = opt(f, "files", "8").toInt, method = method)
       println(s"compact-index: rows=$n files=${opt(f, "files", "8")} " +
@@ -391,9 +436,13 @@ object Cli {
         else if (ex("codes")) "pq"
         else if (ex("cells")) "ivf"
         else if (ex("bands") || ex("sigs")) "near"
+        else if (ex("postings") && ex("stats.json")) "text"
         else "exact"
       println(s"index-info: path=$path layout=$layout")
       layout match {
+        case "text" =>
+          println(s"  stats: ${StoreFs.readText(spark, s"$path/stats.json").trim}")
+          println(s"  posting rows: ${spark.read.parquet(s"$path/postings").count()}")
         case "ivfpq" | "pq" =>
           val books = spark.read.parquet(s"$path/codebooks")
           val mc = books.agg(org.apache.spark.sql.functions.max(col("sub")),
@@ -432,7 +481,8 @@ object Cli {
         s"unknown command: ${cmd.headOption.getOrElse("")} " +
           "(expected harvest|materialize|materialize-all|aggregate|trigger|retain|" +
           "compact|dedup|dedup-incremental|decontaminate|index-build|index-search|" +
-          "gapfill|compact-index|store-info|index-info|harvest-stream)")
+          "gapfill|compact-index|store-info|index-info|harvest-stream|" +
+          "text-search)")
   }
 
   def main(args: Array[String]): Unit = {

@@ -289,6 +289,48 @@ class CliSpec extends SparkSpec {
       tornInfo.contains("rows: unknown (sigs missing"))
   }
 
+  test("text-index CLI lifecycle: build, bm25/bool search, incremental add, compact, info") {
+    val base = Files.createTempDirectory("graft_cli_text").toString
+    Seq((1L, "spark vector stream"), (2L, "spark pad pad"), (3L, "vector pad"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    Cli.run(spark, Seq("index-build", "--kind", "text",
+      "--corpus", s"$base/docs", "--index", s"$base/idx", "--id", "doc_id"))
+
+    Cli.run(spark, Seq("text-search", "--index", s"$base/idx",
+      "--tokens", "spark,vector,stream", "--out", s"$base/ranked"))
+    val ranked = spark.read.parquet(s"$base/ranked")
+    // CLI search ≡ the library call on the same index
+    val lib = graft.operators.TextIndex.bm25(spark, s"$base/idx",
+      Seq("spark", "vector", "stream"))
+    assert(ranked.exceptAll(lib).isEmpty && lib.exceptAll(ranked).isEmpty)
+
+    Cli.run(spark, Seq("text-search", "--index", s"$base/idx",
+      "--tokens", "spark,vector", "--mode", "bool", "--min-match", "2",
+      "--out", s"$base/bool"))
+    assert(spark.read.parquet(s"$base/bool").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+
+    // incremental add through the CLI; replay is a no-op
+    Seq((4L, "stream stream pad")).toDF("doc_id", "text")
+      .write.parquet(s"$base/b1")
+    Cli.run(spark, Seq("index-build", "--kind", "text", "--batch", "b1",
+      "--corpus", s"$base/b1", "--index", s"$base/idx", "--id", "doc_id"))
+    val (n, _) = graft.operators.TextIndex.stats(spark, s"$base/idx")
+    assert(n === 4L)
+    Cli.run(spark, Seq("index-build", "--kind", "text", "--batch", "b1",
+      "--corpus", s"$base/b1", "--index", s"$base/idx", "--id", "doc_id"))
+    assert(graft.operators.TextIndex.stats(spark, s"$base/idx")._1 === 4L)
+
+    // compact-index auto-detects the text layout; queries unchanged
+    val before = graft.operators.TextIndex.bm25(spark, s"$base/idx",
+      Seq("spark", "stream")).collect().toSeq
+    Cli.run(spark, Seq("compact-index", "--index", s"$base/idx"))
+    assert(graft.operators.TextIndex.bm25(spark, s"$base/idx",
+      Seq("spark", "stream")).collect().toSeq === before)
+
+    Cli.run(spark, Seq("index-info", "--index", s"$base/idx"))
+  }
+
   test("compact --value with a comma list compacts on the full attribute set") {
     import graft.operators.AttributeStoreWriter
     val base = Files.createTempDirectory("graft_cli_compact").toString
