@@ -1075,6 +1075,42 @@ object TextSim {
         .limit(100)
     },
 
+    // Model-based source classification — the classifier-filtering
+    // step of a curation pipeline (CCNet/fastText-style "does this
+    // look like wiki or crawl"), as a frequency-centroid / NB
+    // surrogate with INTEGER-EXACT weights: w(token, class) =
+    // cnt(token, class)·1e9 div total(class) (per-class relative
+    // frequency — the 1e9 scale keeps every weight and score an
+    // exact long at these corpus sizes; a 100 TB deployment divides
+    // first), score(doc, class) = Σ tf·w, prediction = argmax with
+    // a class-name tie-break via min(struct(-score, class)) — one
+    // struct-ordered agg, no per-doc window. Output is the bounded
+    // (actual, predicted) confusion matrix. Plan: the token-keyed
+    // tf ⋈ weights join is the d30/d33 Zipf-head posture (AQE
+    // skew-split); the fan-out is ×O(classes) — the NB cost.
+    "d39_source_classifier" -> { (s, dir) =>
+      val toks = TableCatalog(s, dir).documents
+        .select(col("doc_id"), col("source").as("actual"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("actual"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val classTot = toks.groupBy(col("actual").as("clazz"))
+        .agg(count(lit(1)).as("total"))
+      val weights = toks.groupBy(col("actual").as("clazz"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(classTot), "clazz")
+        .withColumn("w", expr("cnt * 1000000000L div total"))
+      tf.join(weights, "token")
+        .groupBy(col("doc_id"), col("actual"), col("clazz"))
+        .agg(sum(col("tf") * col("w")).as("score"))
+        .groupBy(col("doc_id"), col("actual"))
+        .agg(min(struct((-col("score")).as("neg"), col("clazz").as("clazz"))).as("best"))
+        .groupBy(col("actual"), col("best.clazz").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("actual"), col("predicted"))
+    },
+
     // Mixture-design MATERIALIZATION — d32's temperature-flattened
     // weights driving an actual sample: each source's keep rate is
     // min(1, weight·budget / token_mass) for a 100k-token slice,
@@ -1635,6 +1671,23 @@ object TextSim {
         |SELECT doc_id, count(*) AS n_matched FROM td GROUP BY 1
         |HAVING count(*) >= 2
         |ORDER BY n_matched DESC, doc_id LIMIT 100""".stripMargin,
+
+    "d39_source_classifier" ->
+      """WITH t AS (SELECT doc_id, source AS actual, token FROM
+        |    (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> ''),
+        |tf AS (SELECT doc_id, actual, token, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+        |ctot AS (SELECT actual AS clazz, count(*) AS total FROM t GROUP BY 1),
+        |cnt AS (SELECT actual AS clazz, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |w AS (SELECT cnt.clazz, cnt.token, (cnt.cnt * 1000000000) // ctot.total AS w
+        |      FROM cnt JOIN ctot USING (clazz)),
+        |sc AS (SELECT tf.doc_id, tf.actual, w.clazz, sum(tf.tf * w.w) AS score
+        |       FROM tf JOIN w USING (token) GROUP BY 1, 2, 3),
+        |p AS (SELECT doc_id, actual, clazz AS predicted,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, clazz) AS rn
+        |      FROM sc)
+        |SELECT actual, predicted, count(*) AS n_docs
+        |FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "d38_mix_sample" ->
       """WITH d AS (SELECT doc_id, source,

@@ -405,6 +405,23 @@ class QualitySpec extends SparkSpec {
       Map("nope" -> 0.0), defaultRate = 1.0).count() === 2000)
   }
 
+  test("source classifier: class-typical docs sit on the diagonal, a B-shaped A doc crosses") {
+    // class A's vocabulary is {aa, bb}, class B's is {cc, dd}; d2 is
+    // labeled A but dominated by B tokens → the centroid weights
+    // must pull it across. Hand-computed integer weights: w(cc,B) =
+    // 3e9 div 5 = 6.0e8 beats w(cc,A) = 2e9 div 6 ≈ 3.3e8, so
+    // score(d2,B) = 2·6e8 = 1.2e9 > score(d2,A) = 5e8 + 2·333333333.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cls").toString
+    Seq(
+      (1L, "aa bb aa", "A", "A"), (2L, "aa cc cc", "A", "A"),
+      (3L, "cc dd", "B", "B"), (4L, "cc cc dd", "B", "B")
+    ).toDF("doc_id", "text", "lang", "source")
+      .drop("lang").write.parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("d39_source_classifier")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq(("A", "A", 1L), ("A", "B", 1L), ("B", "B", 2L)))
+  }
+
   test("weighted sampling: data-driven rates equal the config-map sample, mixture hits its budget") {
     import graft.operators.Sampling
     val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "web" else "books"))

@@ -10,6 +10,19 @@ class TextIndexSpec extends SparkSpec {
 
   import graft.SparkSpec.spark.implicits._
 
+  private def scansOf(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    val here = p match {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.inputPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(qs.plan)
+      case _ => Seq.empty
+    }
+    here ++ p.children.flatMap(scansOf)
+  }
+
   test("boolean retrieval prunes to the query tokens' partitions and ranks by coverage") {
     val docs = Seq(
       (1L, "spark stream vector"), // matches all 3
@@ -34,18 +47,6 @@ class TextIndexSpec extends SparkSpec {
 
     // the planted corpus has 9 distinct tokens → 9 directories; the
     // 3-token query must have touched exactly 3
-    def scansOf(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-      val here = p match {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scansOf(a.inputPlan)
-        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          scansOf(qs.plan)
-        case _ => Seq.empty
-      }
-      here ++ p.children.flatMap(scansOf)
-    }
     val scans = scansOf(q.queryExecution.executedPlan)
     assert(scans.nonEmpty, "no file scan in retrieval plan")
     scans.foreach { s =>
@@ -89,6 +90,15 @@ class TextIndexSpec extends SparkSpec {
     // vector (df=2) outscores spark (df=4) at equal tf and dl: doc 3 vs doc 4
     val byDoc = res.map(r => r._1 -> r._3).toMap
     assert(byDoc(3L) > byDoc(4L), "rarer term must out-idf the common one")
+
+    // the serving path prunes the postings scan to the 3 query
+    // tokens' directories (the corpus has 5 distinct tokens)
+    val q = TextIndex.bm25(spark, dir, Seq("spark", "vector", "stream"))
+    val postScans = scansOf(q.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+    assert(postScans.nonEmpty, "bm25 postings scan lost its partition filter")
+    postScans.foreach(s => assert(s.selectedPartitions.partitionCount === 3,
+      s"bm25 read ${s.selectedPartitions.partitionCount} token dirs, expected 3"))
   }
 
   test("addBatch is exactly-once: committed replay is a no-op, crash-window duplicates never change a score") {
