@@ -275,6 +275,57 @@ class StreamingSpec extends SparkSpec {
     assert(dup.isEmpty, "duplicate appends must never occupy multiple ranks")
   }
 
+  test("streaming text-index adds: streamed docs become retrievable; committed replays are no-ops") {
+    import graft.SparkSpec.spark.implicits._
+    val root = Files.createTempDirectory("graft_tistream").toString
+    val (srcDir, idx, ckpt) = (s"$root/src", s"$root/index", s"$root/ckpt")
+    // index built from the base corpus; the stream feeds two more
+    // micro-batches of docs
+    graft.operators.TextIndex.build(
+      Seq((1L, "spark pad"), (2L, "vector pad pad")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    Seq((3L, "spark vector stream")).toDF("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = graft.streaming.TextIndexAddStream.toIndex(stream, "doc_id", "text", idx, ckpt)
+    try {
+      q.processAllAvailable()
+      Seq((4L, "stream stream pad")).toDF("doc_id", "text")
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // streamed docs rank: one-shot build over the union must agree
+    val oneShot = s"$root/oneshot"
+    graft.operators.TextIndex.build(
+      Seq((1L, "spark pad"), (2L, "vector pad pad"),
+        (3L, "spark vector stream"), (4L, "stream stream pad"))
+        .toDF("doc_id", "text"), "doc_id", "text", oneShot)
+    def ranked(p: String) = graft.operators.TextIndex
+      .bm25(spark, p, Seq("spark", "vector", "stream"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(ranked(idx) === ranked(oneShot), "streamed index ≠ one-shot build")
+    assert(graft.operators.TextIndex.stats(spark, idx)._1 === 4L)
+
+    // committed replay (checkpoint recovery): marker → no-op
+    val postBefore = spark.read.parquet(s"$idx/postings").count()
+    graft.streaming.TextIndexAddStream.processBatch(
+      Seq((3L, "spark vector stream")).toDF("doc_id", "text"),
+      0L, "doc_id", "text", idx)
+    assert(spark.read.parquet(s"$idx/postings").count() === postBefore)
+
+    // crash-window replay: marker deleted, rows already appended —
+    // re-appends, and scores are STILL identical (readers dedup)
+    val (fs, marker) = graft.operators.StoreFs.fs(spark, s"$idx/batches/stream-0")
+    assert(fs.delete(marker, false))
+    graft.streaming.TextIndexAddStream.processBatch(
+      Seq((3L, "spark vector stream")).toDF("doc_id", "text"),
+      0L, "doc_id", "text", idx)
+    assert(ranked(idx) === ranked(oneShot), "torn-replay duplicates changed a score")
+  }
+
   test("streaming counter rates converge to the batch derivation") {
     import graft.SparkSpec.spark.implicits._
     val srcDir = Files.createTempDirectory("graft_rs_src").toString
