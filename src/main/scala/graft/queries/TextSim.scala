@@ -1075,6 +1075,46 @@ object TextSim {
         .limit(100)
     },
 
+    // Bigram-LM perplexity scoring — the perplexity quality filter
+    // (CCNet's KenLM role): P(w2|w1) = (c(w1 w2)+1)/(c(w1 ·)+V)
+    // (Laplace-smoothed MLE over the corpus itself; a deployment
+    // stores the LM tables like d30 stores its unigram LM), per-doc
+    // avg log-prob and perplexity. Determinism: counts and V are
+    // exact ints; each bigram's ln rounds to 6 decimals (the d37
+    // discipline — ln is the one non-IEEE-specified op) and the
+    // per-doc sum runs in DECIMAL, so the distributed order cannot
+    // change a score; ppl re-rounds after the one exp. Plan: bigrams
+    // assemble INSIDE a zip_with HOF pre-explode; the two count
+    // joins are token-keyed (the Zipf head = AQE skew posture,
+    // d30/d33); V is one O(1) driver-side count — the LM constant,
+    // not a per-row subquery.
+    "d40_perplexity" -> { (s, dir) =>
+      val docs = TableCatalog(s, dir).documents
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("a"))
+      val v = docs.select(explode(col("a")).as("t")).agg(countDistinct(col("t")))
+        .head().getLong(0)
+      val bg = docs.select(col("doc_id"), explode(expr(
+          "zip_with(slice(a, 1, greatest(size(a)-1, 0)), " +
+          "slice(a, 2, greatest(size(a)-1, 0)), (x, y) -> struct(x AS w1, y AS w2))"))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .withColumn("lp", round(log((col("c2") + lit(1)) / (col("c1") + lit(v))), 6)
+          .cast("decimal(18,6)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+        // unrounded IEEE division (the t15 lesson): identical exact
+        // operands → bit-identical quotient on any engine; rounding
+        // it would re-introduce a half-way convention to disagree on
+        .withColumn("avg_logp", col("slp").cast("double") / col("n_bigrams"))
+        .withColumn("ppl", round(exp(-col("avg_logp")), 4))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_logp"), col("ppl"))
+        .orderBy(col("doc_id"))
+    },
+
     // Model-based source classification — the classifier-filtering
     // step of a curation pipeline (CCNet/fastText-style "does this
     // look like wiki or crawl"), as a frequency-centroid / NB
@@ -1671,6 +1711,23 @@ object TextSim {
         |SELECT doc_id, count(*) AS n_matched FROM td GROUP BY 1
         |HAVING count(*) >= 2
         |ORDER BY n_matched DESC, doc_id LIMIT 100""".stripMargin,
+
+    "d40_perplexity" ->
+      """WITH arr AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS a FROM documents),
+        |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(a) AS t FROM arr)),
+        |bg AS (SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+        |       FROM (SELECT doc_id, a, unnest(generate_series(1, len(a)-1)) AS i FROM arr)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |lp AS (SELECT bg.doc_id,
+        |    CAST(round(ln((c2.c2 + 1) / (c1.c1 + v.v)), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp FROM lp GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(slp AS DOUBLE) / n_bigrams AS avg_logp,
+        |  round(exp(-(CAST(slp AS DOUBLE) / n_bigrams)), 4) AS ppl
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "d39_source_classifier" ->
       """WITH t AS (SELECT doc_id, source AS actual, token FROM
