@@ -275,6 +275,36 @@ object Relational {
         .groupBy(col("err_id"))
         .agg(count(lit(1)).as("n_events"), min(col("pt_id")).as("first_id"))
         .orderBy(col("err_id"))
+    },
+
+    // Conversion funnel: signup → purchase within 7 days, reported
+    // per signup day — the product-analytics question every event
+    // store answers. Per-user first signup (one groupBy), purchases
+    // joined on the USER equi-key with the window as a post-filter
+    // (never a time-range-only join), earliest qualifying purchase
+    // per user, then one O(days) rollup. Conversion rate is one
+    // unrounded IEEE division of exact counts.
+    "q18_funnel" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      // the window lives IN the join condition: a user whose
+      // purchases all fall outside it must survive as non-converted
+      // (a post-filter would drop the row entirely)
+      val conv = signups.join(purchases,
+          signups("user_id") === purchases("user_id") &&
+            purchases("p_ts") > signups("s_ts") &&
+            purchases("p_ts") <= signups("s_ts") + expr("interval 7 day"),
+          "left")
+        .groupBy(signups("user_id"), col("s_ts"))
+        .agg(min(col("p_ts")).as("first_purchase"))
+      conv.groupBy(date_format(date_trunc("day", col("s_ts")), "yyyy-MM-dd").as("signup_day"))
+        .agg(count(lit(1)).as("n_signups"),
+          count(col("first_purchase")).as("n_converted"))
+        .withColumn("conv_rate", col("n_converted") / col("n_signups"))
+        .orderBy(col("signup_day"))
     }
   )
 
@@ -426,6 +456,19 @@ object Relational {
         |    AND CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) >= 90)
         |SELECT err_id, count(*) AS n_events, min(p.event_id) AS first_id
         |FROM e JOIN events p ON p.ts >= e.err_ts AND p.ts <= e.err_end
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q18_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |conv AS (SELECT s.user_id, s.s_ts, min(p.p_ts) AS first_purchase
+        |  FROM s LEFT JOIN p ON s.user_id = p.user_id
+        |    AND p.p_ts > s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 7 DAY
+        |  GROUP BY 1, 2)
+        |SELECT strftime(date_trunc('day', s_ts), '%Y-%m-%d') AS signup_day,
+        |  count(*) AS n_signups, count(first_purchase) AS n_converted,
+        |  count(first_purchase) / count(*) AS conv_rate
+        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

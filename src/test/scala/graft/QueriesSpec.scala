@@ -29,6 +29,13 @@ class QueriesSpec extends SparkSpec {
     "s01_cosine_topk", "s06_rrf_fusion",
     "s07_ann_pq", "s10_ann_pq_serve", "s12_ann_opq_serve")
 
+  // Keys whose whole point is a BOUNDED rank path (CollectMinK or a
+  // struct-ordered min agg) instead of a per-group window sort — a
+  // regression to row_number would silently reintroduce the
+  // full-group sort on one reducer for skewed groups.
+  private val mustBeWindowFree = Set(
+    "e08_top_contributors", "d39_source_classifier", "d34_inverted_index")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf)
@@ -42,6 +49,11 @@ class QueriesSpec extends SparkSpec {
         assert(!plan.contains("CartesianProduct") &&
           !plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a product join:\n$plan")
+      }
+      if (mustBeWindowFree(name)) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Window"),
+          s"$name regressed to a window rank:\n$plan")
       }
     }
   }
