@@ -39,7 +39,8 @@ import graft.sources.HarvestJob
   *   [--kind ivf|pq|ivfpq] [--k 10] [--nprobe 4] [--rerank 4] \
   *   [--allowed PARQUET]   (metadata filter: first column = permitted ids)
   * graft.Cli text-search --index DIR --tokens a,b,c --out OUT \
-  *   [--mode bm25|bool] [--k 100] [--k1 1.2] [--b 0.75] [--min-match 1]
+  *   [--mode bm25|bool] [--k 100] [--k1 1.2] [--b 0.75] [--min-match 1] \
+  *   [--allowed PARQUET]   (metadata filter: first column = permitted ids)
   * graft.Cli gapfill --store S --granularity hour|900|15m|... --out OUT \
   *   [--mode forward|interpolate] [--value sum_dec]
   * graft.Cli compact-index --index DIR [--files 8] \
@@ -303,10 +304,13 @@ object Cli {
       val f = parseFlags(rest)
       val idx = one(f, "index"); val k = opt(f, "k", "100").toInt
       val tokens = one(f, "tokens").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      // --allowed PARQUET: metadata-filtered retrieval — first column
+      // = permitted doc ids; candidates prune BEFORE the top-K cut.
+      val allowedDocs = f.get("allowed").map(p => spark.read.parquet(p.last))
       val res = opt(f, "mode", "bm25") match {
         case "bm25" => graft.operators.TextIndex.bm25(spark, idx, tokens,
           k1 = opt(f, "k1", "1.2").toDouble, b = opt(f, "b", "0.75").toDouble,
-          topK = k)
+          topK = k, allowed = allowedDocs)
         case "bool" =>
           graft.operators.TextIndex.postings(spark, idx, tokens)
             .groupBy(col("doc_id"))

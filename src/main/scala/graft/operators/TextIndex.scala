@@ -120,15 +120,30 @@ object TextIndex {
     * the distributed sum order cannot change a score — and ranking
     * orders on the exact decimal score with a doc-id tie-break.
     *
+    * `allowed` (first column = permitted doc ids — the s13 contract)
+    * makes the search metadata-FILTERED: candidates semi-join the
+    * allowed set BEFORE the top-K cut, so the result is the true
+    * top-K WITHIN the subset (a post-filter would return fewer than
+    * K); idf/avgdl stay corpus-wide — relevance is a property of the
+    * collection, not of the predicate.
+    *
     * Returns (doc_id, n_terms, score) for the `topK` docs by score.
     */
   def bm25(spark: SparkSession, path: String, tokens: Seq[String],
-           k1: Double = 1.2, b: Double = 0.75, topK: Int = 100): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75, topK: Int = 100,
+           allowed: Option[DataFrame] = None): DataFrame = {
     require(tokens.nonEmpty, "bm25: at least one query token")
     val (nDocs, sumDl) = stats(spark, path)
     val avgdl = sumDl.toDouble / nDocs
-    val post = postings(spark, path, tokens)
-    val dfTab = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val postAll = postings(spark, path, tokens)
+    val post = allowed match {
+      case Some(a) =>
+        postAll.join(a.select(a.columns.head).toDF("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case None => postAll
+    }
+    // df over the UNfiltered pruned read: idf is corpus-wide
+    val dfTab = postAll.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .withColumn("idf",
         round(log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))), 6))

@@ -101,6 +101,27 @@ class TextIndexSpec extends SparkSpec {
       s"bm25 read ${s.selectedPartitions.partitionCount} token dirs, expected 3"))
   }
 
+  test("metadata-filtered bm25: true top-k WITHIN the allowed subset, corpus-wide idf") {
+    val docs = (1L to 40L).map { i =>
+      (i, if (i % 3 == 0) "spark vector pad" else "spark pad pad")
+    }.toDF("doc_id", "text")
+    val dir = tmpIdx()
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val allowed = (1L to 40L).filter(_ % 2 == 0).toDF("doc_id")
+
+    val filtered = TextIndex.bm25(spark, dir, Seq("spark", "vector"),
+      topK = 10, allowed = Some(allowed))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // only allowed ids, and the full k (a post-filter would under-fill)
+    assert(filtered.map(_._1).forall(_ % 2 == 0))
+    assert(filtered.size === 10)
+    // scores are per-doc (idf corpus-wide), so the filtered top-k is
+    // EXACTLY the unfiltered ranking restricted to the subset, re-cut
+    val unfiltered = TextIndex.bm25(spark, dir, Seq("spark", "vector"), topK = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(filtered === unfiltered.filter(_._1 % 2 == 0).take(10))
+  }
+
   test("addBatch is exactly-once: committed replay is a no-op, crash-window duplicates never change a score") {
     val b0 = Seq((1L, "spark vector"), (2L, "spark pad")).toDF("doc_id", "text")
     val b1 = Seq((3L, "stream vector pad"), (4L, "pad only")).toDF("doc_id", "text")
