@@ -161,6 +161,53 @@ object TextIndex {
         col("score_dec").cast("double").as("score"))
   }
 
+  /** BATCHED BM25 — score a whole query table `(q_id,
+    * tokens array<string>)` against the index in one plan: the
+    * query-log shape (nightly relevance evaluation, RAG batch
+    * serving). The batch's distinct tokens are collected once
+    * (O(batch vocabulary) driver state — a query log's vocabulary,
+    * not the corpus') and applied as the same static partition
+    * filters the single-query path gets, so the postings read is
+    * pruned to the union of query tokens. Per-query ranking uses the
+    * bounded CollectMinK path — k rows of state per (query, map
+    * partition), never a per-query window sorting all candidates on
+    * one reducer (the d34/e08 discipline). Scoring math ≡ [[bm25]].
+    *
+    * Returns (q_id, rank, doc_id, score). */
+  def bm25Batch(spark: SparkSession, path: String, queries: DataFrame,
+                k1: Double = 1.2, b: Double = 0.75, topK: Int = 100): DataFrame = {
+    val (nDocs, sumDl) = stats(spark, path)
+    val avgdl = sumDl.toDouble / nDocs
+    val qTok = queries.select(col(queries.columns.head).as("q_id"),
+      explode(col(queries.columns(1))).as("token"))
+      .filter(col("token") =!= "").distinct()
+    val batchTokens = qTok.select(col("token")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(batchTokens.nonEmpty, "bm25Batch: no non-empty query tokens")
+    val post = postings(spark, path, batchTokens)
+    val dfTab = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        round(log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))), 6))
+    val scored = post.join(broadcast(qTok), "token")
+      .join(broadcast(dfTab), "token")
+      .join(doclen(spark, path), "doc_id")
+      .withColumn("w", round(col("idf") *
+        ((col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))),
+        6).cast("decimal(18,6)"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score_dec"))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.CollectMinK.collectMinK(
+        struct((-col("score_dec")).as("neg"), col("doc_id").as("doc_id")),
+        topK).as("arr"))
+      .select(col("q_id"), posexplode(col("arr")).as(Seq("pos", "e")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.doc_id").as("doc_id"),
+        (-col("e.neg")).cast("double").as("score"))
+  }
+
   /** Rewrite the index to a bounded file count, physically removing
     * crash-window duplicate rows — months of daily [[addBatch]]
     * appends otherwise tax every query with thousands of small-file

@@ -101,6 +101,44 @@ class TextIndexSpec extends SparkSpec {
       s"bm25 read ${s.selectedPartitions.partitionCount} token dirs, expected 3"))
   }
 
+  test("batched bm25 equals per-query bm25, window-free, pruned to the batch vocabulary") {
+    val docs = (1L to 30L).map { i =>
+      (i, if (i % 3 == 0) "spark vector pad" else if (i % 3 == 1) "spark pad pad"
+          else "stream pad mud")
+    }.toDF("doc_id", "text")
+    val dir = tmpIdx()
+    TextIndex.build(docs, "doc_id", "text", dir)
+
+    val queries = Seq(
+      (101L, Seq("spark", "vector")),
+      (102L, Seq("stream", "mud"))
+    ).toDF("q_id", "tokens")
+    val batch = TextIndex.bm25Batch(spark, dir, queries, topK = 5)
+
+    // per-query equivalence: same docs in the same rank order with
+    // the same scores as the single-query path
+    for ((qid, toks) <- Seq(101L -> Seq("spark", "vector"), 102L -> Seq("stream", "mud"))) {
+      val single = TextIndex.bm25(spark, dir, toks, topK = 5)
+        .select(col("doc_id"), col("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch.filter(col("q_id") === qid).orderBy(col("rank"))
+        .select(col("doc_id"), col("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === single, s"batch leg for query $qid diverged")
+    }
+
+    // rank path stays bounded: no Window node in the plan
+    assert(!batch.queryExecution.executedPlan.toString.contains("Window"),
+      "bm25Batch regressed to a window rank")
+    // postings read pruned to the 4-token batch vocabulary (5 distinct
+    // tokens exist: spark, vector, stream, pad, mud)
+    val scans = scansOf(batch.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+    assert(scans.nonEmpty)
+    scans.foreach(s => assert(s.selectedPartitions.partitionCount === 4,
+      s"batch read ${s.selectedPartitions.partitionCount} token dirs, expected 4"))
+  }
+
   test("metadata-filtered bm25: true top-k WITHIN the allowed subset, corpus-wide idf") {
     val docs = (1L to 40L).map { i =>
       (i, if (i % 3 == 0) "spark vector pad" else "spark pad pad")
