@@ -305,6 +305,34 @@ object Relational {
           count(col("first_purchase")).as("n_converted"))
         .withColumn("conv_rate", col("n_converted") / col("n_signups"))
         .orderBy(col("signup_day"))
+    },
+
+    // Cohort retention matrix: users grouped by first-seen week, then
+    // for each later week the fraction of that cohort still active —
+    // q18's sibling product-analytics question. Plan: the (user, week)
+    // distinct and the per-user cohort min are USER-keyed shuffles
+    // (never on the hot week key — a popular week skews a week-keyed
+    // shuffle, a user key does not); the cohort map is user-dim sized
+    // and equi-joins back; the final rollup keys on O(weeks²) cells;
+    // the cohort-size join is O(weeks) rows → broadcast. datediff
+    // div 7 is exact integer arithmetic (week starts are 7-day
+    // multiples apart); retention is one IEEE division of exact
+    // counts (the q18/t15 discipline — bit-identical cross-engine).
+    "q19_retention_cohorts" -> { (s, dir) =>
+      val weeks = TableCatalog(s, dir).events
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      val cohort = weeks.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      val act = weeks.join(cohort, "user_id")
+        .groupBy(col("cw"), expr("datediff(w, cw) div 7").cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val sizes = act.filter(col("week_offset") === 0)
+        .select(col("cw"), col("n_active").as("n_cohort"))
+      act.join(broadcast(sizes), "cw")
+        .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_active"), col("n_cohort"),
+          (col("n_active") / col("n_cohort")).as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     }
   )
 
@@ -469,6 +497,19 @@ object Relational {
         |SELECT strftime(date_trunc('day', s_ts), '%Y-%m-%d') AS signup_day,
         |  count(*) AS n_signups, count(first_purchase) AS n_converted,
         |  count(first_purchase) / count(*) AS conv_rate
-        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_retention_cohorts" ->
+      """WITH weeks AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+        |cohort AS (SELECT user_id, min(w) AS cw FROM weeks GROUP BY 1),
+        |act AS (SELECT cw, CAST(date_diff('day', cw, w) // 7 AS INT) AS week_offset,
+        |    count(DISTINCT weeks.user_id) AS n_active
+        |  FROM weeks JOIN cohort ON weeks.user_id = cohort.user_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT cw, n_active AS n_cohort FROM act WHERE week_offset = 0)
+        |SELECT strftime(act.cw, '%Y-%m-%d') AS cohort_week, week_offset, n_active,
+        |  n_cohort, n_active / n_cohort AS retention
+        |FROM act JOIN sizes ON act.cw = sizes.cw
+        |ORDER BY cohort_week, week_offset""".stripMargin
   )
 }
