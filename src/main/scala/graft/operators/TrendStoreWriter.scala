@@ -17,14 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object TrendStoreWriter {
 
-  /** Write (or partition-upsert) a rollup keyed by `bucket`. */
-  def write(rolled: DataFrame, path: String): Unit =
-    rolled.withColumn("p_date", to_date(col("bucket")))
-      .write
+  /** Write (or partition-upsert) a rollup keyed by `bucket`.
+    *
+    * `clusterBy` optionally sorts each day partition's data on the
+    * given columns (typically the entity key) before writing: parquet
+    * row-group min/max statistics then carve the day into narrow
+    * entity ranges, so an entity-filtered read of a 100 TB store
+    * skips most row groups of every day it touches (see Layout for
+    * the multi-column Z-order variant; LayoutSpec/ModelSpec assert
+    * the stats effect). Day-partition pruning is unaffected — this
+    * adds the SECOND pruning dimension inside each day. */
+  def write(rolled: DataFrame, path: String, clusterBy: Seq[String] = Nil): Unit = {
+    val dated = rolled.withColumn("p_date", to_date(col("bucket")))
+    // repartition on the day so each day's rows land in one writer
+    // task, then a day-major sort clusters `clusterBy` within it
+    val laid =
+      if (clusterBy.isEmpty) dated
+      else dated.repartition(col("p_date"))
+        .sortWithinPartitions((col("p_date") +: clusterBy.map(col)): _*)
+    laid.write
       .partitionBy("p_date")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path)
+  }
 
   /** Row-level upsert: merge `incoming` rows into the store by
     * `keyCols` — Minerva's store/upsert semantics, where a
