@@ -138,6 +138,48 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jac"))
   }
 
+  /** Cross-SOURCE shingle-overlap matrix — mirror detection: which
+    * domains/feeds republish each other's content. For every source
+    * pair that shares any k-shingle: the shared distinct-shingle
+    * count, each side's distinct-shingle count, and the containment
+    * `n_shared / min(n_a, n_b)` (≈1 ⇒ the smaller source is a mirror
+    * of the larger — the signal crawl curation drops feeds on).
+    *
+    * Scale shape: shingles hash to int64 IN the explode stage (the
+    * shingleJaccard discipline) and the ONLY corpus-sized exchange is
+    * the (source, hash) DISTINCT; the per-shingle source set is
+    * bounded by the source count (a crawl has thousands of domains,
+    * not billions), so the pair expansion is source-set-bounded per
+    * shingle, never doc-df² — the cliff [[shingleJaccard]] needs
+    * `maxDf` to dodge cannot occur here. Sizes are O(sources) and
+    * broadcast back onto the matrix. */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, k: Int = 3): DataFrame = {
+    val srcSh = docs
+      .select(col(srcCol).as("src"),
+        ShinglesExpr.shingles(tokens(col(textCol)), k).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("src"), explode(col("__sh")).as("__s"))
+      .select(col("src"), xxhash64(col("__s")).as("s"))
+      .distinct()
+    val sizes = srcSh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val shared = srcSh.groupBy(col("s"))
+      .agg(array_sort(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs) - i - 1), b ->
+          |    named_struct('src_a', a, 'src_b', b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("src").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n").as("n_b"))), "src_b")
+      .withColumn("containment", col("n_shared") / least(col("n_a"), col("n_b")))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("containment"))
+  }
+
   /** MinHash + LSH near-dup pairs: signature → band keys → bucket
     * join → exact-Jaccard verification of the candidates only.
     *

@@ -973,6 +973,17 @@ object TextSim {
         .orderBy(col("bucket_lo"))
     },
 
+    // Cross-source shingle-overlap matrix — mirror detection across
+    // domains/feeds (see Dedup.sourceOverlap for the scale shape: one
+    // corpus-sized distinct on (source, shingle-hash), source-count-
+    // bounded pair expansion, broadcast size joins). containment is
+    // one IEEE division of exact distinct counts.
+    "d41_source_overlap" -> { (s, dir) =>
+      Dedup.sourceOverlap(TableCatalog(s, dir).documents,
+          "doc_id", "text", "source", k = 3)
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // Temperature-weighted source-mixing table — the mixture-design
     // step of a training run (sample sources ∝ token_mass^(1/T), here
     // T = 2, flattening the natural distribution toward small
@@ -1712,6 +1723,18 @@ object TextSim {
     "d29_doc_len_hist" ->
       """SELECT (n_chars // 500) * 500 AS bucket_lo, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d41_source_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT source AS src, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM (SELECT source, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)),
+        |sizes AS (SELECT src, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.src < b.src GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared, na.n AS n_a, nb.n AS n_b,
+        |  n_shared / least(na.n, nb.n) AS containment
+        |FROM inter JOIN sizes na ON src_a = na.src JOIN sizes nb ON src_b = nb.src
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "d32_source_mix" ->
       """WITH t AS (SELECT source, count(*) AS n_docs,
