@@ -45,6 +45,8 @@ import graft.sources.HarvestJob
   *   [--mode forward|interpolate] [--value sum_dec]
   * graft.Cli compact-index --index DIR [--files 8] \
   *   [--method auto|exact|near|ann|text]
+  * graft.Cli cluster --store S --by entity_id   (re-cluster day partitions)
+  *   | --data PARQUET --by c1,c2 --out OUT [--files 16] [--bits 16]  (Z-order)
   * graft.Cli store-info --store S [--counts true]   (schema + partition range)
   * graft.Cli index-info --index DIR   (layout autodetect + size/params)
   * graft.Cli harvest-stream --source DIR --format csv … --checkpoint DIR \
@@ -221,6 +223,29 @@ object Cli {
           AttributeStoreWriter.compactHistoryAll(spark, one(f, "history"), values,
             opt(f, "entity", "entity_id"), opt(f, "ts", "ts"), opt(f, "tie", "event_id"))
       println(s"compact: dropped=$dropped days=${days.size}")
+
+    // Layout maintenance: re-cluster a trend store's day partitions
+    // on the entity key (row-group stats pruning — see
+    // TrendStoreWriter.write), or Z-order any parquet dataset on
+    // several columns (multi-dimension file pruning — see Layout).
+    // The store form is temp-then-swap crash-safe like compact-index.
+    case "cluster" :: rest =>
+      val f = parseFlags(rest)
+      val by = one(f, "by").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (f.contains("store")) {
+        val path = one(f, "store")
+        val tmp = path + ".clustering"
+        TrendStoreWriter.write(
+          TrendStoreWriter.read(spark, path).drop("p_date"), tmp, clusterBy = by)
+        graft.operators.StoreFs.replace(spark, tmp, path)
+        println(s"cluster: store=$path by=${by.mkString(",")}")
+      } else {
+        val outP = one(f, "out")
+        graft.operators.Layout.zorderBy(spark.read.parquet(one(f, "data")), by,
+            opt(f, "files", "16").toInt, opt(f, "bits", "16").toInt)
+          .write.mode("overwrite").parquet(outP)
+        println(s"cluster: out=$outP by=${by.mkString(",")} zorder")
+      }
 
     // Training-data curation entry points — the batch jobs an LLM
     // data pipeline schedules, same flag style as the Minerva ones.

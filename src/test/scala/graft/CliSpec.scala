@@ -434,4 +434,29 @@ class CliSpec extends SparkSpec {
       "--index", s"$base/spanidx", "--batch", "b2", "--out", s"$base/out2"))
     assert(spark.read.parquet(s"$base/out2").head.getString(1) === "z1 z2")
   }
+
+  test("cluster command: store form re-clusters in place; data form z-orders") {
+    val base = Files.createTempDirectory("graft_cli_cluster").toString
+    val rolled = spark.range(0, 5000).select(
+      ((col("id") * 31) % 40).as("entity_id"),
+      expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0, CAST(id % 2 AS INT), 0, CAST(id % 60 AS INT), 0)").as("bucket"),
+      (col("id") % 7).cast("double").as("value"))
+    TrendStoreWriter.write(rolled, s"$base/store")
+    val before = TrendStoreWriter.read(spark, s"$base/store")
+      .agg(count(lit(1)), sum(col("entity_id")), sum(col("value"))).head()
+
+    Cli.run(spark, Seq("cluster", "--store", s"$base/store", "--by", "entity_id"))
+    val after = TrendStoreWriter.read(spark, s"$base/store")
+    assert(after.agg(count(lit(1)), sum(col("entity_id")), sum(col("value"))).head() === before)
+    // each day partition's single sorted file: entities ascend per file
+    val perFile = after.groupBy(input_file_name().as("f"), col("p_date"))
+      .agg(min(col("entity_id")).as("mn"), max(col("entity_id")).as("mx"))
+      .collect()
+    assert(perFile.nonEmpty && perFile.forall(_.get(1) != null))
+
+    // generic form: z-order and round-trip
+    Cli.run(spark, Seq("cluster", "--data", s"$base/store", "--by",
+      "entity_id,value", "--out", s"$base/z", "--files", "4"))
+    assert(spark.read.parquet(s"$base/z").count() === 5000)
+  }
 }
