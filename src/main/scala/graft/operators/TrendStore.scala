@@ -283,6 +283,42 @@ object TrendStore {
     * shuffle on the entity key (no join back); entities with fewer
     * than `minBuckets` buckets or zero variance are skipped (the
     * variance is compared on the same double both engines compute). */
+  /** Per-entity least-squares linear trend over a daily series +
+    * next-day projection — the capacity-forecast question a
+    * monitoring store answers ("at this growth, where is the KPI
+    * tomorrow"). Input: (entity_id, bucket, sd) with `sd` a
+    * decimal(18,4) daily total (the [[rollup]] sum).
+    *
+    * Cross-engine determinism (the [[anomalies]] discipline): x is
+    * exact epoch-days, Σx/Σx² are exact longs, Σy/Σ(x·y) are DECIMAL
+    * partial sums collapsed to doubles only inside the closed-form
+    * slope/intercept formulas, whose op order is fixed — slope,
+    * intercept and forecast are bit-identical on any engine before
+    * the final 6-dp rounding. One shuffle on the entity key; state
+    * per entity is five scalars, so the hot entity of SkewSpec's
+    * shape costs map-side partials, never a value list. */
+  def linearTrend(daily: DataFrame, minDays: Int = 7): DataFrame = {
+    val g = daily
+      .withColumn("__x", datediff(col("bucket"), lit("1970-01-01").cast("date")).cast("long"))
+      .groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("sd")).cast("double").as("sy"),
+        sum(col("__x") * col("sd")).cast("decimal(38,4)").cast("double").as("sxy"),
+        max(col("__x")).as("mx"))
+      .filter(col("n") >= minDays)
+    g.withColumn("__slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("__icept", (col("sy") - col("__slope") * col("sx")) / col("n"))
+      .select(col("entity_id"), col("n").as("n_days"),
+        round(col("__slope"), 6).as("slope"),
+        round(col("__icept"), 6).as("intercept"),
+        round(col("__icept") + col("__slope") * (col("mx") + lit(1L)), 6)
+          .as("forecast_next"))
+  }
+
   def anomalies(hourly: DataFrame, minBuckets: Int = 24,
                 zMin: Double = 2.0): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("entity_id"))

@@ -428,6 +428,19 @@ object Trend {
         .orderBy(col("entity_id"), col("bucket"))
     },
 
+    // Capacity forecast: per-entity least-squares linear trend over
+    // the daily series + next-day projection (see
+    // TrendStore.linearTrend for the decimal-moment determinism and
+    // the five-scalar agg state that shrugs off hot entities).
+    "t29_trend_forecast" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val daily = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "day")
+        .select(col("entity_id"), col("bucket"),
+          col("sum_dec").cast("decimal(18,4)").as("sd"))
+      TrendStore.linearTrend(daily, minDays = 7)
+        .orderBy(col("entity_id"))
+    },
+
     // Attribute churn report — config-change rate over the attribute
     // history ("how many changes landed per day, across how many
     // entities"). A change is a compact-surviving row excluding each
@@ -829,6 +842,27 @@ object Trend {
         |  CAST(dow AS INT) AS dow, v, n_base,
         |  round((v - mean) / sqrt(variance), 6) AS z
         |FROM vv WHERE variance > 0 ORDER BY 1, 2""".stripMargin,
+
+    "t29_trend_forecast" ->
+      // x = exact epoch days; Σx/Σx² exact ints, Σy/Σxy decimal →
+      // double only inside the fixed-op-order closed forms (t17's
+      // discipline, so slope/intercept/forecast are bit-identical).
+      """WITH d AS (SELECT user_id AS entity_id, date_trunc('day', ts) AS bucket,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sd
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT entity_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(bucket AS DATE)) AS x, sd FROM d),
+        |g AS (SELECT entity_id, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+        |    CAST(sum(sd) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(x * sd) AS DECIMAL(38,4)) AS DOUBLE) AS sxy,
+        |    max(x) AS mx
+        |  FROM x GROUP BY 1 HAVING count(*) >= 7),
+        |f AS (SELECT entity_id, n, sx, sy, mx,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM g)
+        |SELECT entity_id, n AS n_days, round(slope, 6) AS slope,
+        |  round((sy - slope * sx) / n, 6) AS intercept,
+        |  round((sy - slope * sx) / n + slope * (mx + 1), 6) AS forecast_next
+        |FROM f ORDER BY entity_id""".stripMargin,
 
     "a06_attr_churn" ->
       """WITH r AS (SELECT *,
