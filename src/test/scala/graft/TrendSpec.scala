@@ -284,4 +284,24 @@ class TrendSpec extends SparkSpec {
       col("event_type"))
     assert(c2.count() === c.count())
   }
+
+  test("linearTrend recovers a planted exact line and projects the next day") {
+    // entity 1: sd = 2.5·x + 10 over 14 days (x = epoch days) — every
+    // moment and the closed forms stay exact in doubles, so the fit
+    // is EXACTLY the planted line; entity 2: too few days → dropped
+    val days = (0 until 14).map(d => (1L, s"2024-01-${"%02d".format(d + 1)}"))
+    val short = (0 until 3).map(d => (2L, s"2024-01-${"%02d".format(d + 1)}"))
+    import graft.SparkSpec.spark.implicits._
+    val daily = (days ++ short).toDF("entity_id", "day")
+      .select(col("entity_id"), col("day").cast("timestamp").as("bucket"),
+        (expr("datediff(day, date'1970-01-01')") * lit(2.5) + lit(10))
+          .cast("decimal(18,4)").as("sd"))
+    val fit = TrendStore.linearTrend(daily, minDays = 7).collect()
+    assert(fit.length === 1 && fit.head.getLong(0) === 1L)
+    assert(fit.head.getLong(1) === 14L)
+    assert(fit.head.getDouble(2) === 2.5)
+    assert(fit.head.getDouble(3) === 10.0)
+    val xNext = java.time.LocalDate.of(2024, 1, 15).toEpochDay.toDouble
+    assert(fit.head.getDouble(4) === 2.5 * xNext + 10.0)
+  }
 }
