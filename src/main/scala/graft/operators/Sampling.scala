@@ -65,4 +65,37 @@ object Sampling {
       .filter(sampleHash(col(idCol)) < col("__thr"))
       .drop("__thr")
   }
+
+  /** The 48-bit ORDER hash: first 12 md5 hex digits of the id — wide
+    * enough that within-shard ordering is collision-free for any
+    * realistic shard (P ≈ n²/2⁴⁹), same determinism as [[sampleHash]]. */
+  def orderHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** Deterministic corpus shuffle-and-shard — the training-order
+    * step: every document gets a permanent pseudo-random 48-bit
+    * priority, `shard = h mod n` spreads the corpus evenly, and
+    * ordering by `h` within a shard IS the global shuffle restricted
+    * to it. Pure function of the id: the same corpus shards
+    * identically on any engine, partitioning or re-run (resumable
+    * training data prep), and adding documents later never moves an
+    * existing document's position relative to its shard-mates. */
+  def shuffleShard(docs: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    docs.withColumn("__h", orderHash(col(idCol)))
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+  }
+
+  /** Materialize the shuffle: one directory per shard, rows in
+    * training order (ascending order hash, id tiebreak). ONE shuffle
+    * of the corpus keyed on the shard — each shard is written by one
+    * task, so a 100 TB corpus lands as n sequential-read files with
+    * no further sorting needed at load time. */
+  def shardWrite(docs: DataFrame, idCol: String, shards: Int,
+                 path: String): Unit =
+    shuffleShard(docs, idCol, shards)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
+      .drop("__h")
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
 }

@@ -984,6 +984,22 @@ object TextSim {
         .orderBy(col("src_a"), col("src_b"))
     },
 
+    // Deterministic shuffle-and-shard balance report (see
+    // Sampling.shuffleShard: the 48-bit md5 order hash is each doc's
+    // permanent shuffle position; shardWrite materializes the
+    // training order). Graded here: the per-shard doc/token masses
+    // and hash ranges — all exact integers, one partial-agg shuffle
+    // over O(shards) keys.
+    "d42_shuffle_shards" -> { (s, dir) =>
+      Sampling.shuffleShard(TableCatalog(s, dir).documents, "doc_id", 8)
+        .select(col("shard"), col("__h").as("h"),
+          size(filter(split(col("text"), " "), t => t =!= "")).as("n_tok"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+        .orderBy(col("shard"))
+    },
+
     // Temperature-weighted source-mixing table — the mixture-design
     // step of a training run (sample sources ∝ token_mass^(1/T), here
     // T = 2, flattening the natural distribution toward small
@@ -1735,6 +1751,19 @@ object TextSim {
         |  n_shared / least(na.n, nb.n) AS containment
         |FROM inter JOIN sizes na ON src_a = na.src JOIN sizes nb ON src_b = nb.src
         |ORDER BY src_a, src_b""".stripMargin,
+
+    "d42_shuffle_shards" ->
+      """WITH x AS (SELECT doc_id, text,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS hh FROM documents),
+        |hv AS (SELECT doc_id,
+        |    CAST(sum(CAST(strpos('0123456789abcdef', substr(hh, i, 1)) - 1 AS BIGINT)
+        |      << ((12 - i) * 4)) AS BIGINT) AS h,
+        |    CAST(len(list_filter(string_split(min(text), ' '), t -> t <> '')) AS INT) AS n_tok
+        |  FROM (SELECT doc_id, text, hh, unnest(generate_series(1, 12)) AS i FROM x)
+        |  GROUP BY 1)
+        |SELECT h % 8 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(h) AS min_h, max(h) AS max_h
+        |FROM hv GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d32_source_mix" ->
       """WITH t AS (SELECT source, count(*) AS n_docs,

@@ -775,4 +775,35 @@ class QualitySpec extends SparkSpec {
     assert(r(5L).getAs[Int]("n_email") === 1)
     assert(r(5L).getAs[Int]("n_ipv4") === 1)
   }
+
+  test("shardWrite: deterministic balanced shards in training order; union = corpus") {
+    import graft.operators.Sampling
+    val base = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val docs = (0L until 4000L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    Sampling.shardWrite(docs, "doc_id", 8, s"$base/v1")
+
+    val back = spark.read.parquet(s"$base/v1")
+    assert(back.select("doc_id").distinct().count() === 4000)
+    // balanced: each shard within ±20% of the 500 expected
+    val sizes = back.groupBy(col("shard")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.size === 8 && sizes.values.forall(c => c > 400 && c < 600),
+      s"unbalanced shards: $sizes")
+    // deterministic: a re-run from a differently-partitioned input
+    // produces the identical assignment
+    Sampling.shardWrite(docs.repartition(13), "doc_id", 8, s"$base/v2")
+    val a1 = spark.read.parquet(s"$base/v1").select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = spark.read.parquet(s"$base/v2").select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 === a2)
+    // training order: within a shard directory, file row order follows
+    // the order hash (the global shuffle restricted to the shard)
+    val h = Sampling.shuffleShard(docs, "doc_id", 8)
+      .select("doc_id", "__h").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shard0 = spark.read.parquet(s"$base/v1/shard=0").select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(shard0.map(h).sameElements(shard0.map(h).sorted),
+      "shard rows not in order-hash order")
+  }
 }
