@@ -47,6 +47,8 @@ import graft.sources.HarvestJob
   *   [--method auto|exact|near|ann|text]
   * graft.Cli cluster --store S --by entity_id   (re-cluster day partitions)
   *   | --data PARQUET --by c1,c2 --out OUT [--files 16] [--bits 16]  (Z-order)
+  * graft.Cli shard --docs PARQUET --out OUT [--shards 8] [--id doc_id]
+  *   (deterministic training-order shuffle-and-shard)
   * graft.Cli store-info --store S [--counts true]   (schema + partition range)
   * graft.Cli index-info --index DIR   (layout autodetect + size/params)
   * graft.Cli harvest-stream --source DIR --format csv … --checkpoint DIR \
@@ -246,6 +248,16 @@ object Cli {
           .write.mode("overwrite").parquet(outP)
         println(s"cluster: out=$outP by=${by.mkString(",")} zorder")
       }
+
+    // Training-data sharding: materialize the deterministic global
+    // shuffle (Sampling.shardWrite) — one directory per shard, rows
+    // in training order.
+    case "shard" :: rest =>
+      val f = parseFlags(rest)
+      val n = opt(f, "shards", "8").toInt
+      graft.operators.Sampling.shardWrite(
+        spark.read.parquet(one(f, "docs")), opt(f, "id", "doc_id"), n, one(f, "out"))
+      println(s"shard: out=${one(f, "out")} shards=$n")
 
     // Training-data curation entry points — the batch jobs an LLM
     // data pipeline schedules, same flag style as the Minerva ones.

@@ -459,4 +459,15 @@ class CliSpec extends SparkSpec {
       "entity_id,value", "--out", s"$base/z", "--files", "4"))
     assert(spark.read.parquet(s"$base/z").count() === 5000)
   }
+
+  test("shard command materializes the deterministic shuffle") {
+    val base = Files.createTempDirectory("graft_cli_shard").toString
+    (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      .write.parquet(s"$base/docs")
+    Cli.run(spark, Seq("shard", "--docs", s"$base/docs",
+      "--out", s"$base/shards", "--shards", "4"))
+    val back = spark.read.parquet(s"$base/shards")
+    assert(back.count() === 1000)
+    assert(back.select("shard").distinct().count() === 4)
+  }
 }
