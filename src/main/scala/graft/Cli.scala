@@ -49,6 +49,8 @@ import graft.sources.HarvestJob
   *   | --data PARQUET --by c1,c2 --out OUT [--files 16] [--bits 16]  (Z-order)
   * graft.Cli shard --docs PARQUET --out OUT [--shards 8] [--id doc_id]
   *   (deterministic training-order shuffle-and-shard)
+  * graft.Cli explain --key q01_pricing_summary --sf-dir DIR
+  *   [--mode formatted|simple|extended|cost]   (plan audit, no execution)
   * graft.Cli store-info --store S [--counts true]   (schema + partition range)
   * graft.Cli index-info --index DIR   (layout autodetect + size/params)
   * graft.Cli harvest-stream --source DIR --format csv … --checkpoint DIR \
@@ -248,6 +250,20 @@ object Cli {
           .write.mode("overwrite").parquet(outP)
         println(s"cluster: out=$outP by=${by.mkString(",")} zorder")
       }
+
+    // Plan introspection: print any SparkEntry key's formatted
+    // physical plan without executing it — the `EXPLAIN` the
+    // reference gets from PostgreSQL, for auditing pushdown/pruning/
+    // join strategy on real data before a job runs.
+    case "explain" :: rest =>
+      val f = parseFlags(rest)
+      val key = one(f, "key")
+      val q = SparkEntry.queries.getOrElse(key,
+        throw new IllegalArgumentException(
+          s"unknown key $key; known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")}"))
+      println(q(spark, one(f, "sf-dir")).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString(
+          opt(f, "mode", "formatted"))))
 
     // Training-data sharding: materialize the deterministic global
     // shuffle (Sampling.shardWrite) — one directory per shard, rows

@@ -460,6 +460,20 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/z").count() === 5000)
   }
 
+  test("explain command prints a formatted plan; unknown keys refuse loudly") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.run(spark, Seq("explain", "--key", "q01_pricing_summary",
+        "--sf-dir", sf))
+    }
+    val plan = out.toString
+    assert(plan.contains("Physical Plan"))
+    assert(plan.contains("PushedFilters"), s"expected scan detail in:\n$plan")
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("explain", "--key", "nope", "--sf-dir", sf))
+    }
+  }
+
   test("shard command materializes the deterministic shuffle") {
     val base = Files.createTempDirectory("graft_cli_shard").toString
     (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
