@@ -514,4 +514,78 @@ object Multimodal {
         }
       }))
   }
+
+  /** Deterministic synthetic MJPEG-AVI: one RIFF("AVI ") container
+    * whose 00dc chunks are JPEG re-encodes of [[syntheticImage]]
+    * patterns — a pure function of `frameSeeds`, so planted
+    * shared-frame videos (the m05 driver check) need no real media
+    * blobs, same argument as syntheticImage for m04. */
+  def syntheticVideo(frameSeeds: Seq[Long], w: Int = 64, h: Int = 64): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
+    val jpegs = frameSeeds.map { s =>
+      val im = ImageIO.read(new ByteArrayInputStream(syntheticImage(s, w, h)))
+      val buf = new java.io.ByteArrayOutputStream()
+      ImageIO.write(im, "jpg", buf)
+      buf.toByteArray
+    }
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(body.length))
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** One sampled frame's perceptual fingerprint. */
+  case class FrameHash(doc_id: Long, frame_idx: Int, dhash: Long)
+
+  /** Per-frame dHash over sampled video frames — [[dHash]]'s video
+    * twin, through the same pluggable [[FrameDecoder]] seam. */
+  def frameHashes(spark: SparkSession, df: DataFrame, idCol: String,
+                  step: Int = 2, batchSize: Int = 16,
+                  decoder: FrameDecoder = ImageIoFrameDecoder): Dataset[FrameHash] = {
+    import spark.implicits._
+    require(step >= 1, "step must be >= 1")
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { case (id, bytes) =>
+        decoder.frames(bytes, step).map { case (i, im) => FrameHash(id, i, dhashOf(im)) }
+      }))
+  }
+
+  /** Video near-dup pairs: two videos are near-dups when at least
+    * `minShared` of their SAMPLED frames are perceptually identical
+    * (frame dHash within `maxHamming` — re-encodes and resizes
+    * survive, m04's image argument frame-wise). Composes
+    * [[frameHashes]] with the text/image hamming band join
+    * (Dedup.hammingPairs): frames get composite ids (video-major, so
+    * the band join's `a < b` canonicalizes the VIDEO pair too), and
+    * the per-pair rollup counts distinct matched probe frames. The
+    * shape is the m04/d04 one — band-bucket candidates only, never
+    * all-frame-pairs — so it holds at crawl scale where frames ≫
+    * videos. */
+  def videoDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
+                    step: Int = 2, maxHamming: Int = 6, minShared: Int = 2,
+                    decoder: FrameDecoder = ImageIoFrameDecoder): DataFrame = {
+    require(step >= 1, "step must be >= 1")
+    val fps = frameHashes(spark, df, idCol, step, decoder = decoder).toDF()
+      .select((col("doc_id") * lit(1L << 20) + col("frame_idx")).as("doc_id"),
+        col("dhash").as("fp"))
+    graft.operators.Dedup.hammingPairs(fps, maxHamming)
+      .select(expr(s"a_id div ${1L << 20}").as("video_a"),
+        col("a_id").as("fa"),
+        expr(s"b_id div ${1L << 20}").as("video_b"))
+      .filter(col("video_a") =!= col("video_b"))
+      .groupBy(col("video_a"), col("video_b"))
+      .agg(countDistinct(col("fa")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -943,6 +943,27 @@ object TextSim {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Video near-dup (rows-only like m02-m04: binary decode has no
+    // SQL oracle; pair recall/precision spec-verified in
+    // MultimodalSpec). Sibling videos (2k, 2k+1) share their two
+    // SAMPLED frames (independent JPEG re-encodes of the same m04
+    // pattern seeds); odd noise frames differ. frameHashes → banded
+    // hamming join over composite frame ids → per-video-pair rollup.
+    "m05_video_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val seedPairs = Seq((0L, 4L), (8L, 13L), (17L, 22L), (26L, 31L))
+      val docs = TableCatalog(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 8)
+        .as[Long].map { id =>
+          val (sa, sb) = seedPairs((id / 2).toInt)
+          (id, Multimodal.syntheticVideo(Seq(sa, id * 1000 + 1, sb, id * 1000 + 3)))
+        }.toDF("doc_id", "payload")
+      Multimodal.videoDupPairs(s, docs, "doc_id", step = 2,
+          maxHamming = 6, minShared = 2,
+          decoder = Multimodal.MjpegAviFrameDecoder)
+        .orderBy(col("video_a"), col("video_b"))
+    },
+
     // Corpus vocabulary profile: top-100 tokens by occurrence count
     // with document frequency — the first thing a tokenizer team asks
     // of a new corpus. One explode → token-keyed groupBy (map-side

@@ -350,4 +350,23 @@ class MultimodalSpec extends SparkSpec {
     val withJunkFps = Multimodal.dHash(spark, withJunk, "doc_id").toDF()
     assert(withJunkFps.filter(col("doc_id") === 999L).head.getBoolean(1) === false)
   }
+
+  test("video near-dup: videos sharing re-encoded frames pair; unrelated ones don't") {
+    import graft.SparkSpec.spark.implicits._
+    def im(seed: Long) = ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.syntheticImage(seed, 64, 64)))
+    // step=2 samples frames {0, 2}; videos 1 and 2 share those two
+    // patterns (INDEPENDENTLY JPEG-re-encoded inside each container),
+    // video 3 is disjoint; odd frames are noise either way
+    val v1 = mjpegAvi(Seq(im(0), im(4), im(8), im(13)))
+    val v2 = mjpegAvi(Seq(im(0), im(17), im(8), im(22)))
+    val v3 = mjpegAvi(Seq(im(26), im(4), im(31), im(13)))
+    val docs = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("doc_id", "payload")
+    val pairs = Multimodal.videoDupPairs(spark, docs, "doc_id", step = 2,
+        maxHamming = 6, minShared = 2, decoder = Multimodal.MjpegAviFrameDecoder)
+      .collect()
+    assert(pairs.length === 1, s"expected exactly the planted pair, got ${pairs.toSeq}")
+    assert((pairs.head.getLong(0), pairs.head.getLong(1)) === (1L, 2L))
+    assert(pairs.head.getLong(2) === 2L)
+  }
 }
