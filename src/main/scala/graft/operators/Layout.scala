@@ -52,6 +52,7 @@ object Layout {
       min(col(c).cast("double")).as(s"min_$c"),
       max(col(c).cast("double")).as(s"max_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    if (r.isNullAt(0)) return df // empty input: nothing to lay out
     val scale = (1L << bits) - 1
     val scaled = cols.zipWithIndex.map { case (c, j) =>
       val (lo, hi) = (r.getDouble(2 * j), r.getDouble(2 * j + 1))

@@ -32,6 +32,11 @@ class LayoutSpec extends SparkSpec {
         s"interleave mismatch at ($x, $y)")
   }
 
+  test("zorderBy on an empty dataset is a no-op, not a crash") {
+    val empty = spark.range(0, 0).select(col("id").as("a"), col("id").as("b"))
+    assert(Layout.zorderBy(empty, Seq("a", "b"), 4).count() === 0)
+  }
+
   test("zorderBy clusters both dimensions: entity predicates skip most files; row set unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     val n = 200000L
