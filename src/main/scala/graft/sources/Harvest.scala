@@ -52,6 +52,18 @@ object Harvest {
     DataPackage(granularity, canonicalize(raw, dnCol, entityComponent, tsCol, tsFormat))
   }
 
+  /** Parquet harvester — lake-native ingest: upstream systems that
+    * already land typed parquet (CDC dumps, other Spark jobs) feed
+    * the same DataPackage contract. A typed timestamp column passes
+    * through untouched (`tsFormat` only applies to string columns —
+    * see canonicalize), typed metrics keep their types. */
+  def parquetFiles(spark: SparkSession, path: String, dnCol: String,
+                   entityComponent: String, tsCol: String, tsFormat: String,
+                   granularity: String): DataPackage = {
+    val raw = spark.read.parquet(path)
+    DataPackage(granularity, canonicalize(raw, dnCol, entityComponent, tsCol, tsFormat))
+  }
+
   private[sources] def canonicalize(raw: DataFrame, dnCol: String, entityComponent: String,
                            tsCol: String, tsFormat: String,
                            castMetrics: Boolean = true): DataFrame = {
@@ -64,10 +76,16 @@ object Harvest {
     // component for display/rollup-by-name. castMetrics=false keeps
     // the parsed value types (attribute/notification packages carry
     // strings and ids, not only numeric metrics).
+    // a source that already carries a TYPED timestamp (parquet, typed
+    // JSON) skips string parsing — tsFormat is a string-column affair
+    val tsExpr = raw.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => col(tsCol)
+      case _ => try_to_timestamp(col(tsCol), lit(tsFormat))
+    }
     raw.select((graft.operators.EntityRegistry.entityId(col(dnCol)).as("entity_id") +:
       col(dnCol).as("entity_dn") +:
       dnPart(col(dnCol), entityComponent).as("entity_name") +:
-      try_to_timestamp(col(tsCol), lit(tsFormat)).as("ts") +:
+      tsExpr.as("ts") +:
       metrics.map(m => if (castMetrics) col(m).cast("double").as(m) else col(m))): _*)
   }
 }

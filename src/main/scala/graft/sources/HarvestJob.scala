@@ -68,6 +68,7 @@ object HarvestJob {
       case "csv"                 => spark.read.option("header", "true").csv(paths: _*)
       case "json" | "jsonlines"  => spark.read.json(paths: _*)
       case "xml"                 => spark.read.option("rowTag", job.rowTag).xml(paths: _*)
+      case "parquet"             => spark.read.parquet(paths: _*)
       case f => throw new IllegalArgumentException(s"unknown harvest format: $f")
     }
     Harvest.DataPackage(job.granularity,
@@ -120,21 +121,23 @@ object HarvestJob {
              glob: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val fmt = job.format.toLowerCase
-    require(fmt == "csv" || fmt == "json" || fmt == "jsonlines",
-      s"streaming harvest supports csv/json, got: ${job.format}")
+    require(fmt == "csv" || fmt == "json" || fmt == "jsonlines" || fmt == "parquet",
+      s"streaming harvest supports csv/json/parquet, got: ${job.format}")
     val sch = schema.getOrElse {
       val rd = spark.read.option("header", "true")
       glob.foreach(g => rd.option("pathGlobFilter", g))
       (fmt match {
-        case "csv" => rd.csv(job.sourceDir)
-        case _     => rd.json(job.sourceDir)
+        case "csv"     => rd.csv(job.sourceDir)
+        case "parquet" => rd.parquet(job.sourceDir)
+        case _         => rd.json(job.sourceDir)
       }).schema
     }
     val rs = spark.readStream.schema(sch).option("header", "true")
     glob.foreach(g => rs.option("pathGlobFilter", g))
     val raw = fmt match {
-      case "csv" => rs.csv(job.sourceDir)
-      case _     => rs.json(job.sourceDir)
+      case "csv"     => rs.csv(job.sourceDir)
+      case "parquet" => rs.parquet(job.sourceDir)
+      case _         => rs.json(job.sourceDir)
     }
     val rows = Harvest.canonicalize(raw, job.dnCol, job.entityComponent, job.tsCol,
         job.tsFormat, castMetrics = job.target == "trend")

@@ -359,4 +359,47 @@ class HarvestJobSpec extends SparkSpec {
     assert(store.count() === 2)
     assert(store.filter(col("entity_name") === "8").head.getAs[Double]("v") === 4.5)
   }
+
+  test("parquet plugin: lake-native batch + streaming harvest, typed timestamps pass through") {
+    import graft.SparkSpec.spark.implicits._
+    val src = Files.createTempDirectory("graft_job_pq").toString
+    val base = Files.createTempDirectory("graft_job_pq_store").toString
+    // typed upstream drop: REAL timestamp + double columns (no strings)
+    Seq(("Cell=1", "2024-03-01 08:02:00", 1.5), ("Cell=2", "2024-03-01 08:14:00", 2.5))
+      .toDF("dn", "tsRaw", "v")
+      .select(col("dn"), col("tsRaw").cast("timestamp").as("timestamp"), col("v"))
+      .coalesce(1).write.parquet(s"$src/drop1")
+    val job = HarvestJob.Job(
+      sourceDir = s"$src/drop1", format = "parquet",
+      dnCol = "dn", entityComponent = "Cell",
+      tsCol = "timestamp", tsFormat = "ignored-for-typed-ts",
+      granularity = "15m",
+      storePath = s"$base/store", statePath = s"$base/state",
+      pattern = ".*\\.parquet")
+    val r = HarvestJob.run(spark, job)
+    assert(r.processed.size === 1)
+    val store = TrendStoreWriter.read(spark, job.storePath)
+    assert(store.count() === 2)
+    // typed ts passed through and aligned to the 15m grid
+    assert(store.filter(col("entity_name") === "1")
+      .head.getAs[java.sql.Timestamp]("bucket").toString === "2024-03-01 08:00:00.0")
+    assert(store.filter(col("entity_name") === "2")
+      .head.getAs[Double]("v") === 2.5)
+
+    // streaming twin over a fresh directory
+    val sdir = s"$src/streamdir"
+    new java.io.File(sdir).mkdirs()
+    Seq(("Cell=3", "2024-03-02 10:07:00", 7.0)).toDF("dn", "tsRaw", "v")
+      .select(col("dn"), col("tsRaw").cast("timestamp").as("timestamp"), col("v"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$sdir/batch1")
+    val sjob = job.copy(sourceDir = s"$sdir/batch1",
+      storePath = s"$base/sstore", statePath = s"$base/sstate")
+    val q = HarvestJob.stream(spark, sjob, s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      val sstore = TrendStoreWriter.read(spark, sjob.storePath)
+      assert(sstore.count() === 1)
+      assert(sstore.head.getAs[Double]("v") === 7.0)
+    } finally q.stop()
+  }
 }
