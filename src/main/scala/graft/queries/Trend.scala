@@ -441,6 +441,37 @@ object Trend {
         .orderBy(col("entity_id"))
     },
 
+    // Data-availability report — the SLA/completeness number a
+    // monitoring deployment publishes: per entity per CALENDAR day of
+    // the corpus span, how many of the 24 hourly buckets actually
+    // carry data (zero-data days INCLUDED — the whole point; t05
+    // lists the missing buckets, this rolls coverage up to the
+    // dashboard rate). Shape: the hourly distinct + per-day count are
+    // entity-keyed shuffles; the day grid is a LITERAL array exploded
+    // onto the O(entities) distinct list — no join builds the grid,
+    // and the coverage join is (entity, day)-keyed. The span probe is
+    // one 2-scalar driver aggregate (the Materialize discipline).
+    "t30_availability" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val hourly = ev.select(col("user_id").as("entity_id"),
+          date_trunc("hour", col("ts")).as("h")).distinct()
+      val perDay = hourly
+        .groupBy(col("entity_id"), date_trunc("day", col("h")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val span = ev.agg(
+        date_format(min(date_trunc("day", col("ts"))), "yyyy-MM-dd HH:mm:ss"),
+        date_format(max(date_trunc("day", col("ts"))), "yyyy-MM-dd HH:mm:ss")).head()
+      val grid = ev.select(col("user_id").as("entity_id")).distinct()
+        .select(col("entity_id"), explode(expr(
+          s"sequence(timestamp'${span.getString(0)}', timestamp'${span.getString(1)}', interval 1 day)"))
+          .as("day"))
+      grid.join(perDay, Seq("entity_id", "day"), "left")
+        .select(col("entity_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n_hours"),
+          (coalesce(col("n"), lit(0L)) / lit(24)).as("availability"))
+        .orderBy(col("entity_id"), col("day"))
+    },
+
     // Attribute churn report — config-change rate over the attribute
     // history ("how many changes landed per day, across how many
     // entities"). A change is a compact-surviving row excluding each
@@ -863,6 +894,18 @@ object Trend {
         |  round((sy - slope * sx) / n, 6) AS intercept,
         |  round((sy - slope * sx) / n + slope * (mx + 1), 6) AS forecast_next
         |FROM f ORDER BY entity_id""".stripMargin,
+
+    "t30_availability" ->
+      """WITH h AS (SELECT DISTINCT user_id AS entity_id, date_trunc('hour', ts) AS h FROM events),
+        |pd AS (SELECT entity_id, date_trunc('day', h) AS day, count(*) AS n FROM h GROUP BY 1, 2),
+        |span AS (SELECT min(date_trunc('day', ts)) AS lo, max(date_trunc('day', ts)) AS hi FROM events),
+        |days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM span),
+        |e AS (SELECT DISTINCT user_id AS entity_id FROM events),
+        |grid AS (SELECT entity_id, day FROM e, days)
+        |SELECT grid.entity_id, strftime(grid.day, '%Y-%m-%d') AS day,
+        |  coalesce(n, 0) AS n_hours, coalesce(n, 0) / 24 AS availability
+        |FROM grid LEFT JOIN pd ON grid.entity_id = pd.entity_id AND grid.day = pd.day
+        |ORDER BY 1, 2""".stripMargin,
 
     "a06_attr_churn" ->
       """WITH r AS (SELECT *,
