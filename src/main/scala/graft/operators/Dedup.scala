@@ -180,6 +180,28 @@ object Dedup {
         col("n_b"), col("containment"))
   }
 
+  /** WITHIN-source duplication profile — [[sourceOverlap]]'s
+    * complement: how internally repetitive each feed is (a feed whose
+    * shingle instances are mostly repeats is boilerplate-heavy — the
+    * other curation drop signal). Counts are over per-DOC-distinct
+    * shingles, so a shingle repeated inside one document counts once
+    * there and `dup_rate = 1 − distinct/instances` measures
+    * CROSS-document repetition within the source. Two stacked
+    * partial-agg shuffles — (source, hash) then source — never an
+    * Expand (the d28 two-level-distinct discipline). */
+  def sourceDupRate(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, k: Int = 3): DataFrame = {
+    val perHash = docs
+      .select(col(srcCol).as("src"),
+        ShinglesExpr.shingles(tokens(col(textCol)), k).as("__sh"))
+      .select(col("src"), explode(col("__sh")).as("__s"))
+      .select(col("src"), xxhash64(col("__s")).as("s"))
+      .groupBy(col("src"), col("s")).agg(count(lit(1)).as("c"))
+    perHash.groupBy(col("src"))
+      .agg(sum(col("c")).as("n_shingles"), count(lit(1)).as("n_distinct"))
+      .withColumn("dup_rate", lit(1) - col("n_distinct") / col("n_shingles"))
+  }
+
   /** MinHash + LSH near-dup pairs: signature → band keys → bucket
     * join → exact-Jaccard verification of the candidates only.
     *

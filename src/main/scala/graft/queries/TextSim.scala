@@ -1005,6 +1005,15 @@ object TextSim {
         .orderBy(col("src_a"), col("src_b"))
     },
 
+    // Within-source duplication profile (see Dedup.sourceDupRate:
+    // per-doc-distinct shingles, two stacked partial aggs, no
+    // Expand) — d41's complement: how boilerplate-heavy each feed is.
+    "d43_source_dup_rate" -> { (s, dir) =>
+      Dedup.sourceDupRate(TableCatalog(s, dir).documents,
+          "doc_id", "text", "source", k = 3)
+        .orderBy(col("src"))
+    },
+
     // Deterministic shuffle-and-shard balance report (see
     // Sampling.shuffleShard: the 48-bit md5 order hash is each doc's
     // permanent shuffle position; shardWrite materializes the
@@ -1772,6 +1781,15 @@ object TextSim {
         |  n_shared / least(na.n, nb.n) AS containment
         |FROM inter JOIN sizes na ON src_a = na.src JOIN sizes nb ON src_b = nb.src
         |ORDER BY src_a, src_b""".stripMargin,
+
+    "d43_source_dup_rate" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source AS src, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM (SELECT doc_id, source, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)),
+        |ph AS (SELECT src, s, count(*) AS c FROM sh GROUP BY 1, 2)
+        |SELECT src, CAST(sum(c) AS BIGINT) AS n_shingles, count(*) AS n_distinct,
+        |  1 - count(*) / CAST(sum(c) AS BIGINT) AS dup_rate
+        |FROM ph GROUP BY src ORDER BY src""".stripMargin,
 
     "d42_shuffle_shards" ->
       """WITH x AS (SELECT doc_id, text,
