@@ -1295,6 +1295,47 @@ object TextSim {
         .orderBy(col("rank"))
     },
 
+    // Metadata-FILTERED hybrid retrieval — s14's fusion under s13's
+    // filter contract on BOTH legs: the allowed-id set (here: even
+    // ids — a stand-in for any tenant/license/language predicate)
+    // semi-joins each leg's candidates BEFORE its top-k cut, while
+    // BM25's idf/avgdl and the IVF geometry stay GLOBAL (filtering
+    // the candidates, never the index — the s13 contract). Full-probe
+    // IVF keeps the whole composition oracle-gradable.
+    "s15_hybrid_filtered" -> { (s, dir) =>
+      val textIdx = cachedIndex(s, dir, "text_bm25") { p =>
+        TextIndex.build(TableCatalog(s, dir).documents, "doc_id", "text", p)
+      }
+      val annIdx = cachedIndex(s, dir, "hybrid_ivf") { p =>
+        Similarity.ivfBuild(TableCatalog(s, dir).embeddings,
+          "vec_id", "embedding", p, nCells = 16)
+      }
+      val allowedT = TableCatalog(s, dir).documents
+        .select(col("doc_id")).filter(col("doc_id") % 2 === 0)
+      val allowedV = TableCatalog(s, dir).embeddings
+        .select(col("vec_id")).filter(col("vec_id") % 2 === 0)
+      val w = org.apache.spark.sql.expressions.Window
+      val t = TextIndex.bm25(s, textIdx, Seq("spark", "vector", "stream"),
+          topK = 100, allowed = Some(allowedT))
+        .withColumn("rt", row_number().over(
+          w.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rt"))
+      val v = Similarity.ivfSearch(
+          TableCatalog(s, dir).embeddings.filter(col("vec_id") === 0),
+          "vec_id", "embedding", annIdx, k = 100, nprobe = 16,
+          allowed = Some(allowedV))
+        .select(col("n_id").as("doc_id"), col("rank").as("rv"))
+      t.join(v, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)), 6))
+        .withColumn("rank", row_number().over(
+          w.orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("rt"), col("rv"), col("rrf"))
+        .orderBy(col("rank"))
+    },
+
     // PII scrubbing — redact emails / IPv4s / digit runs (declaration
     // order) with per-class match counts, over the events props
     // payload (the corpus field that actually carries digits; the
@@ -1867,6 +1908,42 @@ object TextSim {
         |sv AS (SELECT vec_id AS doc_id,
         |         list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS sim
         |       FROM q, embeddings WHERE vec_id <> 0),
+        |vr AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rv
+        |       FROM sv QUALIFY rv <= 100),
+        |f AS (SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, tr.rt, vr.rv,
+        |        round(COALESCE(1.0 / (60 + tr.rt), 0.0) +
+        |              COALESCE(1.0 / (60 + vr.rv), 0.0), 6) AS rrf
+        |      FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM f)
+        |SELECT CAST(rank AS INT) AS rank, doc_id, CAST(rt AS INT) AS rt,
+        |  CAST(rv AS INT) AS rv, rrf
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "s15_hybrid_filtered" ->
+      // s14's twin with the even-id filter on each leg's CANDIDATES
+      // (t100 / sv stages); idf, avgdl and n_docs stay global — the
+      // s13 contract: filter the candidates, never the index.
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tfq AS (SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+        |       FROM documents),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |qtf AS (SELECT * FROM tfq WHERE token IN ('spark', 'vector', 'stream')),
+        |idf AS (SELECT token, round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
+        |        FROM (SELECT token, count(*) AS df FROM qtf GROUP BY 1), st),
+        |wq AS (SELECT qtf.doc_id,
+        |    CAST(round(idf.idf * ((qtf.tf * 2.2) /
+        |      (qtf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS DECIMAL(18,6)) AS w
+        |  FROM qtf JOIN idf USING (token) JOIN dl USING (doc_id), st),
+        |sc AS (SELECT doc_id, sum(w) AS score_dec FROM wq GROUP BY 1),
+        |t100 AS (SELECT doc_id, score_dec FROM sc WHERE doc_id % 2 = 0
+        |         ORDER BY score_dec DESC, doc_id LIMIT 100),
+        |tr AS (SELECT doc_id, row_number() OVER (ORDER BY score_dec DESC, doc_id) AS rt
+        |       FROM t100),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |sv AS (SELECT vec_id AS doc_id,
+        |         list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS sim
+        |       FROM q, embeddings WHERE vec_id <> 0 AND vec_id % 2 = 0),
         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rv
         |       FROM sv QUALIFY rv <= 100),
         |f AS (SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, tr.rt, vr.rv,
