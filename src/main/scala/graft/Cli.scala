@@ -239,9 +239,20 @@ object Cli {
       if (f.contains("store")) {
         val path = one(f, "store")
         val tmp = path + ".clustering"
-        TrendStoreWriter.write(
-          TrendStoreWriter.read(spark, path).drop("p_date"), tmp, clusterBy = by)
-        graft.operators.StoreFs.replace(spark, tmp, path)
+        // same single-writer lease as materialize/harvest: a rewrite
+        // racing a store writer would swap away its partitions
+        Materialize.withLease(spark, path + ".lease") {
+          // clear any stale tmp from a dead run FIRST: the dynamic
+          // partition overwrite below only rewrites partitions present
+          // in the data, so leftover junk partitions would otherwise
+          // survive into the swapped store (lease-drill-caught)
+          val (fs, tmpP) = graft.operators.StoreFs.fs(spark, tmp)
+          if (fs.exists(tmpP) && !fs.delete(tmpP, true))
+            throw new java.io.IOException(s"failed to clear stale $tmp")
+          TrendStoreWriter.write(
+            TrendStoreWriter.read(spark, path).drop("p_date"), tmp, clusterBy = by)
+          graft.operators.StoreFs.replace(spark, tmp, path)
+        }
         println(s"cluster: store=$path by=${by.mkString(",")}")
       } else {
         val outP = one(f, "out")

@@ -474,6 +474,28 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("cluster --store holds the single-writer lease; a stale tmp from a dead run is harmless") {
+    val base = Files.createTempDirectory("graft_cli_cluster_lease").toString
+    val rolled = spark.range(0, 200).select(
+      (col("id") % 10).as("entity_id"),
+      expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0, CAST(id AS INT), 0)").as("bucket"),
+      col("id").cast("double").as("value"))
+    TrendStoreWriter.write(rolled, s"$base/store")
+    // a competing writer holds the lease → loud refusal, store untouched
+    assert(graft.operators.StoreFs.acquireLease(spark, s"$base/store.lease", "other", 600000))
+    intercept[graft.operators.Materialize.ConcurrentRunException] {
+      Cli.run(spark, Seq("cluster", "--store", s"$base/store", "--by", "entity_id"))
+    }
+    graft.operators.StoreFs.releaseLease(spark, s"$base/store.lease")
+    // a stale tmp dir from a run that died pre-swap is overwritten
+    spark.range(0, 1).select(lit(99L).as("junk"))
+      .write.parquet(s"$base/store.clustering/p_date=junk")
+    Cli.run(spark, Seq("cluster", "--store", s"$base/store", "--by", "entity_id"))
+    val after = TrendStoreWriter.read(spark, s"$base/store")
+    assert(after.count() === 200)
+    assert(after.agg(sum(col("value"))).head.getDouble(0) === (0 until 200).sum.toDouble)
+  }
+
   test("shard command materializes the deterministic shuffle") {
     val base = Files.createTempDirectory("graft_cli_shard").toString
     (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
