@@ -221,6 +221,14 @@ object TextIndex {
       StoreFs.exists(spark, s"$path/doclen") &&
       StoreFs.exists(spark, s"$path/stats.json"),
       s"compact: $path is not a text index (postings/ + doclen/ + stats.json)")
+    // a tmp left by a dead run would fail these default-mode writes
+    // forever (and under dynamic overwrite could leak junk token
+    // directories into the swap) — clear first
+    Seq(s"$path/postings.tmp", s"$path/doclen.tmp").foreach { tmp =>
+      val (fsys, tmpP) = StoreFs.fs(spark, tmp)
+      if (fsys.exists(tmpP) && !fsys.delete(tmpP, true))
+        throw new java.io.IOException(s"failed to clear stale $tmp")
+    }
     val dedupPost = spark.read.parquet(s"$path/postings")
       .groupBy(col("token"), col("doc_id")).agg(max(col("tf")).as("tf"))
       .select(col("doc_id"), col("tf"), col("token"))

@@ -783,6 +783,13 @@ object Similarity {
       if (!StoreFs.exists(spark, path)) return 0L
       val df = spark.read.parquet(path)
       val tmp = path + ".compact.tmp"
+      // clear any stale tmp from a dead run: under a session-wide
+      // partitionOverwriteMode=dynamic, the partitioned overwrite
+      // below would otherwise keep a dead run's junk cell directories
+      // and swap them into the index
+      val (fsys, tmpP) = StoreFs.fs(spark, tmp)
+      if (fsys.exists(tmpP) && !fsys.delete(tmpP, true))
+        throw new java.io.IOException(s"failed to clear stale $tmp")
       if (df.schema.fieldNames.contains("cell"))
         df.repartition(nFiles, col("cell"))
           .write.partitionBy("cell").mode("overwrite").parquet(tmp)

@@ -217,5 +217,15 @@ class TextIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextIndex.compact(spark, bogus)
     }
+
+    // a stale tmp from a dead compact run neither blocks the next
+    // compact nor leaks its junk into the swapped tables
+    Seq((99L, 9, "junktoken")).toDF("doc_id", "tf", "token")
+      .write.partitionBy("token").parquet(s"$dir/postings.tmp")
+    TextIndex.compact(spark, dir)
+    assert(bm25Rows(dir) === before, "stale-tmp recompaction changed a score")
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("token") === "junktoken").isEmpty,
+      "dead run's junk partition leaked into the index")
   }
 }
