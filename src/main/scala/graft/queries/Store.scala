@@ -79,7 +79,8 @@ object Store {
        |FROM fired GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
-  private def triggerOracleSql(rules: Seq[Trigger.Rule]): String =
+  /** The per-rule firing UNION both trigger oracles share. */
+  private def triggerFiringsUnion(rules: Seq[Trigger.Rule]): String =
     rules.map { r =>
       val having = r.thresholds
         .map(t => s"${Trigger.aggSql(t)} ${t.op} ${t.value}").mkString(" AND ")
@@ -87,7 +88,21 @@ object Store {
          |  strftime(date_trunc('${r.granularity}', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
          |  '${r.name}' AS rule, '${r.severity}' AS severity
          |FROM events GROUP BY 1, 2 HAVING $having""".stripMargin
-    }.mkString("\nUNION ALL\n") + "\nORDER BY rule, entity_id, bucket"
+    }.mkString("\nUNION ALL\n")
+
+  private def triggerOracleSql(rules: Seq[Trigger.Rule]): String =
+    triggerFiringsUnion(rules) + "\nORDER BY rule, entity_id, bucket"
+
+  /** n07: the firing stream rolled to the on-call DIGEST — per (day,
+    * rule, severity): firing count, distinct paged entities, first/
+    * last firing bucket (the formatted buckets sort lexicographically
+    * AS time, so min/max strings are exact on both engines). */
+  private def triggerDigestOracleSql(rules: Seq[Trigger.Rule]): String =
+    s"""WITH firings AS (${triggerFiringsUnion(rules)})
+       |SELECT substr(bucket, 1, 10) AS day, rule, severity,
+       |  count(*) AS n_firings, count(DISTINCT entity_id) AS n_entities,
+       |  min(bucket) AS first_bucket, max(bucket) AS last_bucket
+       |FROM firings GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
 
   val defs: Seq[(String, Q)] = Seq(
     // Dirty-set computation exactly as Materialize.run uses it: state
@@ -390,6 +405,24 @@ object Store {
         .orderBy(col("rule"), col("entity_id"), col("bucket"))
     },
 
+    // Alert digest — the on-call summary over the firing stream: per
+    // (day, rule, severity) the firing count, distinct paged entities
+    // and first/last firing time. One more combine-friendly rollup on
+    // top of n04's plan; O(days × rules) output keys.
+    "n07_alert_digest" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      Trigger.evaluate(triggerRules)(ev, col("user_id"), col("ts"))
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("rule"), col("severity"))
+        .groupBy(substring(col("bucket"), 1, 10).as("day"),
+          col("rule"), col("severity"))
+        .agg(count(lit(1)).as("n_firings"),
+          countDistinct(col("entity_id")).as("n_entities"),
+          min(col("bucket")).as("first_bucket"),
+          max(col("bucket")).as("last_bucket"))
+        .orderBy(col("day"), col("rule"))
+    },
+
     // Flap suppression: rules page only after holding for 3
     // CONSECUTIVE buckets of their grid (Trigger.evaluateSustained) —
     // the sustained-threshold semantics that keep an oscillating KPI
@@ -627,6 +660,8 @@ object Store {
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "n04_triggers" -> triggerOracleSql(triggerRules),
+
+    "n07_alert_digest" -> triggerDigestOracleSql(triggerRules),
 
     "n05_trigger_sets" -> triggerSetsOracleSql(triggerRules),
 
