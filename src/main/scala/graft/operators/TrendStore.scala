@@ -682,6 +682,37 @@ object TrendStore {
     expected.join(observed, Seq("entity_id", "bucket"), "left_anti")
   }
 
+  /** Outage intervals: coalesce `gaps`' missing buckets into contiguous
+    * [start, end] windows per entity — the gaps-and-islands rollup a
+    * monitoring dashboard publishes ("cell X was silent 02:00–07:00"),
+    * where `gaps` (t05) lists the raw missing buckets one row each.
+    * Island key = bucket epoch / step minus the per-entity row_number:
+    * consecutive missing buckets share it, any observed bucket between
+    * them breaks it. All-integer arithmetic (hour buckets are exact
+    * step multiples), so the grouping is engine-independent.
+    *
+    * Cost at scale: the `gaps` plan plus ONE per-entity window and one
+    * (entity, island) groupBy. The window partitions on the same
+    * entity key the gaps anti-join just shuffled on, and each window
+    * partition is bounded by that entity's bucket span — nothing
+    * serializes globally. Fixed-seconds granularities only (calendar
+    * months have no constant epoch stride for the island key). */
+  def outageWindows(trend: DataFrame, entity: Column, ts: Column,
+                    granularity: String): DataFrame = {
+    val step = stepSeconds(granularity).getOrElse(throw new IllegalArgumentException(
+      s"outageWindows needs a fixed-seconds granularity, got: $granularity"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("entity_id")).orderBy(col("bucket"))
+    gaps(trend, entity, ts, granularity)
+      .withColumn("island",
+        (unix_timestamp(col("bucket")) / step).cast("long") - row_number().over(w))
+      .groupBy(col("entity_id"), col("island"))
+      .agg(min(col("bucket")).as("outage_start"),
+           max(col("bucket")).as("outage_end"),
+           count(lit(1)).as("n_buckets"))
+      .drop("island")
+  }
+
   /** Modified log: last-written timestamp + row count per entity —
     * what Minerva's materialization daemon consults to find dirty
     * (store, timestamp) pairs for incremental re-aggregation. */

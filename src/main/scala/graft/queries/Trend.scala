@@ -472,6 +472,21 @@ object Trend {
         .orderBy(col("entity_id"), col("day"))
     },
 
+    // Outage-window report — t05's missing buckets coalesced into
+    // contiguous [start, end] intervals per entity (gaps-and-islands):
+    // the number a dashboard publishes is "silent 02:00–07:00", not
+    // five bucket rows. One extra per-entity window + one island
+    // groupBy on top of the gaps plan.
+    "t31_outage_windows" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      TrendStore.outageWindows(ev, col("user_id"), col("ts"), "hour")
+        .select(col("entity_id"),
+          date_format(col("outage_start"), TS).as("outage_start"),
+          date_format(col("outage_end"), TS).as("outage_end"),
+          col("n_buckets"))
+        .orderBy(col("entity_id"), col("outage_start"))
+    },
+
     // Attribute churn report — config-change rate over the attribute
     // history ("how many changes landed per day, across how many
     // entities"). A change is a compact-surviving row excluding each
@@ -906,6 +921,23 @@ object Trend {
         |  coalesce(n, 0) AS n_hours, coalesce(n, 0) / 24 AS availability
         |FROM grid LEFT JOIN pd ON grid.entity_id = pd.entity_id AND grid.day = pd.day
         |ORDER BY 1, 2""".stripMargin,
+
+    "t31_outage_windows" ->
+      """WITH obs AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS bucket FROM events),
+        |rng AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+        |ex AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM rng),
+        |miss AS (SELECT ex.user_id, ex.bucket
+        |  FROM ex LEFT JOIN obs ON ex.user_id = obs.user_id AND ex.bucket = obs.bucket
+        |  WHERE obs.user_id IS NULL),
+        |isl AS (SELECT user_id, bucket,
+        |    CAST(epoch(bucket) / 3600 AS BIGINT)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS island
+        |  FROM miss)
+        |SELECT user_id AS entity_id,
+        |  strftime(min(bucket), '%Y-%m-%d %H:%M:%S') AS outage_start,
+        |  strftime(max(bucket), '%Y-%m-%d %H:%M:%S') AS outage_end,
+        |  count(*) AS n_buckets
+        |FROM isl GROUP BY user_id, island ORDER BY 1, 2""".stripMargin,
 
     "a06_attr_churn" ->
       """WITH r AS (SELECT *,

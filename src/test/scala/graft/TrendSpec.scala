@@ -234,6 +234,32 @@ class TrendSpec extends SparkSpec {
     assert(g + nObs === rangeSum)
   }
 
+  test("outageWindows coalesces planted gap runs into exact intervals") {
+    import graft.SparkSpec.spark.implicits._
+    // entity 1: observed hours 0,1,5,7 → islands [2-4] (3 buckets), [6-6] (1).
+    // entity 2: observed hours 0,3 → island [1-2] (2).
+    // entity 3: fully dense 0-2 → no outage rows at all.
+    val rows = Seq(
+      (1L, "2024-01-01 00:10:00"), (1L, "2024-01-01 01:20:00"),
+      (1L, "2024-01-01 05:00:00"), (1L, "2024-01-01 07:59:00"),
+      (2L, "2024-01-01 00:00:00"), (2L, "2024-01-01 03:30:00"),
+      (3L, "2024-01-01 00:05:00"), (3L, "2024-01-01 01:05:00"),
+      (3L, "2024-01-01 02:05:00"))
+      .toDF("u", "t").select(col("u"), col("t").cast("timestamp").as("t"))
+    val got = TrendStore.outageWindows(rows, col("u"), col("t"), "hour")
+      .select(col("entity_id"), date_format(col("outage_start"), "HH").cast("int"),
+        date_format(col("outage_end"), "HH").cast("int"), col("n_buckets"))
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(got === Set((1L, 2, 4, 3L), (1L, 6, 6, 1L), (2L, 1, 2, 2L)))
+    // interval math ties out against the raw gaps listing on real data
+    val nMissing = TrendStore.gaps(ev, col("user_id"), col("ts"), "hour").count()
+    val viaIslands = TrendStore.outageWindows(ev, col("user_id"), col("ts"), "hour")
+      .agg(sum("n_buckets")).head.getLong(0)
+    assert(viaIslands === nMissing)
+    intercept[IllegalArgumentException](
+      TrendStore.outageWindows(ev, col("user_id"), col("ts"), "month"))
+  }
+
   test("as-of join picks the latest prior right row") {
     // brute-force oracle on collected data
     val purchases = ev.filter(col("event_type") === "purchase")
