@@ -92,4 +92,30 @@ object EntityRegistry {
   def tagStats(links: DataFrame): DataFrame =
     links.groupBy(col("tag"))
       .agg(countDistinct(col("entity_id")).as("n_entities"))
+
+  /** Directory-sync audit: the registry full-outer-joined against
+    * observed per-entity activity — the directory drift question
+    * ("which registered entities went silent, what's emitting data we
+    * never registered"). One row per dn seen on EITHER side: status
+    * active / silent (registered, no data) / unregistered (data, no
+    * registry row), row count (0 when silent) and last-active
+    * timestamp (NULL when silent).
+    *
+    * Scale shape: activity collapses to O(entities) rows first via one
+    * map-side-combinable groupBy on the dn, then joins the registry on
+    * the same dn key — raw data rows never cross the join, and the
+    * full-outer join carries two entity-sized sides. */
+  def syncStatus(registry: DataFrame, activity: DataFrame,
+                 activityDn: Column, activityTs: Column): DataFrame = {
+    val act = activity.groupBy(activityDn.as("dn"))
+      .agg(count(lit(1)).as("n_rows"), max(activityTs).as("last_active"))
+    registry.select(col("dn"), col("entity_id"))
+      .join(act, Seq("dn"), "full_outer")
+      .select(col("dn"),
+        when(col("entity_id").isNull, lit("unregistered"))
+          .when(col("n_rows").isNull, lit("silent"))
+          .otherwise(lit("active")).as("status"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("last_active"))
+  }
 }

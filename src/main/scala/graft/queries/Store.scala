@@ -190,6 +190,24 @@ object Store {
         .orderBy(col("tag"))
     },
 
+    // Directory-sync audit (minerva directory drift): registry =
+    // customer dns, activity = their orders. TPC-H ships ~1/3 of
+    // customers order-less, so the 'silent' class is non-degenerate;
+    // 'unregistered' is structurally 0 here (orders reference
+    // registered customers) but the full-outer path grades it.
+    "e09_directory_audit" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val reg = EntityRegistry.register(
+        c.customer.select(concat(lit("Customer="), col("c_custkey")).as("dn"),
+          lit("customer").as("entity_type"), col("c_name").as("alias")),
+        col("dn"), col("entity_type"), col("alias"))
+      EntityRegistry.syncStatus(reg, c.orders,
+          concat(lit("Customer="), col("o_custkey")), col("o_orderdate"))
+        .select(col("dn"), col("status"), col("n_rows"),
+          date_format(col("last_active"), TS).as("last_active"))
+        .orderBy(col("dn"))
+    },
+
     "r01_relation_store" -> { (s, dir) =>
       val c = TableCatalog(s, dir)
       val custToNation = Relations.of(c.customer,
@@ -543,6 +561,19 @@ object Store {
         |SELECT entity_id, array_to_string(list_sort(list(DISTINCT tag)), ',') AS tag_set,
         |  count(DISTINCT tag) AS n_tags
         |FROM links GROUP BY entity_id ORDER BY entity_id""".stripMargin,
+
+    "e09_directory_audit" ->
+      """WITH reg AS (SELECT DISTINCT 'Customer=' || c_custkey AS dn FROM customer),
+        |act AS (SELECT 'Customer=' || o_custkey AS dn, count(*) AS n_rows,
+        |    max(o_orderdate) AS last_active
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(reg.dn, act.dn) AS dn,
+        |  CASE WHEN reg.dn IS NULL THEN 'unregistered'
+        |       WHEN act.dn IS NULL THEN 'silent' ELSE 'active' END AS status,
+        |  coalesce(n_rows, 0) AS n_rows,
+        |  strftime(last_active, '%Y-%m-%d %H:%M:%S') AS last_active
+        |FROM reg FULL OUTER JOIN act ON reg.dn = act.dn
+        |ORDER BY 1""".stripMargin,
 
     "r01_relation_store" ->
       """SELECT 'customer->nation|nation->region' AS relation_type,

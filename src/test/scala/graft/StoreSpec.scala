@@ -168,4 +168,24 @@ class StoreSpec extends SparkSpec {
     val hits = EntityRegistry.resolve(Seq("Cell=2").toDF("name"), "name", reg2)
     assert(hits.count() === 2)
   }
+
+  test("syncStatus classifies active / silent / unregistered dns") {
+    val src = Seq(("Cell=1", "cell", "alpha"), ("Cell=2", "cell", "beta"))
+      .toDF("dn", "t", "a")
+    val reg = EntityRegistry.register(src, col("dn"), col("t"), col("a"))
+    // Cell=2 emits twice, Cell=3 emits without being registered,
+    // Cell=1 is registered but silent.
+    val activity = Seq(
+      ("Cell=2", "2024-01-01 10:00:00"), ("Cell=2", "2024-01-02 11:00:00"),
+      ("Cell=3", "2024-01-03 12:00:00"))
+      .toDF("adn", "at").select(col("adn"), col("at").cast("timestamp").as("at"))
+    val got = EntityRegistry.syncStatus(reg, activity, col("adn"), col("at"))
+      .select(col("dn"), col("status"), col("n_rows"),
+        date_format(col("last_active"), "yyyy-MM-dd HH:mm:ss").as("la"))
+      .as[(String, String, Long, Option[String])].collect().toSet
+    assert(got === Set(
+      ("Cell=1", "silent", 0L, None),
+      ("Cell=2", "active", 2L, Some("2024-01-02 11:00:00")),
+      ("Cell=3", "unregistered", 1L, Some("2024-01-03 12:00:00"))))
+  }
 }
