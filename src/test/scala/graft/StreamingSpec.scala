@@ -193,6 +193,15 @@ class StreamingSpec extends SparkSpec {
       b1.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
       q.processAllAvailable()
     } finally q.stop()
+    // Termination barrier: the manual processBatch drills below share
+    // the index/out dirs with the query's foreachBatch writer — make
+    // sure no streaming thread is still in flight before touching them
+    // (this test once flaked under full-suite contention; if it flakes
+    // again WITH this barrier, the stop ordering is exonerated).
+    q.awaitTermination()
+    assert(!q.isActive, "near-dedup stream still active after stop()")
+    assert(spark.streams.active.isEmpty,
+      s"leftover active streams: ${spark.streams.active.map(_.name).mkString(",")}")
     val streamed = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
     // batch twin over the same slicing
     Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
