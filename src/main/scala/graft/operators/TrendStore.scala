@@ -319,6 +319,54 @@ object TrendStore {
           .as("forecast_next"))
   }
 
+  /** Change-point candidates: per-entity SPLIT-WINDOW mean shift over
+    * a presented rollup `(entity_id, bucket, sd DECIMAL)`. For each
+    * bucket with w buckets strictly before AND w strictly after (both
+    * ROWS frames full), the shift is mean(after) − mean(before) —
+    * [[anomalies]] flags outlier POINTS; this flags LEVEL SHIFTS
+    * ("the KPI stepped down on the 14th and stayed there").
+    *
+    * Determinism (t17 discipline): frame sums stay DECIMAL (exact,
+    * order-free); each mean is ONE IEEE division of exact operands and
+    * the shift one IEEE subtraction of those quotients — bit-identical
+    * on any engine before the caller's display rounding.
+    *
+    * Cost: ONE per-entity ordered window hosts both w-bounded ROWS
+    * frames → one entity-keyed shuffle, O(w) frame state. */
+  def changePoints(rolledUp: DataFrame, w: Int = 7): DataFrame = {
+    require(w >= 1, s"changePoints window must be >= 1, got $w")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("entity_id")).orderBy(col("bucket"))
+    val before = win.rowsBetween(-w, -1)
+    val after = win.rowsBetween(1, w)
+    rolledUp
+      .withColumn("__nb", count(lit(1)).over(before))
+      .withColumn("__sb", sum(col("sd")).over(before).cast("double"))
+      .withColumn("__na", count(lit(1)).over(after))
+      .withColumn("__sa", sum(col("sd")).over(after).cast("double"))
+      .filter(col("__nb") === w && col("__na") === w)
+      .withColumn("mean_before", col("__sb") / col("__nb"))
+      .withColumn("mean_after", col("__sa") / col("__na"))
+      .withColumn("shift", col("mean_after") - col("mean_before"))
+      .select(col("entity_id"), col("bucket"),
+        col("mean_before"), col("mean_after"), col("shift"))
+  }
+
+  /** The single most likely change point per entity: [[changePoints]]
+    * ranked by |shift| (ties broken by earliest bucket — at a clean
+    * step the last old-level bucket and the first new-level bucket
+    * tie, so the reported point is the step's left edge). The rank
+    * window shares the candidates' entity partitioning — still one
+    * shuffle. Entities with fewer than 2w+1 buckets emit nothing. */
+  def topChangePoint(rolledUp: DataFrame, w: Int = 7): DataFrame = {
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("entity_id")).orderBy(abs(col("shift")).desc, col("bucket"))
+    changePoints(rolledUp, w)
+      .withColumn("__rn", row_number().over(rank))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   def anomalies(hourly: DataFrame, minBuckets: Int = 24,
                 zMin: Double = 2.0): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("entity_id"))

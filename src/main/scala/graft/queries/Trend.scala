@@ -487,6 +487,24 @@ object Trend {
         .orderBy(col("entity_id"), col("outage_start"))
     },
 
+    // Change-point report — the single most likely LEVEL SHIFT per
+    // entity over its daily series (split-window mean comparison,
+    // w=7 days each side). t17 flags outlier points, t28 seasonal
+    // deviations; this answers "when did the KPI step and by how
+    // much". Candidate + rank windows share one entity partitioning.
+    "t32_change_points" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val daily = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "day")
+        .select(col("entity_id"), col("bucket"),
+          col("sum_dec").cast("decimal(18,4)").as("sd"))
+      TrendStore.topChangePoint(daily, w = 7)
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          round(col("mean_before"), 6).as("mean_before"),
+          round(col("mean_after"), 6).as("mean_after"),
+          round(col("shift"), 6).as("shift"))
+        .orderBy(col("entity_id"))
+    },
+
     // Attribute churn report — config-change rate over the attribute
     // history ("how many changes landed per day, across how many
     // entities"). A change is a compact-surviving row excluding each
@@ -921,6 +939,31 @@ object Trend {
         |  coalesce(n, 0) AS n_hours, coalesce(n, 0) / 24 AS availability
         |FROM grid LEFT JOIN pd ON grid.entity_id = pd.entity_id AND grid.day = pd.day
         |ORDER BY 1, 2""".stripMargin,
+
+    "t32_change_points" ->
+      // Frame sums stay DECIMAL-exact; each mean is one IEEE division
+      // of exact operands, the shift one IEEE subtraction — op order
+      // mirrors TrendStore.changePoints exactly (t17 discipline).
+      """WITH d AS (SELECT user_id AS entity_id, date_trunc('day', ts) AS bucket,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sd
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT entity_id, bucket,
+        |    count(*) OVER wb AS nb, CAST(sum(sd) OVER wb AS DOUBLE) AS sb,
+        |    count(*) OVER wa AS na, CAST(sum(sd) OVER wa AS DOUBLE) AS sa
+        |  FROM d
+        |  WINDOW wb AS (PARTITION BY entity_id ORDER BY bucket
+        |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+        |         wa AS (PARTITION BY entity_id ORDER BY bucket
+        |                ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING)),
+        |c AS (SELECT entity_id, bucket, sb / nb AS mean_before,
+        |    sa / na AS mean_after, sa / na - sb / nb AS shift
+        |  FROM f WHERE nb = 7 AND na = 7),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY entity_id
+        |    ORDER BY abs(shift) DESC, bucket) AS rn FROM c)
+        |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  round(mean_before, 6) AS mean_before,
+        |  round(mean_after, 6) AS mean_after, round(shift, 6) AS shift
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
 
     "t31_outage_windows" ->
       """WITH obs AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS bucket FROM events),

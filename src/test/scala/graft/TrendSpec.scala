@@ -234,6 +234,33 @@ class TrendSpec extends SparkSpec {
     assert(g + nObs === rangeSum)
   }
 
+  test("topChangePoint finds a planted level shift at its left edge") {
+    import graft.SparkSpec.spark.implicits._
+    // entity 1: 10 days at level 2.0 then 10 days at level 12.0 —
+    // the biggest split-window (w=3) shift ties between the last old
+    // day (10) and the first new day (11); earliest-bucket tie-break
+    // reports day 10 with shift exactly +10. entity 2: flat series →
+    // every candidate shift is 0; earliest candidate day (4) wins.
+    val rows = (1 to 20).map(d => (1L, f"2024-01-$d%02d 00:00:00",
+        if (d <= 10) BigDecimal("2.0") else BigDecimal("12.0"))) ++
+      (1 to 9).map(d => (2L, f"2024-02-$d%02d 00:00:00", BigDecimal("5.0")))
+    val daily = rows.toDF("entity_id", "b", "v")
+      .select(col("entity_id"), col("b").cast("timestamp").as("bucket"),
+        col("v").cast("decimal(18,4)").as("sd"))
+    val got = TrendStore.topChangePoint(daily, w = 3)
+      .select(col("entity_id"), date_format(col("bucket"), "dd").cast("int"),
+        col("mean_before"), col("mean_after"), col("shift"))
+      .as[(Long, Int, Double, Double, Double)].collect().toSet
+    assert(got === Set((1L, 10, 2.0, 12.0, 10.0), (2L, 4, 5.0, 5.0, 0.0)))
+    // short series (< 2w+1 buckets) emit nothing
+    val short = (1 to 6).map(d => (9L, f"2024-03-$d%02d 00:00:00", BigDecimal("1.0")))
+      .toDF("entity_id", "b", "v")
+      .select(col("entity_id"), col("b").cast("timestamp").as("bucket"),
+        col("v").cast("decimal(18,4)").as("sd"))
+    assert(TrendStore.topChangePoint(short, w = 3).isEmpty)
+    intercept[IllegalArgumentException](TrendStore.changePoints(daily, w = 0))
+  }
+
   test("outageWindows coalesces planted gap runs into exact intervals") {
     import graft.SparkSpec.spark.implicits._
     // entity 1: observed hours 0,1,5,7 → islands [2-4] (3 buckets), [6-6] (1).
