@@ -75,6 +75,36 @@ object AttributeStore {
       .drop("__in_before", "__in_after")
   }
 
+  /** Bulk time-travel: attribute state of every entity at EACH
+    * snapshot timestamp in `snaps`, in ONE pass over the history —
+    * the reporting question behind [[atTime]] ("weekly configuration
+    * snapshots for the whole fleet"), without running |snaps|
+    * separate as-of window passes over the store.
+    *
+    * Each history row is valid from its ts until the entity's next
+    * write (the [[history]] interval, same (ts, tie) ordering); the
+    * snapshots it serves are selected from a LITERAL timestamp array
+    * per row and exploded. So the plan is one entity-keyed lead
+    * window plus a join-free grid expansion — nothing builds an
+    * (entity × snapshot) table to range-join back, and the history
+    * is scanned once however many snapshots are asked for. Snapshots
+    * before an entity's first write emit nothing for that entity;
+    * same-ts writes resolve to the higher tie, matching [[atTime]].
+    * Output: the attrs row serving each (entity, snapshot), plus
+    * `snapshot_ts`. */
+  def snapshots(attrs: DataFrame, entity: Column, ts: Column, tie: Column,
+                snaps: Seq[String]): DataFrame = {
+    require(snaps.nonEmpty, "snapshots needs at least one snapshot timestamp")
+    val w = Window.partitionBy(entity).orderBy(ts.asc, tie.asc)
+    val snapArr = array(snaps.map(s => lit(s).cast("timestamp")): _*)
+    attrs
+      .withColumn("__from", ts)
+      .withColumn("__until", lead(ts, 1).over(w))
+      .withColumn("snapshot_ts", explode(filter(snapArr,
+        s => s >= col("__from") && (col("__until").isNull || s < col("__until")))))
+      .drop("__from", "__until")
+  }
+
   /** Attribute CHURN report: per-bucket counts of real value changes
     * — "how many config changes landed per day, across how many
     * entities" (fleet change-rate monitoring over an attribute

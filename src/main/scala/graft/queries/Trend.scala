@@ -487,6 +487,21 @@ object Trend {
         .orderBy(col("entity_id"), col("outage_start"))
     },
 
+    // Bulk time-travel — the whole fleet's attribute state at each
+    // weekly snapshot, in ONE history pass (a04 answers one
+    // timestamp; reporting wants the series). Lead window + literal
+    // snapshot array explode, no (entity × snapshot) join.
+    "a07_attr_snapshots" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val snaps = Seq("2024-01-08 00:00:00", "2024-01-15 00:00:00",
+        "2024-01-22 00:00:00", "2024-01-29 00:00:00")
+      AttributeStore.snapshots(ev, col("user_id"), col("ts"), col("event_id"), snaps)
+        .select(col("user_id"), date_format(col("snapshot_ts"), TS).as("snapshot_ts"),
+          date_format(col("ts"), TS).as("ts"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("user_id"), col("snapshot_ts"))
+    },
+
     // Change-point report — the single most likely LEVEL SHIFT per
     // entity over its daily series (split-window mean comparison,
     // w=7 days each side). t17 flags outlier points, t28 seasonal
@@ -938,6 +953,20 @@ object Trend {
         |SELECT grid.entity_id, strftime(grid.day, '%Y-%m-%d') AS day,
         |  coalesce(n, 0) AS n_hours, coalesce(n, 0) / 24 AS availability
         |FROM grid LEFT JOIN pd ON grid.entity_id = pd.entity_id AND grid.day = pd.day
+        |ORDER BY 1, 2""".stripMargin,
+
+    "a07_attr_snapshots" ->
+      """WITH h AS (SELECT user_id, ts, props,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS til
+        |  FROM events),
+        |s AS (SELECT unnest([TIMESTAMP '2024-01-08 00:00:00',
+        |    TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-22 00:00:00',
+        |    TIMESTAMP '2024-01-29 00:00:00']) AS snapshot_ts)
+        |SELECT user_id, strftime(snapshot_ts, '%Y-%m-%d %H:%M:%S') AS snapshot_ts,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS k
+        |FROM h JOIN s ON s.snapshot_ts >= h.ts
+        |  AND (h.til IS NULL OR s.snapshot_ts < h.til)
         |ORDER BY 1, 2""".stripMargin,
 
     "t32_change_points" ->

@@ -234,6 +234,38 @@ class TrendSpec extends SparkSpec {
     assert(g + nObs === rangeSum)
   }
 
+  test("snapshots ≡ one atTime per snapshot, in a single history pass") {
+    import graft.SparkSpec.spark.implicits._
+    val attrs = Seq(
+      (1L, "2024-01-05 00:00:00", 1L, "v1"), // entity 1: three writes
+      (1L, "2024-01-10 00:00:00", 2L, "v2"),
+      (1L, "2024-01-20 00:00:00", 3L, "v3"),
+      (2L, "2024-01-16 00:00:00", 4L, "w1"), // entity 2: born mid-series
+      (3L, "2024-01-01 00:00:00", 5L, "old"), // entity 3: same-ts writes —
+      (3L, "2024-01-01 00:00:00", 6L, "new")) // higher tie must win
+      .toDF("entity_id", "ts", "eid", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val snaps = Seq("2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-22 00:00:00")
+    val got = AttributeStore.snapshots(attrs, col("entity_id"), col("ts"), col("eid"), snaps)
+      .select(col("entity_id"), date_format(col("snapshot_ts"), "dd").cast("int"), col("v"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(got === Set(
+      (1L, 8, "v1"), (1L, 15, "v2"), (1L, 22, "v3"),
+      (2L, 22, "w1"),
+      (3L, 8, "new"), (3L, 15, "new"), (3L, 22, "new")))
+    // per-snapshot agreement with the single-ts as-of path
+    snaps.foreach { sn =>
+      val bulk = AttributeStore.snapshots(attrs, col("entity_id"), col("ts"), col("eid"), Seq(sn))
+        .select("entity_id", "v").as[(Long, String)].collect().toSet
+      val one = AttributeStore.atTime(attrs, col("entity_id"), col("ts"), col("eid"),
+          lit(sn).cast("timestamp"))
+        .select("entity_id", "v").as[(Long, String)].collect().toSet
+      assert(bulk === one, s"snapshot $sn")
+    }
+    intercept[IllegalArgumentException](
+      AttributeStore.snapshots(attrs, col("entity_id"), col("ts"), col("eid"), Seq.empty))
+  }
+
   test("topChangePoint finds a planted level shift at its left edge") {
     import graft.SparkSpec.spark.implicits._
     // entity 1: 10 days at level 2.0 then 10 days at level 12.0 —
