@@ -764,6 +764,22 @@ object TextSim {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // Index acceptance gate (rows-only; exact-wiring spec oracle):
+    // per-query recall@10 of the SERVED IVF index against the exact
+    // brute-force top-10 — the evaluation every ANN deployment runs
+    // before trusting an index. Joins two O(queries·k) id tables;
+    // vectors are only touched by the two searches themselves.
+    "s16_ann_recall" -> { (s, dir) =>
+      val emb = TableCatalog(s, dir).embeddings
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.cosineTopK(qs, emb, "vec_id", "vec_id", "embedding", k = 10)
+      val idx = cachedIndex(s, dir, "ivf") { p =>
+        Similarity.ivfBuild(emb, "vec_id", "embedding", p)
+      }
+      val approx = Similarity.ivfSearch(qs, "vec_id", "embedding", idx, k = 10)
+      Similarity.recallAtK(exact, approx).orderBy(col("q_id"))
+    },
+
     // Persisted-PQ serving path (rows-only; ≡ inline spec-asserted):
     // the s07 counterpart — pqSearch scans the m-ints codes table of
     // a prebuilt index instead of re-training and re-encoding.

@@ -90,6 +90,33 @@ object Similarity {
       .select(col("q_id"), posexplode(col("__top")))
       .select(col("q_id"), (col("pos") + 1).as("rank"), col("col.n_id").as("n_id"))
 
+  /** Index-quality evaluation: per-query recall of an approximate
+    * top-k result set against the exact one — the acceptance gate an
+    * ANN deployment runs before switching serving to an index. Both
+    * inputs are top-k tables carrying a query id and a neighbor id
+    * ([[cosineTopK]] output as truth; [[ivfSearch]] / [[pqSearch]] /
+    * [[ivfpqSearch]] / [[lshTopK]] output as candidate). Per exact-
+    * side query: |approx ∩ exact| / |exact| — graded out of what the
+    * exact list actually holds, so tiny corpora with < k neighbors
+    * still grade correctly, and a query the approx side missed
+    * entirely grades 0 instead of vanishing.
+    *
+    * Shape: one (q_id, n_id)-keyed left join + one q_id groupBy —
+    * fixed-width key shuffles over O(queries · k) rows; the vectors
+    * are never touched again. */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+                qCol: String = "q_id", nCol: String = "n_id"): DataFrame = {
+    val e = exact.select(col(qCol).cast("long").as("q_id"),
+      col(nCol).cast("long").as("n_id"))
+    val a = approx.select(col(qCol).cast("long").as("q_id"),
+        col(nCol).cast("long").as("n_id"))
+      .distinct().withColumn("__hit", lit(1L))
+    e.join(a, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
+      .withColumn("recall", col("n_hit") / col("n_exact"))
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` must be
     * broadcast-small (it is crossJoin-broadcast against the corpus).
     * Norms are computed once per row per side — never per pair. */

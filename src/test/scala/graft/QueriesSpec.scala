@@ -24,10 +24,13 @@ class QueriesSpec extends SparkSpec {
   // source, documented); s01/s06/s07/s10/s12 score a BROADCAST query
   // batch against candidates — a bounded BroadcastNestedLoopJoin
   // over the tiny query side, not a data×data product.
+  // s16 inherits s01's broadcast-query product: its exact-truth side
+  // IS a cosineTopK run; the recall join itself is a pure hash join.
   private val mayProduct = Set(
     "d09_embed_dup",
     "s01_cosine_topk", "s06_rrf_fusion",
-    "s07_ann_pq", "s10_ann_pq_serve", "s12_ann_opq_serve")
+    "s07_ann_pq", "s10_ann_pq_serve", "s12_ann_opq_serve",
+    "s16_ann_recall")
 
   // Keys whose whole point is a BOUNDED rank path (CollectMinK or a
   // struct-ordered min agg) instead of a per-group window sort — a

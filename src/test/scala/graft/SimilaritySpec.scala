@@ -585,4 +585,38 @@ class SimilaritySpec extends SparkSpec {
     assert(st.count() === emb.select("label").distinct().count())
     assert(st.filter(col("min_norm") > col("max_norm")).isEmpty)
   }
+
+  test("recallAtK grades planted overlaps exactly; missed queries grade 0, not absent") {
+    import graft.SparkSpec.spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("q_id", "n_id")
+    // q1: 2/3 hit; q2: missing entirely from approx → 0; q3: 1/1;
+    // the duplicated (3,30) approx row must not double-count.
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (3L, 30L), (3L, 30L))
+      .toDF("q_id", "n_id")
+    val got = Similarity.recallAtK(exact, approx)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 3L, 2L, 2.0 / 3.0), (2L, 2L, 0L, 0.0), (3L, 1L, 1L, 1.0)))
+    // an index graded against itself is perfect recall
+    val self = Similarity.recallAtK(exact, exact)
+    assert(self.filter(col("recall") =!= 1.0).isEmpty)
+    // end-to-end: the served IVF path grades against brute force
+    val qs = emb.filter(col("vec_id") < 10)
+    val truth = Similarity.cosineTopK(qs, emb, "vec_id", "vec_id", "embedding", k = 10)
+    val root = java.nio.file.Files.createTempDirectory("graft_recall").toString
+    Similarity.ivfBuild(emb, "vec_id", "embedding", s"$root/ivf")
+    // full probe scores every cell exactly → macro recall can only
+    // lose to self-match slotting; a narrow probe must not beat it
+    val full = Similarity.ivfSearch(qs, "vec_id", "embedding", s"$root/ivf",
+      k = 10, nprobe = Int.MaxValue)
+    val fullRecall = Similarity.recallAtK(truth, full)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    assert(fullRecall >= 0.9, s"full-probe IVF macro recall $fullRecall")
+    val narrow = Similarity.ivfSearch(qs, "vec_id", "embedding", s"$root/ivf",
+      k = 10, nprobe = 2)
+    val narrowRecall = Similarity.recallAtK(truth, narrow)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    assert(narrowRecall <= fullRecall + 1e-9,
+      s"narrow probe $narrowRecall beat full probe $fullRecall")
+  }
 }
