@@ -319,6 +319,29 @@ object TrendStore {
           .as("forecast_next"))
   }
 
+  /** Trailing time-window aggregate over a presented rollup
+    * `(entity_id, bucket, sd DECIMAL)`: for each bucket, the sum and
+    * bucket count over the trailing `widthSeconds` INCLUSIVE of the
+    * bucket — the "rolling 24 h total" monitoring series. The frame
+    * is a RANGE over the bucket epoch, NOT a ROWS frame: on a gappy
+    * series `ROWS N PRECEDING` silently reaches past the window's
+    * true start (it counts rows, not time), while the range frame
+    * shrinks with the gap. q08's running sum is the rows-unbounded
+    * cousin; this is the time-bounded one. One entity-keyed window
+    * shuffle; frame state is width/step-bounded per row. Sum stays
+    * DECIMAL inside the frame → one exact-operand double cast. */
+  def trailingWindow(rolledUp: DataFrame, widthSeconds: Long): DataFrame = {
+    require(widthSeconds >= 1, s"trailing window width must be >= 1 s, got $widthSeconds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("entity_id")).orderBy(col("__epoch"))
+      .rangeBetween(-(widthSeconds - 1), 0)
+    rolledUp
+      .withColumn("__epoch", unix_timestamp(col("bucket")))
+      .withColumn("win_sum", sum(col("sd")).over(w).cast("double"))
+      .withColumn("win_buckets", count(lit(1)).over(w))
+      .drop("__epoch")
+  }
+
   /** Change-point candidates: per-entity SPLIT-WINDOW mean shift over
     * a presented rollup `(entity_id, bucket, sd DECIMAL)`. For each
     * bucket with w buckets strictly before AND w strictly after (both

@@ -487,6 +487,22 @@ object Trend {
         .orderBy(col("entity_id"), col("outage_start"))
     },
 
+    // Rolling 24 h series — trailing TIME-window totals per entity
+    // over the hourly rollup (q08 runs unbounded; this is the
+    // time-bounded monitoring series). RANGE frame on the epoch, so
+    // gaps shrink the window instead of letting a ROWS frame reach
+    // past its true start.
+    "t33_rolling_day" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val hourly = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "hour")
+        .select(col("entity_id"), col("bucket"),
+          col("sum_dec").cast("decimal(18,4)").as("sd"))
+      TrendStore.trailingWindow(hourly, widthSeconds = 86400L)
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("win_sum"), col("win_buckets"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
     // Bulk time-travel — the whole fleet's attribute state at each
     // weekly snapshot, in ONE history pass (a04 answers one
     // timestamp; reporting wants the series). Lead window + literal
@@ -953,6 +969,19 @@ object Trend {
         |SELECT grid.entity_id, strftime(grid.day, '%Y-%m-%d') AS day,
         |  coalesce(n, 0) AS n_hours, coalesce(n, 0) / 24 AS availability
         |FROM grid LEFT JOIN pd ON grid.entity_id = pd.entity_id AND grid.day = pd.day
+        |ORDER BY 1, 2""".stripMargin,
+
+    "t33_rolling_day" ->
+      """WITH h AS (SELECT user_id AS entity_id, date_trunc('hour', ts) AS bucket,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sd
+        |  FROM events GROUP BY 1, 2),
+        |e AS (SELECT entity_id, bucket, sd, CAST(epoch(bucket) AS BIGINT) AS ep FROM h)
+        |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(sum(sd) OVER w AS DOUBLE) AS win_sum,
+        |  count(*) OVER w AS win_buckets
+        |FROM e
+        |WINDOW w AS (PARTITION BY entity_id ORDER BY ep
+        |             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
         |ORDER BY 1, 2""".stripMargin,
 
     "a07_attr_snapshots" ->

@@ -234,6 +234,23 @@ class TrendSpec extends SparkSpec {
     assert(g + nObs === rangeSum)
   }
 
+  test("trailingWindow is gap-honest: range frame shrinks where a rows frame would not") {
+    import graft.SparkSpec.spark.implicits._
+    // hours 0,1,2 then a jump to hour 30: with a 3 h trailing window
+    // the hour-30 row must cover ONLY itself — ROWS 2 PRECEDING
+    // would wrongly drag hours 1-2 into it across the 27 h gap.
+    val rows = Seq((1L, "2024-01-01 00:00:00", "1.5"), (1L, "2024-01-01 01:00:00", "2.5"),
+      (1L, "2024-01-01 02:00:00", "4.0"), (1L, "2024-01-02 06:00:00", "8.0"))
+    val daily = rows.toDF("entity_id", "b", "v")
+      .select(col("entity_id"), col("b").cast("timestamp").as("bucket"),
+        col("v").cast("decimal(18,4)").as("sd"))
+    val got = TrendStore.trailingWindow(daily, widthSeconds = 3 * 3600L)
+      .select(date_format(col("bucket"), "HH").cast("int"), col("win_sum"), col("win_buckets"))
+      .as[(Int, Double, Long)].collect().toSet
+    assert(got === Set((0, 1.5, 1L), (1, 4.0, 2L), (2, 8.0, 3L), (6, 8.0, 1L)))
+    intercept[IllegalArgumentException](TrendStore.trailingWindow(daily, 0L))
+  }
+
   test("snapshots ≡ one atTime per snapshot, in a single history pass") {
     import graft.SparkSpec.spark.implicits._
     val attrs = Seq(
