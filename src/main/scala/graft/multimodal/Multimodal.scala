@@ -588,4 +588,31 @@ object Multimodal {
       .agg(countDistinct(col("fa")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Scene-cut detection: sampled frame indices where the perceptual
+    * hash jumps by more than `minHamming` bits against the previous
+    * sampled frame — the keyframe-selection primitive for video
+    * training data (keep one frame per SCENE instead of one per time
+    * step; consecutive frames inside a scene land within a few dHash
+    * bits, a cut lands tens of bits away). One per-video ordered
+    * window over [[frameHashes]]; the distance is the codegen'd
+    * POPCOUNT(XOR) on two longs (HammingDistance) — after the decode
+    * pass nothing touches pixels again, and window partitions are
+    * per-video frame-count bounded. Output: one row per cut
+    * `(doc_id, frame_idx, prev_idx, dist)`, where frame_idx is the
+    * first frame of the NEW scene. */
+  def sceneCuts(spark: SparkSession, df: DataFrame, idCol: String,
+                step: Int = 2, minHamming: Int = 16, batchSize: Int = 16,
+                decoder: FrameDecoder = ImageIoFrameDecoder): DataFrame = {
+    import graft.functions.HammingDistance.hamming
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameHashes(spark, df, idCol, step, batchSize, decoder).toDF()
+      .withColumn("__prev_hash", lag(col("dhash"), 1).over(w))
+      .withColumn("prev_idx", lag(col("frame_idx"), 1).over(w))
+      .filter(col("__prev_hash").isNotNull)
+      .withColumn("dist", hamming(col("dhash"), col("__prev_hash")))
+      .filter(col("dist") > minHamming)
+      .select(col("doc_id"), col("frame_idx"), col("prev_idx"), col("dist"))
+  }
 }

@@ -980,6 +980,24 @@ object TextSim {
         .orderBy(col("video_a"), col("video_b"))
     },
 
+    // Scene-cut detection (rows-only; planted-boundary spec oracle):
+    // keyframe selection over the same MJPEG-AVI walk as m05 — each
+    // synthetic video carries two 3-frame scenes, and the per-video
+    // lag window flags exactly the scene boundary (frame 3) via the
+    // codegen'd POPCOUNT(XOR) hamming distance.
+    "m06_scene_cuts" -> { (s, dir) =>
+      import s.implicits._
+      val docs = TableCatalog(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 8)
+        .as[Long].map { id =>
+          val (sa, sb) = (id * 7 + 1, id * 7 + 2)
+          (id, Multimodal.syntheticVideo(Seq(sa, sa, sa, sb, sb, sb)))
+        }.toDF("doc_id", "payload")
+      Multimodal.sceneCuts(s, docs, "doc_id", step = 1, minHamming = 10,
+          decoder = Multimodal.MjpegAviFrameDecoder)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // Corpus vocabulary profile: top-100 tokens by occurrence count
     // with document frequency — the first thing a tokenizer team asks
     // of a new corpus. One explode → token-keyed groupBy (map-side

@@ -369,4 +369,26 @@ class MultimodalSpec extends SparkSpec {
     assert((pairs.head.getLong(0), pairs.head.getLong(1)) === (1L, 2L))
     assert(pairs.head.getLong(2) === 2L)
   }
+
+  test("scene cuts flag exactly the planted scene boundary; steady videos stay cut-free") {
+    import graft.SparkSpec.spark.implicits._
+    // video 1: two 3-frame scenes → exactly one cut, at the first
+    // frame of the NEW scene (idx 3, prev 2). video 2: one scene
+    // (identical frames) → no cuts at all.
+    val twoScene = Multimodal.syntheticVideo(Seq(5L, 5L, 5L, 9L, 9L, 9L))
+    val oneScene = Multimodal.syntheticVideo(Seq(21L, 21L, 21L, 21L))
+    val docs = Seq((1L, twoScene), (2L, oneScene)).toDF("doc_id", "payload")
+    val cuts = Multimodal.sceneCuts(spark, docs, "doc_id", step = 1,
+        minHamming = 10, decoder = Multimodal.MjpegAviFrameDecoder)
+      .select(col("doc_id"), col("frame_idx"), col("prev_idx"))
+      .as[(Long, Int, Int)].collect().toSet
+    assert(cuts === Set((1L, 3, 2)))
+    // sampling every 2nd frame still straddles the boundary: the cut
+    // survives sub-sampling (sampled idxs 0,2,4 → cut at idx 4)
+    val sampled = Multimodal.sceneCuts(spark, docs, "doc_id", step = 2,
+        minHamming = 10, decoder = Multimodal.MjpegAviFrameDecoder)
+      .select(col("doc_id"), col("frame_idx"), col("prev_idx"))
+      .as[(Long, Int, Int)].collect().toSet
+    assert(sampled === Set((1L, 4, 2)))
+  }
 }
