@@ -52,6 +52,8 @@ import graft.sources.HarvestJob
   * graft.Cli explain --key q01_pricing_summary --sf-dir DIR
   *   [--mode formatted|simple|extended|cost]   (plan audit, no execution)
   * graft.Cli store-info --store S [--counts true]   (schema + partition range)
+  * graft.Cli audit --store S [--granularity hour] [--top 5]
+  *   (health report: grid coverage + the longest outage windows)
   * graft.Cli index-info --index DIR   (layout autodetect + size/params)
   * graft.Cli harvest-stream --source DIR --format csv … --checkpoint DIR \
   *   [--once true] [--glob RE]   (continuous harvest; --once drains + exits)
@@ -489,6 +491,38 @@ object Cli {
          else ""))
       if (opt(f, "counts", "false").toBoolean)
         println(s"  rows: ${df.count()}")
+
+    case "audit" :: rest =>
+      // Store health report — the operator-facing rollup of the t30
+      // (coverage) and t31 (outage interval) questions, run against
+      // the persisted store itself: per-entity grid coverage plus the
+      // longest contiguous outage windows. One gaps plan feeds both
+      // numbers (the cache spans the two actions).
+      val f = parseFlags(rest)
+      val path = one(f, "store")
+      val gran = opt(f, "granularity", "hour")
+      val topN = opt(f, "top", "5").toInt
+      val store = spark.read.option("mergeSchema", "true").parquet(path)
+      val nEntities = store.select(col("entity_id")).distinct().count()
+      val observed = store.select(col("entity_id"), col("bucket")).distinct().count()
+      val outages = graft.operators.TrendStore.outageWindows(
+        store, col("entity_id"), col("bucket"), gran).cache()
+      try {
+        val missing = Option(outages
+            .agg(org.apache.spark.sql.functions.sum(col("n_buckets"))).head.get(0))
+          .fold(0L)(_.asInstanceOf[Long])
+        val total = observed + missing
+        val pct = if (total == 0) 100.0 else observed.toDouble / total * 100
+        println(s"audit: store=$path granularity=$gran")
+        println(s"  entities: $nEntities")
+        println(f"  buckets: observed=$observed missing=$missing coverage=$pct%.2f%%")
+        val top = outages
+          .orderBy(col("n_buckets").desc, col("entity_id"), col("outage_start"))
+          .limit(topN).collect()
+        println(s"  outage windows: ${outages.count()} (top ${top.length} by length)")
+        top.foreach(r =>
+          println(s"    entity=${r.get(0)} ${r.get(1)} .. ${r.get(2)} (${r.get(3)} buckets)"))
+      } finally outages.unpersist()
 
     case "index-info" :: rest =>
       // Introspection twin of compact-index: detect the persisted

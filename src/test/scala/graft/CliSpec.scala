@@ -128,6 +128,29 @@ class CliSpec extends SparkSpec {
     assert(text.contains("rows: 2"))
   }
 
+  test("audit reports grid coverage and the longest outage windows") {
+    import graft.operators.TrendStoreWriter
+    val base = Files.createTempDirectory("graft_cli_audit").toString
+    // entity 1 observed hours 0,1,5 → one 3-bucket outage [02..04];
+    // entity 2 dense hours 0,1 → no outage. observed=5, missing=3.
+    val rows = Seq((1L, "2024-01-01 00:00:00", 1.0), (1L, "2024-01-01 01:00:00", 1.0),
+      (1L, "2024-01-01 05:00:00", 1.0), (2L, "2024-01-01 00:00:00", 2.0),
+      (2L, "2024-01-01 01:00:00", 2.0))
+      .toDF("entity_id", "bucket", "v")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    TrendStoreWriter.write(rows, s"$base/store")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.run(spark, Seq("audit", "--store", s"$base/store"))
+    }
+    val text = out.toString
+    assert(text.contains("entities: 2"))
+    assert(text.contains("observed=5 missing=3 coverage=62.50%"), text)
+    assert(text.contains("outage windows: 1"), text)
+    assert(text.contains("entity=1 2024-01-01 02:00:00") &&
+      text.contains("(3 buckets)"), text)
+  }
+
   test("config files round-trip to identical output as the flag form") {
     val base = Files.createTempDirectory("graft_cli_cfg").toString
     Seq((1L, "2024-01-01 10:05:00", 9.0), (1L, "2024-01-01 10:35:00", 2.0),
