@@ -319,6 +319,32 @@ object TrendStore {
           .as("forecast_next"))
   }
 
+  /** Busy-hour determination over a presented hourly rollup
+    * `(entity_id, bucket, sd DECIMAL)`: each entity's hour-of-day
+    * profile (average load per hour 0-23 across the whole span) and
+    * its peak — the classic telecom dimensioning question Minerva
+    * stores exist to answer ("cell X's busy hour is 17:00"). Ties
+    * break to the earliest hour; determinism holds because the
+    * profile averages are single IEEE divisions of DECIMAL-exact
+    * sums (bit-identical cross-engine), so tie DETECTION agrees too.
+    *
+    * Shape: one (entity, hour-of-day) groupBy — map-side combinable,
+    * O(entities × 24) result keys — then a rank window over ≤ 24
+    * rows per entity sharing the entity key. Nothing re-reads the
+    * hourly store. */
+  def busyHour(rolledUp: DataFrame): DataFrame = {
+    val profile = rolledUp
+      .groupBy(col("entity_id"), hour(col("bucket")).cast("long").as("busy_hour"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("sd")).as("__sum"))
+      .withColumn("avg_value", col("__sum").cast("double") / col("n_obs"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("entity_id"))
+      .orderBy(col("avg_value").desc, col("busy_hour"))
+    profile.withColumn("__rn", row_number().over(rank))
+      .filter(col("__rn") === 1)
+      .select(col("entity_id"), col("busy_hour"), col("n_obs"), col("avg_value"))
+  }
+
   /** Trailing time-window aggregate over a presented rollup
     * `(entity_id, bucket, sd DECIMAL)`: for each bucket, the sum and
     * bucket count over the trailing `widthSeconds` INCLUSIVE of the

@@ -487,6 +487,21 @@ object Trend {
         .orderBy(col("entity_id"), col("outage_start"))
     },
 
+    // Busy-hour report — each entity's peak hour-of-day by average
+    // load (the telecom dimensioning question; Minerva deployments
+    // size capacity on the busy hour). (entity, hod) partial agg +
+    // a ≤24-row rank window per entity.
+    "t34_busy_hour" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val hourly = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "hour")
+        .select(col("entity_id"), col("bucket"),
+          col("sum_dec").cast("decimal(18,4)").as("sd"))
+      TrendStore.busyHour(hourly)
+        .select(col("entity_id"), col("busy_hour"), col("n_obs"),
+          round(col("avg_value"), 6).as("avg_value"))
+        .orderBy(col("entity_id"))
+    },
+
     // Rolling 24 h series — trailing TIME-window totals per entity
     // over the hourly rollup (q08 runs unbounded; this is the
     // time-bounded monitoring series). RANGE frame on the epoch, so
@@ -970,6 +985,20 @@ object Trend {
         |  coalesce(n, 0) AS n_hours, coalesce(n, 0) / 24 AS availability
         |FROM grid LEFT JOIN pd ON grid.entity_id = pd.entity_id AND grid.day = pd.day
         |ORDER BY 1, 2""".stripMargin,
+
+    "t34_busy_hour" ->
+      // Profile averages are IEEE divisions of DECIMAL-exact sums, so
+      // the desc-avg rank (and its tie detection) agrees cross-engine.
+      """WITH h AS (SELECT user_id AS entity_id, date_trunc('hour', ts) AS bucket,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sd
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT entity_id, CAST(hour(bucket) AS BIGINT) AS busy_hour,
+        |    count(*) AS n_obs, CAST(sum(sd) AS DOUBLE) / count(*) AS avg_value
+        |  FROM h GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY entity_id
+        |    ORDER BY avg_value DESC, busy_hour) AS rn FROM p)
+        |SELECT entity_id, busy_hour, n_obs, round(avg_value, 6) AS avg_value
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
 
     "t33_rolling_day" ->
       """WITH h AS (SELECT user_id AS entity_id, date_trunc('hour', ts) AS bucket,

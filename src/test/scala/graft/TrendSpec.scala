@@ -234,6 +234,23 @@ class TrendSpec extends SparkSpec {
     assert(g + nObs === rangeSum)
   }
 
+  test("busyHour picks the peak hour-of-day; exact ties break to the earliest hour") {
+    import graft.SparkSpec.spark.implicits._
+    // entity 1: hour 17 averages 10.0 across two days, others lower.
+    // entity 2: hours 3 and 9 both average exactly 5.0 → hour 3 wins.
+    val rows = Seq(
+      (1L, "2024-01-01 17:00:00", "8.0"), (1L, "2024-01-02 17:00:00", "12.0"),
+      (1L, "2024-01-01 04:00:00", "9.0"),
+      (2L, "2024-01-01 03:00:00", "4.0"), (2L, "2024-01-02 03:00:00", "6.0"),
+      (2L, "2024-01-01 09:00:00", "5.0"))
+    val hourly = rows.toDF("entity_id", "b", "v")
+      .select(col("entity_id"), col("b").cast("timestamp").as("bucket"),
+        col("v").cast("decimal(18,4)").as("sd"))
+    val got = TrendStore.busyHour(hourly)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 17L, 2L, 10.0), (2L, 3L, 2L, 5.0)))
+  }
+
   test("trailingWindow is gap-honest: range frame shrinks where a rows frame would not") {
     import graft.SparkSpec.spark.implicits._
     // hours 0,1,2 then a jump to hour 30: with a 3 h trailing window
