@@ -65,4 +65,30 @@ object Relations {
     }
     acc.withColumn("relation_type", lit("closure"))
   }
+
+  /** Topology-drift report between two relation snapshots — the
+    * directory audit behind network re-parenting ("which cells were
+    * re-homed to a different site since last week"). Per child dn
+    * present in either snapshot: `rehomed` (parent changed), `added`
+    * (child new in `after`), `removed` (child gone), with the parent
+    * on each side. Unchanged children emit nothing. Assumes each
+    * snapshot maps a child to one parent (Minerva's hierarchy shape);
+    * multi-parent children compare as sorted parent SETS, so a pure
+    * re-ordering is not drift.
+    *
+    * Shape: each side collapses to one row per child via a combinable
+    * groupBy on the child key, then ONE full-outer join on the same
+    * key — relation stores are entity-sized, nothing fact-sized moves. */
+  def diff(before: DataFrame, after: DataFrame): DataFrame = {
+    def collapse(rel: DataFrame, out: String) =
+      rel.groupBy(col("child_dn"))
+        .agg(array_join(sort_array(collect_set(col("parent_dn"))), ",").as(out))
+    collapse(before, "parent_before")
+      .join(collapse(after, "parent_after"), Seq("child_dn"), "full_outer")
+      .filter(!(col("parent_before") <=> col("parent_after")))
+      .withColumn("change",
+        when(col("parent_before").isNull, lit("added"))
+          .when(col("parent_after").isNull, lit("removed"))
+          .otherwise(lit("rehomed")))
+  }
 }

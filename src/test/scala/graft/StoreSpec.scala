@@ -169,6 +169,24 @@ class StoreSpec extends SparkSpec {
     assert(hits.count() === 2)
   }
 
+  test("Relations.diff reports rehomed / added / removed children; re-ordering is not drift") {
+    val before = Seq(
+      ("Cell=1", "Site=A"), ("Cell=2", "Site=A"), ("Cell=3", "Site=B"),
+      ("Cell=4", "Site=B"), ("Cell=4", "Site=C")) // multi-parent
+      .toDF("child_dn", "parent_dn").withColumn("relation_type", lit("cell->site"))
+    val after = Seq(
+      ("Cell=1", "Site=A"),                        // unchanged → silent
+      ("Cell=2", "Site=B"),                        // rehomed
+      ("Cell=5", "Site=A"),                        // added
+      ("Cell=4", "Site=C"), ("Cell=4", "Site=B"))  // same set, re-ordered
+      .toDF("child_dn", "parent_dn").withColumn("relation_type", lit("cell->site"))
+    val got = Relations.diff(before, after)
+      .select(col("child_dn"), col("change"))
+      .as[(String, String)].collect().toSet
+    assert(got === Set(
+      ("Cell=2", "rehomed"), ("Cell=3", "removed"), ("Cell=5", "added")))
+  }
+
   test("syncStatus classifies active / silent / unregistered dns") {
     val src = Seq(("Cell=1", "cell", "alpha"), ("Cell=2", "cell", "beta"))
       .toDF("dn", "t", "a")
