@@ -25,7 +25,8 @@ import graft.sources.HarvestJob
   *   --rule name:gran:metric:fn:op:value:severity [--rule …] --out OUT
   *   (or --config FILE — multi-threshold rules)
   * graft.Cli materialize-all --config FILE
-  * graft.Cli retain --store S --keep-from YYYY-MM-DD
+  * graft.Cli retain --store S --keep-from YYYY-MM-DD \
+  *   [--downsample-to COARSE --granularity day]   (tiered retention)
   * graft.Cli compact --history H --value C [--entity C] [--ts C] [--tie C]
   * graft.Cli dedup --docs PARQUET --out OUT \
   *   [--method exact|minhash|simhash|paragraph] [--id doc_id] [--text text]
@@ -212,7 +213,16 @@ object Cli {
 
     case "retain" :: rest =>
       val f = parseFlags(rest)
-      val dropped = TrendStoreWriter.retain(spark, one(f, "store"), one(f, "keep-from"))
+      // --downsample-to switches to tiered retention: expired days
+      // roll up into the coarse store BEFORE the drop (crash-safe:
+      // re-runs re-upsert idempotently, then complete the drop)
+      val dropped = f.get("downsample-to") match {
+        case Some(coarse) => TrendStoreWriter.tieredRetain(spark,
+          one(f, "store"), coarse.last, one(f, "keep-from"),
+          opt(f, "granularity", "day"))
+        case None =>
+          TrendStoreWriter.retain(spark, one(f, "store"), one(f, "keep-from"))
+      }
       println(s"retain: dropped=${dropped.size}")
 
     case "compact" :: rest =>

@@ -115,4 +115,36 @@ object TrendStoreWriter {
     val hi = to.map(d => col("p_date") <= lit(d)).getOrElse(lit(true))
     df.filter(lo && hi)
   }
+
+  /** Tiered retention: downsample-then-drop — the time-series store
+    * lifecycle policy ("keep raw 7 days, hourly 90 days, daily
+    * forever"), where [[retain]] alone would throw the history away.
+    * Fine-store day partitions strictly older than `keepFrom` are
+    * re-aggregated to `granularity` (standard-partial reRollup, so
+    * the coarse store is itself re-aggregable down the tier chain)
+    * and UPSERTED into `coarsePath` BEFORE the fine partitions drop.
+    * Crash anywhere leaves both stores readable: a re-run re-upserts
+    * the same (entity, bucket) keys idempotently and completes the
+    * drop. Only expired-day partitions are ever read (p_date
+    * pruning); the drop side is [[retain]]'s O(partitions) metadata
+    * path. Returns the dropped partition dates. */
+  def tieredRetain(spark: org.apache.spark.sql.SparkSession, finePath: String,
+                   coarsePath: String, keepFrom: String,
+                   granularity: String): Seq[String] = {
+    require(keepFrom.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"keepFrom must be an ISO date, got: $keepFrom")
+    val expired = StoreFs.list(spark, finePath)
+      .map(_.getName)
+      .filter(n => n.startsWith("p_date=") && n.stripPrefix("p_date=") < keepFrom)
+    if (expired.isEmpty) return Seq.empty
+    val horizon = java.time.LocalDate.parse(keepFrom).minusDays(1).toString
+    val old = read(spark, finePath, to = Some(horizon)).drop("p_date")
+    val partialCols = Seq("entity_id", "bucket", "cnt", "sum_dec", "max_value")
+    require(partialCols.forall(old.columns.contains),
+      s"tieredRetain needs the standard partial schema ${partialCols.mkString("(", ", ", ")")}, " +
+        s"got ${old.columns.mkString("(", ", ", ")")}")
+    upsert(spark, coarsePath,
+      graft.operators.TrendStore.reRollup(old.select(partialCols.map(col): _*), granularity))
+    retain(spark, finePath, keepFrom)
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AttributeStoreWriter, StoreFs, TrendStoreWriter}
+import graft.operators.{AttributeStoreWriter, StoreFs, TrendStore, TrendStoreWriter}
 
 /** Partition retention + state-swap recovery specs. */
 class RetentionSpec extends SparkSpec {
@@ -32,6 +32,41 @@ class RetentionSpec extends SparkSpec {
       === "2024-01-06 06:00:00")
     // A second retain at the same horizon is a no-op.
     assert(TrendStoreWriter.retain(spark, store, "2024-01-06").isEmpty)
+  }
+
+  test("tieredRetain downsamples expired days into the coarse tier before dropping them") {
+    val base = tmpDir()
+    val (fine, coarse) = (s"$base/fine", s"$base/coarse")
+    // hourly partials: 3 days × 2 hours × 2 entities
+    val raw = (for (d <- 1 to 3; h <- Seq(6, 18); e <- Seq(1L, 2L))
+      yield (e, f"2024-01-0$d $h%02d:00:00", (d * 10 + h).toDouble))
+      .toDF("entity_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val hourly = TrendStore.rollup(raw, col("entity_id"), col("ts"), col("value"), "hour")
+    TrendStoreWriter.write(hourly, fine)
+    // expected coarse tier: the direct daily rollup of days 1-2
+    val expect = TrendStore.present(TrendStore.reRollup(
+        hourly.filter(col("bucket") < lit("2024-01-03").cast("timestamp")), "day"))
+      .collect().map(_.toString).sorted
+    val dropped = TrendStoreWriter.tieredRetain(spark, fine, coarse, "2024-01-03", "day")
+    assert(dropped === Seq("2024-01-01", "2024-01-02"))
+    val got = TrendStore.present(TrendStoreWriter.read(spark, coarse).drop("p_date"))
+      .collect().map(_.toString).sorted
+    assert(got === expect, "coarse tier != direct daily rollup of the expired days")
+    // the fine store keeps only the horizon day
+    assert(StoreFs.list(spark, fine).map(_.getName).filter(_.startsWith("p_date=")) ===
+      Seq("p_date=2024-01-03"))
+    // re-run at the same horizon: nothing expired, both tiers unchanged
+    assert(TrendStoreWriter.tieredRetain(spark, fine, coarse, "2024-01-03", "day").isEmpty)
+    assert(TrendStore.present(TrendStoreWriter.read(spark, coarse).drop("p_date"))
+      .collect().map(_.toString).sorted === expect)
+    // crash-window replay: coarse already holds the downsampled days
+    // (upsert landed, drop didn't) — re-upserting the same keys is
+    // idempotent, so a re-run converges instead of double-counting
+    TrendStoreWriter.upsert(spark, coarse, TrendStore.reRollup(
+      hourly.filter(col("bucket") < lit("2024-01-03").cast("timestamp")), "day"))
+    assert(TrendStore.present(TrendStoreWriter.read(spark, coarse).drop("p_date"))
+      .collect().map(_.toString).sorted === expect)
   }
 
   test("retain validates the horizon format") {
