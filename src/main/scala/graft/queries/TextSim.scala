@@ -1005,6 +1005,29 @@ object TextSim {
     // then TakeOrderedAndProject for the top-k — no global sort ever
     // materializes at 100 TB. Fully deterministic: the tie-break on
     // the token itself pins the rank-100 boundary on both engines.
+    // BPE merge statistics: the most frequent ADJACENT token pairs
+    // across the corpus — the candidate table a BPE/WordPiece trainer
+    // consumes each merge round (d28 profiles unigrams; merges need
+    // bigram adjacency). One in-row transform builds the pair
+    // structs, then a pair-keyed partial-agg shuffle (Zipf-headed
+    // like d28 — the documented AQE skew case) and a
+    // TakeOrderedAndProject top-k: no global sort at any scale. The
+    // size guard matters: Spark's sequence(1, 0) DESCENDS, so
+    // single-token docs must emit an empty array, not a phantom pair.
+    "d44_bpe_pairs" -> { (s, dir) =>
+      TableCatalog(s, dir).documents
+        .select(split(col("text"), " ").as("t"))
+        .select(explode(when(size(col("t")) >= 2, expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS tok_a, t[i] AS tok_b))"))
+          .otherwise(array().cast("array<struct<tok_a:string,tok_b:string>>"))).as("p"))
+        .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+        .filter(col("tok_a") =!= "" && col("tok_b") =!= "")
+        .groupBy(col("tok_a"), col("tok_b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok_a"), col("tok_b"))
+        .limit(100)
+    },
+
     "d28_vocab_topk" -> { (s, dir) =>
       TableCatalog(s, dir).documents
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -1833,6 +1856,15 @@ object TextSim {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  lower(substr(hex(encode(text)), 1, 16)) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d44_bpe_pairs" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT t[i] AS tok_a, t[i + 1] AS tok_b
+        |  FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        |        FROM toks))
+        |SELECT tok_a, tok_b, count(*) AS n FROM p
+        |WHERE tok_a <> '' AND tok_b <> ''
+        |GROUP BY 1, 2 ORDER BY n DESC, tok_a, tok_b LIMIT 100""".stripMargin,
 
     "d28_vocab_topk" ->
       """WITH toks AS (
