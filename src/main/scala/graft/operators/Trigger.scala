@@ -180,6 +180,39 @@ object Trigger {
     parts.reduce(_ unionByName _)
   }
 
+  /** Flap report: per (rule, entity) EPISODE structure of the firing
+    * stream — [[evaluateSustained]] suppresses flapping pages; this
+    * MEASURES flapping so the rule owner can fix the threshold. An
+    * episode is a maximal run of consecutive fired buckets on the
+    * rule's grid (the same runid formula as sustained detection);
+    * an alert with many short episodes is flapping, one long episode
+    * is a genuine incident. Output per (rule, entity, severity):
+    * n_firings, n_episodes, longest_run.
+    *
+    * Shape: [[evaluate]]'s firing stream, one (entity, rule) window
+    * for the runid, then two STACKED partial aggs (per-episode, then
+    * per-entity) — every step keyed on the same (entity, rule)
+    * family, output O(entities × rules). */
+  def flapReport(rules: Seq[Rule])(
+      trend: DataFrame, entity: Column, ts: Column): DataFrame = {
+    val parts = rules.groupBy(_.granularity).toSeq.sortBy(_._1).map { case (gran, rs) =>
+      val step = TrendStore.stepSeconds(gran).getOrElse(throw new IllegalArgumentException(
+        s"flap report needs a fixed-width granularity grid, got: $gran"))
+      val byRule = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("entity_id"), col("rule")).orderBy(col("bucket"))
+      evaluate(rs)(trend, entity, ts)
+        .withColumn("__runid",
+          floor(unix_timestamp(col("bucket")) / lit(step)) - row_number().over(byRule))
+        .groupBy(col("rule"), col("entity_id"), col("severity"), col("__runid"))
+        .agg(count(lit(1)).as("__len"))
+        .groupBy(col("rule"), col("entity_id"), col("severity"))
+        .agg(sum(col("__len")).as("n_firings"),
+          count(lit(1)).as("n_episodes"),
+          max(col("__len")).as("longest_run"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** The SQL twin of one rule's aggregate — used by callers that
     * generate a two-sided oracle from the same Rule values (the Spark
     * plan and the SQL text CANNOT drift when both derive from the rule

@@ -104,6 +104,31 @@ object Store {
        |  min(bucket) AS first_bucket, max(bucket) AS last_bucket
        |FROM firings GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
 
+  /** n08's generated twin: same per-rule firing SQL, same runid
+    * formula as the sustained oracle, rolled to per-(rule, entity)
+    * episode structure. */
+  private def triggerFlapOracleSql(rules: Seq[Trigger.Rule]): String = {
+    val stepOf = Map("hour" -> 3600L, "day" -> 86400L)
+    val fired = rules.map { r =>
+      val having = r.thresholds
+        .map(t => s"${Trigger.aggSql(t)} ${t.op} ${t.value}").mkString(" AND ")
+      s"""SELECT user_id AS entity_id, date_trunc('${r.granularity}', ts) AS bucket,
+         |  '${r.name}' AS rule, '${r.severity}' AS severity,
+         |  ${stepOf(r.granularity)} AS step
+         |FROM events GROUP BY 1, 2 HAVING $having""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH fired AS ($fired),
+       |r AS (SELECT entity_id, rule, severity,
+       |  CAST(floor(epoch(bucket) / step) AS BIGINT)
+       |    - row_number() OVER (PARTITION BY entity_id, rule ORDER BY bucket) AS runid
+       |  FROM fired),
+       |e AS (SELECT rule, entity_id, severity, runid, count(*) AS len
+       |  FROM r GROUP BY 1, 2, 3, 4)
+       |SELECT rule, entity_id, severity, CAST(sum(len) AS BIGINT) AS n_firings,
+       |  count(*) AS n_episodes, CAST(max(len) AS BIGINT) AS longest_run
+       |FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     // Dirty-set computation exactly as Materialize.run uses it: state
     // is what a run that processed everything before `Cutoff` would
@@ -441,6 +466,17 @@ object Store {
         .orderBy(col("day"), col("rule"))
     },
 
+    // Flap measurement — n06's diagnostic sibling: per (rule,
+    // entity) episode structure of the firing stream (episode = a
+    // maximal consecutive-bucket run). Many short episodes = a
+    // flapping threshold the rule owner should fix; one long episode
+    // = a genuine incident.
+    "n08_flap_report" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      Trigger.flapReport(triggerRules)(ev, col("user_id"), col("ts"))
+        .orderBy(col("rule"), col("entity_id"))
+    },
+
     // Flap suppression: rules page only after holding for 3
     // CONSECUTIVE buckets of their grid (Trigger.evaluateSustained) —
     // the sustained-threshold semantics that keep an oscillating KPI
@@ -693,6 +729,7 @@ object Store {
     "n04_triggers" -> triggerOracleSql(triggerRules),
 
     "n07_alert_digest" -> triggerDigestOracleSql(triggerRules),
+    "n08_flap_report" -> triggerFlapOracleSql(triggerRules),
 
     "n05_trigger_sets" -> triggerSetsOracleSql(triggerRules),
 

@@ -78,6 +78,23 @@ class TriggerSpec extends SparkSpec {
     assert(e.getMessage.contains("fixed-width"))
   }
 
+  test("flapReport counts episodes: three separated runs = flapping, one run = incident") {
+    val surge = Seq(Trigger.Rule("surge", "hour",
+      Seq(Trigger.Threshold("v", "sum", ">", 10.0)), "major"))
+    // entity 1 fires hours 01,02 | 04 | 06,07,08 → 3 episodes,
+    // 6 firings, longest 3. entity 2 fires 01..03 in one run.
+    val flappy = events(
+      Seq(1, 2, 4, 6, 7, 8).map(h => (1L, f"2024-01-01 $h%02d:00:00", 12.0)) ++
+      Seq(1, 2, 3).map(h => (2L, f"2024-01-01 $h%02d:00:00", 12.0)))
+    val got = Trigger.flapReport(surge)(flappy, col("entity"), col("ts"))
+      .select(col("entity_id"), col("n_firings"), col("n_episodes"), col("longest_run"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 6L, 3L, 3L), (2L, 3L, 1L, 3L)))
+    // firings conservation against the raw firing stream
+    val nFired = Trigger.evaluate(surge)(flappy, col("entity"), col("ts")).count()
+    assert(nFired === 9L)
+  }
+
   test("payload round-trips through NotificationStore.typed") {
     val fired = Trigger.evaluate(rules)(data, col("entity"), col("ts"))
       .filter(col("rule") === "surge")
