@@ -328,6 +328,39 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The drop list under a KEEP-BEST policy: every clustered doc
+    * except its cluster's highest-SCORING member — the canonical-
+    * selection policy a curation pipeline actually wants (the best
+    * mirror survives; [[dropList]]'s keep-min-id is the crawl-order
+    * policy). `scores` carries one row per doc (id, score) — length,
+    * d06 quality, d30 rarity, any ranking; unscored members rank
+    * lowest, exact score ties break to the SMALLEST id so the policy
+    * stays total. Output `(doc_id, cluster_id, keeper_id)`.
+    *
+    * Shape: the CC labels join scores on the id key, then ONE struct
+    * max per cluster picks the keeper — O(1) agg state per cluster,
+    * no window ever sorts a cluster's membership (a mega-cluster of
+    * mirrors would serialize that sort onto one reducer). */
+  def canonicalDropList(pairs: DataFrame, scores: DataFrame,
+                        idCol: String = "doc_id",
+                        scoreCol: String = "score"): DataFrame = {
+    val (labels, _) = ccStars(pairs)
+    val scored = labels.join(
+      scores.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("__score")),
+      Seq("id"), "left")
+    val keepers = scored
+      .groupBy(col("label").as("cluster_id"))
+      .agg(max(struct(
+        coalesce(col("__score"), lit(Double.NegativeInfinity)).as("s"),
+        (-col("id")).as("negid"))).as("__best"))
+      .select(col("cluster_id"), (-col("__best.negid")).as("keeper_id"))
+    scored.select(col("id").as(idCol), col("label").as("cluster_id"))
+      .join(keepers, Seq("cluster_id"))
+      .filter(col(idCol) =!= col("keeper_id"))
+      .select(col(idCol), col("cluster_id"), col("keeper_id"))
+  }
+
   /** Connected components over an undirected pair set via alternating
     * LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
     * Components in MapReduce and Beyond") — O(log n) rounds on ANY

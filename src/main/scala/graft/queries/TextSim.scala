@@ -638,6 +638,20 @@ object TextSim {
       Dedup.dupClusters(pairs).orderBy(col("cluster_id"))
     },
 
+    // Canonical selection: drop list under the KEEP-BEST policy —
+    // each near-dup cluster keeps its LONGEST member (n_chars score,
+    // min-id tie-break), not its lowest id. The policy a curation
+    // pipeline actually runs: the fullest mirror survives. One
+    // struct-max per cluster picks the keeper — no window sorts a
+    // cluster's membership (mega-clusters of mirrors stay parallel).
+    "d45_canonical_dedup" -> { (s, dir) =>
+      val docs = TableCatalog(s, dir).documents
+      val pairs = Dedup.shingleJaccard(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      Dedup.canonicalDropList(pairs,
+          docs.select(col("doc_id"), col("n_chars").as("score")))
+        .orderBy(col("doc_id"))
+    },
+
     // Embedding duplicate clusters: the same keep-one-per-cluster
     // step over the EMBEDDING near-dup graph (d09's exact-cosine pair
     // set, rounded-boundary threshold) — composing cosinePairs with
@@ -1728,6 +1742,35 @@ object TextSim {
         |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
         |SELECT cluster_id, count(*) AS n_members, max(id) AS max_member
         |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d45_canonical_dedup" ->
+      // d22's recursive-CTE components + an argmax keeper per
+      // cluster (n_chars DESC, id ASC — exact integers, no float
+      // comparison anywhere in the ranking).
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id
+        |  FROM inter JOIN sizes na ON a_id = na.doc_id JOIN sizes nb ON b_id = nb.doc_id
+        |  WHERE c / (na.n + nb.n - c) >= 0.5),
+        |e AS (SELECT a_id AS s, b_id AS d FROM pairs
+        |      UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (SELECT s AS id, s AS r FROM e
+        |          UNION
+        |          SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+        |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |scored AS (SELECT labels.id, cluster_id, n_chars
+        |  FROM labels JOIN documents ON labels.id = documents.doc_id),
+        |k AS (SELECT cluster_id, id AS keeper_id, row_number() OVER (
+        |    PARTITION BY cluster_id ORDER BY n_chars DESC, id) AS rn FROM scored)
+        |SELECT scored.id AS doc_id, scored.cluster_id, k.keeper_id
+        |FROM scored JOIN k ON scored.cluster_id = k.cluster_id AND k.rn = 1
+        |WHERE scored.id <> k.keeper_id
+        |ORDER BY 1""".stripMargin,
 
     "d23_embed_clusters" ->
       // Connected components of the d09 pair graph via the same

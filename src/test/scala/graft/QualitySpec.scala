@@ -89,6 +89,27 @@ class QualitySpec extends SparkSpec {
     assert(drops === Set((2L, 1L), (3L, 1L), (4L, 1L), (11L, 10L)))
   }
 
+  test("canonicalDropList keeps the best-scoring member; score=-id degenerates to dropList") {
+    import graft.SparkSpec.spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a_id", "b_id")
+    // cluster {1,2,3}: 2 scores highest → keeper 2; cluster {10,11}:
+    // exact tie → min id 10 keeps; cluster {20,21}: 21 unscored →
+    // ranks lowest, 20 keeps even with a negative score.
+    val scores = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0),
+      (10L, 4.0), (11L, 4.0), (20L, -1.0)).toDF("doc_id", "score")
+    val got = Dedup.canonicalDropList(pairs, scores)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 2L), (3L, 1L, 2L), (11L, 10L, 10L), (21L, 20L, 20L)))
+    // keep-best with score = -id IS the keep-min-id policy
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+      .withColumn("score", -col("doc_id"))
+    val viaBest = Dedup.canonicalDropList(pairs, ids)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    val viaMin = Dedup.dropList(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(viaBest === viaMin)
+  }
+
   test("dup clusters match a union-find oracle on random graphs") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 3) {
