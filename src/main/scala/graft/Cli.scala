@@ -15,7 +15,8 @@ import graft.sources.HarvestJob
   *   --entity-component Cell --ts-col timestamp \
   *   --ts-format 'yyyy-MM-dd HH:mm:ss' --granularity 15m \
   *   --store S --state ST [--pattern RE] [--row-tag row] \
-  *   [--target trend|attribute|notification] [--tie COL] [--current PATH]
+  *   [--target trend|attribute|notification] [--tie COL] [--current PATH] \
+  *   [--reject PATH]   (quarantine malformed rows instead of dropping)
   * graft.Cli materialize --source PARQUET --entity C --ts C --value C \
   *   --granularity hour --store S --state ST
   * graft.Cli aggregate --source PARQUET --entity C --ts C \
@@ -96,7 +97,8 @@ object Cli {
           pattern = opt(f, "pattern", ".*"), rowTag = opt(f, "row-tag", "row"),
           target = opt(f, "target", "trend"),
           tieCol = f.get("tie").map(_.last),
-          currentPath = f.get("current").map(_.last)))
+          currentPath = f.get("current").map(_.last),
+          rejectPath = f.get("reject").map(_.last)))
       }
       jobs.foreach { job =>
         val result = HarvestJob.run(spark, job)

@@ -96,11 +96,12 @@ object Config {
                                     granularity: String, store: String, state: String,
                                     pattern: Option[String], rowTag: Option[String],
                                     registry: Option[String], target: Option[String],
-                                    tie: Option[String], current: Option[String]) {
+                                    tie: Option[String], current: Option[String],
+                                    reject: Option[String]) {
     def toJob: HarvestJob.Job = HarvestJob.Job(source, format, dnCol, entityComponent,
       tsCol, tsFormat, granularity, store, state,
       pattern.getOrElse(".*"), rowTag.getOrElse("row"), registry,
-      target.getOrElse("trend"), tie, current)
+      target.getOrElse("trend"), tie, current, reject)
   }
 
   /** Harvest config: `{"jobs": [{...}, ...]}` — one file describing

@@ -51,7 +51,8 @@ object HarvestJob {
                        registryPath: Option[String] = None,
                        target: String = "trend",
                        tieCol: Option[String] = None,
-                       currentPath: Option[String] = None) {
+                       currentPath: Option[String] = None,
+                       rejectPath: Option[String] = None) {
     require(Set("trend", "attribute", "notification")(target),
       s"target must be trend|attribute|notification, got: $target")
   }
@@ -219,6 +220,16 @@ object HarvestJob {
     if (fresh.isEmpty) return RunResult(Seq.empty, old)
 
     val pkg = readPackage(spark, job, fresh)
+    // Auditable quarantine (opt-in): malformed rows land in a reject
+    // store with the offending file instead of vanishing — the dn and
+    // metric columns survive for inspection. Append-only; a re-run
+    // never re-reads processed files, so rejects don't duplicate.
+    job.rejectPath.foreach { rp =>
+      val bad = pkg.df.filter(col("ts").isNull)
+        .withColumn("_source_file", org.apache.spark.sql.functions.input_file_name())
+        .withColumn("_reject_reason", org.apache.spark.sql.functions.lit("unparseable_ts"))
+      if (!bad.isEmpty) bad.write.mode("append").parquet(rp)
+    }
     val rows = pkg.df.filter(col("ts").isNotNull)
       .withColumn("bucket", alignBucket(col("ts"), job.granularity))
     // The reference's directory behavior: a harvest registers unseen

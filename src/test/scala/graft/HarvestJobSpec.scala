@@ -60,6 +60,36 @@ class HarvestJobSpec extends SparkSpec {
     assert(after.agg(sum("v")).head.getDouble(0) === 109.0)
   }
 
+  test("malformed rows quarantine to the reject store and never duplicate on re-run") {
+    val src = Files.createTempDirectory("graft_rej_src").toString
+    val base = Files.createTempDirectory("graft_rej").toString
+    val job = HarvestJob.Job(
+      sourceDir = src, format = "csv",
+      dnCol = "dn", entityComponent = "Cell",
+      tsCol = "timestamp", tsFormat = "yyyy-MM-dd HH:mm:ss",
+      granularity = "15m",
+      storePath = s"$base/store", statePath = s"$base/state",
+      pattern = ".*\\.csv", rejectPath = Some(s"$base/rejects"))
+    writeCsv(src, "a.csv", Seq(
+      "Cell=1,2024-01-01 10:00:00,1.0",
+      "Cell=2,not-a-timestamp,2.0",
+      "Cell=3,2024-01-01 10:15:00,3.0"))
+    HarvestJob.run(spark, job)
+    // good rows load; the malformed one lands in the reject store
+    // with its source file and reason, dn/metrics intact
+    assert(TrendStoreWriter.read(spark, job.storePath).count() === 2)
+    val rej = spark.read.parquet(s"$base/rejects").collect()
+    assert(rej.length === 1)
+    val r = rej.head
+    assert(r.getAs[String]("entity_dn") === "Cell=2")
+    assert(r.getAs[String]("_reject_reason") === "unparseable_ts")
+    assert(r.getAs[String]("_source_file").endsWith("a.csv"))
+    // re-run: file already processed → store AND rejects unchanged
+    HarvestJob.run(spark, job)
+    assert(spark.read.parquet(s"$base/rejects").count() === 1)
+    assert(TrendStoreWriter.read(spark, job.storePath).count() === 2)
+  }
+
   test("a second harvester racing the same target is refused by the lease") {
     import graft.operators.{Materialize, StoreFs}
     val src = Files.createTempDirectory("graft_job_lease_src").toString
