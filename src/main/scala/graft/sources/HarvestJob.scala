@@ -140,13 +140,23 @@ object HarvestJob {
       case "parquet" => rs.parquet(job.sourceDir)
       case _         => rs.json(job.sourceDir)
     }
-    val rows = Harvest.canonicalize(raw, job.dnCol, job.entityComponent, job.tsCol,
-        job.tsFormat, castMetrics = job.target == "trend")
-      .filter(col("ts").isNotNull)
-      .withColumn("bucket", alignBucket(col("ts"), job.granularity))
-    rows.writeStream
+    // The malformed-row split happens INSIDE foreachBatch so the
+    // reject store (opt-in, same contract as the batch path) stays
+    // exactly-once under the stream's checkpointed file log — a
+    // replayed file is never re-read, so rejects never duplicate.
+    val canonical = Harvest.canonicalize(raw, job.dnCol, job.entityComponent, job.tsCol,
+      job.tsFormat, castMetrics = job.target == "trend")
+    canonical.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (full: org.apache.spark.sql.DataFrame, _: Long) =>
+        job.rejectPath.foreach { rp =>
+          val bad = full.filter(col("ts").isNull)
+            .withColumn("_source_file", input_file_name())
+            .withColumn("_reject_reason", lit("unparseable_ts"))
+          if (!bad.isEmpty) bad.write.mode("append").parquet(rp)
+        }
+        val batch = full.filter(col("ts").isNotNull)
+          .withColumn("bucket", alignBucket(col("ts"), job.granularity))
         if (!batch.isEmpty) {
           job.registryPath.foreach { rp =>
             EntityRegistry.sync(batch.sparkSession, rp, batch, col("entity_dn"),

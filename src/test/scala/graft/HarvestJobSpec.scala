@@ -88,6 +88,18 @@ class HarvestJobSpec extends SparkSpec {
     HarvestJob.run(spark, job)
     assert(spark.read.parquet(s"$base/rejects").count() === 1)
     assert(TrendStoreWriter.read(spark, job.storePath).count() === 2)
+    // streaming twin: same reject contract, exactly-once across a
+    // checkpoint restart (the replayed file is never re-read)
+    val sJob = job.copy(storePath = s"$base/s_store", statePath = s"$base/s_state",
+      rejectPath = Some(s"$base/s_rejects"))
+    val q1 = HarvestJob.stream(spark, sJob, s"$base/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(TrendStoreWriter.read(spark, sJob.storePath).count() === 2)
+    assert(spark.read.parquet(s"$base/s_rejects").count() === 1)
+    val q2 = HarvestJob.stream(spark, sJob, s"$base/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$base/s_rejects").count() === 1,
+      "checkpoint restart duplicated a reject")
   }
 
   test("a second harvester racing the same target is refused by the lease") {
