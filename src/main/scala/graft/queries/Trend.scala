@@ -487,6 +487,32 @@ object Trend {
         .orderBy(col("entity_id"), col("outage_start"))
     },
 
+    // Active-entities report — DAU + trailing-7-day WAU per observed
+    // day, the product/fleet liveness metric. WAU avoids both a
+    // self-range-join and a per-day distinct re-scan: each (entity,
+    // day) presence row fans out to the 7 window-END days it counts
+    // toward (a bounded 7× explode of an O(entities × days) distinct
+    // set), then ONE day-keyed distinct agg — at a year of 100 TB
+    // data the expansion is 7× a tiny presence table, never 7× the
+    // events. The exact path; t21's HLL sketch is the unbounded one.
+    "t35_active_entities" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val presence = ev.select(col("user_id").as("entity_id"),
+        date_trunc("day", col("ts")).as("day")).distinct()
+      val dau = presence.groupBy(col("day"))
+        .agg(countDistinct(col("entity_id")).as("dau"))
+      val wau = presence
+        .select(col("entity_id"), explode(expr("sequence(0, 6)")).as("off"), col("day"))
+        .select(col("entity_id"),
+          timestamp_seconds(unix_timestamp(col("day")) + col("off") * 86400L).as("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("entity_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"))
+        .orderBy(col("day"))
+    },
+
     // Busy-hour report — each entity's peak hour-of-day by average
     // load (the telecom dimensioning question; Minerva deployments
     // size capacity on the busy hour). (entity, hod) partial agg +
@@ -985,6 +1011,17 @@ object Trend {
         |  coalesce(n, 0) AS n_hours, coalesce(n, 0) / 24 AS availability
         |FROM grid LEFT JOIN pd ON grid.entity_id = pd.entity_id AND grid.day = pd.day
         |ORDER BY 1, 2""".stripMargin,
+
+    "t35_active_entities" ->
+      """WITH pres AS (SELECT DISTINCT user_id AS entity_id, date_trunc('day', ts) AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(DISTINCT entity_id) AS dau FROM pres GROUP BY 1),
+        |fan AS (SELECT entity_id, day + off * INTERVAL 1 DAY AS day
+        |  FROM pres, LATERAL unnest(generate_series(0, 6)) AS g(off)),
+        |wau AS (SELECT day, count(DISTINCT entity_id) AS wau FROM fan GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY 1""".stripMargin,
 
     "t34_busy_hour" ->
       // Profile averages are IEEE divisions of DECIMAL-exact sums, so

@@ -234,6 +234,41 @@ class TrendSpec extends SparkSpec {
     assert(g + nObs === rangeSum)
   }
 
+  test("t35 WAU fan-out equals the brute-force trailing-7-day distinct") {
+    import graft.SparkSpec.spark.implicits._
+    val q = graft.SparkEntry.queries("t35_active_entities")
+    // planted: entities 1, 2, 3 active on Jan 1 / 5 / 9 only →
+    // WAU(Jan1)={1}, WAU(Jan5)={1,2}, WAU(Jan9)={2,3}
+    val dir = java.nio.file.Files.createTempDirectory("graft_t35").toString
+    val planted = Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-05 10:00:00"),
+      (3L, "2024-01-09 10:00:00"))
+      .toDF("user_id", "ts")
+      .select(monotonically_increasing_id().as("event_id"),
+        col("ts").cast("timestamp").as("ts"), col("user_id"),
+        lit("click").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+    planted.write.parquet(s"$dir/events.parquet")
+    val got = q(spark, dir).as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("2024-01-01", 1L, 1L), ("2024-01-05", 1L, 2L),
+      ("2024-01-09", 1L, 2L)))
+    // brute force on the real corpus: per observed day, filter + distinct
+    val ev = TableCatalog(spark, sf).events
+    val presence = ev.select(col("user_id").as("e"),
+      date_trunc("day", col("ts")).as("d")).distinct().cache()
+    val wauByDay = q(spark, sf).as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val days = presence.select(col("d")).distinct().orderBy(col("d"))
+      .collect().map(_.getTimestamp(0))
+    days.take(10).foreach { d =>
+      val lo = new java.sql.Timestamp(d.getTime - 6L * 86400000L)
+      val brute = presence.filter(col("d") >= lit(lo) && col("d") <= lit(d))
+        .select("e").distinct().count()
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      val key = fmt.format(d)
+      assert(wauByDay(key) === brute, s"WAU mismatch on $key")
+    }
+    presence.unpersist()
+  }
+
   test("busyHour picks the peak hour-of-day; exact ties break to the earliest hour") {
     import graft.SparkSpec.spark.implicits._
     // entity 1: hour 17 averages 10.0 across two days, others lower.
