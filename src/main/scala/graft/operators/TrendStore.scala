@@ -319,6 +319,36 @@ object TrendStore {
           .as("forecast_next"))
   }
 
+  /** Contribution-share report: each child group's fraction of its
+    * parent's total per bucket — the percent drill-down behind an
+    * entity-rollup dashboard ("each nation's share of its region's
+    * monthly revenue"; topContributors ranks, this apportions to
+    * 100%). `groups` maps fact entities to their (child, parent)
+    * groups — registry-sized, broadcast.
+    *
+    * Shape: broadcast groups ⋈ fact → ONE (parent, child, bucket)
+    * DECIMAL partial-agg shuffle; the parent total is a window sum
+    * over that cell table (partitions are children-per-parent sized,
+    * never fact-sized). Determinism: both the child cell and the
+    * parent total stay DECIMAL (order-free) until one double cast
+    * each; the share is one IEEE division of those casts. */
+  def contributionShare(fact: DataFrame, entityDn: Column, ts: Column,
+                        granularity: String, groups: DataFrame,
+                        value: Column): DataFrame = {
+    val cells = fact
+      .join(broadcast(groups), entityDn === groups("entity_dn"))
+      .groupBy(col("parent"), col("child"), date_trunc(granularity, ts).as("bucket"))
+      .agg(sum(Fx.dec(value)).as("__sum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("parent"), col("bucket"))
+    cells
+      .withColumn("__total", sum(col("__sum")).over(w))
+      .select(col("parent"), col("child"), col("bucket"),
+        col("__sum").cast("double").as("child_value"),
+        col("__total").cast("double").as("parent_value"),
+        (col("__sum").cast("double") / col("__total").cast("double")).as("share"))
+  }
+
   /** Busy-hour determination over a presented hourly rollup
     * `(entity_id, bucket, sd DECIMAL)`: each entity's hour-of-day
     * profile (average load per hour 0-23 across the whole span) and

@@ -275,6 +275,28 @@ object Store {
         .orderBy(col("parent"), col("bucket"))
     },
 
+    // Contribution-share drill-down — each nation's fraction of its
+    // region's monthly revenue (e08 ranks the top children; this
+    // apportions every cell to 100%). Broadcast groups ⋈ fact → one
+    // cell shuffle; parent totals are a children-per-parent-sized
+    // window, never a fact re-scan.
+    "e10_contribution_share" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val groups = c.customer
+        .join(broadcast(c.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(concat(lit("Customer="), col("c_custkey")).as("entity_dn"),
+          concat(lit("Nation="), col("n_nationkey")).as("child"),
+          concat(lit("Region="), col("n_regionkey")).as("parent"))
+      TrendStore.contributionShare(c.orders,
+          concat(lit("Customer="), col("o_custkey")), col("o_orderdate"),
+          "month", groups, col("o_totalprice"))
+        .select(col("parent"), col("child"),
+          date_format(col("bucket"), TS).as("bucket"),
+          col("child_value"), col("parent_value"),
+          round(col("share"), 6).as("share"))
+        .orderBy(col("parent"), col("child"), col("bucket"))
+    },
+
     // Entity aggregation with EXACT percentile cells — p50/p95 per
     // (region, month) rolled up the composed relation through the
     // same MetricAgg vocabulary (`pNN_exact`, round 11): a monitoring
@@ -638,6 +660,22 @@ object Store {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e10_contribution_share" ->
+      """WITH cells AS (SELECT 'Region=' || n_regionkey AS parent,
+        |    'Nation=' || n_nationkey AS child,
+        |    date_trunc('month', o_orderdate) AS bucket,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT parent, child, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(s AS DOUBLE) AS child_value,
+        |  CAST(sum(s) OVER (PARTITION BY parent, bucket) AS DOUBLE) AS parent_value,
+        |  round(CAST(s AS DOUBLE)
+        |    / CAST(sum(s) OVER (PARTITION BY parent, bucket) AS DOUBLE), 6) AS share
+        |FROM cells ORDER BY 1, 2, 3""".stripMargin,
 
     "e07_entity_rollup_pct" ->
       """SELECT 'Region=' || n_regionkey AS parent,

@@ -169,6 +169,40 @@ class StoreSpec extends SparkSpec {
     assert(hits.count() === 2)
   }
 
+  test("contributionShare apportions each parent cell to 100%") {
+    val groups = Seq(("E=1", "C=a", "P=x"), ("E=2", "C=a", "P=x"),
+      ("E=3", "C=b", "P=x"), ("E=4", "C=c", "P=y"))
+      .toDF("entity_dn", "child", "parent")
+    val fact = Seq(("E=1", "2024-01-05 00:00:00", "10.0"),
+      ("E=2", "2024-01-20 00:00:00", "20.0"),  // C=a total 30
+      ("E=3", "2024-01-09 00:00:00", "70.0"),  // C=b 70 → shares .3/.7
+      ("E=4", "2024-02-01 00:00:00", "5.0"))   // P=y single child → 1.0
+      .toDF("dn", "ts", "v")
+      .select(col("dn"), col("ts").cast("timestamp").as("ts"),
+        col("v").cast("double").as("v"))
+    val got = TrendStore.contributionShare(fact, col("dn"), col("ts"),
+        "month", groups, col("v"))
+      .select(col("parent"), col("child"), col("child_value"), col("share"))
+      .as[(String, String, Double, Double)].collect().toSet
+    assert(got === Set(
+      ("P=x", "C=a", 30.0, 30.0 / 100.0),
+      ("P=x", "C=b", 70.0, 70.0 / 100.0),
+      ("P=y", "C=c", 5.0, 1.0)))
+    // on real data: every (parent, bucket) cell's shares sum to 1
+    val c = graft.sources.TableCatalog(spark, sf)
+    val g2 = c.customer.join(broadcast(c.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(concat(lit("Customer="), col("c_custkey")).as("entity_dn"),
+        concat(lit("Nation="), col("n_nationkey")).as("child"),
+        concat(lit("Region="), col("n_regionkey")).as("parent"))
+    val sums = TrendStore.contributionShare(c.orders,
+        concat(lit("Customer="), col("o_custkey")), col("o_orderdate"),
+        "month", g2, col("o_totalprice"))
+      .groupBy(col("parent"), col("bucket")).agg(sum(col("share")).as("t"))
+      .select(abs(col("t") - lit(1.0)).as("err"))
+      .agg(max(col("err"))).head.getDouble(0)
+    assert(sums < 1e-9, s"share sums drift: $sums")
+  }
+
   test("Relations.diff reports rehomed / added / removed children; re-ordering is not drift") {
     val before = Seq(
       ("Cell=1", "Site=A"), ("Cell=2", "Site=A"), ("Cell=3", "Site=B"),
