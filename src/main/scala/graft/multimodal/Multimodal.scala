@@ -150,6 +150,106 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic multi-segment WAV: consecutive sine segments of
+    * `(seconds, amplitude)` — amplitude 0 is digital silence. The
+    * m07 specs plant tone-silence-tone payloads with this. */
+  def syntheticWavSegments(id: Long, segs: Seq[(Double, Double)]): Array[Byte] = {
+    val sampleRate = 8000f
+    val freq = 200.0 + (id % 20) * 50.0
+    val pcm = segs.flatMap { case (seconds, amplitude) =>
+      val n = (sampleRate * seconds).toInt
+      (0 until n).flatMap { i =>
+        val v = (amplitude * math.sin(2 * math.Pi * freq * i / sampleRate) * 32767).toInt
+        Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      }
+    }.toArray
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, pcm.length / 2L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** One detected audio segment: `kind` is "active" or "silence",
+    * boundaries in seconds on the window grid. */
+  case class AudioSegment(doc_id: Long, seg_idx: Int, kind: String,
+                          start_s: Double, end_s: Double)
+
+  /** Silence/activity segmentation (VAD-lite): split each payload's
+    * PCM into fixed `windowMs` windows, classify each by RMS against
+    * `rmsThreshold`, and coalesce consecutive same-kind windows into
+    * segments — the trim-silence / speech-chunking primitive an audio
+    * training pipeline runs before transcription or packing (m06 is
+    * the video sibling: boundaries, not per-item features). Decode +
+    * windowing + coalescing all happen inside the same batched
+    * mapPartitions pass as the other media decoders (the legitimate
+    * non-Catalyst spot); output is segment rows, O(segments) per
+    * payload, never per-sample rows. Undecodable payloads emit one
+    * `kind = "undecodable"` row — quarantine, never a job failure. */
+  def segmentAudio(spark: SparkSession, df: DataFrame, idCol: String,
+                   windowMs: Int = 20, rmsThreshold: Double = 0.01,
+                   batchSize: Int = 64): Dataset[AudioSegment] = {
+    import spark.implicits._
+    require(windowMs >= 1, s"windowMs must be >= 1, got $windowMs")
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { case (id, bytes) =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+            val pcm = in.readAllBytes()
+            val nSamples = pcm.length / bytesPerSample
+            val full = (1L << (bytesPerSample * 8 - 1)).toDouble
+            def sample(i: Int): Double = {
+              val off = i * bytesPerSample
+              if (bytesPerSample == 1) ((pcm(off) & 0xff) - 128).toDouble / 128.0
+              else {
+                var acc = 0L; var b = 0
+                while (b < bytesPerSample) {
+                  acc |= (pcm(off + b) & 0xffL) << (8 * b); b += 1
+                }
+                val bits = bytesPerSample * 8
+                ((acc << (64 - bits)) >> (64 - bits)).toDouble / full
+              }
+            }
+            // per-window RMS classification over ALL interleaved
+            // channels (energy, not phase — channel mixing is fine)
+            val samplesPerWin =
+              math.max(1, (fmt.getSampleRate * fmt.getChannels * windowMs / 1000.0).toInt)
+            val nWins = (nSamples + samplesPerWin - 1) / samplesPerWin
+            val winSec = samplesPerWin.toDouble /
+              (fmt.getSampleRate * math.max(1, fmt.getChannels))
+            val kinds = (0 until nWins).map { w =>
+              var sumSq = 0.0; var i = w * samplesPerWin
+              val end = math.min(nSamples, i + samplesPerWin)
+              val n = end - i
+              while (i < end) { val v = sample(i); sumSq += v * v; i += 1 }
+              if (n > 0 && math.sqrt(sumSq / n) >= rmsThreshold) "active" else "silence"
+            }
+            // coalesce runs of the same kind into segments
+            val segs = scala.collection.mutable.ArrayBuffer.empty[AudioSegment]
+            var runStart = 0
+            for (w <- 1 to nWins) {
+              if (w == nWins || kinds(w) != kinds(runStart)) {
+                segs += AudioSegment(id, segs.size, kinds(runStart),
+                  runStart * winSec, math.min(w * winSec, nSamples.toDouble /
+                    (fmt.getSampleRate * math.max(1, fmt.getChannels))))
+                runStart = w
+              }
+            }
+            segs.toSeq
+          } finally in.close()
+        } catch { case _: Exception =>
+          Seq(AudioSegment(id, 0, "undecodable", 0.0, 0.0))
+        }
+      }))
+  }
+
   /** Batched audio feature extraction — REAL decode via
     * `javax.sound.sampled` (ships with the JDK: WAV/AIFF/AU, PCM).
     * Per payload: format metadata (sample rate, channels, frame

@@ -994,6 +994,24 @@ object TextSim {
         .orderBy(col("video_a"), col("video_b"))
     },
 
+    // Audio segmentation (rows-only; planted-boundary spec oracle):
+    // VAD-lite silence/activity segments over synthetic
+    // tone-silence-tone WAVs — each payload must yield exactly its
+    // three planted segments on the window grid (m06's audio
+    // sibling: boundaries, not per-item features).
+    "m07_audio_segments" -> { (s, dir) =>
+      import s.implicits._
+      val docs = TableCatalog(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 32)
+        .as[Long].map(id => (id, Multimodal.syntheticWavSegments(id,
+          Seq((0.1, 0.5), (0.1, 0.0), (0.1, 0.5)))))
+        .toDF("doc_id", "payload")
+      Multimodal.segmentAudio(s, docs, "doc_id").toDF()
+        .withColumn("start_s", round(col("start_s"), 4))
+        .withColumn("end_s", round(col("end_s"), 4))
+        .orderBy(col("doc_id"), col("seg_idx"))
+    },
+
     // Scene-cut detection (rows-only; planted-boundary spec oracle):
     // keyframe selection over the same MJPEG-AVI walk as m05 — each
     // synthetic video carries two 3-frame scenes, and the per-video

@@ -370,6 +370,26 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.head.getLong(2) === 2L)
   }
 
+  test("audio segmentation recovers planted tone-silence-tone boundaries") {
+    import graft.SparkSpec.spark.implicits._
+    // 0.1 s tone, 0.1 s silence, 0.1 s tone at 8 kHz, 20 ms windows
+    // → segments [0,0.1) active, [0.1,0.2) silence, [0.2,0.3) active
+    // exactly on the grid (0.1 s = 5 whole windows).
+    val wav = Multimodal.syntheticWavSegments(3L, Seq((0.1, 0.5), (0.1, 0.0), (0.1, 0.5)))
+    val silent = Multimodal.syntheticWavSegments(4L, Seq((0.2, 0.0)))
+    val docs = Seq((1L, wav), (2L, silent), (3L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val segs = Multimodal.segmentAudio(spark, docs, "doc_id").toDF()
+      .select(col("doc_id"), col("seg_idx"), col("kind"),
+        round(col("start_s"), 4), round(col("end_s"), 4))
+      .as[(Long, Int, String, Double, Double)].collect().toSet
+    assert(segs === Set(
+      (1L, 0, "active", 0.0, 0.1), (1L, 1, "silence", 0.1, 0.2),
+      (1L, 2, "active", 0.2, 0.3),
+      (2L, 0, "silence", 0.0, 0.2),
+      (3L, 0, "undecodable", 0.0, 0.0)))
+  }
+
   test("scene cuts flag exactly the planted scene boundary; steady videos stay cut-free") {
     import graft.SparkSpec.spark.implicits._
     // video 1: two 3-frame scenes → exactly one cut, at the first
