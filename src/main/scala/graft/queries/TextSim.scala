@@ -794,6 +794,29 @@ object TextSim {
       Similarity.recallAtK(exact, approx).orderBy(col("q_id"))
     },
 
+    // Index tuning sweep (rows-only; monotonicity spec oracle): the
+    // nprobe → macro-recall@10 curve of the served IVF index — the
+    // table an operator reads to pick a serving config (s16 grades
+    // ONE config; this shows the tradeoff). Probing more cells only
+    // ADDS candidates, so the curve is non-decreasing by
+    // construction, spec-asserted.
+    "s17_ann_tuning" -> { (s, dir) =>
+      val emb = TableCatalog(s, dir).embeddings
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.cosineTopK(qs, emb, "vec_id", "vec_id", "embedding", k = 10)
+        .localCheckpoint() // one truth pass feeds every sweep point
+      val idx = cachedIndex(s, dir, "ivf") { p =>
+        Similarity.ivfBuild(emb, "vec_id", "embedding", p)
+      }
+      Seq(1, 2, 4, 8).map { np =>
+        val served = Similarity.ivfSearch(qs, "vec_id", "embedding", idx, k = 10, nprobe = np)
+        Similarity.recallAtK(exact, served)
+          .agg(count(lit(1)).as("n_queries"),
+            round(avg(col("recall")), 6).as("macro_recall"))
+          .select(lit(np).as("nprobe"), col("n_queries"), col("macro_recall"))
+      }.reduce(_ unionByName _).orderBy(col("nprobe"))
+    },
+
     // Persisted-PQ serving path (rows-only; ≡ inline spec-asserted):
     // the s07 counterpart — pqSearch scans the m-ints codes table of
     // a prebuilt index instead of re-training and re-encoding.

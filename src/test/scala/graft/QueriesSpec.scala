@@ -30,7 +30,7 @@ class QueriesSpec extends SparkSpec {
     "d09_embed_dup",
     "s01_cosine_topk", "s06_rrf_fusion",
     "s07_ann_pq", "s10_ann_pq_serve", "s12_ann_opq_serve",
-    "s16_ann_recall")
+    "s16_ann_recall", "s17_ann_tuning")
 
   // Keys whose whole point is a BOUNDED rank path (CollectMinK or a
   // struct-ordered min agg) instead of a per-group window sort — a

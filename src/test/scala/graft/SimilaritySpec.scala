@@ -618,5 +618,13 @@ class SimilaritySpec extends SparkSpec {
       .agg(avg(col("recall"))).head.getDouble(0)
     assert(narrowRecall <= fullRecall + 1e-9,
       s"narrow probe $narrowRecall beat full probe $fullRecall")
+    // the tuning-sweep key: recall is non-decreasing in nprobe
+    // (probing more cells only ADDS candidates)
+    val curve = graft.SparkEntry.queries("s17_ann_tuning")(spark, sf)
+      .orderBy(col("nprobe"))
+      .select("macro_recall").collect().map(_.getDouble(0)).toSeq
+    assert(curve.size === 4)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"recall curve not monotone: $curve")
   }
 }
