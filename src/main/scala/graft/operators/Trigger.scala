@@ -45,13 +45,31 @@ object Trigger {
     * computes each (fn, metric) exactly once. */
   private def alias(t: Threshold): String = s"${t.fn}_${t.metric}"
 
+  // pNN / pNNN percentile threshold fns ("p95 latency >= X" — the
+  // standard SLO alert). Exact single-pass `percentile` on the
+  // group-bounded rollup cells (t26's argument), ROUNDED TO 4
+  // DECIMALS before the comparison on BOTH engines — the t26-proven
+  // parity surface — so a firing decision cannot flap on a last-ulp
+  // interpolation difference between engines or partitionings.
+  private val PctFn = "^p(\\d{2,3})$".r
+
+  private[graft] def pctOf(fn: String): Option[Double] = fn.toLowerCase match {
+    case PctFn(d) =>
+      val p = d.toDouble / math.pow(10, d.length)
+      if (p < 1.0) Some(p) else None
+    case _ => None
+  }
+
   private def compileAgg(t: Threshold): Column = (t.fn.toLowerCase match {
     case "sum"   => Fx.dsum(col(t.metric))
     case "avg"   => Fx.davg(col(t.metric))
     case "max"   => max(col(t.metric))
     case "min"   => min(col(t.metric))
     case "count" => count(lit(1))
-    case f       => throw new IllegalArgumentException(s"unknown trigger fn: $f")
+    case f => pctOf(f) match {
+      case Some(p) => round(expr(s"percentile(${t.metric}, $p)"), 4)
+      case None => throw new IllegalArgumentException(s"unknown trigger fn: $f")
+    }
   }).as(alias(t))
 
   private def compare(c: Column, op: String, v: Double): Column = op match {
@@ -223,6 +241,9 @@ object Trigger {
     case "max"   => s"max(${t.metric})"
     case "min"   => s"min(${t.metric})"
     case "count" => "count(*)"
-    case f       => throw new IllegalArgumentException(s"unknown trigger fn: $f")
+    case f => pctOf(f) match {
+      case Some(p) => s"round(quantile_cont(${t.metric}, $p), 4)"
+      case None => throw new IllegalArgumentException(s"unknown trigger fn: $f")
+    }
   }
 }

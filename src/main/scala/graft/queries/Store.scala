@@ -35,6 +35,14 @@ object Store {
       Seq(Trigger.Threshold("value", "avg", ">=", 60.0),
         Trigger.Threshold("value", "max", "<", 160.0)), "warning"))
 
+  // SLO rules on PERCENTILE thresholds — evaluated by n09 through
+  // the same generated-twin machinery as the sum/avg rules.
+  private val sloRules = Seq(
+    Trigger.Rule("daily_p95_high", "day",
+      Seq(Trigger.Threshold("value", "p95", ">=", 110.0)), "major"),
+    Trigger.Rule("daily_p50_low", "day",
+      Seq(Trigger.Threshold("value", "p50", "<", 40.0)), "minor"))
+
   /** n06's generated twin: the per-rule firing SQL with the same
     * gaps-and-islands run detection the Spark side applies — both
     * sides derive from one rule table AND one run formula. */
@@ -488,6 +496,20 @@ object Store {
         .orderBy(col("day"), col("rule"))
     },
 
+    // SLO triggers — percentile thresholds ("daily p95 >= 110", the
+    // standard latency-SLO alert) through the SAME declarative rule
+    // vocabulary and one-rollup-per-granularity plan as n04. Exact
+    // single-pass percentile on the group-bounded daily cells,
+    // rounded to 4 decimals on BOTH engines before the comparison so
+    // a firing cannot flap on a last-ulp interpolation difference.
+    "n09_slo_triggers" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      Trigger.evaluate(sloRules)(ev, col("user_id"), col("ts"))
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("rule"), col("severity"))
+        .orderBy(col("rule"), col("entity_id"), col("bucket"))
+    },
+
     // Flap measurement — n06's diagnostic sibling: per (rule,
     // entity) episode structure of the firing stream (episode = a
     // maximal consecutive-bucket run). Many short episodes = a
@@ -768,6 +790,7 @@ object Store {
 
     "n07_alert_digest" -> triggerDigestOracleSql(triggerRules),
     "n08_flap_report" -> triggerFlapOracleSql(triggerRules),
+    "n09_slo_triggers" -> triggerOracleSql(sloRules),
 
     "n05_trigger_sets" -> triggerSetsOracleSql(triggerRules),
 

@@ -78,6 +78,26 @@ class TriggerSpec extends SparkSpec {
     assert(e.getMessage.contains("fixed-width"))
   }
 
+  test("percentile thresholds fire on the exact interpolated (4-dec rounded) value") {
+    // values 1..100 on one day: quantile_cont p95 = 95.05 exactly
+    val data = events((1 to 100).map(v => (1L, f"2024-01-01 ${v % 24}%02d:00:00", v.toDouble)))
+    def fires(op: String, x: Double): Long =
+      Trigger.evaluate(Seq(Trigger.Rule("slo", "day",
+        Seq(Trigger.Threshold("v", "p95", op, x)), "major")))(
+        data, col("entity"), col("ts")).count()
+    assert(fires(">=", 95.05) === 1L)
+    assert(fires(">=", 95.0501) === 0L)
+    assert(fires("<", 95.06) === 1L)
+    // p999-style three-digit percentiles parse; out-of-range refused
+    assert(Trigger.pctOf("p999") === Some(0.999))
+    assert(Trigger.pctOf("p50") === Some(0.5))
+    assert(Trigger.pctOf("nope") === None)
+    intercept[IllegalArgumentException](
+      Trigger.evaluate(Seq(Trigger.Rule("bad", "day",
+        Seq(Trigger.Threshold("v", "pxx", ">", 1.0)), "major")))(
+        data, col("entity"), col("ts")).count())
+  }
+
   test("flapReport counts episodes: three separated runs = flapping, one run = incident") {
     val surge = Seq(Trigger.Rule("surge", "hour",
       Seq(Trigger.Threshold("v", "sum", ">", 10.0)), "major"))
