@@ -24,16 +24,27 @@ object AsOf {
     * @param leftTs    left timestamp column name
     * @param rightTs   right timestamp column name
     * @param carry     right columns to carry; emitted as `asof_<name>`
+    * @param toleranceSeconds  maximum staleness (pandas merge_asof's
+    *   `tolerance`): a match older than `left.ts − tolerance` nulls
+    *   out instead of carrying — a feature pipeline must not serve a
+    *   week-old "latest" value as fresh. Inclusive at exactly the
+    *   tolerance; None (default) keeps the unbounded lookup. Same
+    *   plan either way: the right ts rides the existing carry window
+    *   and the staleness check is a per-row codegen'd predicate.
     */
   def join(left: DataFrame, right: DataFrame, key: String,
-           leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
+           leftTs: String, rightTs: String, carry: Seq[String],
+           toleranceSeconds: Option[Long] = None): DataFrame = {
+    val withTol = toleranceSeconds.isDefined
+    val rightX = if (withTol) right.withColumn("__rts", col(rightTs)) else right
+    val carryAll = if (withTol) carry :+ "__rts" else carry
     val lTagged = left.withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumns(carry.map(c =>
-        s"__c_$c" -> lit(null).cast(right.schema(c).dataType)).toMap)
-    val rTagged = right.select(
+      .withColumns(carryAll.map(c =>
+        s"__c_$c" -> lit(null).cast(rightX.schema(c).dataType)).toMap)
+    val rTagged = rightX.select(
         (col(key) +: (col(rightTs).as("__ts") +: lit(0).as("__side") +:
-          carry.map(c => col(c).as(s"__c_$c")))): _*)
+          carryAll.map(c => col(c).as(s"__c_$c")))): _*)
       .withColumns(left.columns.filterNot(_ == key)
         .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
       .select(lTagged.columns.map(col): _*)
@@ -43,10 +54,19 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = lTagged.unionByName(rTagged)
-      .withColumns(carry.map(c =>
+      .withColumns(carryAll.map(c =>
         s"asof_$c" -> last(col(s"__c_$c"), ignoreNulls = true).over(w)).toMap)
 
-    carried.filter(col("__side") === 1)
-      .drop("__ts" :: "__side" :: carry.map(c => s"__c_$c").toList: _*)
+    val base = carried.filter(col("__side") === 1)
+      .drop("__ts" :: "__side" :: carryAll.map(c => s"__c_$c").toList: _*)
+    toleranceSeconds match {
+      case None => base
+      case Some(tol) =>
+        val fresh = col("asof___rts").isNotNull &&
+          col("asof___rts") >= col(leftTs) - expr(s"interval $tol second")
+        carry.foldLeft(base)((df, c) =>
+          df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c"))))
+          .drop("asof___rts")
+    }
   }
 }

@@ -487,6 +487,26 @@ object Trend {
         .orderBy(col("entity_id"), col("outage_start"))
     },
 
+    // Bounded-staleness as-of join — t07 with a 1-hour tolerance
+    // (pandas merge_asof semantics): a click older than an hour must
+    // NOT serve as the purchase's "latest" context. Left rows all
+    // survive; stale matches null out.
+    "t36_asof_tolerance" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("c_event_id"), col("ts").as("c_ts"))
+      AsOf.join(purchases, clicks, "user_id", "ts", "ts",
+          carry = Seq("c_event_id", "c_ts"), toleranceSeconds = Some(3600L))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), TS).as("p_ts"),
+          col("asof_c_event_id").as("c_event_id"),
+          date_format(col("asof_c_ts"), TS).as("c_ts"))
+        .orderBy(col("event_id"))
+    },
+
     // Active-entities report — DAU + trailing-7-day WAU per observed
     // day, the product/fleet liveness metric. WAU avoids both a
     // self-range-join and a per-day distinct re-scan: each (entity,
@@ -1011,6 +1031,19 @@ object Trend {
         |  coalesce(n, 0) AS n_hours, coalesce(n, 0) / 24 AS availability
         |FROM grid LEFT JOIN pd ON grid.entity_id = pd.entity_id AND grid.day = pd.day
         |ORDER BY 1, 2""".stripMargin,
+
+    "t36_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  CASE WHEN c.c_ts IS NOT NULL AND p.ts - c.c_ts <= INTERVAL 1 HOUR
+        |       THEN c.c_event_id END AS c_event_id,
+        |  CASE WHEN c.c_ts IS NOT NULL AND p.ts - c.c_ts <= INTERVAL 1 HOUR
+        |       THEN strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') END AS c_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS c_event_id, ts AS c_ts
+        |                FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "t35_active_entities" ->
       """WITH pres AS (SELECT DISTINCT user_id AS entity_id, date_trunc('day', ts) AS day

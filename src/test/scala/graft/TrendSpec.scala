@@ -234,6 +234,31 @@ class TrendSpec extends SparkSpec {
     assert(g + nObs === rangeSum)
   }
 
+  test("as-of tolerance nulls stale matches; boundary is inclusive; no-tolerance unchanged") {
+    import graft.SparkSpec.spark.implicits._
+    val clicks = Seq((1L, "2024-01-01 10:00:00", 100L))
+      .toDF("user_id", "ts", "c_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val purchases = Seq(
+      (1L, "2024-01-01 10:30:00", 1L),  // 30 min stale → match
+      (1L, "2024-01-01 11:00:00", 2L),  // exactly 1 h → inclusive match
+      (1L, "2024-01-01 11:00:01", 3L),  // 1 h + 1 s → nulled
+      (2L, "2024-01-01 10:10:00", 4L))  // no click at all → null
+      .toDF("user_id", "ts", "p_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = AsOf.join(purchases, clicks, "user_id", "ts", "ts",
+        carry = Seq("c_id"), toleranceSeconds = Some(3600L))
+      .select(col("p_id"), col("asof_c_id"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got === Set((1L, Some(100L)), (2L, Some(100L)), (3L, None), (4L, None)))
+    // tolerance None keeps the unbounded semantics (row 3 matches)
+    val unbounded = AsOf.join(purchases, clicks, "user_id", "ts", "ts", Seq("c_id"))
+      .select(col("p_id"), col("asof_c_id"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(unbounded === Set((1L, Some(100L)), (2L, Some(100L)),
+      (3L, Some(100L)), (4L, None)))
+  }
+
   test("t35 WAU fan-out equals the brute-force trailing-7-day distinct") {
     import graft.SparkSpec.spark.implicits._
     val q = graft.SparkEntry.queries("t35_active_entities")
