@@ -267,6 +267,29 @@ object TextSim {
         .orderBy(col("content_hash"))
     },
 
+    // Effective token yield per source — the curation-planning number
+    // ("how many tokens does each source actually contribute AFTER
+    // exact dedup"): raw vs keeper-only token totals and the yield
+    // ratio. Keeper = d01's min-doc-id per content hash, decided by
+    // ONE window over the (hash)-keyed frame; token counts are d07's
+    // whitespace definition; all integers until one IEEE division.
+    "d46_token_yield" -> { (s, dir) =>
+      val docs = TableCatalog(s, dir).documents
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text")))
+      val flagged = docs.select(col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+          (col("doc_id") === min(col("doc_id")).over(w)).as("keeper"))
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keeper"), 1L).otherwise(0L)).as("n_unique_docs"),
+          sum(col("n_tokens")).as("tokens_raw"),
+          sum(when(col("keeper"), col("n_tokens")).otherwise(0L)).as("tokens_unique"))
+        .withColumn("yield",
+          round(col("tokens_unique").cast("double") / col("tokens_raw").cast("double"), 6))
+        .orderBy(col("source"))
+    },
+
     "d02_shingle_jaccard" -> { (s, dir) =>
       Dedup.shingleJaccard(TableCatalog(s, dir).documents, "doc_id", "text",
           k = 3, threshold = 0.5)
@@ -1468,6 +1491,18 @@ object TextSim {
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d46_token_yield" ->
+      """WITH f AS (SELECT source, len(string_split(text, ' ')) AS n_tokens,
+        |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_raw,
+        |  CAST(sum(CASE WHEN keeper THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_unique,
+        |  round(CAST(sum(CASE WHEN keeper THEN n_tokens ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n_tokens) AS DOUBLE), 6) AS yield
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d03_minhash_lsh" ->
       // The LSH band config is effectively exact at J ≥ 0.7 (see the
