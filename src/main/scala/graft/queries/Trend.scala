@@ -472,6 +472,25 @@ object Trend {
         .orderBy(col("entity_id"), col("day"))
     },
 
+    // Attribute staleness report — days since each entity's last
+    // attribute write, relative to the corpus end (the "which configs
+    // has nobody touched" ops question; e09 asks who went silent in
+    // the DATA, this asks whose ATTRIBUTES aged out). The as-of
+    // anchor is one 1-row driver agg embedded as a literal (t30's
+    // span pattern — no scalar cross join reaches the plan).
+    "a08_attr_staleness" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val asOf = ev.agg(
+        date_format(max(date_trunc("day", col("ts"))), TS)).head.getString(0)
+      AttributeStore.current(ev, col("user_id"), col("ts"), col("event_id"))
+        .select(col("user_id"), date_format(col("ts"), TS).as("last_write"),
+          datediff(lit(asOf).cast("timestamp"), date_trunc("day", col("ts")))
+            .cast("long").as("days_stale"))
+        .withColumn("status",
+          when(col("days_stale") >= 7, lit("stale")).otherwise(lit("fresh")))
+        .orderBy(col("user_id"))
+    },
+
     // Outage-window report — t05's missing buckets coalesced into
     // contiguous [start, end] intervals per entity (gaps-and-islands):
     // the number a dashboard publishes is "silent 02:00–07:00", not
@@ -1031,6 +1050,18 @@ object Trend {
         |  coalesce(n, 0) AS n_hours, coalesce(n, 0) / 24 AS availability
         |FROM grid LEFT JOIN pd ON grid.entity_id = pd.entity_id AND grid.day = pd.day
         |ORDER BY 1, 2""".stripMargin,
+
+    "a08_attr_staleness" ->
+      """WITH mx AS (SELECT max(date_trunc('day', ts)) AS m FROM events),
+        |cur AS (SELECT user_id, ts, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_write,
+        |  CAST(date_diff('day', date_trunc('day', ts), (SELECT m FROM mx)) AS BIGINT)
+        |    AS days_stale,
+        |  CASE WHEN date_diff('day', date_trunc('day', ts), (SELECT m FROM mx)) >= 7
+        |       THEN 'stale' ELSE 'fresh' END AS status
+        |FROM cur WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "t36_asof_tolerance" ->
       """SELECT p.event_id, p.user_id,
