@@ -184,11 +184,17 @@ class CliSpec extends SparkSpec {
          | "out": "$base/fired",
          | "rules": [{"name": "band", "granularity": "hour", "severity": "major",
          |   "thresholds": [{"metric": "value", "fn": "sum", "op": ">", "value": 8.0},
-         |                  {"metric": "value", "fn": "max", "op": "<", "value": 10.0}]}]}""".stripMargin)
+         |                  {"metric": "value", "fn": "max", "op": "<", "value": 10.0}]},
+         |  {"name": "slo", "granularity": "hour", "severity": "minor",
+         |   "thresholds": [{"metric": "value", "fn": "p50", "op": ">", "value": 6.0}]}]}""".stripMargin)
     Cli.run(spark, Seq("trigger", "--config", trigCfg.toString))
+    // the percentile (SLO) fn flows through the config vocabulary:
+    // entity 1's hour-10 p50 is 5.5 (stays quiet at > 6), entity 2's
+    // single-sample p50 is 7.0 (fires)
     val fired = spark.read.parquet(s"$base/fired")
     assert(fired.select("rule", "entity_id").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSet === Set(("band", 1L)))
+      .map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("band", 1L), ("slo", 2L)))
 
     // materialize-all: a two-step chain from one config file
     val matCfg = Path.of(base, "mat.json")

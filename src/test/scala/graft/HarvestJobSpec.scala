@@ -60,6 +60,28 @@ class HarvestJobSpec extends SparkSpec {
     assert(after.agg(sum("v")).head.getDouble(0) === 109.0)
   }
 
+  test("gzipped vendor CSVs harvest transparently (the wire format files actually arrive in)") {
+    val src = Files.createTempDirectory("graft_gz_src").toString
+    val base = Files.createTempDirectory("graft_gz").toString
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(Path.of(src, "a.csv.gz").toFile))
+    gz.write(("dn,timestamp,v\nCell=1,2024-01-01 10:00:00,5.0\n" +
+      "Cell=2,2024-01-01 10:05:00,6.0\n").getBytes("UTF-8"))
+    gz.close()
+    val job = HarvestJob.Job(
+      sourceDir = src, format = "csv",
+      dnCol = "dn", entityComponent = "Cell",
+      tsCol = "timestamp", tsFormat = "yyyy-MM-dd HH:mm:ss",
+      granularity = "15m",
+      storePath = s"$base/store", statePath = s"$base/state",
+      pattern = ".*\\.csv\\.gz")
+    val r = HarvestJob.run(spark, job)
+    assert(r.processed.size === 1)
+    val rows = TrendStoreWriter.read(spark, s"$base/store")
+    assert(rows.count() === 2)
+    assert(rows.select("v").collect().map(_.getDouble(0)).sorted.toSeq === Seq(5.0, 6.0))
+  }
+
   test("malformed rows quarantine to the reject store and never duplicate on re-run") {
     val src = Files.createTempDirectory("graft_rej_src").toString
     val base = Files.createTempDirectory("graft_rej").toString
