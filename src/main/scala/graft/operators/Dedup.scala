@@ -345,9 +345,12 @@ object Dedup {
                         idCol: String = "doc_id",
                         scoreCol: String = "score"): DataFrame = {
     val (labels, _) = ccStars(pairs)
+    // collapse accidental duplicate score rows deterministically (max)
+    // so a doubled input row cannot fan the labels join out
     val scored = labels.join(
       scores.select(col(idCol).cast("long").as("id"),
-        col(scoreCol).cast("double").as("__score")),
+        col(scoreCol).cast("double").as("__score"))
+        .groupBy(col("id")).agg(max(col("__score")).as("__score")),
       Seq("id"), "left")
     val keepers = scored
       .groupBy(col("label").as("cluster_id"))

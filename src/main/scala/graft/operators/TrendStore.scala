@@ -335,8 +335,12 @@ object TrendStore {
   def contributionShare(fact: DataFrame, entityDn: Column, ts: Column,
                         granularity: String, groups: DataFrame,
                         value: Column): DataFrame = {
+    // distinct: a doubled (entity, child, parent) row must not double
+    // the entity's contribution (genuine multi-group membership keeps
+    // its distinct rows and apportions into each group)
+    val g = groups.select(col("entity_dn"), col("child"), col("parent")).distinct()
     val cells = fact
-      .join(broadcast(groups), entityDn === groups("entity_dn"))
+      .join(broadcast(g), entityDn === g("entity_dn"))
       .groupBy(col("parent"), col("child"), date_trunc(granularity, ts).as("bucket"))
       .agg(sum(Fx.dec(value)).as("__sum"))
     val w = org.apache.spark.sql.expressions.Window

@@ -133,6 +133,9 @@ object TrendStoreWriter {
                    granularity: String): Seq[String] = {
     require(keepFrom.matches("\\d{4}-\\d{2}-\\d{2}"),
       s"keepFrom must be an ISO date, got: $keepFrom")
+    require(finePath != coarsePath,
+      "tieredRetain: fine and coarse stores must differ (same path would " +
+        "re-aggregate a store into itself and then drop its partitions)")
     val expired = StoreFs.list(spark, finePath)
       .map(_.getName)
       .filter(n => n.startsWith("p_date=") && n.stripPrefix("p_date=") < keepFrom)
