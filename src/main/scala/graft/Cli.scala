@@ -593,10 +593,10 @@ object Cli {
     case cmd =>
       throw new IllegalArgumentException(
         s"unknown command: ${cmd.headOption.getOrElse("")} " +
-          "(expected harvest|materialize|materialize-all|aggregate|trigger|retain|" +
-          "compact|dedup|dedup-incremental|decontaminate|index-build|index-search|" +
-          "gapfill|compact-index|store-info|index-info|harvest-stream|" +
-          "text-search)")
+          "(expected harvest|harvest-stream|materialize|materialize-all|aggregate|" +
+          "trigger|retain|compact|cluster|explain|shard|audit|dedup|" +
+          "dedup-incremental|decontaminate|index-build|index-search|text-search|" +
+          "gapfill|compact-index|store-info|index-info)")
   }
 
   def main(args: Array[String]): Unit = {

@@ -116,18 +116,52 @@ object TrendStoreWriter {
     df.filter(lo && hi)
   }
 
+  /** Conservative width, in days, of one `granularity` bucket — how
+    * far a coarse bucket's start can precede the fine days it absorbs.
+    * Used only to PRUNE the coarse-store read in [[tieredRetain]], so
+    * over-estimating is safe. Also the validation choke point: an
+    * unknown granularity throws HERE, before anything is dropped
+    * (a typo'd unit would otherwise date_trunc to NULL buckets while
+    * the fine partitions still expired). */
+  private def granularityWidthDays(granularity: String): Long =
+    graft.operators.TrendStore.stepSeconds(granularity) match {
+      case Some(s) => (s + 86399) / 86400
+      case None => granularity.trim.toLowerCase match {
+        case "month"   => 31L
+        case "quarter" => 92L
+        case "year"    => 366L
+        case g => throw new IllegalArgumentException(
+          s"tieredRetain: unknown downsample granularity: $g")
+      }
+    }
+
   /** Tiered retention: downsample-then-drop — the time-series store
     * lifecycle policy ("keep raw 7 days, hourly 90 days, daily
     * forever"), where [[retain]] alone would throw the history away.
     * Fine-store day partitions strictly older than `keepFrom` are
-    * re-aggregated to `granularity` (standard-partial reRollup, so
-    * the coarse store is itself re-aggregable down the tier chain)
-    * and UPSERTED into `coarsePath` BEFORE the fine partitions drop.
-    * Crash anywhere leaves both stores readable: a re-run re-upserts
-    * the same (entity, bucket) keys idempotently and completes the
-    * drop. Only expired-day partitions are ever read (p_date
-    * pruning); the drop side is [[retain]]'s O(partitions) metadata
-    * path. Returns the dropped partition dates. */
+    * re-aggregated to `granularity` (standard partials, so the coarse
+    * store is itself re-aggregable down the tier chain) and UPSERTED
+    * into `coarsePath` BEFORE the fine partitions drop.
+    *
+    * Coarse buckets WIDER than a day (week/month/…) fill across
+    * SUCCESSIVE retention runs — Monday-Wednesday may expire today and
+    * the rest of the week next run — so the upsert must MERGE each
+    * run's partials into the existing coarse row, not key-replace it.
+    * Merging alone would double-count a crash replay (upsert landed,
+    * drop didn't), so every coarse row carries an `absorbed_dates`
+    * provenance column: the fine p_dates already folded into it. A
+    * run contributes only fine days NOT yet in the row's absorbed set,
+    * which makes the replay a bit-identical rewrite — crash anywhere,
+    * re-run, converge. Rows whose absorbed set is NULL (a coarse store
+    * written before this column existed) fall back to the old replace
+    * semantics, which were only ever correct for bucket-within-day
+    * granularities.
+    *
+    * Only expired-day partitions of the fine store are ever read
+    * (p_date pruning), and the coarse read prunes to the affected
+    * bucket window; the drop side is [[retain]]'s O(partitions)
+    * metadata path. The granularity is validated BEFORE any
+    * destructive step. Returns the dropped partition dates. */
   def tieredRetain(spark: org.apache.spark.sql.SparkSession, finePath: String,
                    coarsePath: String, keepFrom: String,
                    granularity: String): Seq[String] = {
@@ -136,9 +170,14 @@ object TrendStoreWriter {
     require(finePath != coarsePath,
       "tieredRetain: fine and coarse stores must differ (same path would " +
         "re-aggregate a store into itself and then drop its partitions)")
+    require(!Set("", "raw")(granularity.trim.toLowerCase),
+      "tieredRetain: downsampling to raw is a no-op drop — use retain")
+    val widthDays = granularityWidthDays(granularity) // validates too
     val expired = StoreFs.list(spark, finePath)
       .map(_.getName)
       .filter(n => n.startsWith("p_date=") && n.stripPrefix("p_date=") < keepFrom)
+      .map(_.stripPrefix("p_date="))
+      .sorted
     if (expired.isEmpty) return Seq.empty
     val horizon = java.time.LocalDate.parse(keepFrom).minusDays(1).toString
     val old = read(spark, finePath, to = Some(horizon)).drop("p_date")
@@ -146,8 +185,66 @@ object TrendStoreWriter {
     require(partialCols.forall(old.columns.contains),
       s"tieredRetain needs the standard partial schema ${partialCols.mkString("(", ", ", ")")}, " +
         s"got ${old.columns.mkString("(", ", ", ")")}")
-    upsert(spark, coarsePath,
-      graft.operators.TrendStore.reRollup(old.select(partialCols.map(col): _*), granularity))
+    // fine partials keyed by their coarse bucket + contributing day
+    val fine = old.select(
+      col("entity_id"),
+      graft.operators.TrendStore.bucket(col("bucket"), granularity).as("bucket"),
+      to_date(col("bucket")).as("__d"),
+      col("cnt"), col("sum_dec"), col("max_value"))
+    // existing coarse rows for the affected window (a coarse bucket
+    // starts at most one bucket-width before its earliest fine day)
+    val loBound = java.time.LocalDate.parse(expired.head).minusDays(widthDays).toString
+    val existing0 =
+      if (StoreFs.list(spark, coarsePath).isEmpty) None
+      else Some(read(spark, coarsePath, from = Some(loBound), to = Some(horizon)).drop("p_date"))
+    val existing = existing0.map { ex =>
+      val withAbsorbed =
+        if (ex.columns.contains("absorbed_dates")) ex
+        else ex.withColumn("absorbed_dates", lit(null).cast("array<date>"))
+      withAbsorbed.select(col("entity_id"), col("bucket"),
+        col("cnt").as("__ex_cnt"), col("sum_dec").as("__ex_sum"),
+        col("max_value").as("__ex_max"), col("absorbed_dates").as("__ex_dates"))
+    }
+    val joined = existing match {
+      case Some(ex) => fine.join(ex, Seq("entity_id", "bucket"), "left")
+      case None => fine
+        .withColumn("__ex_cnt", lit(null).cast("long"))
+        .withColumn("__ex_sum", lit(null).cast(fine.schema("sum_dec").dataType))
+        .withColumn("__ex_max", lit(null).cast(fine.schema("max_value").dataType))
+        .withColumn("__ex_dates", lit(null).cast("array<date>"))
+    }
+    // replay protection: a fine day already in the row's absorbed set
+    // contributes nothing (NULL set = pre-provenance store → replace)
+    val freshRows = joined.filter(
+      col("__ex_dates").isNull || !array_contains(col("__ex_dates"), col("__d")))
+    val slice = freshRows.groupBy("entity_id", "bucket").agg(
+      sum(col("cnt")).as("__n_cnt"),
+      sum(col("sum_dec")).as("__n_sum"),
+      max(col("max_value")).as("__n_max"),
+      collect_set(col("__d")).as("__n_dates"),
+      first(col("__ex_cnt")).as("__ex_cnt"),
+      first(col("__ex_sum")).as("__ex_sum"),
+      first(col("__ex_max")).as("__ex_max"),
+      first(col("__ex_dates")).as("__ex_dates"))
+    // merge: existing partials count only when their provenance is
+    // known (absorbed non-NULL); the merged sum re-casts to the type
+    // sum(fine partials) yields — exactly what a one-shot downsample
+    // writes — so the store schema is stable across runs
+    val sumType = slice.schema("__n_sum").dataType
+    val counted = col("__ex_dates").isNotNull
+    val merged = slice.select(
+      col("entity_id"), col("bucket"),
+      (coalesce(when(counted, col("__ex_cnt")), lit(0L)) + col("__n_cnt")).as("cnt"),
+      (coalesce(when(counted, col("__ex_sum")).cast(sumType), lit(0).cast(sumType))
+        + col("__n_sum")).cast(sumType).as("sum_dec"),
+      greatest(when(counted, col("__ex_max")), col("__n_max")).as("max_value"),
+      sort_array(array_union(
+        coalesce(when(counted, col("__ex_dates")), array().cast("array<date>")),
+        col("__n_dates"))).as("absorbed_dates"))
+    // a full replay (every expired day already absorbed) contributes
+    // nothing — skip the write and just complete the drop
+    if (!merged.isEmpty) upsert(spark, coarsePath, merged)
     retain(spark, finePath, keepFrom)
+    expired
   }
 }

@@ -140,20 +140,19 @@ object HarvestJob {
       case "parquet" => rs.parquet(job.sourceDir)
       case _         => rs.json(job.sourceDir)
     }
-    // The malformed-row split happens INSIDE foreachBatch so the
-    // reject store (opt-in, same contract as the batch path) stays
-    // exactly-once under the stream's checkpointed file log — a
-    // replayed file is never re-read, so rejects never duplicate.
+    // The malformed-row split happens INSIDE foreachBatch. foreachBatch
+    // is at-least-once (a crash between this batch's writes and the
+    // checkpoint commit replays it), so the reject store lands through
+    // [[writeRejects]] — per-source-file partition OVERWRITE — and a
+    // replayed batch rewrites its own reject partitions instead of
+    // appending duplicates (the data path is idempotent via upsert).
     val canonical = Harvest.canonicalize(raw, job.dnCol, job.entityComponent, job.tsCol,
       job.tsFormat, castMetrics = job.target == "trend")
     canonical.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (full: org.apache.spark.sql.DataFrame, _: Long) =>
         job.rejectPath.foreach { rp =>
-          val bad = full.filter(col("ts").isNull)
-            .withColumn("_source_file", input_file_name())
-            .withColumn("_reject_reason", lit("unparseable_ts"))
-          if (!bad.isEmpty) bad.write.mode("append").parquet(rp)
+          writeRejects(full.filter(col("ts").isNull), rp)
         }
         val batch = full.filter(col("ts").isNotNull)
           .withColumn("bucket", alignBucket(col("ts"), job.granularity))
@@ -166,6 +165,27 @@ object HarvestJob {
         }
       }
       .start()
+  }
+
+  /** Idempotent reject-quarantine write. Rejects are tagged with their
+    * source file and land partitioned on a hash of that file via
+    * DYNAMIC partition overwrite — so any replay of the same input
+    * (an at-least-once foreachBatch micro-batch, or a batch re-run
+    * whose crash fell between the reject write and the processed-files
+    * state commit) rewrites exactly its own files' reject partitions
+    * with identical content instead of appending duplicates. Already-
+    * committed files are never re-read, so their partitions are never
+    * touched; distinct files hash to distinct partitions, so normal
+    * runs compose like appends. */
+  private def writeRejects(bad: DataFrame, rejectPath: String): Unit = {
+    val keyed = bad
+      .withColumn("_source_file", input_file_name())
+      .withColumn("_reject_reason", lit("unparseable_ts"))
+      .withColumn("p_file", hex(xxhash64(col("_source_file"))))
+    if (!keyed.isEmpty)
+      keyed.write.partitionBy("p_file")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(rejectPath)
   }
 
   /** The tie-breaker column for same-timestamp rows: the declared
@@ -232,13 +252,12 @@ object HarvestJob {
     val pkg = readPackage(spark, job, fresh)
     // Auditable quarantine (opt-in): malformed rows land in a reject
     // store with the offending file instead of vanishing — the dn and
-    // metric columns survive for inspection. Append-only; a re-run
-    // never re-reads processed files, so rejects don't duplicate.
+    // metric columns survive for inspection. Idempotent per source
+    // file ([[writeRejects]]): a crash between this write and the
+    // state commit re-runs the same files, and the re-run OVERWRITES
+    // its own reject partitions instead of appending duplicates.
     job.rejectPath.foreach { rp =>
-      val bad = pkg.df.filter(col("ts").isNull)
-        .withColumn("_source_file", org.apache.spark.sql.functions.input_file_name())
-        .withColumn("_reject_reason", org.apache.spark.sql.functions.lit("unparseable_ts"))
-      if (!bad.isEmpty) bad.write.mode("append").parquet(rp)
+      writeRejects(pkg.df.filter(col("ts").isNull), rp)
     }
     val rows = pkg.df.filter(col("ts").isNotNull)
       .withColumn("bucket", alignBucket(col("ts"), job.granularity))

@@ -110,17 +110,37 @@ class HarvestJobSpec extends SparkSpec {
     HarvestJob.run(spark, job)
     assert(spark.read.parquet(s"$base/rejects").count() === 1)
     assert(TrendStoreWriter.read(spark, job.storePath).count() === 2)
-    // streaming twin: same reject contract, exactly-once across a
-    // checkpoint restart (the replayed file is never re-read)
+    // crash-window drill: the run died AFTER the reject write but
+    // BEFORE the state commit. The re-run re-reads the same files —
+    // the per-source-file partition overwrite rewrites the same
+    // reject partition instead of appending a duplicate row.
+    graft.operators.StoreFs.fs(spark, job.statePath)._1.delete(
+      new org.apache.hadoop.fs.Path(job.statePath), true)
+    HarvestJob.run(spark, job)
+    assert(spark.read.parquet(s"$base/rejects").count() === 1,
+      "a re-run of the crash window duplicated a reject")
+    assert(TrendStoreWriter.read(spark, job.storePath).count() === 2)
+    // a LATER file's rejects land alongside (distinct partitions
+    // compose like appends)
+    writeCsv(src, "b.csv", Seq(
+      "Cell=4,also-not-a-timestamp,4.0",
+      "Cell=5,2024-01-01 10:30:00,5.0"))
+    HarvestJob.run(spark, job)
+    val all = spark.read.parquet(s"$base/rejects").collect()
+    assert(all.length === 2)
+    assert(all.map(_.getAs[String]("entity_dn")).sorted.toSeq === Seq("Cell=2", "Cell=4"))
+    // streaming twin: same reject contract (per-file partition
+    // overwrite), idempotent across a checkpoint restart — the
+    // directory now holds a.csv + b.csv (3 good rows, 2 bad)
     val sJob = job.copy(storePath = s"$base/s_store", statePath = s"$base/s_state",
       rejectPath = Some(s"$base/s_rejects"))
     val q1 = HarvestJob.stream(spark, sJob, s"$base/ckpt")
     try q1.processAllAvailable() finally q1.stop()
-    assert(TrendStoreWriter.read(spark, sJob.storePath).count() === 2)
-    assert(spark.read.parquet(s"$base/s_rejects").count() === 1)
+    assert(TrendStoreWriter.read(spark, sJob.storePath).count() === 3)
+    assert(spark.read.parquet(s"$base/s_rejects").count() === 2)
     val q2 = HarvestJob.stream(spark, sJob, s"$base/ckpt")
     try q2.processAllAvailable() finally q2.stop()
-    assert(spark.read.parquet(s"$base/s_rejects").count() === 1,
+    assert(spark.read.parquet(s"$base/s_rejects").count() === 2,
       "checkpoint restart duplicated a reject")
   }
 

@@ -61,12 +61,65 @@ class RetentionSpec extends SparkSpec {
     assert(TrendStore.present(TrendStoreWriter.read(spark, coarse).drop("p_date"))
       .collect().map(_.toString).sorted === expect)
     // crash-window replay: coarse already holds the downsampled days
-    // (upsert landed, drop didn't) — re-upserting the same keys is
-    // idempotent, so a re-run converges instead of double-counting
-    TrendStoreWriter.upsert(spark, coarse, TrendStore.reRollup(
-      hourly.filter(col("bucket") < lit("2024-01-03").cast("timestamp")), "day"))
+    // (upsert landed, drop didn't). Restore the dropped fine partitions
+    // and re-run — the absorbed_dates provenance makes the replay a
+    // bit-identical rewrite instead of a double count.
+    TrendStoreWriter.write(hourly, fine)
+    assert(TrendStoreWriter.tieredRetain(spark, fine, coarse, "2024-01-03", "day")
+      === Seq("2024-01-01", "2024-01-02"))
     assert(TrendStore.present(TrendStoreWriter.read(spark, coarse).drop("p_date"))
       .collect().map(_.toString).sorted === expect)
+  }
+
+  test("tieredRetain merges a coarse bucket that fills across successive runs") {
+    val base = tmpDir()
+    val (fine, coarse) = (s"$base/fine", s"$base/coarse")
+    // one ISO week: Mon 2024-01-01 .. Sun 2024-01-07, daily partials
+    val raw = (for (d <- 1 to 8; e <- Seq(1L, 2L))
+      yield (e, f"2024-01-0$d 06:00:00", (e * 100 + d).toDouble))
+      .toDF("entity_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val daily = TrendStore.rollup(raw, col("entity_id"), col("ts"), col("value"), "day")
+    TrendStoreWriter.write(daily, fine)
+    // run 1 expires Mon-Wed; run 2 expires Thu-Sun + the next Monday.
+    // The week bucket must end up as the DIRECT weekly rollup of all
+    // seven days — run 2 merging into run 1's partial week, never
+    // replacing it.
+    assert(TrendStoreWriter.tieredRetain(spark, fine, coarse, "2024-01-04", "week")
+      === Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+    assert(TrendStoreWriter.tieredRetain(spark, fine, coarse, "2024-01-09", "week")
+      === (4 to 8).map(d => f"2024-01-0$d"))
+    val expect = TrendStore.present(TrendStore.reRollup(daily, "week"))
+      .collect().map(_.toString).sorted
+    val got = TrendStore.present(TrendStoreWriter.read(spark, coarse).drop("p_date"))
+      .collect().map(_.toString).sorted
+    assert(got === expect, "coarse week != direct weekly rollup across two runs")
+    // replay drill across the multi-day bucket: restore run 2's days
+    // (upsert landed, drop didn't) and re-run — absorbed_dates already
+    // holds them, so the coarse tier is bit-identical afterwards
+    TrendStoreWriter.write(daily.filter(to_date(col("bucket")) >= lit("2024-01-04")), fine)
+    assert(TrendStoreWriter.tieredRetain(spark, fine, coarse, "2024-01-09", "week")
+      === (4 to 8).map(d => f"2024-01-0$d"))
+    assert(TrendStore.present(TrendStoreWriter.read(spark, coarse).drop("p_date"))
+      .collect().map(_.toString).sorted === expect)
+  }
+
+  test("tieredRetain rejects an unknown granularity before dropping anything") {
+    val base = tmpDir()
+    val (fine, coarse) = (s"$base/fine", s"$base/coarse")
+    TrendStoreWriter.write(
+      TrendStore.rollup(tenDays(1L).withColumnRenamed("bucket", "ts"),
+        col("entity_id"), col("ts"), col("v"), "day"), fine)
+    val before = StoreFs.list(spark, fine).map(_.getName).sorted
+    intercept[IllegalArgumentException] {
+      TrendStoreWriter.tieredRetain(spark, fine, coarse, "2024-01-06", "dya")
+    }
+    intercept[IllegalArgumentException] {
+      TrendStoreWriter.tieredRetain(spark, fine, coarse, "2024-01-06", "raw")
+    }
+    // the typo'd run dropped nothing and wrote no coarse store
+    assert(StoreFs.list(spark, fine).map(_.getName).sorted === before)
+    assert(StoreFs.list(spark, coarse).isEmpty)
   }
 
   test("retain validates the horizon format") {
