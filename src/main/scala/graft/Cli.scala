@@ -227,6 +227,15 @@ object Cli {
       }
       println(s"retain: dropped=${dropped.size}")
 
+    // The reference's delete-timestamp: remove one bucket's rows
+    // across the store (corrupt vendor period → delete, re-harvest).
+    // Only the bucket's own day partition is read and rewritten.
+    case "delete-ts" :: rest =>
+      val f = parseFlags(rest)
+      val removed = TrendStoreWriter.deleteBucket(spark,
+        one(f, "store"), one(f, "bucket"))
+      println(s"delete-ts: removed=$removed")
+
     case "compact" :: rest =>
       val f = parseFlags(rest)
       // --value a single column keeps the reference's three-valued
@@ -594,7 +603,7 @@ object Cli {
       throw new IllegalArgumentException(
         s"unknown command: ${cmd.headOption.getOrElse("")} " +
           "(expected harvest|harvest-stream|materialize|materialize-all|aggregate|" +
-          "trigger|retain|compact|cluster|explain|shard|audit|dedup|" +
+          "trigger|retain|delete-ts|compact|cluster|explain|shard|audit|dedup|" +
           "dedup-incremental|decontaminate|index-build|index-search|text-search|" +
           "gapfill|compact-index|store-info|index-info)")
   }

@@ -127,4 +127,55 @@ object AttributeStore {
       .agg(count(lit(1)).as("n_changes"),
         countDistinct(col("__e")).as("n_entities"))
   }
+
+  /** Fleet configuration DISTRIBUTION at an as-of time: how many
+    * entities hold each value of an attribute, with the fleet share —
+    * the "how is the fleet configured right now" report every
+    * attribute-tracked deployment publishes (the reference keeps
+    * current values queryable per entity; this is the fleet-level
+    * rollup of that view).
+    *
+    * Shape: [[atTime]]'s one entity-keyed window over the pushed-down
+    * `ts <= at` scan, then one combine-friendly groupBy over
+    * O(distinct values) keys; the fleet total rides a window over the
+    * VALUE table (O(values) rows), never a second scan. The share is
+    * one IEEE division of exact longs — bit-identical on any engine. */
+  def valueDistribution(attrs: DataFrame, entity: Column, ts: Column,
+                        tie: Column, value: Column, at: Column): DataFrame = {
+    val cells = atTime(attrs, entity, ts, tie, at)
+      .groupBy(value.as("value"))
+      .agg(count(lit(1)).as("n_entities"))
+    cells
+      .withColumn("fleet_total", sum(col("n_entities")).over(Window.partitionBy()))
+      .withColumn("share", col("n_entities") / col("fleet_total"))
+  }
+
+  /** Per-entity change TIMELINE: the audit trail behind [[churn]]'s
+    * fleet rate — every real value change with the previous value and
+    * how long the NEW value then held (seconds to the next change;
+    * NULL for the still-current value). The first row per entity is
+    * the initial provisioning (prev_value NULL, change_kind 'initial').
+    *
+    * Shape: [[compact]]'s change rows derive from one entity-keyed
+    * window; the hold duration is a lead over the SAME partitioning
+    * (the compacted rows re-use the entity key), so the whole timeline
+    * is two window passes on one shuffle family — nothing joins back
+    * to the raw history. */
+  def timeline(attrs: DataFrame, entity: Column, ts: Column, tie: Column,
+               value: Column): DataFrame = {
+    val w = Window.partitionBy(col("entity_id")).orderBy(ts.asc, tie.asc)
+    val changes = attrs.withColumn("entity_id", entity)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(value, 1).over(w))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> value))
+    val wc = Window.partitionBy(col("entity_id")).orderBy(ts.asc, tie.asc)
+    changes
+      .withColumn("__next_ts", lead(ts, 1).over(wc))
+      .select(col("entity_id"), ts.as("changed_at"),
+        col("__prev").as("prev_value"), value.as("new_value"),
+        when(col("__rn") === 1, lit("initial")).otherwise(lit("change"))
+          .as("change_kind"),
+        (unix_timestamp(col("__next_ts")) - unix_timestamp(ts))
+          .as("held_seconds"))
+  }
 }

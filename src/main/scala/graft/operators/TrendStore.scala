@@ -629,6 +629,40 @@ object TrendStore {
       .groupBy(relation(parentCol).as("parent"))
       .agg(count(lit(1)).as("cnt"), Fx.dsum(value).as("sum_value"))
 
+  /** Coverage AUDIT for the temporal rollup — [[entityRollupTemporal]]
+    * drops buckets no validity interval covers, silently, like a
+    * directory miss; this MEASURES the drop so an operator can see
+    * WHAT the rollup is losing before trusting the parent numbers.
+    * Output per child entity that loses anything: total buckets,
+    * uncovered count + share (IEEE division of exact longs), the
+    * uncovered value mass, and the first/last uncovered bucket (where
+    * the directory hole is).
+    *
+    * Shape: the SAME broadcast equi-join as the rollup but LEFT
+    * OUTER, so every fact bucket survives with a covered/uncovered
+    * flag; one entity-keyed partial agg. The fact side still never
+    * shuffles for the hierarchy walk — the audit costs one agg more
+    * than the rollup it audits. */
+  def entityRollupTemporalAudit(rolled: DataFrame, relation: DataFrame,
+                                childCol: String, parentCol: String,
+                                fromCol: String, toCol: String,
+                                value: Column): DataFrame = {
+    val joined = rolled.join(broadcast(relation),
+      rolled("entity_id") === relation(childCol) &&
+        rolled("bucket") >= relation(fromCol) &&
+        rolled("bucket") < relation(toCol), "left_outer")
+    val uncovered = relation(parentCol).isNull
+    joined
+      .groupBy(rolled("entity_id").as("entity_id"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(uncovered, 1L).otherwise(0L)).as("n_uncovered"),
+        Fx.dsum(when(uncovered, value)).as("uncovered_value"),
+        min(when(uncovered, rolled("bucket"))).as("first_uncovered"),
+        max(when(uncovered, rolled("bucket"))).as("last_uncovered"))
+      .filter(col("n_uncovered") > 0)
+      .withColumn("uncovered_share", col("n_uncovered") / col("n_buckets"))
+  }
+
   /** [[entityRollupTemporal]] with a configured metric set — the same
     * MetricAgg vocabulary as the bucketed/plain overloads (incl.
     * `pNN_exact` percentiles, round 11), over the versioned

@@ -100,6 +100,34 @@ object TrendStoreWriter {
     expired.map(_.getName.stripPrefix("p_date="))
   }
 
+  /** Delete one bucket's rows across the store — the reference's
+    * delete-timestamp surface (a vendor re-delivers a corrupt period;
+    * the operator removes that timestamp everywhere before
+    * re-harvesting). Only the bucket's OWN day partition is read and
+    * rewritten (p_date prune + dynamic partition overwrite); if the
+    * deletion empties the partition, the directory is dropped like
+    * [[retain]] does. Returns the number of rows removed. Idempotent:
+    * deleting an absent bucket removes nothing and rewrites nothing. */
+  def deleteBucket(spark: org.apache.spark.sql.SparkSession, path: String,
+                   bucket: String): Long = {
+    require(bucket.matches("\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}:\\d{2}"),
+      s"bucket must be an ISO timestamp, got: $bucket")
+    val day = bucket.substring(0, 10)
+    if (!StoreFs.exists(spark, s"$path/p_date=$day")) return 0L
+    val dayRows = read(spark, path, from = Some(day), to = Some(day)).drop("p_date")
+    val target = lit(bucket).cast("timestamp")
+    val removed = dayRows.filter(col("bucket") === target).count()
+    if (removed == 0L) return 0L
+    val survivors = dayRows.filter(col("bucket") =!= target).localCheckpoint()
+    if (survivors.isEmpty) {
+      val (f, _) = StoreFs.fs(spark, path)
+      val p = new org.apache.hadoop.fs.Path(s"$path/p_date=$day")
+      if (!f.delete(p, true))
+        throw new java.io.IOException(s"failed to drop emptied partition $p")
+    } else write(survivors, path)
+    removed
+  }
+
   /** Read back, pruning to an optional inclusive date range.
     *
     * `mergeSchema` defaults ON so an evolved store (a metric added

@@ -231,6 +231,80 @@ object Trigger {
     parts.reduce(_ unionByName _)
   }
 
+  /** MTTR report — the rule-level resolution-time summary on-call
+    * management reads: per (rule, severity), the episode count, mean
+    * and max episode DURATION (an episode = a maximal consecutive-
+    * bucket firing run, [[flapReport]]'s unit; its duration = run
+    * length × the rule's grid step), and the distinct entities paged.
+    * Many short episodes with a low mean = flapping; a high max =
+    * the incident to post-mortem.
+    *
+    * Shape: [[evaluate]]'s firing stream → the same (entity, rule)
+    * runid window as sustained detection → per-episode count → ONE
+    * rule-level agg over O(entities × rules) episode rows. The mean
+    * is an unrounded IEEE division of exact longs (total buckets ×
+    * step / episodes) — bit-identical on any engine. */
+  def mttrReport(rules: Seq[Rule])(
+      trend: DataFrame, entity: Column, ts: Column): DataFrame = {
+    val parts = rules.groupBy(_.granularity).toSeq.sortBy(_._1).map { case (gran, rs) =>
+      val step = TrendStore.stepSeconds(gran).getOrElse(throw new IllegalArgumentException(
+        s"MTTR report needs a fixed-width granularity grid, got: $gran"))
+      val byRule = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("entity_id"), col("rule")).orderBy(col("bucket"))
+      evaluate(rs)(trend, entity, ts)
+        .withColumn("__runid",
+          floor(unix_timestamp(col("bucket")) / lit(step)) - row_number().over(byRule))
+        .groupBy(col("rule"), col("severity"), col("entity_id"), col("__runid"))
+        .agg(count(lit(1)).as("__len"))
+        .groupBy(col("rule"), col("severity"))
+        .agg(count(lit(1)).as("n_episodes"),
+          countDistinct(col("entity_id")).as("n_entities"),
+          sum(col("__len")).as("__total"),
+          max(col("__len")).as("__max"))
+        .select(col("rule"), col("severity"), col("n_episodes"), col("n_entities"),
+          (col("__total") * lit(step) / col("n_episodes")).as("mean_seconds"),
+          (col("__max") * lit(step)).as("max_seconds"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Alert-correlation report: which rules fire TOGETHER — per
+    * ordered rule pair (r1 < r2), the number of (entity, day) cells
+    * where both fired, each rule's own cell count, and the
+    * conditional firing rates P(r2|r1), P(r1|r2). Pairs that always
+    * co-fire are one alert to merge; the reverse tells the on-call
+    * which page predicts which.
+    *
+    * Shape: the firing stream collapses to DISTINCT (entity, day,
+    * rule) cells FIRST (one shuffle — days absorb the mixed rule
+    * granularities), then self-joins on the (entity, day) equi-key
+    * with r1 < r2 — fan-out is bounded by rules-per-cell, never by
+    * data volume — and aggregates to O(rules²) output keys. The
+    * per-rule totals are an O(rules)-row broadcast join; rates are
+    * IEEE divisions of exact longs. */
+  def coFiringReport(rules: Seq[Rule])(
+      trend: DataFrame, entity: Column, ts: Column): DataFrame = {
+    val cells = evaluate(rules)(trend, entity, ts)
+      .select(col("entity_id"), date_trunc("day", col("bucket")).as("day"),
+        col("rule"))
+      .distinct()
+    val totals = cells.groupBy(col("rule")).agg(count(lit(1)).as("n_cells"))
+    val pairs = cells.as("a")
+      .join(cells.as("b"),
+        col("a.entity_id") === col("b.entity_id") && col("a.day") === col("b.day")
+          && col("a.rule") < col("b.rule"))
+      .groupBy(col("a.rule").as("rule1"), col("b.rule").as("rule2"))
+      .agg(count(lit(1)).as("n_cofire"))
+    pairs
+      .join(broadcast(totals.withColumnRenamed("rule", "rule1")
+        .withColumnRenamed("n_cells", "n_r1")), "rule1")
+      .join(broadcast(totals.withColumnRenamed("rule", "rule2")
+        .withColumnRenamed("n_cells", "n_r2")), "rule2")
+      .select(col("rule1"), col("rule2"), col("n_cofire"), col("n_r1"), col("n_r2"),
+        (col("n_cofire") / col("n_r1")).as("p2_given_1"),
+        (col("n_cofire") / col("n_r2")).as("p1_given_2"))
+  }
+
   /** The SQL twin of one rule's aggregate — used by callers that
     * generate a two-sided oracle from the same Rule values (the Spark
     * plan and the SQL text CANNOT drift when both derive from the rule

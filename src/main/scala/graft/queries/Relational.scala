@@ -333,6 +333,38 @@ object Relational {
           col("week_offset"), col("n_active"), col("n_cohort"),
           (col("n_active") / col("n_cohort")).as("retention"))
         .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // Basket co-occurrence — the association-rules table stake: per
+    // ordered event-type pair, how many (user, day) baskets contain
+    // BOTH, each type's own basket count, and the lift. Plan: the
+    // firing set collapses to DISTINCT (user, day, type) cells first
+    // (one user-keyed shuffle), then a (user, day)-equi self-join
+    // whose fan-out is bounded by types-per-basket (≤5 here), agg to
+    // O(types²) keys; per-type totals broadcast. The basket total is
+    // a 1-row driver agg embedded as a LITERAL (t30's span pattern —
+    // no scalar cross join reaches the plan); lift = one IEEE
+    // division of exact long products — bit-identical cross-engine.
+    "q20_basket_pairs" -> { (s, dir) =>
+      val cells = TableCatalog(s, dir).events
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+          col("event_type"))
+        .distinct()
+      val nBaskets = cells.select(col("user_id"), col("day")).distinct().count()
+      val totals = cells.groupBy(col("event_type").as("t")).agg(count(lit(1)).as("n"))
+      cells.as("a")
+        .join(cells.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day")
+            && col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+        .agg(count(lit(1)).as("n_cobaskets"))
+        .join(broadcast(totals.select(col("t").as("t1"), col("n").as("n_t1"))), "t1")
+        .join(broadcast(totals.select(col("t").as("t2"), col("n").as("n_t2"))), "t2")
+        .select(col("t1"), col("t2"), col("n_cobaskets"), col("n_t1"), col("n_t2"),
+          lit(nBaskets).as("n_baskets"),
+          ((col("n_cobaskets") * lit(nBaskets)) / (col("n_t1") * col("n_t2")))
+            .as("lift"))
+        .orderBy(col("t1"), col("t2"))
     }
   )
 
@@ -510,6 +542,24 @@ object Relational {
         |SELECT strftime(act.cw, '%Y-%m-%d') AS cohort_week, week_offset, n_active,
         |  n_cohort, n_active / n_cohort AS retention
         |FROM act JOIN sizes ON act.cw = sizes.cw
-        |ORDER BY cohort_week, week_offset""".stripMargin
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q20_basket_pairs" ->
+      """WITH cells AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type FROM events),
+        |nb AS (SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM cells)),
+        |tot AS (SELECT event_type AS t, count(*) AS n FROM cells GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_cobaskets
+        |  FROM cells a JOIN cells b
+        |    ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, n_cobaskets, ta.n AS n_t1, tb.n AS n_t2,
+        |  nb.n_baskets,
+        |  (n_cobaskets * nb.n_baskets) / (ta.n * tb.n) AS lift
+        |FROM pairs
+        |CROSS JOIN nb
+        |JOIN tot ta ON ta.t = pairs.t1
+        |JOIN tot tb ON tb.t = pairs.t2
+        |ORDER BY t1, t2""".stripMargin
   )
 }

@@ -137,6 +137,50 @@ object Store {
        |FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
   }
 
+  /** n10's generated twin: the flap oracle's episode derivation,
+    * rolled to rule level with durations (len × the rule's step). */
+  private def triggerMttrOracleSql(rules: Seq[Trigger.Rule]): String = {
+    val stepOf = Map("hour" -> 3600L, "day" -> 86400L)
+    val fired = rules.map { r =>
+      val having = r.thresholds
+        .map(t => s"${Trigger.aggSql(t)} ${t.op} ${t.value}").mkString(" AND ")
+      s"""SELECT user_id AS entity_id, date_trunc('${r.granularity}', ts) AS bucket,
+         |  '${r.name}' AS rule, '${r.severity}' AS severity,
+         |  ${stepOf(r.granularity)} AS step
+         |FROM events GROUP BY 1, 2 HAVING $having""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH fired AS ($fired),
+       |r AS (SELECT entity_id, rule, severity, step,
+       |  CAST(floor(epoch(bucket) / step) AS BIGINT)
+       |    - row_number() OVER (PARTITION BY entity_id, rule ORDER BY bucket) AS runid
+       |  FROM fired),
+       |e AS (SELECT rule, severity, entity_id, step, runid, count(*) AS len
+       |  FROM r GROUP BY 1, 2, 3, 4, 5)
+       |SELECT rule, severity, count(*) AS n_episodes,
+       |  count(DISTINCT entity_id) AS n_entities,
+       |  CAST(sum(len) AS BIGINT) * max(step) / count(*) AS mean_seconds,
+       |  CAST(max(len) * max(step) AS BIGINT) AS max_seconds
+       |FROM e GROUP BY 1, 2 ORDER BY rule""".stripMargin
+  }
+
+  /** n11's generated twin: distinct per-(entity, day, rule) firing
+    * cells, self-joined into ordered co-firing pairs. */
+  private def triggerCoFiringOracleSql(rules: Seq[Trigger.Rule]): String =
+    s"""WITH firings AS (${triggerFiringsUnion(rules)}),
+       |cells AS (SELECT DISTINCT entity_id, substr(bucket, 1, 10) AS day, rule
+       |  FROM firings),
+       |tot AS (SELECT rule, count(*) AS n_cells FROM cells GROUP BY 1),
+       |pairs AS (SELECT a.rule AS rule1, b.rule AS rule2, count(*) AS n_cofire
+       |  FROM cells a JOIN cells b
+       |    ON a.entity_id = b.entity_id AND a.day = b.day AND a.rule < b.rule
+       |  GROUP BY 1, 2)
+       |SELECT rule1, rule2, n_cofire, t1.n_cells AS n_r1, t2.n_cells AS n_r2,
+       |  n_cofire / t1.n_cells AS p2_given_1, n_cofire / t2.n_cells AS p1_given_2
+       |FROM pairs
+       |JOIN tot t1 ON t1.rule = rule1
+       |JOIN tot t2 ON t2.rule = rule2
+       |ORDER BY rule1, rule2""".stripMargin
+
   val defs: Seq[(String, Q)] = Seq(
     // Dirty-set computation exactly as Materialize.run uses it: state
     // is what a run that processed everything before `Cutoff` would
@@ -365,6 +409,31 @@ object Store {
     // parent valid AT that bucket. Equi-join on the entity + interval
     // post-filter — the directory-versioned rollup the reference's
     // attribute-tracked hierarchies imply.
+    // Coverage AUDIT of the temporal rollup — e06 drops buckets no
+    // validity interval covers, silently (a directory miss); this
+    // measures the loss per child entity BEFORE anyone trusts the
+    // parent numbers. The directory here has a planted coverage hole
+    // (validity Jan-05..Jan-25 over a full-January corpus), so the
+    // audit is non-degenerate: every entity's early/late buckets
+    // surface with their value mass and the hole's extent.
+    "e11_rollup_audit" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val daily = TrendStore.rollup(c.events, col("user_id"), col("ts"),
+        col("value"), "day")
+      val lo = lit("2024-01-05 00:00:00").cast("timestamp")
+      val hi = lit("2024-01-25 00:00:00").cast("timestamp")
+      val rel = c.customer.select(col("c_custkey").as("child"),
+        col("c_mktsegment").as("parent"), lo.as("vfrom"), hi.as("vto"))
+      TrendStore.entityRollupTemporalAudit(daily, rel,
+          "child", "parent", "vfrom", "vto", col("sum_dec"))
+        .select(col("entity_id"), col("n_buckets"), col("n_uncovered"),
+          col("uncovered_value"),
+          date_format(col("first_uncovered"), TS).as("first_uncovered"),
+          date_format(col("last_uncovered"), TS).as("last_uncovered"),
+          col("uncovered_share"))
+        .orderBy(col("entity_id"))
+    },
+
     "e06_entity_rollup_temporal" -> { (s, dir) =>
       val c = TableCatalog(s, dir)
       val daily = TrendStore.rollup(c.events, col("user_id"), col("ts"),
@@ -519,6 +588,30 @@ object Store {
       val ev = TableCatalog(s, dir).events
       Trigger.flapReport(triggerRules)(ev, col("user_id"), col("ts"))
         .orderBy(col("rule"), col("entity_id"))
+    },
+
+    // MTTR report — per (rule, severity): episode count, mean/max
+    // episode DURATION (episode = maximal consecutive-bucket run ×
+    // the rule's grid step) and distinct paged entities. n08 profiles
+    // per-entity flap structure; this is the rule-level resolution-
+    // time summary on-call management reads. Mean = unrounded IEEE
+    // division of exact longs.
+    "n10_time_to_clear" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      Trigger.mttrReport(triggerRules)(ev, col("user_id"), col("ts"))
+        .orderBy(col("rule"))
+    },
+
+    // Alert-correlation report — which rules fire TOGETHER: per
+    // ordered rule pair, co-firing (entity, day) cells, each rule's
+    // own cell count, and both conditional firing rates. Pairs that
+    // always co-fire are one alert to merge. Distinct cells first
+    // (one shuffle), then a (entity, day)-equi self-join whose
+    // fan-out is bounded by rules-per-cell; O(rules²) output.
+    "n11_alert_correlation" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      Trigger.coFiringReport(triggerRules)(ev, col("user_id"), col("ts"))
+        .orderBy(col("rule1"), col("rule2"))
     },
 
     // Flap suppression: rules page only after holding for 3
@@ -726,6 +819,23 @@ object Store {
         |  CAST(sum_dec AS DOUBLE) AS sum_value, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY parent, bucket, rank""".stripMargin,
 
+    "e11_rollup_audit" ->
+      """WITH d AS (SELECT user_id AS entity_id, date_trunc('day', ts) AS bucket,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS sum_dec
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT d.entity_id, d.bucket, d.sum_dec,
+        |    CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END AS unc
+        |  FROM d LEFT JOIN customer c ON d.entity_id = c.c_custkey
+        |    AND d.bucket >= TIMESTAMP '2024-01-05 00:00:00'
+        |    AND d.bucket <  TIMESTAMP '2024-01-25 00:00:00')
+        |SELECT entity_id, count(*) AS n_buckets,
+        |  CAST(sum(unc) AS BIGINT) AS n_uncovered,
+        |  CAST(sum(CASE WHEN unc = 1 THEN sum_dec END) AS DOUBLE) AS uncovered_value,
+        |  strftime(min(CASE WHEN unc = 1 THEN bucket END), '%Y-%m-%d %H:%M:%S') AS first_uncovered,
+        |  strftime(max(CASE WHEN unc = 1 THEN bucket END), '%Y-%m-%d %H:%M:%S') AS last_uncovered,
+        |  CAST(sum(unc) AS BIGINT) / count(*) AS uncovered_share
+        |FROM j GROUP BY 1 HAVING sum(unc) > 0 ORDER BY 1""".stripMargin,
+
     "e06_entity_rollup_temporal" ->
       """WITH d AS (SELECT user_id AS entity_id, date_trunc('day', ts) AS bucket,
         |  sum(CAST(value AS DECIMAL(18,4))) AS sum_dec
@@ -790,6 +900,8 @@ object Store {
 
     "n07_alert_digest" -> triggerDigestOracleSql(triggerRules),
     "n08_flap_report" -> triggerFlapOracleSql(triggerRules),
+    "n10_time_to_clear" -> triggerMttrOracleSql(triggerRules),
+    "n11_alert_correlation" -> triggerCoFiringOracleSql(triggerRules),
     "n09_slo_triggers" -> triggerOracleSql(sloRules),
 
     "n05_trigger_sets" -> triggerSetsOracleSql(triggerRules),

@@ -290,6 +290,51 @@ object TextSim {
         .orderBy(col("source"))
     },
 
+    // Label audit — the labeled `lang` column graded against the d05
+    // classifier: the (labeled, predicted) confusion matrix with the
+    // per-label share. The curation question behind it: is the
+    // upstream language tag trustworthy, and WHERE does it disagree
+    // (short docs misclassify — the d05 spec's point — so the
+    // off-diagonal is non-degenerate on any real corpus). One
+    // codegen'd scoring pass (no UDFs), one O(langs²) groupBy; the
+    // label totals ride a window over the CELL table (e10's
+    // discipline), never a corpus re-scan; share = IEEE division of
+    // exact longs.
+    "d47_label_audit" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("labeled_lang"))
+      langScore(TableCatalog(s, dir).documents, keep = Seq("lang"))
+        .groupBy(col("lang").as("labeled_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("label_total", sum(col("n_docs")).over(w))
+        .withColumn("share", col("n_docs") / col("label_total"))
+        .orderBy(col("labeled_lang"), col("pred_lang"))
+    },
+
+    // Corpus diversity — per-source unigram Shannon entropy (nats)
+    // with token/vocab counts: the "is this feed repetitive noise or
+    // diverse text" curation signal next to d43's dup rate (a feed
+    // can be dup-free yet use 50 words). Determinism is d40's recipe:
+    // per-count ln rounds to 6 decimals and multiplies IN DECIMAL by
+    // the exact count, the corpus term sums as DECIMAL, and the final
+    // H = ln(N) − Σc·ln(c)/N takes ONE double cast + ONE unrounded
+    // IEEE division — bit-identical on any engine or partitioning.
+    // Plan: explode → (source, token) partial agg → per-source agg;
+    // the token-keyed shuffle is the d30/d33 Zipf posture.
+    "d48_token_entropy" -> { (s, dir) =>
+      val toks = TableCatalog(s, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(round(log(col("c")), 6).cast("decimal(18,6)") * col("c")).as("__s"))
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          (round(log(col("n_tokens")), 6)
+            - col("__s").cast("double") / col("n_tokens")).as("entropy"))
+        .orderBy(col("source"))
+    },
+
     "d02_shingle_jaccard" -> { (s, dir) =>
       Dedup.shingleJaccard(TableCatalog(s, dir).documents, "doc_id", "text",
           k = 3, threshold = 0.5)
@@ -1503,6 +1548,31 @@ object TextSim {
         |  round(CAST(sum(CASE WHEN keeper THEN n_tokens ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n_tokens) AS DOUBLE), 6) AS yield
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d47_label_audit" ->
+      s"""WITH p AS (SELECT doc_id, lang, ' ' || text || ' ' AS pt FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  $langScoreExprsSql
+         |FROM p),
+         |pr AS (SELECT lang AS labeled_lang,
+         |  $langCaseSql AS pred_lang
+         |FROM sc),
+         |cells AS (SELECT labeled_lang, pred_lang, count(*) AS n_docs
+         |  FROM pr GROUP BY 1, 2)
+         |SELECT labeled_lang, pred_lang, n_docs,
+         |  CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT) AS label_total,
+         |  n_docs / CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT) AS share
+         |FROM cells ORDER BY 1, 2""".stripMargin,
+
+    "d48_token_entropy" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT source, token, count(*) AS c FROM t WHERE token <> '' GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        |    sum(CAST(round(ln(c), 6) AS DECIMAL(18,6)) * c) AS sdec
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tokens, n_distinct,
+        |  round(ln(n_tokens), 6) - CAST(sdec AS DOUBLE) / n_tokens AS entropy
+        |FROM s ORDER BY source""".stripMargin,
 
     "d03_minhash_lsh" ->
       // The LSH band config is effectively exact at J ≥ 0.7 (see the

@@ -628,6 +628,33 @@ object Trend {
         .select(date_format(col("bucket"), TS).as("bucket"),
           col("n_changes"), col("n_entities"))
         .orderBy(col("bucket"))
+    },
+
+    // Fleet configuration distribution at an as-of time — "how is the
+    // fleet configured right now": entities per attribute value +
+    // fleet share (a04 answers one entity; this is the fleet-level
+    // rollup a dashboard publishes). One as-of window + one
+    // O(values) groupBy; share = IEEE division of exact longs.
+    "a09_attr_distribution" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      AttributeStore.valueDistribution(ev, col("user_id"), col("ts"),
+          col("event_id"), col("event_type"),
+          lit("2024-01-15 00:00:00").cast("timestamp"))
+        .orderBy(col("value"))
+    },
+
+    // Per-entity change TIMELINE — the audit trail behind a06's fleet
+    // churn rate: every real value change with the previous value and
+    // how long the new value held. Two window passes on one
+    // entity-keyed shuffle family; no join back to the raw history.
+    "a10_attr_timeline" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      AttributeStore.timeline(ev, col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .select(col("entity_id"), date_format(col("changed_at"), TS).as("changed_at"),
+          col("prev_value"), col("new_value"), col("change_kind"),
+          col("held_seconds"))
+        .orderBy(col("entity_id"), col("changed_at"))
     }
   )
 
@@ -1178,6 +1205,33 @@ object Trend {
         |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         |  count(*) AS n_changes, count(DISTINCT user_id) AS n_entities
         |FROM r WHERE rn > 1 AND prev IS DISTINCT FROM event_type
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a09_attr_distribution" ->
+      """WITH cur AS (SELECT event_type FROM (
+        |    SELECT event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1),
+        |cells AS (SELECT event_type AS value, count(*) AS n_entities FROM cur GROUP BY 1)
+        |SELECT value, n_entities,
+        |  CAST(sum(n_entities) OVER () AS BIGINT) AS fleet_total,
+        |  n_entities / CAST(sum(n_entities) OVER () AS BIGINT) AS share
+        |FROM cells ORDER BY value""".stripMargin,
+
+    "a10_attr_timeline" ->
+      """WITH h AS (SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT * FROM h WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |t AS (SELECT user_id AS entity_id, ts, rn, prev AS prev_value,
+        |    event_type AS new_value,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |  FROM c)
+        |SELECT entity_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS changed_at,
+        |  prev_value, new_value,
+        |  CASE WHEN rn = 1 THEN 'initial' ELSE 'change' END AS change_kind,
+        |  date_diff('second', ts, next_ts) AS held_seconds
+        |FROM t ORDER BY entity_id, changed_at""".stripMargin
   )
 }

@@ -103,6 +103,15 @@ class CliSpec extends SparkSpec {
       "--store", s"$base/notifications", "--keep-from", "2024-01-02"))
     assert(spark.read.parquet(s"$base/notifications")
       .select("rule").head.getString(0) === "quiet")
+
+    // delete-timestamp surface: remove the surviving bucket's rows —
+    // the emptied day partition disappears like retain's drop
+    val kept = spark.read.parquet(s"$base/notifications")
+      .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss")).head.getString(0)
+    Cli.run(spark, Seq("delete-ts",
+      "--store", s"$base/notifications", "--bucket", kept))
+    assert(graft.operators.StoreFs.list(spark, s"$base/notifications")
+      .map(_.getName).forall(!_.startsWith("p_date=")))
   }
 
   test("store-info reports the merged schema and partition range") {

@@ -122,6 +122,48 @@ class RetentionSpec extends SparkSpec {
     assert(StoreFs.list(spark, coarse).isEmpty)
   }
 
+  test("deleteBucket removes one timestamp's rows, touching only its day partition") {
+    val store = tmpDir() + "/store"
+    TrendStoreWriter.write(tenDays(1L).unionByName(tenDays(2L)), store)
+    val day3Before = StoreFs.list(spark, store + "/p_date=2024-01-03")
+      .map(_.toString).sorted
+    // delete the Jan-05 06:00 bucket (both entities carry it)
+    val removed = TrendStoreWriter.deleteBucket(spark, store, "2024-01-05 06:00:00")
+    assert(removed === 2L)
+    val back = TrendStoreWriter.read(spark, store)
+    assert(back.count() === 18)
+    assert(back.filter(col("bucket") === lit("2024-01-05 06:00:00").cast("timestamp"))
+      .count() === 0)
+    // untouched days were not rewritten
+    assert(StoreFs.list(spark, store + "/p_date=2024-01-03")
+      .map(_.toString).sorted === day3Before)
+    // the emptied Jan-05 partition is gone entirely (one bucket per day here)
+    assert(!StoreFs.exists(spark, store + "/p_date=2024-01-05"))
+    // idempotent: deleting an absent bucket removes nothing
+    assert(TrendStoreWriter.deleteBucket(spark, store, "2024-01-05 06:00:00") === 0L)
+    assert(TrendStoreWriter.deleteBucket(spark, store, "2024-01-04 23:59:59") === 0L)
+    assert(TrendStoreWriter.read(spark, store).count() === 18)
+    // malformed timestamp refused before touching anything
+    intercept[IllegalArgumentException] {
+      TrendStoreWriter.deleteBucket(spark, store, "Jan 5")
+    }
+  }
+
+  test("deleteBucket rewrites a day that keeps other buckets") {
+    val store = tmpDir() + "/store"
+    // two buckets on the same day
+    val rows = Seq(
+      (1L, "2024-02-01 06:00:00", 1.0), (1L, "2024-02-01 18:00:00", 2.0),
+      (2L, "2024-02-01 18:00:00", 3.0))
+      .toDF("entity_id", "bucket", "v")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    TrendStoreWriter.write(rows, store)
+    assert(TrendStoreWriter.deleteBucket(spark, store, "2024-02-01 18:00:00") === 2L)
+    val back = TrendStoreWriter.read(spark, store)
+    assert(back.count() === 1)
+    assert(back.select(col("v")).head.getDouble(0) === 1.0)
+  }
+
   test("retain validates the horizon format") {
     intercept[IllegalArgumentException] {
       TrendStoreWriter.retain(spark, tmpDir(), "Jan 6 2024")

@@ -197,6 +197,80 @@ class TrendSpec extends SparkSpec {
       rolled, relDf, "child", "parent", "vfrom", "vto", Seq.empty[MetricAgg]))
   }
 
+  test("temporal rollup audit measures exactly what the rollup drops") {
+    import graft.SparkSpec.spark.implicits._
+    val rolled = Seq(
+      (1L, "2024-01-05 00:00:00", 10.0),
+      (1L, "2024-01-10 00:00:00", 20.0),
+      (1L, "2024-01-15 00:00:00", 30.0),
+      (2L, "2024-01-05 00:00:00", 5.0),
+      (3L, "2024-01-01 00:00:00", 99.0), // before interval opens → drop
+      (3L, "2024-01-03 00:00:00", 7.0)   // covered
+    ).toDF("entity_id", "bucket", "sum_value")
+      .withColumn("bucket", col("bucket").cast("timestamp"))
+    val relDf = Seq(
+      (1L, "a", "2024-01-01 00:00:00", "2024-01-10 00:00:00"),
+      (1L, "b", "2024-01-10 00:00:00", "2024-12-31 00:00:00"),
+      (2L, "a", "2024-01-01 00:00:00", "2024-12-31 00:00:00"),
+      (3L, "c", "2024-01-02 00:00:00", "2024-12-31 00:00:00")
+    ).toDF("child", "parent", "vfrom", "vto")
+      .withColumn("vfrom", col("vfrom").cast("timestamp"))
+      .withColumn("vto", col("vto").cast("timestamp"))
+    val audit = TrendStore.entityRollupTemporalAudit(rolled, relDf,
+        "child", "parent", "vfrom", "vto", col("sum_value"))
+      .select(col("entity_id"), col("n_buckets"), col("n_uncovered"),
+        col("uncovered_value"), col("uncovered_share"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // only entity 3 loses anything: 1 of its 2 buckets, value 99
+    assert(audit.toSeq === Seq((3L, 2L, 1L, 99.0, 0.5)))
+    // conservation: covered mass + uncovered mass = total mass
+    val total = rolled.agg(sum(col("sum_value"))).head.getDouble(0)
+    val covered = TrendStore.entityRollupTemporal(rolled, relDf,
+        "child", "parent", "vfrom", "vto", col("sum_value"))
+      .agg(sum(col("sum_value"))).head.getDouble(0)
+    assert(covered + 99.0 === total)
+  }
+
+  test("valueDistribution: fleet config shares at an as-of time") {
+    import graft.SparkSpec.spark.implicits._
+    val attrs = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "A"),
+      (1L, "2024-01-05 00:00:00", 2L, "B"), // e1 is B at the snapshot
+      (2L, "2024-01-02 00:00:00", 3L, "X"),
+      (3L, "2024-01-03 00:00:00", 4L, "X"),
+      (3L, "2024-01-20 00:00:00", 5L, "Z")  // after the snapshot → invisible
+    ).toDF("entity_id", "ts", "eid", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = AttributeStore.valueDistribution(attrs, col("entity_id"), col("ts"),
+        col("eid"), col("v"), lit("2024-01-10 00:00:00").cast("timestamp"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(("B", 1L, 3L, 1.0 / 3), ("X", 2L, 3L, 2.0 / 3)))
+  }
+
+  test("timeline: per-entity change log with hold durations") {
+    import graft.SparkSpec.spark.implicits._
+    val attrs = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "A"),
+      (1L, "2024-01-02 00:00:00", 2L, "A"), // repeat → not a change
+      (1L, "2024-01-04 00:00:00", 3L, "B"),
+      (2L, "2024-01-01 00:00:00", 4L, "X"))
+      .toDF("entity_id", "ts", "eid", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = AttributeStore.timeline(attrs, col("entity_id"), col("ts"),
+        col("eid"), col("v"))
+      .select(col("entity_id"), col("prev_value"), col("new_value"),
+        col("change_kind"), col("held_seconds"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).orNull,
+        r.getString(2), r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(got === Set(
+      (1L, null, "A", "initial", 3L * 86400), // held Jan-01 → Jan-04
+      (1L, "A", "B", "change", -1L),          // still current
+      (2L, null, "X", "initial", -1L)))
+  }
+
   // The full Minerva loop composed: attribute HISTORY is itself a
   // temporal relation (entity → state over [valid_from, valid_to)),
   // so trend buckets roll up to "the state the entity was in AT that

@@ -115,6 +115,43 @@ class TriggerSpec extends SparkSpec {
     assert(nFired === 9L)
   }
 
+  test("mttrReport rolls episode durations to rule level") {
+    val surge = Seq(Trigger.Rule("surge", "hour",
+      Seq(Trigger.Threshold("v", "sum", ">", 10.0)), "major"))
+    // episodes: e1 = {01-02}, {04}, {06-08}; e2 = {01-03}
+    // → 4 episodes, 2 entities, 9 firing buckets total, longest 3
+    val flappy = events(
+      Seq(1, 2, 4, 6, 7, 8).map(h => (1L, f"2024-01-01 $h%02d:00:00", 12.0)) ++
+      Seq(1, 2, 3).map(h => (2L, f"2024-01-01 $h%02d:00:00", 12.0)))
+    val got = Trigger.mttrReport(surge)(flappy, col("entity"), col("ts"))
+      .select(col("rule"), col("severity"), col("n_episodes"), col("n_entities"),
+        col("mean_seconds"), col("max_seconds"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      ("surge", "major", 4L, 2L, 9.0 * 3600 / 4, 3L * 3600)))
+  }
+
+  test("coFiringReport: co-firing cells, totals and conditional rates") {
+    val pairRules = Seq(
+      Trigger.Rule("surge", "hour",
+        Seq(Trigger.Threshold("v", "sum", ">", 10.0)), "major"),
+      Trigger.Rule("burst", "hour",
+        Seq(Trigger.Threshold("v", "count", ">", 1.0)), "minor"))
+    val data = events(Seq(
+      // e1 day1 h01: two rows of 6 → sum 12 AND count 2 → both fire
+      (1L, "2024-01-01 01:00:00", 6.0), (1L, "2024-01-01 01:30:00", 6.0),
+      // e1 day2 h01: one row of 12 → surge only
+      (1L, "2024-01-02 01:00:00", 12.0),
+      // e2 day1 h02: two rows of 2 → burst only (sum 4)
+      (2L, "2024-01-01 02:00:00", 2.0), (2L, "2024-01-01 02:30:00", 2.0)))
+    val got = Trigger.coFiringReport(pairRules)(data, col("entity"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // cells: surge {(1,d1),(1,d2)}, burst {(1,d1),(2,d1)}; co-fire {(1,d1)}
+    assert(got.toSeq === Seq(("burst", "surge", 1L, 2L, 2L, 0.5, 0.5)))
+  }
+
   test("payload round-trips through NotificationStore.typed") {
     val fired = Trigger.evaluate(rules)(data, col("entity"), col("ts"))
       .filter(col("rule") === "surge")
