@@ -79,6 +79,23 @@ object Relations {
     * Shape: each side collapses to one row per child via a combinable
     * groupBy on the child key, then ONE full-outer join on the same
     * key — relation stores are entity-sized, nothing fact-sized moves. */
+  /** Fan-out health report: per relation type, the edge count,
+    * distinct parents, and the max/mean children-per-parent — the
+    * directory-shape audit an operator reads before trusting an
+    * entity rollup (a parent with a million children is a skew
+    * hazard AND usually a modeling bug; Minerva's hierarchies are
+    * expected to be shallow and bounded). Two stacked combine-
+    * friendly aggs on the (type, parent) family; O(types) output.
+    * Mean = IEEE division of exact longs. */
+  def fanout(rel: DataFrame): DataFrame =
+    rel.groupBy(col("relation_type"), col("parent_dn"))
+      .agg(countDistinct(col("child_dn")).as("__c"))
+      .groupBy(col("relation_type"))
+      .agg(sum(col("__c")).as("n_links"),
+        count(lit(1)).as("n_parents"),
+        max(col("__c")).as("max_fanout"))
+      .withColumn("avg_fanout", col("n_links") / col("n_parents"))
+
   def diff(before: DataFrame, after: DataFrame): DataFrame = {
     def collapse(rel: DataFrame, out: String) =
       rel.groupBy(col("child_dn"))

@@ -319,6 +319,27 @@ object TrendStore {
           .as("forecast_next"))
   }
 
+  /** Capacity horizon — the planning number behind [[linearTrend]]'s
+    * projection: at the fitted growth rate, how many days until each
+    * entity's daily KPI reaches `factor` × its current next-day
+    * projection ("when does this cell hit double today's load").
+    * NULL for entities that aren't growing (slope ≤ 0) or whose
+    * projection is non-positive (no meaningful doubling time).
+    *
+    * Determinism: slope and forecast are [[linearTrend]]'s 6-dp-
+    * rounded bit-identical values; the horizon is one exact multiply
+    * and ONE unrounded IEEE division of them — bit-identical on any
+    * engine. Same single entity-keyed moment shuffle as the trend
+    * fit. */
+  def capacityHorizon(daily: DataFrame, factor: Double = 2.0,
+                      minDays: Int = 7): DataFrame = {
+    require(factor > 1.0, s"capacityHorizon factor must exceed 1, got $factor")
+    linearTrend(daily, minDays)
+      .withColumn("days_to_factor",
+        when(col("slope") > 0 && col("forecast_next") > 0,
+          (lit(factor - 1.0) * col("forecast_next")) / col("slope")))
+  }
+
   /** Contribution-share report: each child group's fraction of its
     * parent's total per bucket — the percent drill-down behind an
     * entity-rollup dashboard ("each nation's share of its region's

@@ -409,6 +409,24 @@ object Store {
     // parent valid AT that bucket. Equi-join on the entity + interval
     // post-filter — the directory-versioned rollup the reference's
     // attribute-tracked hierarchies imply.
+    // Directory fan-out health — the relation-shape audit an operator
+    // reads before trusting an entity rollup: per relation type, edge
+    // count, distinct parents, max/mean children-per-parent (a parent
+    // with a million children is a skew hazard and usually a modeling
+    // bug). Two stacked combine-friendly aggs; O(types) output.
+    "e12_fanout_stats" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val custNation = Relations.of(c.customer,
+        concat(lit("Customer="), col("c_custkey")),
+        concat(lit("Nation="), col("c_nationkey")), "customer->nation")
+      val nationRegion = Relations.of(c.nation,
+        concat(lit("Nation="), col("n_nationkey")),
+        concat(lit("Region="), col("n_regionkey")), "nation->region")
+      val composed = Relations.compose(custNation, nationRegion)
+      Relations.fanout(custNation.unionByName(nationRegion).unionByName(composed))
+        .orderBy(col("relation_type"))
+    },
+
     // Coverage AUDIT of the temporal rollup — e06 drops buckets no
     // validity interval covers, silently (a directory miss); this
     // measures the loss per child entity BEFORE anyone trusts the
@@ -818,6 +836,25 @@ object Store {
         |SELECT parent, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, child,
         |  CAST(sum_dec AS DOUBLE) AS sum_value, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY parent, bucket, rank""".stripMargin,
+
+    "e12_fanout_stats" ->
+      """WITH rel AS (
+        |  SELECT DISTINCT 'Customer=' || c_custkey AS child_dn,
+        |    'Nation=' || c_nationkey AS parent_dn,
+        |    'customer->nation' AS relation_type FROM customer
+        |  UNION ALL
+        |  SELECT DISTINCT 'Nation=' || n_nationkey, 'Region=' || n_regionkey,
+        |    'nation->region' FROM nation
+        |  UNION ALL
+        |  SELECT DISTINCT 'Customer=' || c_custkey, 'Region=' || n_regionkey,
+        |    'customer->nation|nation->region'
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |pp AS (SELECT relation_type, parent_dn, count(DISTINCT child_dn) AS c
+        |  FROM rel GROUP BY 1, 2)
+        |SELECT relation_type, CAST(sum(c) AS BIGINT) AS n_links,
+        |  count(*) AS n_parents, CAST(max(c) AS BIGINT) AS max_fanout,
+        |  CAST(sum(c) AS BIGINT) / count(*) AS avg_fanout
+        |FROM pp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e11_rollup_audit" ->
       """WITH d AS (SELECT user_id AS entity_id, date_trunc('day', ts) AS bucket,

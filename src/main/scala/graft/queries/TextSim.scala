@@ -341,6 +341,30 @@ object TextSim {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Dedup threshold tuning sweep — s17's posture for NEAR-DUP
+    // config: the threshold → (pair count, affected docs) curve an
+    // operator reads before committing a dedup run (too low scrubs
+    // the corpus, too high ships mirrors). ONE shingle-similarity
+    // pass (the expensive part) feeds every sweep point: pairs fan
+    // out ×7 against a LITERAL threshold array (explode, not a join),
+    // then two stacked partial aggs per point. The jac values are
+    // unrounded IEEE divisions of exact counts (d02's parity), so the
+    // cutoff at each threshold is bit-identical cross-engine.
+    "d49_dedup_sweep" -> { (s, dir) =>
+      val sims = Dedup.shingleJaccard(TableCatalog(s, dir).documents,
+        "doc_id", "text", k = 3, threshold = 0.3)
+      val grid = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+      val sweep = sims.select(col("a_id"), col("b_id"), col("jac"),
+          explode(array(grid.map(lit): _*)).as("threshold"))
+        .filter(col("jac") >= col("threshold"))
+      val np = sweep.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+      val nd = sweep.select(col("threshold"),
+          explode(array(col("a_id"), col("b_id"))).as("d"))
+        .distinct()
+        .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs"))
+      np.join(nd, Seq("threshold")).orderBy(col("threshold"))
+    },
+
     "d03_minhash_lsh" -> { (s, dir) =>
       // 32 bands × 2 rows: recall ≥ 1 − 5·10⁻¹⁰ at J ≥ 0.7, so the
       // LSH output equals the exact-Jaccard pair set (DuckDB oracle).
@@ -1622,6 +1646,30 @@ object TextSim {
         |SELECT a_id, b_id, c / (na.n + nb.n - c) AS jac
         |FROM inter JOIN sizes na ON a_id = na.doc_id JOIN sizes nb ON b_id = nb.doc_id
         |WHERE c / (na.n + nb.n - c) >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+    "d49_dedup_sweep" ->
+      // d02's exact-Jaccard CTE at the sweep floor, fanned against the
+      // same literal threshold grid the Spark side explodes.
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sims AS (SELECT a_id, b_id, c / (na.n + nb.n - c) AS jac
+        |  FROM inter JOIN sizes na ON a_id = na.doc_id JOIN sizes nb ON b_id = nb.doc_id
+        |  WHERE c / (na.n + nb.n - c) >= 0.3),
+        |sw AS (SELECT a_id, b_id, jac, g.threshold
+        |  FROM sims CROSS JOIN (
+        |    SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold) g
+        |  WHERE jac >= threshold),
+        |np AS (SELECT threshold, count(*) AS n_pairs FROM sw GROUP BY 1),
+        |nd AS (SELECT threshold, count(*) AS n_docs FROM (
+        |  SELECT DISTINCT threshold, d FROM (
+        |    SELECT threshold, unnest([a_id, b_id]) AS d FROM sw)) GROUP BY 1)
+        |SELECT np.threshold AS threshold, n_pairs, n_docs
+        |FROM np JOIN nd ON np.threshold = nd.threshold
+        |ORDER BY np.threshold""".stripMargin,
 
     "d05_lang_score" -> langScoreSql,
 

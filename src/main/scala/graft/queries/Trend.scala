@@ -441,6 +441,21 @@ object Trend {
         .orderBy(col("entity_id"))
     },
 
+    // Capacity horizon — t29's planning number: at the fitted growth
+    // rate, days until each entity's daily KPI reaches 2× its current
+    // next-day projection; NULL for non-growing entities (the sign of
+    // the fitted slope splits the fleet, so the report is non-
+    // degenerate at every scale). One exact multiply + one unrounded
+    // IEEE division over t29's bit-identical rounded fit.
+    "t37_capacity_horizon" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val daily = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "day")
+        .select(col("entity_id"), col("bucket"),
+          col("sum_dec").cast("decimal(18,4)").as("sd"))
+      TrendStore.capacityHorizon(daily, factor = 2.0, minDays = 7)
+        .orderBy(col("entity_id"))
+    },
+
     // Data-availability report — the SLA/completeness number a
     // monitoring deployment publishes: per entity per CALENDAR day of
     // the corpus span, how many of the 24 hourly buckets actually
@@ -1065,6 +1080,31 @@ object Trend {
         |  round((sy - slope * sx) / n, 6) AS intercept,
         |  round((sy - slope * sx) / n + slope * (mx + 1), 6) AS forecast_next
         |FROM f ORDER BY entity_id""".stripMargin,
+
+    "t37_capacity_horizon" ->
+      // t29's fit, then the horizon from the ROUNDED slope/forecast
+      // (mirroring the Spark side exactly: rounded operands, one
+      // multiply, one unrounded IEEE division).
+      """WITH d AS (SELECT user_id AS entity_id, date_trunc('day', ts) AS bucket,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sd
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT entity_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(bucket AS DATE)) AS x, sd FROM d),
+        |g AS (SELECT entity_id, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+        |    CAST(sum(sd) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(x * sd) AS DECIMAL(38,4)) AS DOUBLE) AS sxy,
+        |    max(x) AS mx
+        |  FROM x GROUP BY 1 HAVING count(*) >= 7),
+        |f AS (SELECT entity_id, n, sx, sy, mx,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM g),
+        |o AS (SELECT entity_id, n AS n_days, round(slope, 6) AS slope,
+        |    round((sy - slope * sx) / n, 6) AS intercept,
+        |    round((sy - slope * sx) / n + slope * (mx + 1), 6) AS forecast_next
+        |  FROM f)
+        |SELECT entity_id, n_days, slope, intercept, forecast_next,
+        |  CASE WHEN slope > 0 AND forecast_next > 0
+        |       THEN (1.0 * forecast_next) / slope END AS days_to_factor
+        |FROM o ORDER BY entity_id""".stripMargin,
 
     "t30_availability" ->
       """WITH h AS (SELECT DISTINCT user_id AS entity_id, date_trunc('hour', ts) AS h FROM events),

@@ -60,4 +60,17 @@ class QueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("d49 sweep curve is monotone: raising the threshold never adds pairs or docs") {
+    val rows = SparkEntry.queries("d49_dedup_sweep")(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.col("threshold"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array((t1, p1, d1), (t2, p2, d2)) =>
+        assert(p2 <= p1 && d2 <= d1,
+          s"sweep not monotone: $t1 → ($p1, $d1) but $t2 → ($p2, $d2)")
+      case _ =>
+    }
+  }
 }

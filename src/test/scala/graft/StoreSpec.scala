@@ -221,6 +221,24 @@ class StoreSpec extends SparkSpec {
       ("Cell=2", "rehomed"), ("Cell=3", "removed"), ("Cell=5", "added")))
   }
 
+  test("Relations.fanout reports per-type edge counts and parent fan-out shape") {
+    val rel = Seq(
+      ("Cell=1", "Site=A"), ("Cell=2", "Site=A"), ("Cell=3", "Site=A"),
+      ("Cell=4", "Site=B"),
+      ("Cell=4", "Site=B")) // duplicate edge → counted once
+      .toDF("child_dn", "parent_dn").withColumn("relation_type", lit("cell->site"))
+      .unionByName(Seq(("Site=A", "Region=R"), ("Site=B", "Region=R"))
+        .toDF("child_dn", "parent_dn").withColumn("relation_type", lit("site->region")))
+    val got = Relations.fanout(rel)
+      .select(col("relation_type"), col("n_links"), col("n_parents"),
+        col("max_fanout"), col("avg_fanout"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("cell->site", 4L, 2L, 3L, 2.0),
+      ("site->region", 2L, 1L, 2L, 2.0)))
+  }
+
   test("syncStatus classifies active / silent / unregistered dns") {
     val src = Seq(("Cell=1", "cell", "alpha"), ("Cell=2", "cell", "beta"))
       .toDF("dn", "t", "a")

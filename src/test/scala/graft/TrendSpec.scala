@@ -557,4 +557,29 @@ class TrendSpec extends SparkSpec {
     val xNext = java.time.LocalDate.of(2024, 1, 15).toEpochDay.toDouble
     assert(fit.head.getDouble(4) === 2.5 * xNext + 10.0)
   }
+
+  test("capacityHorizon: planted growth gives exact doubling time; decline gives NULL") {
+    import graft.SparkSpec.spark.implicits._
+    // entity 1 grows at exactly 2.5/day; entity 2 declines at -1/day
+    val days = (0 until 14).flatMap { d =>
+      val date = s"2024-01-${"%02d".format(d + 1)}"
+      Seq((1L, date, 2.5), (2L, date, -1.0))
+    }
+    val daily = days.toDF("entity_id", "day", "m")
+      .select(col("entity_id"), col("day").cast("timestamp").as("bucket"),
+        (expr("datediff(day, date'1970-01-01')") * col("m") + lit(100000))
+          .cast("decimal(18,4)").as("sd"))
+    val got = TrendStore.capacityHorizon(daily, factor = 2.0, minDays = 7)
+      .select(col("entity_id"), col("slope"), col("forecast_next"),
+        col("days_to_factor"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sortBy(_._1)
+    assert(got(0)._2 === 2.5)
+    // doubling time = forecast / slope, both exact on the planted line
+    val f1 = TrendStore.linearTrend(daily.filter(col("entity_id") === 1L), 7)
+      .head.getDouble(4)
+    assert(got(0)._3 === Some(f1 / 2.5))
+    // the declining entity has no doubling time
+    assert(got(1)._2 === -1.0 && got(1)._3 === None)
+  }
 }
