@@ -384,6 +384,17 @@ object Cli {
       top.write.mode("overwrite").parquet(one(f, "out"))
       println(s"index-search: kind=${opt(f, "kind", "ivfpq")} out=${one(f, "out")}")
 
+    // Tombstone-delete ids from a persisted ANN index (the crawl
+    // loop's revoke path): --ids PARQUET (first column = ids),
+    // --batch makes crash-retried deletes no-ops; the next
+    // compact-index removes the rows physically.
+    case "index-delete" :: rest =>
+      val f = parseFlags(rest)
+      val applied = graft.similarity.Similarity.annDelete(spark,
+        one(f, "index"), spark.read.parquet(one(f, "ids")),
+        batchId = f.get("batch").map(_.last))
+      println(s"index-delete: index=${one(f, "index")} applied=$applied")
+
     // Retrieval over the stored TEXT index (d36/d37 serving paths):
     // --tokens is the query, --mode bm25 ranks, --mode bool
     // coverage-ranks with an AND-ish floor.
@@ -604,7 +615,8 @@ object Cli {
         s"unknown command: ${cmd.headOption.getOrElse("")} " +
           "(expected harvest|harvest-stream|materialize|materialize-all|aggregate|" +
           "trigger|retain|delete-ts|compact|cluster|explain|shard|audit|dedup|" +
-          "dedup-incremental|decontaminate|index-build|index-search|text-search|" +
+          "dedup-incremental|decontaminate|index-build|index-search|index-delete|" +
+          "text-search|" +
           "gapfill|compact-index|store-info|index-info)")
   }
 

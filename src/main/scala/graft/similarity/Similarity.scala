@@ -377,8 +377,9 @@ object Similarity {
       .localCheckpoint() // tiny; evaluated twice (cell list + join)
     val probeCells = probed.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0))
-    val corpusCells = allowedFilter(spark.read.parquet(s"$indexPath/cells")
-      .filter(col("cell").isin(probeCells.toSeq: _*)), allowed)
+    val corpusCells = dropTombstones(spark, indexPath,
+      allowedFilter(spark.read.parquet(s"$indexPath/cells")
+        .filter(col("cell").isin(probeCells.toSeq: _*)), allowed))
     ivfScore(corpusCells, probed, k)
   }
 
@@ -406,8 +407,56 @@ object Similarity {
     * path, silently see an empty table). O(1) metadata per call. */
   private def recoverIndex(spark: org.apache.spark.sql.SparkSession,
                            indexPath: String): Unit =
-    Seq("codes", "cells", "vectors").foreach(t =>
+    Seq("codes", "cells", "vectors", "tombstones").foreach(t =>
       graft.operators.StoreFs.recover(spark, s"$indexPath/$t"))
+
+  /** Hide tombstoned ids from a candidate table — the serve-time half
+    * of [[annDelete]]. One left_anti join on the fixed-width id
+    * against the O(deletes)-sized tombstones table (absent = no-op);
+    * applied BEFORE any top-k cut so a deleted vector can neither
+    * rank nor crowd the candidate list. */
+  private def dropTombstones(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String,
+                             candidates: DataFrame): DataFrame = {
+    val t = s"$indexPath/tombstones"
+    if (!graft.operators.StoreFs.exists(spark, t)) candidates
+    else candidates.join(
+      spark.read.parquet(t).select(col("n_id")).distinct(),
+      Seq("n_id"), "left_anti")
+  }
+
+  /** DELETE vectors from a persisted ANN index — the lifecycle op the
+    * add/compact pair was missing (a crawl loop drops revoked or
+    * re-crawled docs as routinely as it adds new ones). Deletion is a
+    * TOMBSTONE: the ids append to `indexPath/tombstones` (O(deletes)
+    * rows, fixed-width), every search path anti-joins them before
+    * ranking, and the next [[compactIndex]] removes the rows
+    * physically and clears the table. Works on all three persisted
+    * layouts (the tombstone is id-keyed, not layout-keyed).
+    *
+    * Exactly-once: an optional `batchId` marker (written AFTER the
+    * append, `_deletes/<id>`) makes crash-retried deletes no-ops; the
+    * crash window's duplicate tombstone rows are harmless (the serve
+    * path reads the id SET). Re-adding a deleted id via [[ivfpqAdd]]
+    * clears its tombstone — latest operation wins. Returns false iff
+    * the marker shows this batch already committed. */
+  def annDelete(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                ids: DataFrame, batchId: Option[String] = None): Boolean = {
+    import graft.operators.StoreFs
+    require(StoreFs.exists(spark, s"$indexPath/codes") ||
+      StoreFs.exists(spark, s"$indexPath/cells"),
+      s"$indexPath has no codes/ or cells/ table — not a persisted ANN index")
+    val marker = batchId.map(b => s"$indexPath/_deletes/$b")
+    if (marker.exists(m => StoreFs.exists(spark, m))) return false
+    recoverIndex(spark, indexPath)
+    ids.select(col(ids.columns.head).cast("long").as("n_id")).distinct()
+      .write.mode("append").parquet(s"$indexPath/tombstones")
+    marker.foreach { m =>
+      val (f, p) = StoreFs.fs(spark, m)
+      f.mkdirs(p)
+    }
+    true
+  }
 
   /** Seeded Lloyd k-means over an in-memory sample (the IVF coarse
     * quantizer). Deterministic: init = evenly-strided sample points,
@@ -549,9 +598,16 @@ object Similarity {
       .dropDuplicates("q_id", "n_id")
     val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
+    // a replayed add duplicates the VECTORS table too, and the n_id
+    // join would fan the deduped candidates back out — two identical
+    // (sim, n_id) entries would then occupy two final ranks. Dedupe
+    // again AFTER scoring, still on the bounded candidate set (never
+    // a corpus-wide shuffle); duplicate rows are bit-identical
+    // replays, so which one survives is immaterial.
     val scored = vectors.join(broadcast(cands), "n_id").join(broadcast(q), "q_id")
       .select(col("q_id"), col("n_id"),
         (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
+      .dropDuplicates("q_id", "n_id")
     rankTopK(scored, k)
   }
 
@@ -610,7 +666,8 @@ object Similarity {
     val books = Array.tabulate(m, nCodes) { (s, j) =>
       rows(s * nCodes + j).getSeq[Double](2).toArray
     }
-    pqScore(allowedFilter(spark.read.parquet(s"$indexPath/codes"), allowed),
+    pqScore(dropTombstones(spark, indexPath,
+        allowedFilter(spark.read.parquet(s"$indexPath/codes"), allowed)),
       spark.read.parquet(s"$indexPath/vectors"),
       queries, qId, vecCol, books, k, rerank,
       loadRotation(spark, indexPath))
@@ -772,6 +829,20 @@ object Similarity {
     coded.select(col("n_id"), col("__codes"), col("cell"))
       .write.partitionBy("cell").mode("append").parquet(s"$indexPath/codes")
     c.write.mode("append").parquet(s"$indexPath/vectors")
+    // re-adding a previously deleted id revives it: clear its
+    // tombstone (latest operation wins — see annDelete). Rewrite of
+    // the O(deletes)-sized table via temp-then-swap; a crash before
+    // this point replays the whole batch (marker not yet written),
+    // and the replay's duplicate code rows cannot change a score
+    // (pqRerank dedupes) — so the clear always completes.
+    val tomb = s"$indexPath/tombstones"
+    if (graft.operators.StoreFs.exists(spark, tomb)) {
+      val remaining = spark.read.parquet(tomb)
+        .join(c.select(col("n_id")).distinct(), Seq("n_id"), "left_anti")
+        .localCheckpoint()
+      remaining.coalesce(1).write.mode("overwrite").parquet(tomb + ".tmp")
+      graft.operators.StoreFs.replace(spark, tomb + ".tmp", tomb)
+    }
     marker.foreach { m =>
       val (f, p) = graft.operators.StoreFs.fs(spark, m)
       f.mkdirs(p)
@@ -805,10 +876,24 @@ object Similarity {
                    indexPath: String, nFiles: Int = 8): Long = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     import graft.operators.StoreFs
+    // tombstoned rows ([[annDelete]]) are PHYSICALLY removed here and
+    // the tombstone table cleared afterwards — a crash in between
+    // leaves already-purged ids harmlessly tombstoned (the serve-time
+    // anti-join of an absent id is a no-op) and the next compaction
+    // finishes the clear.
+    val tombPath = s"$indexPath/tombstones"
+    StoreFs.recover(spark, tombPath)
+    val tomb: Option[DataFrame] =
+      if (StoreFs.exists(spark, tombPath))
+        Some(spark.read.parquet(tombPath).select(col("n_id")).distinct()
+          .localCheckpoint())
+      else None
     def rewrite(path: String): Long = {
       StoreFs.recover(spark, path)
       if (!StoreFs.exists(spark, path)) return 0L
-      val df = spark.read.parquet(path)
+      val df0 = spark.read.parquet(path)
+      val df = tomb.filter(_ => df0.columns.contains("n_id"))
+        .fold(df0)(t => df0.join(t, Seq("n_id"), "left_anti"))
       val tmp = path + ".compact.tmp"
       // clear any stale tmp from a dead run: under a session-wide
       // partitionOverwriteMode=dynamic, the partitioned overwrite
@@ -830,6 +915,12 @@ object Similarity {
     val nCodes = rewrite(s"$indexPath/codes")   // pq / ivfpq
     val nCells = rewrite(s"$indexPath/cells")   // ivf
     rewrite(s"$indexPath/vectors")              // pq / ivfpq re-rank side
+    // all data tables purged → the tombstones have no referent left
+    tomb.foreach { _ =>
+      val (f, p) = StoreFs.fs(spark, tombPath)
+      if (f.exists(p) && !f.delete(p, true))
+        throw new java.io.IOException(s"failed to clear $tombPath")
+    }
     math.max(nCodes, nCells)
   }
 
@@ -878,8 +969,9 @@ object Similarity {
       .localCheckpoint() // tiny; evaluated twice (cell list + join)
     val probeCells = probed.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0))
-    val codes = allowedFilter(spark.read.parquet(s"$indexPath/codes")
-      .filter(col("cell").isin(probeCells.toSeq: _*)), allowed)
+    val codes = dropTombstones(spark, indexPath,
+      allowedFilter(spark.read.parquet(s"$indexPath/codes")
+        .filter(col("cell").isin(probeCells.toSeq: _*)), allowed))
     // A rotated (OPQ-lite) index codes Rv̂ (or R·residual): only the
     // LUT side rotates to match — probe, cell-dot and re-rank all
     // stay in the unrotated space ((Rq)·(Rv) = q·v exactly).

@@ -292,6 +292,20 @@ class CliSpec extends SparkSpec {
       spark.read.parquet(s"$base/queries"), "vec_id", "embedding", s"$base/idx", k = 5)
     assert(top2.exceptAll(top).isEmpty && top.exceptAll(top2).isEmpty)
 
+    // index-delete tombstones through the CLI: a top hit vanishes
+    // from the next search, a batch replay is a no-op
+    val victim = top2.collect().filter(_.getLong(0) == 0L)
+      .minBy(_.getInt(1)).getLong(2)
+    Seq(victim).toDF("vec_id").write.mode("overwrite").parquet(s"$base/del_ids")
+    Cli.run(spark, Seq("index-delete", "--index", s"$base/idx",
+      "--ids", s"$base/del_ids", "--batch", "del1"))
+    Cli.run(spark, Seq("index-delete", "--index", s"$base/idx",
+      "--ids", s"$base/del_ids", "--batch", "del1")) // replay no-op
+    val afterDel = graft.similarity.Similarity.ivfpqSearch(
+      spark.read.parquet(s"$base/queries"), "vec_id", "embedding", s"$base/idx", k = 5)
+    assert(afterDel.filter(col("n_id") === victim).isEmpty,
+      "CLI-deleted id still returned")
+
     // metadata-filtered search through the CLI: --allowed restricts
     // every returned neighbor to the id set
     val allow = emb.filter(col("label") === 0).select("vec_id")

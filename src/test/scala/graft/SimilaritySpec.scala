@@ -627,4 +627,63 @@ class SimilaritySpec extends SparkSpec {
     assert(curve.zip(curve.tail).forall { case (a, b) => b >= a - 1e-9 },
       s"recall curve not monotone: $curve")
   }
+
+  test("annDelete: tombstones hide ids on every path, re-add revives, compact purges") {
+    import graft.SparkSpec.spark.implicits._
+    import graft.operators.StoreFs
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_del").toString
+    Similarity.ivfpqBuild(emb, "vec_id", "embedding", s"$dir/ivfpq")
+    val q = emb.filter(col("vec_id") < 3)
+    def search(k: Int = 5) = Similarity
+      .ivfpqSearch(q, "vec_id", "embedding", s"$dir/ivfpq", k = k, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val pre = search()
+    val victim = pre.filter(_._1 == 0L).minBy(_._2)._3
+    // delete: the victim vanishes, k rows per query stay filled
+    // (candidates pruned BEFORE the cut), replay is a no-op
+    assert(Similarity.annDelete(spark, s"$dir/ivfpq",
+      Seq(victim).toDF("vec_id"), Some("b1")))
+    assert(!Similarity.annDelete(spark, s"$dir/ivfpq",
+      Seq(victim).toDF("vec_id"), Some("b1")))
+    val postDel = search()
+    assert(!postDel.exists(_._3 == victim), "deleted id still returned")
+    assert(postDel.groupBy(_._1).forall(_._2.length == 5), "k not filled after delete")
+    // re-add revives: tombstone cleared, single rank (dedup) — the
+    // original rows are still in the codes table alongside the re-add
+    assert(Similarity.ivfpqAdd(emb.filter(col("vec_id") === victim),
+      "vec_id", "embedding", s"$dir/ivfpq"))
+    val revived = search()
+    assert(revived.exists(_._3 == victim), "re-added id not revived")
+    // the duplicate code rows (original + re-add) never duplicate a
+    // rank: every query's result list is k DISTINCT neighbors
+    assert(revived.groupBy(_._1).forall { case (_, rs) =>
+      rs.length == 5 && rs.map(_._3).distinct.length == 5
+    }, "duplicate appends duplicated a rank")
+    // delete again, compact: rows purged physically, tombstones gone,
+    // results identical to the tombstoned view
+    assert(Similarity.annDelete(spark, s"$dir/ivfpq", Seq(victim).toDF("vec_id")))
+    val tombstoned = search().sortBy(r => (r._1, r._2))
+    assert(Similarity.compactIndex(spark, s"$dir/ivfpq") > 0)
+    assert(!StoreFs.exists(spark, s"$dir/ivfpq/tombstones"))
+    assert(spark.read.parquet(s"$dir/ivfpq/codes")
+      .filter(col("n_id") === victim).isEmpty, "compact left purged codes")
+    assert(spark.read.parquet(s"$dir/ivfpq/vectors")
+      .filter(col("n_id") === victim).isEmpty, "compact left purged vectors")
+    assert(search().sortBy(r => (r._1, r._2)).toSeq === tombstoned.toSeq)
+    // the other two layouts hide tombstoned ids the same way
+    Similarity.ivfBuild(emb, "vec_id", "embedding", s"$dir/ivf")
+    Similarity.pqBuild(emb, "vec_id", "embedding", s"$dir/pq")
+    Similarity.annDelete(spark, s"$dir/ivf", Seq(victim).toDF("vec_id"))
+    Similarity.annDelete(spark, s"$dir/pq", Seq(victim).toDF("vec_id"))
+    assert(!Similarity.ivfSearch(q, "vec_id", "embedding", s"$dir/ivf", k = 5, nprobe = 16)
+      .filter(col("n_id") === victim).collect().nonEmpty)
+    assert(!Similarity.pqSearch(q, "vec_id", "embedding", s"$dir/pq", k = 5)
+      .filter(col("n_id") === victim).collect().nonEmpty)
+    // refusal: not an index
+    intercept[IllegalArgumentException] {
+      Similarity.annDelete(spark,
+        java.nio.file.Files.createTempDirectory("graft_not_idx").toString,
+        Seq(1L).toDF("vec_id"))
+    }
+  }
 }
