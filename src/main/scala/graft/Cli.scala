@@ -384,16 +384,23 @@ object Cli {
       top.write.mode("overwrite").parquet(one(f, "out"))
       println(s"index-search: kind=${opt(f, "kind", "ivfpq")} out=${one(f, "out")}")
 
-    // Tombstone-delete ids from a persisted ANN index (the crawl
-    // loop's revoke path): --ids PARQUET (first column = ids),
-    // --batch makes crash-retried deletes no-ops; the next
-    // compact-index removes the rows physically.
+    // Tombstone-delete ids from a persisted index (the crawl loop's
+    // revoke path): --ids PARQUET (first column = ids), --batch makes
+    // crash-retried deletes no-ops; the next compact-index removes
+    // the rows physically. ANN (ivf/pq/ivfpq) and TEXT layouts are
+    // auto-detected, like compact-index.
     case "index-delete" :: rest =>
       val f = parseFlags(rest)
-      val applied = graft.similarity.Similarity.annDelete(spark,
-        one(f, "index"), spark.read.parquet(one(f, "ids")),
-        batchId = f.get("batch").map(_.last))
-      println(s"index-delete: index=${one(f, "index")} applied=$applied")
+      val path = one(f, "index")
+      val ids = spark.read.parquet(one(f, "ids"))
+      val batch = f.get("batch").map(_.last)
+      val isText = graft.operators.StoreFs.exists(spark, s"$path/postings") &&
+        graft.operators.StoreFs.exists(spark, s"$path/stats.json")
+      val applied =
+        if (isText) graft.operators.TextIndex.deleteDocs(spark, path, ids, batch)
+        else graft.similarity.Similarity.annDelete(spark, path, ids, batch)
+      println(s"index-delete: index=$path kind=${if (isText) "text" else "ann"} " +
+        s"applied=$applied")
 
     // Retrieval over the stored TEXT index (d36/d37 serving paths):
     // --tokens is the query, --mode bm25 ranks, --mode bool

@@ -71,23 +71,81 @@ object TextIndex {
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .write.mode("append").partitionBy("token").parquet(s"$path/postings")
+    // re-adding a previously deleted doc revives it: clear its
+    // tombstone (latest operation wins — see deleteDocs). A crash
+    // before this point replays the whole batch (marker not yet
+    // written); the replay's duplicate rows aggregate away.
+    val tomb = s"$path/tombstones"
+    StoreFs.recover(spark, tomb)
+    if (StoreFs.exists(spark, tomb)) {
+      val remaining = spark.read.parquet(tomb)
+        .join(docs.select(col(idCol).cast("long").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      remaining.coalesce(1).write.mode("overwrite").parquet(tomb + ".tmp")
+      StoreFs.replace(spark, tomb + ".tmp", tomb)
+    }
     writeStats(spark, path)
     StoreFs.writeText(spark, s"$path/batches/$batchId", "done")
+  }
+
+  /** Hide tombstoned docs ([[deleteDocs]]) from any doc_id-keyed
+    * table: one left_anti join against the O(deletes)-sized
+    * tombstones (absent = no-op), applied in the SHARED reads so
+    * bm25, bm25Batch and the boolean path all see the same corpus. */
+  private def dropDeleted(spark: SparkSession, path: String,
+                          df: DataFrame): DataFrame = {
+    val t = s"$path/tombstones"
+    StoreFs.recover(spark, t)
+    if (!StoreFs.exists(spark, t)) df
+    else df.join(
+      spark.read.parquet(t)
+        .select(col("doc_id").cast(df.schema("doc_id").dataType).as("doc_id"))
+        .distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** DELETE documents from the index — the revoke path next to
+    * [[addBatch]] (takedowns and re-crawled docs leave a retrieval
+    * corpus as routinely as new ones arrive). A tombstone table keyed
+    * by doc_id hides the docs from every query path BEFORE any top-K
+    * cut; corpus stats (n_docs/avgdl, hence idf) refresh immediately;
+    * [[compact]] removes the rows physically and clears the table.
+    * An optional `batchId` marker (under `deletes/`) makes
+    * crash-retried deletes no-ops; re-adding a deleted doc via
+    * [[addBatch]] clears its tombstone — latest operation wins.
+    * Returns false iff the marker shows this batch already
+    * committed. */
+  def deleteDocs(spark: SparkSession, path: String, ids: DataFrame,
+                 batchId: Option[String] = None): Boolean = {
+    require(StoreFs.exists(spark, s"$path/postings") &&
+      StoreFs.exists(spark, s"$path/stats.json"),
+      s"deleteDocs: $path is not a text index")
+    batchId.foreach(b => require(!b.contains("/"), s"bad batchId: $b"))
+    val marker = batchId.map(b => s"$path/deletes/$b")
+    if (marker.exists(m => StoreFs.exists(spark, m))) return false
+    ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+    writeStats(spark, path) // doclen() filters tombstones → stats follow
+    marker.foreach(m => StoreFs.writeText(spark, m, "done"))
+    true
   }
 
   /** Deduplicated postings read, restricted to `tokens` — the static
     * partition filters are the whole point of the layout. */
   def postings(spark: SparkSession, path: String,
                tokens: Seq[String]): DataFrame =
-    spark.read.parquet(s"$path/postings")
-      .filter(col("token").isin(tokens: _*))
-      .groupBy(col("token"), col("doc_id"))
-      .agg(max(col("tf")).as("tf"))
+    dropDeleted(spark, path,
+      spark.read.parquet(s"$path/postings")
+        .filter(col("token").isin(tokens: _*))
+        .groupBy(col("token"), col("doc_id"))
+        .agg(max(col("tf")).as("tf")))
 
   /** Deduplicated document-length read. */
   def doclen(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/doclen")
-      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+    dropDeleted(spark, path,
+      spark.read.parquet(s"$path/doclen")
+        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
 
   /** Corpus stats from the sidecar: (n_docs, sum_dl). */
   def stats(spark: SparkSession, path: String): (Long, Long) = {
@@ -229,13 +287,27 @@ object TextIndex {
       if (fsys.exists(tmpP) && !fsys.delete(tmpP, true))
         throw new java.io.IOException(s"failed to clear stale $tmp")
     }
-    val dedupPost = spark.read.parquet(s"$path/postings")
-      .groupBy(col("token"), col("doc_id")).agg(max(col("tf")).as("tf"))
+    // tombstoned docs ([[deleteDocs]]) are PHYSICALLY removed here and
+    // the tombstone table cleared — a crash in between leaves
+    // already-purged ids harmlessly tombstoned (anti-join of an
+    // absent id is a no-op) and the next compact finishes the clear
+    val tombPath = s"$path/tombstones"
+    StoreFs.recover(spark, tombPath)
+    val hadTomb = StoreFs.exists(spark, tombPath)
+    val dedupPost = dropDeleted(spark, path,
+        spark.read.parquet(s"$path/postings")
+          .groupBy(col("token"), col("doc_id")).agg(max(col("tf")).as("tf")))
       .select(col("doc_id"), col("tf"), col("token"))
     dedupPost.write.partitionBy("token").parquet(s"$path/postings.tmp")
     StoreFs.replace(spark, s"$path/postings.tmp", s"$path/postings")
-    val dedupDl = doclen(spark, path)
+    val dedupDl = doclen(spark, path) // already tombstone-filtered
     dedupDl.write.parquet(s"$path/doclen.tmp")
     StoreFs.replace(spark, s"$path/doclen.tmp", s"$path/doclen")
+    if (hadTomb) {
+      val (f, p) = StoreFs.fs(spark, tombPath)
+      if (f.exists(p) && !f.delete(p, true))
+        throw new java.io.IOException(s"failed to clear $tombPath")
+      writeStats(spark, path)
+    }
   }
 }

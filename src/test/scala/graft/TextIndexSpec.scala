@@ -228,4 +228,60 @@ class TextIndexSpec extends SparkSpec {
       .filter(col("token") === "junktoken").isEmpty,
       "dead run's junk partition leaked into the index")
   }
+
+  test("deleteDocs: tombstoned docs vanish from every path, stats follow, re-add revives, compact purges") {
+    val docs = Seq(
+      (1L, "spark vector stream"),
+      (2L, "spark spark spark pad pad pad pad pad pad pad"),
+      (3L, "vector pad"),
+      (4L, "spark pad"),
+      (5L, "spark pad pad"),
+      (6L, "pad pad pad")
+    ).toDF("doc_id", "text")
+    val dir = tmpIdx()
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val before = bm25Rows(dir)
+    assert(before.exists(_._1 == 1L))
+
+    // delete the top doc: gone from bm25, bm25Batch and boolean
+    // postings; corpus stats follow (n_docs/sum_dl shrink)
+    assert(TextIndex.deleteDocs(spark, dir, Seq(1L).toDF("doc_id"), Some("d1")))
+    assert(!TextIndex.deleteDocs(spark, dir, Seq(1L).toDF("doc_id"), Some("d1")),
+      "replayed delete batch was not a no-op")
+    val after = bm25Rows(dir)
+    assert(!after.exists(_._1 == 1L), "deleted doc still scored")
+    assert(after.map(_._1).toSet === Set(2L, 3L, 4L, 5L))
+    val batch = TextIndex.bm25Batch(spark, dir,
+      Seq((7L, Seq("spark", "vector"))).toDF("q_id", "tokens"))
+      .collect().map(_.getLong(2))
+    assert(!batch.contains(1L), "deleted doc still in batched results")
+    assert(TextIndex.postings(spark, dir, Seq("spark"))
+      .filter(col("doc_id") === 1L).isEmpty)
+    val (n, s) = TextIndex.stats(spark, dir)
+    assert(n === 5L && s === 20L, "stats did not follow the deletion")
+
+    // re-add revives (tombstone cleared), scores return to the
+    // original values — same corpus, same stats
+    TextIndex.addBatch(docs.filter(col("doc_id") === 1L), "doc_id", "text", dir, "re1")
+    assert(bm25Rows(dir) === before, "re-added doc did not restore the original scores")
+
+    // delete again, compact: physically purged, tombstones cleared,
+    // scores identical to the tombstoned view
+    assert(TextIndex.deleteDocs(spark, dir, Seq(1L).toDF("doc_id")))
+    val tombstoned = bm25Rows(dir)
+    TextIndex.compact(spark, dir)
+    assert(!graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
+    assert(spark.read.parquet(s"$dir/postings").filter(col("doc_id") === 1L).isEmpty,
+      "compact left purged postings")
+    assert(spark.read.parquet(s"$dir/doclen").filter(col("doc_id") === 1L).isEmpty,
+      "compact left purged doclen")
+    assert(bm25Rows(dir) === tombstoned, "compact changed a score")
+
+    // refusal: not a text index
+    intercept[IllegalArgumentException] {
+      TextIndex.deleteDocs(spark,
+        java.nio.file.Files.createTempDirectory("graft_not_ti").toString,
+        Seq(1L).toDF("doc_id"))
+    }
+  }
 }
