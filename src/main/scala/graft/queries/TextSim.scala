@@ -414,6 +414,46 @@ object TextSim {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher-style RULE filter — the rule-based quality gate of a
+    // curation pipeline (d06 scores; this DECIDES): four canonical
+    // rules (token-count window, mean-word-length window, symbol
+    // ratio, stopword floor), reported per source as keep rate +
+    // per-rule violation counts — the table a curation review reads
+    // to see WHICH rule is doing the cutting on which feed. All
+    // per-doc stats are d06's integer counts; the two ratio rules
+    // compare IEEE divisions of exact ints, so every keep/drop
+    // decision is bit-identical cross-engine. One codegen'd map pass
+    // + one O(sources) partial agg.
+    "d50_gopher_rules" -> { (s, dir) =>
+      val stopHits = Seq("the", "and", "with")
+        .map(w => TextFunctions.occurrences("__pt", s" $w "))
+        .reduce(_ + _)
+      val scored = TableCatalog(s, dir).documents
+        .withColumn("__pt", concat(lit(" "), col("text"), lit(" ")))
+        .select(col("source"),
+          size(TextFunctions.tokens(col("text"))).as("nt"),
+          length(col("text")).as("nc"),
+          (length(col("text")) - length(expr("replace(text, ' ', '')"))).as("nsp"),
+          length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).as("npu"),
+          stopHits.as("nsw"))
+        .withColumn("v_len", (col("nt") < 25 || col("nt") > 100000).cast("long"))
+        .withColumn("v_wordlen",
+          ((col("nc") - col("nsp")) / col("nt") < 3.0 ||
+            (col("nc") - col("nsp")) / col("nt") > 10.0).cast("long"))
+        .withColumn("v_symbol", (col("npu") / col("nc") >= 0.1).cast("long"))
+        .withColumn("v_stop", (col("nsw") < 2).cast("long"))
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("v_len") + col("v_wordlen") + col("v_symbol")
+            + col("v_stop") === 0, 1L).otherwise(0L)).as("n_kept"),
+          sum(col("v_len")).as("v_len"),
+          sum(col("v_wordlen")).as("v_wordlen"),
+          sum(col("v_symbol")).as("v_symbol"),
+          sum(col("v_stop")).as("v_stop"))
+        .withColumn("keep_rate", col("n_kept") / col("n_docs"))
+        .orderBy(col("source"))
+    },
+
     "d08_fingerprint" -> { (s, dir) =>
       Dedup.fingerprint(TableCatalog(s, dir).documents, "doc_id", "text", k = 3)
         .orderBy(col("fingerprint"))
@@ -1587,6 +1627,32 @@ object TextSim {
          |  CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT) AS label_total,
          |  n_docs / CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT) AS share
          |FROM cells ORDER BY 1, 2""".stripMargin,
+
+    "d50_gopher_rules" ->
+      """WITH s AS (SELECT source,
+        |    len(string_split(text, ' ')) AS nt,
+        |    length(text) AS nc,
+        |    length(text) - length(replace(text, ' ', '')) AS nsp,
+        |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS npu,
+        |    (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+        |    + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5
+        |    + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' with ', ''))) / 6 AS nsw
+        |  FROM documents),
+        |v AS (SELECT source,
+        |    CASE WHEN nt < 25 OR nt > 100000 THEN 1 ELSE 0 END AS v_len,
+        |    CASE WHEN (nc - nsp) / nt < 3.0 OR (nc - nsp) / nt > 10.0 THEN 1 ELSE 0 END AS v_wordlen,
+        |    CASE WHEN npu / nc >= 0.1 THEN 1 ELSE 0 END AS v_symbol,
+        |    CASE WHEN nsw < 2 THEN 1 ELSE 0 END AS v_stop
+        |  FROM s)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN v_len + v_wordlen + v_symbol + v_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(v_len) AS BIGINT) AS v_len,
+        |  CAST(sum(v_wordlen) AS BIGINT) AS v_wordlen,
+        |  CAST(sum(v_symbol) AS BIGINT) AS v_symbol,
+        |  CAST(sum(v_stop) AS BIGINT) AS v_stop,
+        |  CAST(sum(CASE WHEN v_len + v_wordlen + v_symbol + v_stop = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    / count(*) AS keep_rate
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d48_token_entropy" ->
       """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
