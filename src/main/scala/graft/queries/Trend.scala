@@ -487,6 +487,47 @@ object Trend {
         .orderBy(col("entity_id"), col("day"))
     },
 
+    // SLO error-budget report — t30's availability rolled to the
+    // number an SRE review actually consumes: per entity, the mean
+    // availability over the corpus span, days breaching the 95%
+    // daily-coverage target, the span's allowed breach budget, and
+    // what remains ("is this cell burning its budget"). Breach
+    // detection is INTEGER arithmetic (n_hours·100 < 2280 ⇔
+    // coverage < 0.95 — no float compare anywhere in the decision);
+    // mean availability and the budget arithmetic are single IEEE
+    // ops over exact operands. Same plan as t30 + one entity-keyed
+    // partial agg.
+    "t38_error_budget" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val hourly = ev.select(col("user_id").as("entity_id"),
+          date_trunc("hour", col("ts")).as("h")).distinct()
+      val perDay = hourly
+        .groupBy(col("entity_id"), date_trunc("day", col("h")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val span = ev.agg(
+        date_format(min(date_trunc("day", col("ts"))), "yyyy-MM-dd HH:mm:ss"),
+        date_format(max(date_trunc("day", col("ts"))), "yyyy-MM-dd HH:mm:ss")).head()
+      val grid = ev.select(col("user_id").as("entity_id")).distinct()
+        .select(col("entity_id"), explode(expr(
+          s"sequence(timestamp'${span.getString(0)}', timestamp'${span.getString(1)}', interval 1 day)"))
+          .as("day"))
+      grid.join(perDay, Seq("entity_id", "day"), "left")
+        .select(col("entity_id"), coalesce(col("n"), lit(0L)).as("n_hours"))
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("n_hours")).as("__sh"),
+          sum(when(col("n_hours") * 100 < 2280, 1L).otherwise(0L))
+            .as("n_breach_days"))
+        .select(col("entity_id"), col("n_days"),
+          (col("__sh") / (lit(24) * col("n_days"))).as("mean_availability"),
+          col("n_breach_days"),
+          (lit(0.05) * col("n_days")).as("allowed_breach_days"),
+          (lit(0.05) * col("n_days") - col("n_breach_days")).as("budget_remaining"),
+          when(col("n_breach_days") > lit(0.05) * col("n_days"), lit("exhausted"))
+            .otherwise(lit("within_budget")).as("status"))
+        .orderBy(col("entity_id"))
+    },
+
     // Attribute staleness report — days since each entity's last
     // attribute write, relative to the corpus end (the "which configs
     // has nobody touched" ops question; e09 asks who went silent in
@@ -1117,6 +1158,29 @@ object Trend {
         |  coalesce(n, 0) AS n_hours, coalesce(n, 0) / 24 AS availability
         |FROM grid LEFT JOIN pd ON grid.entity_id = pd.entity_id AND grid.day = pd.day
         |ORDER BY 1, 2""".stripMargin,
+
+    "t38_error_budget" ->
+      // t30's coverage plan rolled to per-entity budget arithmetic:
+      // breach = INTEGER compare (n_hours·100 < 2280), mean/budget =
+      // single IEEE ops on exact operands.
+      """WITH h AS (SELECT DISTINCT user_id AS entity_id, date_trunc('hour', ts) AS h FROM events),
+        |pd AS (SELECT entity_id, date_trunc('day', h) AS day, count(*) AS n FROM h GROUP BY 1, 2),
+        |span AS (SELECT min(date_trunc('day', ts)) AS lo, max(date_trunc('day', ts)) AS hi FROM events),
+        |days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM span),
+        |e AS (SELECT DISTINCT user_id AS entity_id FROM events),
+        |grid AS (SELECT entity_id, day FROM e, days),
+        |cov AS (SELECT grid.entity_id, coalesce(n, 0) AS n_hours
+        |  FROM grid LEFT JOIN pd ON grid.entity_id = pd.entity_id AND grid.day = pd.day),
+        |agg AS (SELECT entity_id, count(*) AS n_days,
+        |    CAST(sum(n_hours) AS BIGINT) AS sh,
+        |    CAST(sum(CASE WHEN n_hours * 100 < 2280 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_days
+        |  FROM cov GROUP BY 1)
+        |SELECT entity_id, n_days, sh / (24 * n_days) AS mean_availability,
+        |  n_breach_days, CAST(0.05 AS DOUBLE) * n_days AS allowed_breach_days,
+        |  CAST(0.05 AS DOUBLE) * n_days - n_breach_days AS budget_remaining,
+        |  CASE WHEN n_breach_days > CAST(0.05 AS DOUBLE) * n_days THEN 'exhausted'
+        |       ELSE 'within_budget' END AS status
+        |FROM agg ORDER BY entity_id""".stripMargin,
 
     "a08_attr_staleness" ->
       """WITH mx AS (SELECT max(date_trunc('day', ts)) AS m FROM events),
