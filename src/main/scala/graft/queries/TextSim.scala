@@ -627,6 +627,35 @@ object TextSim {
         .orderBy(col("split"))
     },
 
+    // Split-leakage audit — the eval-integrity question every lab
+    // audits before trusting a benchmark number: do any NEAR-DUP
+    // pairs cross d14's train/valid/test boundaries (a test doc with
+    // a training-set near-copy inflates eval scores silently)? A
+    // hash-random split sends most dup pairs across boundaries, so
+    // the report is non-degenerate wherever near-dups exist at all.
+    // Output: per unordered split pair, the pair count, a
+    // within/cross kind, and the share of all near-dup pairs.
+    "d51_split_leakage" -> { (s, dir) =>
+      val docs = TableCatalog(s, dir).documents
+      val pairs = Dedup.shingleJaccard(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+      val splits = docs.select(col("doc_id"),
+        when(h < 58982, "train").when(h < 62259, "valid").otherwise("test").as("split"))
+      val cells = pairs
+        .join(splits.select(col("doc_id").as("a_id"), col("split").as("split_a")), "a_id")
+        .join(splits.select(col("doc_id").as("b_id"), col("split").as("split_b")), "b_id")
+        .select(least(col("split_a"), col("split_b")).as("split_lo"),
+          greatest(col("split_a"), col("split_b")).as("split_hi"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+      cells
+        .withColumn("kind", when(col("split_lo") === col("split_hi"),
+          lit("within_split")).otherwise(lit("cross_split")))
+        .withColumn("share", col("n_pairs") / sum(col("n_pairs"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .orderBy(col("split_lo"), col("split_hi"))
+    },
+
     // Deterministic stratified subsampling — the data-mix step
     // ("keep 25% of these sources, 50% of those, all the rest") as a
     // pure hash function of the doc id: reproducible on any engine or
@@ -1870,6 +1899,37 @@ object TextSim {
         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d51_split_leakage" ->
+      // d02's exact-Jaccard pair CTE ⋈ d14's split assignment — both
+      // established twins, composed.
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sims AS (SELECT a_id, b_id
+        |  FROM inter JOIN sizes na ON a_id = na.doc_id JOIN sizes nb ON b_id = nb.doc_id
+        |  WHERE c / (na.n + nb.n - c) >= 0.5),
+        |x AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hh FROM documents),
+        |hv AS (SELECT doc_id,
+        |  CAST(sum(CAST(strpos('0123456789abcdef', substr(hh, i, 1)) - 1 AS BIGINT)
+        |    << ((4 - i) * 4)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, hh, unnest(generate_series(1, 4)) AS i FROM x)
+        |  GROUP BY doc_id),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN h < 58982 THEN 'train' WHEN h < 62259 THEN 'valid' ELSE 'test' END AS split
+        |FROM hv),
+        |p AS (SELECT least(sa.split, sb.split) AS split_lo,
+        |    greatest(sa.split, sb.split) AS split_hi
+        |  FROM sims JOIN sp sa ON sims.a_id = sa.doc_id
+        |            JOIN sp sb ON sims.b_id = sb.doc_id),
+        |cells AS (SELECT split_lo, split_hi, count(*) AS n_pairs FROM p GROUP BY 1, 2)
+        |SELECT split_lo, split_hi, n_pairs,
+        |  CASE WHEN split_lo = split_hi THEN 'within_split' ELSE 'cross_split' END AS kind,
+        |  n_pairs / CAST(sum(n_pairs) OVER () AS BIGINT) AS share
+        |FROM cells ORDER BY 1, 2""".stripMargin,
 
     "d24_stratified_sample" ->
       """WITH x AS (SELECT doc_id, source,
