@@ -148,12 +148,17 @@ object Cli {
             java.nio.file.Files.readString(java.nio.file.Path.of(paths.last)))
           (c.source, c.entity, c.ts, c.out, c.granularities, c.metrics)
         case None =>
+          // source:fn:alias, optionally :where — the 4th part is a SQL
+          // boolean filtering the metric's rows (split limit 4 keeps
+          // colons inside the predicate intact)
           val ms = f.getOrElse("metric",
             throw new IllegalArgumentException("at least one --metric source:fn:alias required"))
-            .map(_.split(":") match {
+            .map(_.split(":", 4) match {
               case Array(src, fn, as) => Aggregation.MetricAgg(src, fn, as)
+              case Array(src, fn, as, where) =>
+                Aggregation.MetricAgg(src, fn, as, Some(where))
               case other => throw new IllegalArgumentException(
-                s"--metric must be source:fn:alias, got: ${other.mkString(":")}")
+                s"--metric must be source:fn:alias[:where], got: ${other.mkString(":")}")
             })
           // repeated --granularity flags run the cascade: one raw scan
           // at the finest level, coarser levels from partials.

@@ -17,8 +17,16 @@ import graft.functions.Fx
   */
 object Aggregation {
 
-  /** One output metric: `fn(source)` aliased `as`. */
-  final case class MetricAgg(source: String, fn: String, as: String)
+  /** One output metric: `fn(source)` aliased `as`. `where` optionally
+    * FILTERS the rows this metric aggregates (a SQL boolean over the
+    * source row — "count of errors only", "avg purchase value"): the
+    * conditional-KPI form monitoring definitions declare constantly.
+    * Filtered metrics compile to `fn(CASE WHEN where THEN source
+    * END)` inside the SAME single groupBy — one shuffle regardless of
+    * how many differently-filtered metrics a definition carries,
+    * never one scan per filter. */
+  final case class MetricAgg(source: String, fn: String, as: String,
+                             where: Option[String] = None)
 
   /** A materializable aggregation: bucket by `granularity`, emit
     * `metrics`. */
@@ -53,15 +61,24 @@ object Aggregation {
 
   // shared with TrendStore's entity aggregation — the reference uses
   // the same metric-set vocabulary for time AND entity aggregation
-  private[operators] def compileMetric(m: MetricAgg): Column = (m.fn.toLowerCase match {
-    case "sum"   => Fx.dsum(col(m.source))
-    case "avg"   => Fx.davg(col(m.source))
-    case "max"   => max(col(m.source))
-    case "min"   => min(col(m.source))
+  private[operators] def compileMetric(m: MetricAgg): Column = {
+    // the metric's row filter: source gated to NULL (every aggregate
+    // skips NULLs) and counts over the gated marker — inside the one
+    // shared groupBy, so a filter never costs a scan or a shuffle
+    val g: Column => Column = c => m.where.fold(c)(w => when(expr(w), c))
+    val n = m.where.fold(count(lit(1)))(w => count(when(expr(w), lit(1))))
+    (m.fn.toLowerCase match {
+    case "sum"   => Fx.dsum(g(col(m.source)))
+    // avg = exact decimal sum / FILTERED row count (≡ Fx.davg when
+    // unfiltered); an empty filtered group divides NULL/0 → NULL on
+    // both engines
+    case "avg"   => sum(Fx.dec(g(col(m.source)))).cast("double") / n
+    case "max"   => max(g(col(m.source)))
+    case "min"   => min(g(col(m.source)))
     // count(*) semantics (row count per bucket), matching the ANSI
     // oracle twins; metric sources in trend packages are non-nullable
     // so this also equals the per-metric sample count.
-    case "count" => count(lit(1))
+    case "count" => n
     // Sample stddev via DECIMAL-exact moments (Σv, Σv² never touch
     // float summation order — the t17 discipline), collapsed in a
     // FIXED-op-order double formula: sqrt((s2 − s1²/n) / (n−1)).
@@ -69,9 +86,8 @@ object Aggregation {
     // are order-dependent, so the oracle twin writes this exact
     // formula, not STDDEV_SAMP. n < 2 → NULL on both sides.
     case "stddev" =>
-      val n = count(lit(1))
-      val s1 = sum(Fx.dec(col(m.source))).cast("double")
-      val s2 = Fx.prodSumDouble(sum(Fx.dec(col(m.source)) * Fx.dec(col(m.source))))
+      val s1 = sum(Fx.dec(g(col(m.source)))).cast("double")
+      val s2 = Fx.prodSumDouble(sum(Fx.dec(g(col(m.source))) * Fx.dec(g(col(m.source)))))
       when(n < 2, lit(null).cast("double"))
         .otherwise(sqrt((s2 - s1 * s1 / n) / (n - lit(1))))
     // pNN / pNNN percentiles (p50, p95, p999 → 0.5/0.95/0.999) via
@@ -80,7 +96,7 @@ object Aggregation {
     // order-dependent, so percentile metrics belong in rows-only /
     // spec-checked outputs, not hash-compared oracles (see t20).
     case PctFn(ds) =>
-      percentile_approx(col(m.source),
+      percentile_approx(g(col(m.source)),
         lit(ds.toDouble / math.pow(10, ds.length)), lit(10000))
     // pNN_exact / pNNN_exact — EXACT interpolated percentiles (the
     // t26 `percentile` typed aggregate: one group-bounded buffer per
@@ -91,9 +107,12 @@ object Aggregation {
     // Use on entity/time cells whose group size is bounded (a month
     // of one region's orders); unbounded groups stay on the sketch.
     case ExactPctFn(ds) =>
-      round(expr(s"percentile(`${m.source}`, ${ds.toDouble / math.pow(10, ds.length)})"), 4)
+      val srcSql = m.where.fold(s"`${m.source}`")(w =>
+        s"CASE WHEN $w THEN `${m.source}` END")
+      round(expr(s"percentile($srcSql, ${ds.toDouble / math.pow(10, ds.length)})"), 4)
     case f       => throw new IllegalArgumentException(s"unknown aggregation fn: $f")
-  }).as(m.as)
+    }).as(m.as)
+  }
 
   private val PctFn = "^p(\\d{2,3})$".r
   private val ExactPctFn = "^p(\\d{2,3})_exact$".r

@@ -680,6 +680,33 @@ object Store {
         .orderBy(col("entity_id"), col("bucket"))
     },
 
+    // FILTERED metrics in the aggregation vocabulary — the
+    // conditional-KPI form monitoring definitions declare constantly
+    // ("count of errors only", "avg purchase value"): each MetricAgg
+    // carries an optional row predicate, compiled to fn(CASE WHEN)
+    // inside the SAME single groupBy — one shuffle regardless of how
+    // many differently-filtered metrics the definition declares,
+    // never one scan per filter. Empty filtered groups yield NULL
+    // sums/avgs and 0 counts identically on both engines.
+    "g03_agg_filtered" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val defn = Aggregation.AggregationDef("day", Seq(
+        Aggregation.MetricAgg("value", "count", "n_all"),
+        Aggregation.MetricAgg("value", "count", "n_errors",
+          Some("event_type = 'error'")),
+        Aggregation.MetricAgg("value", "sum", "error_value",
+          Some("event_type = 'error'")),
+        Aggregation.MetricAgg("value", "avg", "purchase_avg",
+          Some("event_type = 'purchase'")),
+        Aggregation.MetricAgg("value", "max", "purchase_max",
+          Some("event_type = 'purchase'"))))
+      Aggregation.compile(defn)(ev, col("user_id"), col("ts"))
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("n_all"), col("n_errors"), col("error_value"),
+          col("purchase_avg"), col("purchase_max"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
     // One metric set at a granularity cascade (hour → day → month):
     // the raw scan shuffles once, coarser levels re-aggregate the
     // finer level's exact partials (see Aggregation.cascade). The
@@ -958,6 +985,17 @@ object Store {
          |          - $ds * $ds / count(*)) / (count(*) - 1))
          |  END AS sd_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g03_agg_filtered" ->
+      """SELECT user_id AS entity_id,
+        |  strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  count(*) AS n_all,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS error_value,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_avg,
+        |  max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_max
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "g02_agg_cascade" -> {
       def level(g: String) =

@@ -138,6 +138,41 @@ class TrendSpec extends SparkSpec {
     }
   }
 
+  test("filtered metrics aggregate only their rows; empty filtered groups are NULL/0") {
+    import graft.SparkSpec.spark.implicits._
+    import graft.operators.Aggregation
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "error", 10.0),
+      (1L, "2024-01-01 11:00:00", "error", 30.0),
+      (1L, "2024-01-01 12:00:00", "click", 100.0),
+      (2L, "2024-01-01 10:00:00", "click", 7.0)) // entity 2: zero errors
+      .toDF("e", "ts", "kind", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val got = Aggregation.compile(Aggregation.AggregationDef("day", Seq(
+        Aggregation.MetricAgg("v", "count", "n_all"),
+        Aggregation.MetricAgg("v", "count", "n_err", Some("kind = 'error'")),
+        Aggregation.MetricAgg("v", "sum", "err_sum", Some("kind = 'error'")),
+        Aggregation.MetricAgg("v", "avg", "err_avg", Some("kind = 'error'")),
+        Aggregation.MetricAgg("v", "max", "err_max", Some("kind = 'error'")),
+        Aggregation.MetricAgg("v", "stddev", "err_sd", Some("kind = 'error'")),
+        Aggregation.MetricAgg("v", "p50_exact", "err_p50", Some("kind = 'error'")))))(
+        rows, col("e"), col("ts"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val e1 = got(1L)
+    assert(e1.getAs[Long]("n_all") === 3L && e1.getAs[Long]("n_err") === 2L)
+    assert(e1.getAs[Double]("err_sum") === 40.0)
+    assert(e1.getAs[Double]("err_avg") === 20.0) // click's 100 excluded
+    assert(e1.getAs[Double]("err_max") === 30.0)
+    assert(math.abs(e1.getAs[Double]("err_sd") - math.sqrt(200.0)) < 1e-9)
+    assert(e1.getAs[Double]("err_p50") === 20.0)
+    val e2 = got(2L)
+    assert(e2.getAs[Long]("n_all") === 1L && e2.getAs[Long]("n_err") === 0L)
+    assert(e2.isNullAt(e2.fieldIndex("err_sum")))
+    assert(e2.isNullAt(e2.fieldIndex("err_avg")))
+    assert(e2.isNullAt(e2.fieldIndex("err_max")))
+    assert(e2.isNullAt(e2.fieldIndex("err_sd")))
+    assert(e2.isNullAt(e2.fieldIndex("err_p50")))
+  }
+
   test("entityRollup metric-set overload matches the legacy cnt/sum and direct min/max/avg") {
     import graft.SparkSpec.spark.implicits._
     import graft.operators.Aggregation.MetricAgg
