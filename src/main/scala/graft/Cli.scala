@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import graft.operators.{Aggregation, AttributeStoreWriter, Dedup, Materialize, TrendStoreWriter, Trigger}
 import graft.sources.HarvestJob
 
@@ -142,11 +142,11 @@ object Cli {
       val f = parseFlags(rest)
       // --config FILE: the declarative definition-file form the
       // reference's aggregation CLI consumes; flags otherwise.
-      val (srcPath, entity, ts, outPath, grans, metrics) = f.get("config") match {
+      val (srcPath, entity, ts, outPath, grans, metrics, derived) = f.get("config") match {
         case Some(paths) =>
           val c = Config.parseAggregate(
             java.nio.file.Files.readString(java.nio.file.Path.of(paths.last)))
-          (c.source, c.entity, c.ts, c.out, c.granularities, c.metrics)
+          (c.source, c.entity, c.ts, c.out, c.granularities, c.metrics, c.derivedMetrics)
         case None =>
           // source:fn:alias, optionally :where — the 4th part is a SQL
           // boolean filtering the metric's rows (split limit 4 keeps
@@ -164,17 +164,29 @@ object Cli {
           // at the finest level, coarser levels from partials.
           val gs = f.getOrElse("granularity",
             throw new IllegalArgumentException("missing --granularity"))
-          (one(f, "source"), one(f, "entity"), one(f, "ts"), one(f, "out"), gs, ms)
+          // alias:sql — a post-agg formula over the metric aliases
+          // (split limit 2 keeps colons inside the expression intact)
+          val dv = f.getOrElse("derived", Nil).map(_.split(":", 2) match {
+            case Array(as, sql) => Aggregation.DerivedMetric(as, sql)
+            case other => throw new IllegalArgumentException(
+              s"--derived must be alias:sql, got: ${other.mkString(":")}")
+          })
+          (one(f, "source"), one(f, "entity"), one(f, "ts"), one(f, "out"), gs, ms, dv)
       }
       val source = spark.read.parquet(srcPath)
       val out =
         if (grans.size == 1)
-          Aggregation.compile(Aggregation.AggregationDef(grans.head, metrics))(
+          Aggregation.compile(Aggregation.AggregationDef(grans.head, metrics, derived))(
             source, col(entity), col(ts))
         else
-          Aggregation.cascade(metrics, grans)(source, col(entity), col(ts))
+          // cascade rows carry the same metric aliases at every
+          // granularity, so derived formulas project uniformly on top
+          derived.foldLeft(
+              Aggregation.cascade(metrics, grans)(source, col(entity), col(ts)))(
+            (df, d) => df.withColumn(d.as, expr(d.sql)))
       TrendStoreWriter.write(out, outPath)
-      println(s"aggregate: metrics=${metrics.size} granularities=${grans.size} out=$outPath")
+      println(s"aggregate: metrics=${metrics.size} derived=${derived.size} " +
+        s"granularities=${grans.size} out=$outPath")
 
     // The `minerva trigger` loop: evaluate threshold rules, store the
     // firings as a time-partitioned notification table.

@@ -17,7 +17,8 @@ import graft.sources.HarvestJob
   * {{{
   * aggregate:   {"source": P, "entity": C, "ts": C, "out": P,
   *               "granularities": ["hour", ...],
-  *               "metrics": [{"source": C, "fn": "sum", "as": C}, ...]}
+  *               "metrics": [{"source": C, "fn": "sum", "as": C}, ...],
+  *               "derived": [{"as": C, "sql": "n_errors / n_all"}, ...]?}
   * trigger:     {"source": P, "entity": C, "ts": C, "out": P,
   *               "rules": [{"name": N, "granularity": G, "severity": S,
   *                 "thresholds": [{"metric": C, "fn": F, "op": ">", "value": 1.5}, ...]}, ...]}
@@ -36,9 +37,16 @@ object Config {
 
   private implicit val formats: Formats = DefaultFormats
 
+  // `derived` is Option-wrapped rather than defaulted: json4s only
+  // applies constructor defaults when compiled with -Yrangepos-style
+  // param info it can see, and an Option round-trips a missing field
+  // unambiguously on every json4s version Spark ships.
   final case class AggregateConfig(source: String, entity: String, ts: String,
                                    out: String, granularities: Seq[String],
-                                   metrics: Seq[Aggregation.MetricAgg])
+                                   metrics: Seq[Aggregation.MetricAgg],
+                                   derived: Option[Seq[Aggregation.DerivedMetric]] = None) {
+    def derivedMetrics: Seq[Aggregation.DerivedMetric] = derived.getOrElse(Nil)
+  }
 
   final case class TriggerConfig(source: String, entity: String, ts: String,
                                  out: String, rules: Seq[Trigger.Rule])

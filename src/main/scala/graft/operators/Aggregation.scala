@@ -28,9 +28,22 @@ object Aggregation {
   final case class MetricAgg(source: String, fn: String, as: String,
                              where: Option[String] = None)
 
+  /** A DERIVED metric: a SQL expression over the definition's metric
+    * ALIASES (and any earlier derived alias), evaluated after the
+    * aggregation — the ratio/formula-KPI form monitoring definitions
+    * declare on top of their base aggregates ("error_rate =
+    * n_errors / n_all", "revenue_per_event = sum_value / cnt").
+    * Compiles to a pure post-agg projection: zero extra shuffles or
+    * scans no matter how many formulas a definition stacks, and a
+    * formula referencing an undeclared alias fails at plan analysis,
+    * not silently. */
+  final case class DerivedMetric(as: String, sql: String)
+
   /** A materializable aggregation: bucket by `granularity`, emit
-    * `metrics`. */
-  final case class AggregationDef(granularity: String, metrics: Seq[MetricAgg])
+    * `metrics`, then the post-agg `derived` formulas (in declaration
+    * order, so later formulas may reference earlier ones). */
+  final case class AggregationDef(granularity: String, metrics: Seq[MetricAgg],
+                                  derived: Seq[DerivedMetric] = Nil)
 
   /** Fineness ranking of the calendar granularities `cascade`
     * accepts. week is NOT nestable into month/quarter/year (weeks
@@ -123,9 +136,17 @@ object Aggregation {
     require(defn.metrics.nonEmpty,
       s"AggregationDef(granularity=${defn.granularity}) declares no metrics; " +
         "at least one MetricAgg is required")
-    trend.groupBy(entity.as("entity_id"),
+    val aliases = defn.metrics.map(_.as) ++ defn.derived.map(_.as)
+    require(aliases.distinct.size == aliases.size,
+      s"duplicate metric aliases: ${aliases.diff(aliases.distinct).distinct.mkString(", ")}")
+    val agged = trend.groupBy(entity.as("entity_id"),
         date_trunc(defn.granularity, ts).as("bucket"))
       .agg(compileMetric(defn.metrics.head), defn.metrics.tail.map(compileMetric): _*)
+    // derived formulas fold in declaration order: each is a projection
+    // over the already-named columns, so later formulas can reference
+    // earlier ones and the whole chain collapses into one codegen'd
+    // Project over the aggregate — no extra exchange
+    defn.derived.foldLeft(agged)((df, d) => df.withColumn(d.as, expr(d.sql)))
   }
 
   /** Compile one metric set at a CASCADE of granularities (finest

@@ -707,6 +707,34 @@ object Store {
         .orderBy(col("entity_id"), col("bucket"))
     },
 
+    // DERIVED metrics in the aggregation vocabulary — the ratio /
+    // formula-KPI layer monitoring definitions stack on their base
+    // aggregates ("error_rate = n_errors / n_all"): post-agg SQL
+    // formulas over the metric ALIASES, chained in declaration order
+    // (error_pct references error_rate). The whole chain is one
+    // codegen'd Project over g03's single-shuffle aggregate — a
+    // definition with ten formulas costs the same scan and shuffle as
+    // one with none. Every division is an unrounded IEEE op over
+    // exact (count/decimal-sum) operands — bit-identical cross-engine.
+    "g04_agg_derived" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val defn = Aggregation.AggregationDef("day", Seq(
+        Aggregation.MetricAgg("value", "count", "n_all"),
+        Aggregation.MetricAgg("value", "count", "n_errors",
+          Some("event_type = 'error'")),
+        Aggregation.MetricAgg("value", "sum", "sum_all"),
+        Aggregation.MetricAgg("value", "sum", "purchase_value",
+          Some("event_type = 'purchase'"))),
+        Seq(Aggregation.DerivedMetric("error_rate", "n_errors / n_all"),
+          Aggregation.DerivedMetric("purchase_share", "purchase_value / sum_all"),
+          Aggregation.DerivedMetric("error_pct", "error_rate * 100")))
+      Aggregation.compile(defn)(ev, col("user_id"), col("ts"))
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("n_all"), col("n_errors"), col("sum_all"), col("purchase_value"),
+          col("error_rate"), col("purchase_share"), col("error_pct"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
     // One metric set at a granularity cascade (hour → day → month):
     // the raw scan shuffles once, coarser levels re-aggregate the
     // finer level's exact partials (see Aggregation.cascade). The
@@ -996,6 +1024,23 @@ object Store {
         |    / count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_avg,
         |  max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_max
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g04_agg_derived" ->
+      // base aggregates exactly as g03's twins; the derived layer is
+      // the same formulas over the aliased columns (one projection) —
+      // every division an unrounded IEEE op over exact operands
+      """WITH base AS (SELECT user_id AS entity_id,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |    count(*) AS n_all,
+        |    CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_all,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT entity_id, bucket, n_all, n_errors, sum_all, purchase_value,
+        |  n_errors / n_all AS error_rate,
+        |  purchase_value / sum_all AS purchase_share,
+        |  (n_errors / n_all) * 100 AS error_pct
+        |FROM base ORDER BY 1, 2""".stripMargin,
 
     "g02_agg_cascade" -> {
       def level(g: String) =

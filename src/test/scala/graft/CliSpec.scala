@@ -63,11 +63,13 @@ class CliSpec extends SparkSpec {
     assert(agg.count() === 2)
     assert(agg.filter(col("entity_id") === 1L).head.getAs[Double]("sum_v") === 3.0)
 
-    // repeated --granularity flags run the cascade
+    // repeated --granularity flags run the cascade; --derived formulas
+    // project over the metric aliases at every cascade level
     Cli.run(spark, Seq("aggregate",
       "--source", s"$base/src", "--entity", "entity_id", "--ts", "ts",
       "--granularity", "hour", "--granularity", "day",
-      "--metric", "value:sum:sum_v",
+      "--metric", "value:sum:sum_v", "--metric", "value:count:cnt",
+      "--derived", "avg_v:sum_v / cnt",
       "--out", s"$base/cascade"))
     val casc = spark.read.parquet(s"$base/cascade")
     // entity 1's two events share one hour -> 2 hourly buckets total
@@ -75,6 +77,38 @@ class CliSpec extends SparkSpec {
     assert(casc.filter(col("granularity") === "day").count() === 2)
     assert(casc.filter(col("granularity") === "day" && col("entity_id") === 1L)
       .head.getAs[Double]("sum_v") === 3.0)
+    assert(casc.filter(col("granularity") === "day" && col("entity_id") === 1L)
+      .head.getAs[Double]("avg_v") === 1.5)
+
+    // --derived in flag form CHAINS (avg_pct references avg_v), and
+    // the config-file form parses the optional "derived" array
+    Cli.run(spark, Seq("aggregate",
+      "--source", s"$base/src", "--entity", "entity_id", "--ts", "ts",
+      "--granularity", "day",
+      "--metric", "value:sum:sum_v", "--metric", "value:count:cnt",
+      "--derived", "avg_v:sum_v / cnt", "--derived", "avg_pct:avg_v * 100",
+      "--out", s"$base/agg_derived"))
+    val ad = spark.read.parquet(s"$base/agg_derived")
+    assert(ad.filter(col("entity_id") === 1L).head.getAs[Double]("avg_pct") === 150.0)
+
+    val cfgPath = Files.createTempFile("graft_aggcfg", ".json")
+    Files.writeString(cfgPath,
+      s"""{"source": "$base/src", "entity": "entity_id", "ts": "ts",
+         |"out": "$base/agg_cfg", "granularities": ["day"],
+         |"metrics": [{"source": "value", "fn": "sum", "as": "sum_v"},
+         |            {"source": "value", "fn": "count", "as": "cnt"}],
+         |"derived": [{"as": "avg_v", "sql": "sum_v / cnt"}]}""".stripMargin)
+    Cli.run(spark, Seq("aggregate", "--config", cfgPath.toString))
+    assert(spark.read.parquet(s"$base/agg_cfg")
+      .filter(col("entity_id") === 2L).head.getAs[Double]("avg_v") === 7.0)
+
+    // a duplicate alias between metrics and derived fails loudly
+    intercept[IllegalArgumentException] {
+      operators.Aggregation.compile(operators.Aggregation.AggregationDef("day",
+        Seq(operators.Aggregation.MetricAgg("value", "sum", "v")),
+        Seq(operators.Aggregation.DerivedMetric("v", "v * 2"))))(
+        spark.read.parquet(s"$base/src"), col("entity_id"), col("ts"))
+    }
 
     intercept[IllegalArgumentException] {
       Cli.run(spark, Seq("nonsense"))
