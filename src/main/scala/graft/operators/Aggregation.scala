@@ -123,6 +123,22 @@ object Aggregation {
       val srcSql = m.where.fold(s"`${m.source}`")(w =>
         s"CASE WHEN $w THEN `${m.source}` END")
       round(expr(s"percentile($srcSql, ${ds.toDouble / math.pow(10, ds.length)})"), 4)
+    // EXACT distinct count ("distinct event types per user-day") —
+    // plans through Spark's Expand + two-level agg, so the map-side
+    // dedup bounds the shuffle by per-group CARDINALITY, not row
+    // count. Use where group cardinality is bounded (types, codes);
+    // unbounded cardinality (distinct visitors over a year) takes
+    // approx_distinct below. NULLs (and filtered-out rows — the CASE
+    // gate yields NULL) never count, matching ANSI COUNT(DISTINCT).
+    case "count_distinct" => count_distinct(g(col(m.source)))
+    // HLL-sketch distinct count — the unbounded-cardinality path
+    // (t21's posture inside the definition vocabulary). Fixed-memory
+    // registers with MAX-based merges: deterministic under ANY
+    // partitioning (re-runs bit-identical), but not cross-engine
+    // hash-matchable, so approx metrics belong in rows-only outputs.
+    // Unlike count_distinct this fn also CASCADES (sketches merge
+    // exactly across granularities — see cascade()).
+    case "approx_distinct" => hll_sketch_estimate(hll_sketch_agg(g(col(m.source))))
     case f       => throw new IllegalArgumentException(s"unknown aggregation fn: $f")
     }).as(m.as)
   }
@@ -158,27 +174,80 @@ object Aggregation {
     * — inputs shrink by the bucket ratio at each step, so the
     * coarser shuffles are nearly free. Output is tagged with a
     * `granularity` column; avg = exact total sum / total row count
-    * at every level (identical to davg on the raw rows). */
+    * at every level (identical to davg on the raw rows).
+    *
+    * Cascade vocabulary: sum/avg/min/max/count/stddev (decimal-exact
+    * moments re-aggregate) + approx_distinct (the HLL sketch IS the
+    * partial; hll_union_agg merges are exact) — all with optional
+    * `where` filters, gated once at the finest level. count_distinct
+    * and pNN percentiles have no mergeable partial and are refused. */
   def cascade(metrics: Seq[MetricAgg], granularitiesIn: Seq[String])(
       trend: DataFrame, entity: Column, ts: Column): DataFrame = {
     require(metrics.nonEmpty && granularitiesIn.nonEmpty)
     val granularities = orderedGranularities(granularitiesIn)
-    val srcs = metrics.map(_.source).distinct
-    val partials: Seq[Column] =
-      count(lit(1)).as("__n") +: srcs.flatMap { s => Seq(
-        sum(Fx.dec(col(s))).as(s"__s_$s"),
-        max(col(s)).as(s"__mx_$s"),
-        min(col(s)).as(s"__mn_$s"))
-      }
+    require(metrics.map(_.as).distinct.size == metrics.size,
+      s"duplicate metric aliases: ${metrics.map(_.as).diff(metrics.map(_.as).distinct).distinct.mkString(", ")}")
+    // exact distinct counts and percentiles have NO re-aggregable
+    // partial — a cascade would have to re-scan raw rows per level,
+    // which is exactly what cascade exists to avoid. Refused loudly
+    // instead of silently recomputing (or worse, summing counts).
+    val noCascade = metrics.filter(m => m.fn.toLowerCase match {
+      case "count_distinct"         => true
+      case PctFn(_) | ExactPctFn(_) => true
+      case _                        => false
+    })
+    require(noCascade.isEmpty,
+      "metrics with no re-aggregable partial cannot cascade: " +
+        noCascade.map(m => s"${m.as} (${m.fn})").mkString(", ") +
+        " — exact distinct counts and percentiles do not merge across " +
+        "buckets; use approx_distinct (HLL sketch partials merge " +
+        "exactly) or one single-granularity AggregationDef per level")
+    // Partials are keyed per distinct (source, where) pair: a metric
+    // filter applies ONCE, at the finest level, and the gated partials
+    // re-aggregate exactly like unfiltered ones. Only the partial
+    // kinds some metric on the pair needs are carried (a count-only
+    // definition shuffles one long per pair). approx_distinct carries
+    // the HLL sketch ITSELF as its partial — register merges are
+    // exact (max-based), so union-of-hourly-sketches ≡
+    // sketch-of-the-day, bit-identically, and the distinct count
+    // cascades without ever re-touching raw rows.
+    val pairs = metrics.map(m => (m.source, m.where)).distinct
+    def idx(m: MetricAgg): Int = pairs.indexOf((m.source, m.where))
+    val fnsAt: Map[Int, Set[String]] = metrics.groupBy(idx)
+      .map { case (i, ms) => i -> ms.map(_.fn.toLowerCase).toSet }
+    def needS(f: Set[String]) = f.exists(Set("sum", "avg", "stddev"))
+    val partials: Seq[Column] = pairs.zipWithIndex.flatMap { case ((s, w), i) =>
+      val g: Column => Column = c => w.fold(c)(ww => when(expr(ww), c))
+      val fns = fnsAt(i)
+      Seq(w.fold(count(lit(1)))(ww => count(when(expr(ww), lit(1)))).as(s"__n_$i")) ++
+        (if (needS(fns)) Seq(sum(Fx.dec(g(col(s)))).as(s"__s_$i")) else Nil) ++
+        (if (fns("stddev"))
+          Seq(sum(Fx.dec(g(col(s))) * Fx.dec(g(col(s)))).as(s"__s2_$i")) else Nil) ++
+        (if (fns("max")) Seq(max(g(col(s))).as(s"__mx_$i")) else Nil) ++
+        (if (fns("min")) Seq(min(g(col(s))).as(s"__mn_$i")) else Nil) ++
+        (if (fns("approx_distinct"))
+          Seq(hll_sketch_agg(g(col(s))).as(s"__h_$i")) else Nil)
+    }
     def present(df: DataFrame, g: String): DataFrame =
       df.select(lit(g).as("granularity") +: col("entity_id") +: col("bucket") +:
         metrics.map { m =>
+          val i = idx(m)
+          val n = col(s"__n_$i")
           (m.fn.toLowerCase match {
-            case "sum"   => col(s"__s_${m.source}").cast("double")
-            case "avg"   => col(s"__s_${m.source}").cast("double") / col("__n")
-            case "max"   => col(s"__mx_${m.source}")
-            case "min"   => col(s"__mn_${m.source}")
-            case "count" => col("__n")
+            case "sum"   => col(s"__s_$i").cast("double")
+            case "avg"   => col(s"__s_$i").cast("double") / n
+            case "max"   => col(s"__mx_$i")
+            case "min"   => col(s"__mn_$i")
+            case "count" => n
+            // identical fixed-op-order formula to compileMetric's
+            // stddev — a cascade level hash-matches the direct
+            // definition at that granularity
+            case "stddev" =>
+              val s1 = col(s"__s_$i").cast("double")
+              val s2 = Fx.prodSumDouble(col(s"__s2_$i"))
+              when(n < 2, lit(null).cast("double"))
+                .otherwise(sqrt((s2 - s1 * s1 / n) / (n - lit(1))))
+            case "approx_distinct" => hll_sketch_estimate(col(s"__h_$i"))
             case f => throw new IllegalArgumentException(s"unknown aggregation fn: $f")
           }).as(m.as)
         }: _*)
@@ -187,9 +256,15 @@ object Aggregation {
       .agg(partials.head, partials.tail: _*)
     var out = present(cur, granularities.head)
     for (g <- granularities.tail) {
-      val reAggs = sum(col("__n")).as("__n") +: srcs.flatMap { s => Seq(
-        sum(col(s"__s_$s")).as(s"__s_$s"),
-        max(col(s"__mx_$s")).as(s"__mx_$s"), min(col(s"__mn_$s")).as(s"__mn_$s"))
+      val reAggs: Seq[Column] = pairs.indices.flatMap { i =>
+        val fns = fnsAt(i)
+        Seq(sum(col(s"__n_$i")).as(s"__n_$i")) ++
+          (if (needS(fns)) Seq(sum(col(s"__s_$i")).as(s"__s_$i")) else Nil) ++
+          (if (fns("stddev")) Seq(sum(col(s"__s2_$i")).as(s"__s2_$i")) else Nil) ++
+          (if (fns("max")) Seq(max(col(s"__mx_$i")).as(s"__mx_$i")) else Nil) ++
+          (if (fns("min")) Seq(min(col(s"__mn_$i")).as(s"__mn_$i")) else Nil) ++
+          (if (fns("approx_distinct"))
+            Seq(hll_union_agg(col(s"__h_$i")).as(s"__h_$i")) else Nil)
       }
       cur = cur.groupBy(col("entity_id"), date_trunc(g, col("bucket")).as("bucket"))
         .agg(reAggs.head, reAggs.tail: _*)

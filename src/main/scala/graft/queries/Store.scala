@@ -735,6 +735,30 @@ object Store {
         .orderBy(col("entity_id"), col("bucket"))
     },
 
+    // DISTINCT-count metrics in the aggregation vocabulary — the
+    // cardinality KPI monitoring definitions declare next to their
+    // counts ("distinct event types per user-day", "distinct error
+    // codes"): exact count_distinct, with the same optional row
+    // filter every other metric takes. Plans through Spark's Expand +
+    // two-level agg, so the map-side dedup bounds the shuffle by
+    // per-group CARDINALITY (≤5 types here), never raw row count;
+    // unbounded cardinalities take the approx_distinct (HLL) fn,
+    // which is rows-only by design (sketches don't cross-engine
+    // hash-match) and — unlike exact distinct — CASCADES via
+    // hll_union_agg sketch partials.
+    "g05_agg_distinct" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val defn = Aggregation.AggregationDef("day", Seq(
+        Aggregation.MetricAgg("event_type", "count_distinct", "n_types"),
+        Aggregation.MetricAgg("event_type", "count_distinct", "n_hi_types",
+          Some("value > 50")),
+        Aggregation.MetricAgg("value", "count", "n_all")))
+      Aggregation.compile(defn)(ev, col("user_id"), col("ts"))
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("n_types"), col("n_hi_types"), col("n_all"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+
     // One metric set at a granularity cascade (hour → day → month):
     // the raw scan shuffles once, coarser levels re-aggregate the
     // finer level's exact partials (see Aggregation.cascade). The
@@ -1041,6 +1065,17 @@ object Store {
         |  purchase_value / sum_all AS purchase_share,
         |  (n_errors / n_all) * 100 AS error_pct
         |FROM base ORDER BY 1, 2""".stripMargin,
+
+    "g05_agg_distinct" ->
+      // ANSI COUNT(DISTINCT) on both engines; the filtered variant
+      // gates through a CASE whose NULLs never count — identical
+      // exclusion semantics
+      """SELECT user_id AS entity_id,
+        |  strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  count(DISTINCT event_type) AS n_types,
+        |  count(DISTINCT CASE WHEN value > 50 THEN event_type END) AS n_hi_types,
+        |  count(*) AS n_all
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "g02_agg_cascade" -> {
       def level(g: String) =

@@ -173,6 +173,64 @@ class TrendSpec extends SparkSpec {
     assert(e2.isNullAt(e2.fieldIndex("err_p50")))
   }
 
+  test("distinct metric fns: exact + filtered count_distinct, approx_distinct parity") {
+    import graft.SparkSpec.spark.implicits._
+    import graft.operators.Aggregation
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "error", 10.0),
+      (1L, "2024-01-01 11:00:00", "error", 90.0),
+      (1L, "2024-01-01 12:00:00", "click", 100.0),
+      (2L, "2024-01-01 10:00:00", "click", 7.0))
+      .toDF("e", "ts", "kind", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val got = Aggregation.compile(Aggregation.AggregationDef("day", Seq(
+        Aggregation.MetricAgg("kind", "count_distinct", "n_kinds"),
+        Aggregation.MetricAgg("kind", "count_distinct", "n_hi_kinds", Some("v > 50")),
+        Aggregation.MetricAgg("kind", "approx_distinct", "a_kinds"))))(
+        rows, col("e"), col("ts"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_kinds") === 2L)
+    assert(got(1L).getAs[Long]("n_hi_kinds") === 2L) // error@90 + click@100
+    assert(got(2L).getAs[Long]("n_kinds") === 1L)
+    assert(got(2L).getAs[Long]("n_hi_kinds") === 0L) // filtered-empty → 0, not NULL
+    // HLL is exact at tiny cardinalities — parity with count_distinct
+    assert(got(1L).getAs[Long]("a_kinds") === 2L)
+    assert(got(2L).getAs[Long]("a_kinds") === 1L)
+  }
+
+  test("cascade honors metric filters, stddev moments, and HLL sketch partials") {
+    import graft.operators.Aggregation
+    import graft.operators.Aggregation.MetricAgg
+    val metrics = Seq(
+      MetricAgg("value", "count", "n_all"),
+      MetricAgg("value", "count", "n_err", Some("event_type = 'error'")),
+      MetricAgg("value", "sum", "err_sum", Some("event_type = 'error'")),
+      MetricAgg("value", "avg", "err_avg", Some("event_type = 'error'")),
+      MetricAgg("value", "stddev", "sd_v"),
+      MetricAgg("event_type", "approx_distinct", "a_types"))
+    val casc = Aggregation.cascade(metrics, Seq("hour", "day"))(
+      ev, col("user_id"), col("ts"))
+    // every cascade level must BIT-match the direct single-granularity
+    // definition at that granularity — filters gate at the finest
+    // level and the partials (counts, decimal sums, moments, HLL
+    // registers) re-aggregate exactly
+    for (g <- Seq("hour", "day")) {
+      val level = casc.filter(col("granularity") === g).drop("granularity")
+      val direct = Aggregation.compile(Aggregation.AggregationDef(g, metrics))(
+        ev, col("user_id"), col("ts"))
+      assert(level.exceptAll(direct).isEmpty && direct.exceptAll(level).isEmpty,
+        s"cascade level $g diverges from the direct definition")
+    }
+    // exact distinct and percentiles have no mergeable partial — refused
+    intercept[IllegalArgumentException] {
+      Aggregation.cascade(Seq(MetricAgg("event_type", "count_distinct", "n")),
+        Seq("hour", "day"))(ev, col("user_id"), col("ts"))
+    }
+    intercept[IllegalArgumentException] {
+      Aggregation.cascade(Seq(MetricAgg("value", "p95", "p")),
+        Seq("hour", "day"))(ev, col("user_id"), col("ts"))
+    }
+  }
+
   test("entityRollup metric-set overload matches the legacy cnt/sum and direct min/max/avg") {
     import graft.SparkSpec.spark.implicits._
     import graft.operators.Aggregation.MetricAgg
