@@ -214,9 +214,19 @@ object Cli {
           (one(f, "source"), one(f, "entity"), one(f, "ts"), one(f, "out"), rs)
       }
       val source = spark.read.parquet(srcPath)
-      val fired = Trigger.evaluate(rules)(source, col(entity), col(ts))
+      val evaluated = Trigger.evaluate(rules)(source, col(entity), col(ts))
+      // --maintenance PATH: a declared-windows parquet (entity_id,
+      // from_ts, to_ts) flags covered firings muted=1 — visible for
+      // audit, skipped by the pager (filter muted = 0 downstream)
+      val fired = f.get("maintenance") match {
+        case Some(paths) =>
+          Trigger.applyMaintenance(evaluated, spark.read.parquet(paths.last))
+        case None => evaluated
+      }
       TrendStoreWriter.write(fired, outPath)
-      println(s"trigger: rules=${rules.size} out=$outPath")
+      println(s"trigger: rules=${rules.size} " +
+        f.get("maintenance").map(_ => "maintenance=on ").getOrElse("") +
+        s"out=$outPath")
 
     // The reference's materialization daemon: run a whole SET of
     // materializations, derived stores feeding derived stores, from

@@ -305,6 +305,43 @@ object Trigger {
         (col("n_cofire") / col("n_r2")).as("p1_given_2"))
   }
 
+  /** Maintenance-window muting — the alerting-hygiene surface every
+    * monitoring deployment needs: firings for an entity inside a
+    * DECLARED maintenance window `[from_ts, to_ts)` are flagged
+    * `muted = 1` so the pager skips them, while staying VISIBLE in
+    * the stream (an auditor must see what would have paged; silently
+    * dropping firings hides coverage gaps). A firing covered by ANY
+    * of its entity's windows mutes; overlapping windows mute once.
+    *
+    * `windows`: `(entity_id, from_ts, to_ts)` — per-entity intervals,
+    * O(declared windows) rows. A fleet-wide window is declared by
+    * exploding it onto the entity list (keeps this join an EQUI join;
+    * a nullable-entity wildcard would force a nested-loop plan). A
+    * NULL entity_id is refused loudly (raise_error on the O(windows)
+    * broadcast side), never silently ignored.
+    *
+    * Shape: the firing stream equi-joins the BROADCAST window table
+    * on the entity key with the interval predicate as a post-filter
+    * (e06's temporal-join pattern — never a range-only nested loop),
+    * then one groupBy on the firing's own key collapses multi-window
+    * matches. Firings are O(entities × buckets) at worst; nothing
+    * data-sized shuffles beyond them. */
+  def applyMaintenance(firings: DataFrame, windows: DataFrame): DataFrame = {
+    val w = windows.select(
+      when(col("entity_id").isNull, raise_error(lit(
+        "maintenance window with NULL entity_id: declare fleet-wide " +
+          "maintenance by exploding the window onto the entity list")))
+        .otherwise(col("entity_id")).as("__we"),
+      col("from_ts").as("__wf"), col("to_ts").as("__wt"))
+    val keyCols = firings.columns.map(firings(_))
+    firings.join(broadcast(w),
+        firings("entity_id") === col("__we") &&
+          firings("bucket") >= col("__wf") && firings("bucket") < col("__wt"),
+        "left")
+      .groupBy(keyCols: _*)
+      .agg(max(when(col("__we").isNotNull, lit(1L)).otherwise(lit(0L))).as("muted"))
+  }
+
   /** The SQL twin of one rule's aggregate — used by callers that
     * generate a two-sided oracle from the same Rule values (the Spark
     * plan and the SQL text CANNOT drift when both derive from the rule

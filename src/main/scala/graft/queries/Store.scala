@@ -35,6 +35,15 @@ object Store {
       Seq(Trigger.Threshold("value", "avg", ">=", 60.0),
         Trigger.Threshold("value", "max", "<", 160.0)), "warning"))
 
+  /** n12's declared maintenance windows — entities 1–3 exist at every
+    * scale factor, so some firings mute and most don't at any sf.
+    * Both the Spark window DataFrame and the oracle's VALUES derive
+    * from these tuples (the generated-twin discipline). */
+  private val maintenanceWindows = Seq(
+    (1L, "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+    (2L, "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+    (3L, "2024-01-10 06:00:00", "2024-01-10 18:00:00"))
+
   // SLO rules on PERCENTILE thresholds — evaluated by n09 through
   // the same generated-twin machinery as the sum/avg rules.
   private val sloRules = Seq(
@@ -85,6 +94,32 @@ object Store {
        |  count(*) AS n_notifications, count(DISTINCT rule) AS n_rules,
        |  min(rule) AS first_rule, max(rule) AS last_rule
        |FROM fired GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** n12's generated twin: the same per-rule firing SQL with RAW
+    * timestamp buckets (the interval compare needs them), the same
+    * window VALUES the Spark side builds its DataFrame from, the same
+    * left-join + group-collapse — the sides cannot drift. */
+  private def triggerMaintenanceOracleSql(rules: Seq[Trigger.Rule],
+                                          windows: Seq[(Long, String, String)]): String = {
+    val fired = rules.map { r =>
+      val having = r.thresholds
+        .map(t => s"${Trigger.aggSql(t)} ${t.op} ${t.value}").mkString(" AND ")
+      s"""SELECT user_id AS entity_id, date_trunc('${r.granularity}', ts) AS bucket,
+         |  '${r.name}' AS rule, '${r.severity}' AS severity
+         |FROM events GROUP BY 1, 2 HAVING $having""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val vals = windows.map { case (e, f, t) =>
+      s"($e, TIMESTAMP '$f', TIMESTAMP '$t')" }.mkString(", ")
+    s"""WITH fired AS ($fired),
+       |win(entity_id, from_ts, to_ts) AS (VALUES $vals)
+       |SELECT f.entity_id, strftime(f.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       |  f.rule, f.severity,
+       |  CAST(max(CASE WHEN w.entity_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS muted
+       |FROM fired f LEFT JOIN win w
+       |  ON f.entity_id = w.entity_id AND f.bucket >= w.from_ts AND f.bucket < w.to_ts
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY rule, f.entity_id, bucket""".stripMargin
   }
 
   /** The per-rule firing UNION both trigger oracles share. */
@@ -632,6 +667,27 @@ object Store {
         .orderBy(col("rule1"), col("rule2"))
     },
 
+    // Maintenance-window muting: firings inside a declared per-entity
+    // [from, to) window flag muted=1 — skipped by the pager, still
+    // VISIBLE for audit (silently dropping firings hides coverage
+    // gaps). Broadcast equi-join on the entity key with the interval
+    // as a post-filter (e06's pattern — never a range-only nested
+    // loop) + one groupBy on the firing key to collapse
+    // multi-window matches.
+    "n12_maintenance_mute" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      import s.implicits._
+      val win = maintenanceWindows.toDF("entity_id", "from_ts", "to_ts")
+        .select(col("entity_id"),
+          col("from_ts").cast("timestamp").as("from_ts"),
+          col("to_ts").cast("timestamp").as("to_ts"))
+      Trigger.applyMaintenance(
+          Trigger.evaluate(triggerRules)(ev, col("user_id"), col("ts")), win)
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("rule"), col("severity"), col("muted"))
+        .orderBy(col("rule"), col("entity_id"), col("bucket"))
+    },
+
     // Flap suppression: rules page only after holding for 3
     // CONSECUTIVE buckets of their grid (Trigger.evaluateSustained) —
     // the sustained-threshold semantics that keep an oscillating KPI
@@ -1018,6 +1074,8 @@ object Store {
     "n08_flap_report" -> triggerFlapOracleSql(triggerRules),
     "n10_time_to_clear" -> triggerMttrOracleSql(triggerRules),
     "n11_alert_correlation" -> triggerCoFiringOracleSql(triggerRules),
+    "n12_maintenance_mute" ->
+      triggerMaintenanceOracleSql(triggerRules, maintenanceWindows),
     "n09_slo_triggers" -> triggerOracleSql(sloRules),
 
     "n05_trigger_sets" -> triggerSetsOracleSql(triggerRules),

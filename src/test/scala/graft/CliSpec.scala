@@ -132,6 +132,23 @@ class CliSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet ===
       Set(("surge", 1L), ("quiet", 2L)))
 
+    // --maintenance windows flag covered firings muted=1, keep them
+    // visible, and leave uncovered firings live
+    Seq((1L, "2024-01-01 00:00:00", "2024-01-02 00:00:00"))
+      .toDF("entity_id", "from_ts", "to_ts")
+      .select(col("entity_id"), col("from_ts").cast("timestamp").as("from_ts"),
+        col("to_ts").cast("timestamp").as("to_ts"))
+      .write.parquet(s"$base/windows")
+    Cli.run(spark, Seq("trigger",
+      "--source", s"$base/src", "--entity", "entity_id", "--ts", "ts",
+      "--rule", "surge:hour:value:sum:>:8.0:major",
+      "--rule", "quiet:day:value:max:<:2.0:minor",
+      "--maintenance", s"$base/windows",
+      "--out", s"$base/muted"))
+    val muted = spark.read.parquet(s"$base/muted").collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("muted")).toMap
+    assert(muted === Map("surge" -> 1L, "quiet" -> 0L))
+
     // notifications are a time-partitioned store → retention applies
     Cli.run(spark, Seq("retain",
       "--store", s"$base/notifications", "--keep-from", "2024-01-02"))

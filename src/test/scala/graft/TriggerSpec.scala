@@ -327,4 +327,36 @@ class TriggerSpec extends SparkSpec {
         Seq(Trigger.Threshold("v", "sum", "!=", 1.0)), "s")))(data, col("entity"), col("ts"))
     }
   }
+
+  test("maintenance windows mute covered firings, stay visible, and collapse overlaps") {
+    val fired = Trigger.evaluate(rules)(data, col("entity"), col("ts"))
+    // entity 1: two OVERLAPPING windows cover hour 10 (must mute ONCE);
+    // entity 2's window ends exactly at 11:00 — [from, to) excludes the
+    // 11:00 bucket, so entity 2's burst stays live; entity 3 uncovered
+    val win = Seq(
+      (1L, "2024-01-01 09:00:00", "2024-01-01 12:00:00"),
+      (1L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+      (2L, "2024-01-01 08:00:00", "2024-01-01 11:00:00"))
+      .toDF("entity_id", "from_ts", "to_ts")
+      .select(col("entity_id"), col("from_ts").cast("timestamp").as("from_ts"),
+        col("to_ts").cast("timestamp").as("to_ts"))
+    val got = Trigger.applyMaintenance(fired, win)
+    // every firing survives with a flag — same row count as the stream
+    assert(got.count() === fired.count())
+    val byKey = got.collect()
+      .map(r => (r.getAs[String]("rule"), r.getAs[Long]("entity_id")) ->
+        r.getAs[Long]("muted")).toMap
+    assert(byKey(("surge", 1L)) === 1L)   // covered (twice) → muted once
+    assert(byKey(("burst", 2L)) === 0L)   // 11:00 bucket ≥ to_ts → live
+    assert(byKey(("surge", 3L)) === 0L)   // no window at all
+    // a NULL entity window is refused loudly, never silently ignored
+    val badWin = Seq((Some(1L), "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+        (None: Option[Long], "2024-01-01 00:00:00", "2024-01-02 00:00:00"))
+      .toDF("entity_id", "from_ts", "to_ts")
+      .select(col("entity_id"), col("from_ts").cast("timestamp").as("from_ts"),
+        col("to_ts").cast("timestamp").as("to_ts"))
+    assertThrows[Exception] {
+      Trigger.applyMaintenance(fired, badWin).collect()
+    }
+  }
 }
