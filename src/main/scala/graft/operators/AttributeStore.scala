@@ -161,6 +161,29 @@ object AttributeStore {
     * (the compacted rows re-use the entity key), so the whole timeline
     * is two window passes on one shuffle family — nothing joins back
     * to the raw history. */
+  /** Dwell-time distribution per attribute VALUE — "how long do
+    * entities stay in config X": over [[timeline]]'s holds, per
+    * value, the hold count, how many completed (a later change ended
+    * them) vs still OPEN (the entity's current value), and the
+    * mean/max completed-hold duration. A value with many short holds
+    * is a transient state (a retry loop, a flapping config push); a
+    * value held long and wide is the fleet's steady state.
+    *
+    * Shape: timeline's one entity-keyed window family → ONE
+    * combine-friendly groupBy over O(values) keys. The mean is an
+    * unrounded IEEE division of exact longs (NULL when no hold
+    * completed — never a divide-by-zero artifact). */
+  def valueDwell(attrs: DataFrame, entity: Column, ts: Column, tie: Column,
+                 value: Column): DataFrame =
+    timeline(attrs, entity, ts, tie, value)
+      .groupBy(col("new_value").as("value"))
+      .agg(count(lit(1)).as("n_holds"),
+        count(col("held_seconds")).as("n_completed"),
+        (count(lit(1)) - count(col("held_seconds"))).as("n_open"),
+        (sum(col("held_seconds")) / count(col("held_seconds")))
+          .as("mean_held_seconds"),
+        max(col("held_seconds")).as("max_held_seconds"))
+
   def timeline(attrs: DataFrame, entity: Column, ts: Column, tie: Column,
                value: Column): DataFrame = {
     val w = Window.partitionBy(col("entity_id")).orderBy(ts.asc, tie.asc)

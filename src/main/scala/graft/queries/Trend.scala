@@ -711,6 +711,18 @@ object Trend {
           col("prev_value"), col("new_value"), col("change_kind"),
           col("held_seconds"))
         .orderBy(col("entity_id"), col("changed_at"))
+    },
+
+    // Dwell-time distribution per attribute value — "how long do
+    // entities stay in config X": a10's per-entity holds rolled to
+    // the fleet answer (hold counts, open vs completed, mean/max
+    // completed duration). One O(values) groupBy on top of a10's
+    // window family; mean = IEEE division of exact longs.
+    "a11_value_dwell" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      AttributeStore.valueDwell(ev, col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .orderBy(col("value"))
     }
   )
 
@@ -1336,6 +1348,27 @@ object Trend {
         |  prev_value, new_value,
         |  CASE WHEN rn = 1 THEN 'initial' ELSE 'change' END AS change_kind,
         |  date_diff('second', ts, next_ts) AS held_seconds
-        |FROM t ORDER BY entity_id, changed_at""".stripMargin
+        |FROM t ORDER BY entity_id, changed_at""".stripMargin,
+
+    "a11_value_dwell" ->
+      // a10's timeline CTEs verbatim, rolled per value; the mean
+      // division takes exact BIGINT operands (sum re-cast from
+      // DuckDB's HUGEINT — values bounded far below 2^53) so the
+      // IEEE quotient is bit-identical unrounded
+      """WITH h AS (SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT * FROM h WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |t AS (SELECT user_id AS entity_id, ts, event_type AS new_value,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |  FROM c),
+        |tl AS (SELECT new_value, date_diff('second', ts, next_ts) AS held FROM t)
+        |SELECT new_value AS value, count(*) AS n_holds,
+        |  count(held) AS n_completed,
+        |  count(*) - count(held) AS n_open,
+        |  CAST(sum(held) AS BIGINT) / count(held) AS mean_held_seconds,
+        |  max(held) AS max_held_seconds
+        |FROM tl GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

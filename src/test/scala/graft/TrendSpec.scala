@@ -362,6 +362,18 @@ class TrendSpec extends SparkSpec {
       (1L, null, "A", "initial", 3L * 86400), // held Jan-01 → Jan-04
       (1L, "A", "B", "change", -1L),          // still current
       (2L, null, "X", "initial", -1L)))
+
+    // valueDwell rolls the same holds per value: A completed one
+    // 3-day hold; B and X are open (current) — no completed holds,
+    // so their mean is NULL, never a divide-by-zero artifact
+    val dwell = AttributeStore.valueDwell(attrs, col("entity_id"), col("ts"),
+        col("eid"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toMap
+    assert(dwell("A") === ((1L, 1L, 0L, 3.0 * 86400)))
+    assert(dwell("B") === ((1L, 0L, 1L, -1.0)))
+    assert(dwell("X") === ((1L, 0L, 1L, -1.0)))
   }
 
   // The full Minerva loop composed: attribute HISTORY is itself a
