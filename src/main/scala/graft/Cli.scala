@@ -195,11 +195,13 @@ object Cli {
       // --config FILE: multi-threshold rules (ANDed), the reference's
       // trigger definition-file shape; single-threshold --rule flags
       // otherwise.
-      val (srcPath, entity, ts, outPath, rules) = f.get("config") match {
+      val (srcPath, entity, ts, outPath, rules, maint) = f.get("config") match {
         case Some(paths) =>
           val c = Config.parseTrigger(
             java.nio.file.Files.readString(java.nio.file.Path.of(paths.last)))
-          (c.source, c.entity, c.ts, c.out, c.rules)
+          // an explicit --maintenance flag overrides the config's path
+          (c.source, c.entity, c.ts, c.out, c.rules,
+            f.get("maintenance").map(_.last).orElse(c.maintenance))
         case None =>
           val rs = f.getOrElse("rule",
             throw new IllegalArgumentException(
@@ -211,21 +213,22 @@ object Cli {
               case other => throw new IllegalArgumentException(
                 s"--rule must be name:gran:metric:fn:op:value:severity, got: ${other.mkString(":")}")
             })
-          (one(f, "source"), one(f, "entity"), one(f, "ts"), one(f, "out"), rs)
+          (one(f, "source"), one(f, "entity"), one(f, "ts"), one(f, "out"), rs,
+            f.get("maintenance").map(_.last))
       }
       val source = spark.read.parquet(srcPath)
       val evaluated = Trigger.evaluate(rules)(source, col(entity), col(ts))
-      // --maintenance PATH: a declared-windows parquet (entity_id,
-      // from_ts, to_ts) flags covered firings muted=1 — visible for
-      // audit, skipped by the pager (filter muted = 0 downstream)
-      val fired = f.get("maintenance") match {
-        case Some(paths) =>
-          Trigger.applyMaintenance(evaluated, spark.read.parquet(paths.last))
+      // maintenance: a declared-windows parquet (entity_id, from_ts,
+      // to_ts) flags covered firings muted=1 — visible for audit,
+      // skipped by the pager (filter muted = 0 downstream)
+      val fired = maint match {
+        case Some(path) =>
+          Trigger.applyMaintenance(evaluated, spark.read.parquet(path))
         case None => evaluated
       }
       TrendStoreWriter.write(fired, outPath)
       println(s"trigger: rules=${rules.size} " +
-        f.get("maintenance").map(_ => "maintenance=on ").getOrElse("") +
+        maint.map(_ => "maintenance=on ").getOrElse("") +
         s"out=$outPath")
 
     // The reference's materialization daemon: run a whole SET of

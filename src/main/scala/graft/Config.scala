@@ -21,7 +21,8 @@ import graft.sources.HarvestJob
   *               "derived": [{"as": C, "sql": "n_errors / n_all"}, ...]?}
   * trigger:     {"source": P, "entity": C, "ts": C, "out": P,
   *               "rules": [{"name": N, "granularity": G, "severity": S,
-  *                 "thresholds": [{"metric": C, "fn": F, "op": ">", "value": 1.5}, ...]}, ...]}
+  *                 "thresholds": [{"metric": C, "fn": F, "op": ">", "value": 1.5}, ...]}, ...],
+  *               "maintenance": P?}
   * materialize: {"defs": [{"name": N, "source": P, "store": P, "state": P,
   *                 "granularity": G, "entity": C?, "ts": C?, "value": C?,
   *                 "relation": P?, "relationChild": C?, "relationParent": C?}, ...]}
@@ -48,8 +49,13 @@ object Config {
     def derivedMetrics: Seq[Aggregation.DerivedMetric] = derived.getOrElse(Nil)
   }
 
+  // `maintenance`: optional path to a declared-windows parquet
+  // (entity_id, from_ts, to_ts) — covered firings flag muted=1
+  // (Trigger.applyMaintenance); Option for the same json4s
+  // missing-field reason as AggregateConfig.derived.
   final case class TriggerConfig(source: String, entity: String, ts: String,
-                                 out: String, rules: Seq[Trigger.Rule])
+                                 out: String, rules: Seq[Trigger.Rule],
+                                 maintenance: Option[String] = None)
 
   private case class MatDefJson(name: String, source: String, store: String,
                                 state: String, granularity: String,

@@ -28,6 +28,36 @@ object TriggerStream {
     Trigger.evaluateRolled(rules, valueCol)(
       TrendStream.windowedRollup(events, entityCol, tsCol, valueCol, windowLen, lateness))
 
+  /** Maintenance muting on the FIRING STREAM — the streaming twin of
+    * `Trigger.applyMaintenance`. The window table is DECLARED
+    * maintenance (O(windows) rows, static for the stream's life), so
+    * it collapses to a literal struct array at stream build and
+    * muting becomes a pure codegen'd projection: no stream-static
+    * join, no streaming aggregation, append semantics and the
+    * exactly-once upsert path untouched. Matches the batch operator
+    * bit-for-bit (spec-asserted); re-declare windows by restarting
+    * the stream (the daemon cadence the reference's trigger loop
+    * assumes). NULL entity windows are refused like the batch side. */
+  def withMaintenance(fired: DataFrame, windows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rows = windows.select(col("entity_id"), col("from_ts"), col("to_ts"))
+      .collect()
+    require(rows.forall(!_.isNullAt(0)),
+      "maintenance window with NULL entity_id: declare fleet-wide " +
+        "maintenance by exploding the window onto the entity list")
+    if (rows.isEmpty) fired.withColumn("muted", lit(0L))
+    else {
+      val arr = array(rows.map { r =>
+        struct(lit(r.getLong(0)).as("e"),
+          lit(r.getTimestamp(1)).as("f"), lit(r.getTimestamp(2)).as("t"))
+      }.toIndexedSeq: _*)
+      fired.withColumn("muted",
+        when(exists(arr, w => w("e") === col("entity_id") &&
+          col("bucket") >= w("f") && col("bucket") < w("t")), lit(1L))
+          .otherwise(lit(0L)))
+    }
+  }
+
   /** Sink the firing stream into a notification store. */
   def toStore(fired: DataFrame, storePath: String, checkpointDir: String): StreamingQuery =
     fired.writeStream

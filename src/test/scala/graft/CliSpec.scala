@@ -256,6 +256,23 @@ class CliSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet ===
       Set(("band", 1L), ("slo", 2L)))
 
+    // the config form carries the maintenance path too: entity 2's
+    // firing mutes, entity 1's stays live
+    Seq((2L, "2024-01-01 00:00:00", "2024-01-05 00:00:00"))
+      .toDF("entity_id", "from_ts", "to_ts")
+      .select(col("entity_id"), col("from_ts").cast("timestamp").as("from_ts"),
+        col("to_ts").cast("timestamp").as("to_ts"))
+      .write.parquet(s"$base/trig_windows")
+    val trigCfgM = Path.of(base, "trig_m.json")
+    Files.writeString(trigCfgM,
+      Files.readString(trigCfg)
+        .replace(s""""out": "$base/fired"""",
+          s""""out": "$base/fired_m", "maintenance": "$base/trig_windows""""))
+    Cli.run(spark, Seq("trigger", "--config", trigCfgM.toString))
+    assert(spark.read.parquet(s"$base/fired_m").collect()
+      .map(r => r.getAs[Long]("entity_id") -> r.getAs[Long]("muted")).toMap ===
+      Map(1L -> 0L, 2L -> 1L))
+
     // materialize-all: a two-step chain from one config file
     val matCfg = Path.of(base, "mat.json")
     Files.writeString(matCfg,

@@ -358,5 +358,18 @@ class TriggerSpec extends SparkSpec {
     assertThrows[Exception] {
       Trigger.applyMaintenance(fired, badWin).collect()
     }
+
+    // the streaming twin (literal-array projection — no join, no
+    // aggregation, append-safe) matches the batch operator bit-for-bit
+    val streamed = TriggerStream.withMaintenance(fired, win)
+    val batch = Trigger.applyMaintenance(fired, win)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream muting diverges from the batch operator")
+    assertThrows[Exception] {
+      TriggerStream.withMaintenance(fired, badWin)
+    }
+    // empty window table: everything live, schema unchanged
+    assert(TriggerStream.withMaintenance(fired, win.limit(0))
+      .filter(col("muted") =!= 0L).isEmpty)
   }
 }
