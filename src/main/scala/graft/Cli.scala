@@ -635,6 +635,14 @@ object Cli {
         case _ =>
           println(s"  rows: ${spark.read.parquet(path).count()}")
       }
+      // --stats: the cell-balance health report (Similarity.indexStats)
+      // for the ANN layouts — declared/occupied/empty cells, max/mean
+      // cell size, the imbalance probe-cost factor, live tombstones
+      if (opt(f, "stats", "false").toBoolean && Set("ivf", "pq", "ivfpq")(layout)) {
+        val st = graft.similarity.Similarity.indexStats(spark, path).head
+        println(s"  health: " + st.schema.fieldNames.zipWithIndex
+          .map { case (n, i) => s"$n=${st.get(i)}" }.mkString(" "))
+      }
 
     case "decontaminate" :: rest =>
       val f = parseFlags(rest)

@@ -978,6 +978,22 @@ object TextSim {
       }.reduce(_ unionByName _).orderBy(col("nprobe"))
     },
 
+    // Index-health report (rows-only; exact-count spec oracle): the
+    // acceptance number an ANN deployment reads next to s16's recall
+    // — a collapsed coarse quantizer (one mega-cell) keeps recall
+    // high while every probe scans half the corpus; the imbalance
+    // factor (max cell / mean cell over declared cells) is that
+    // probe-cost multiplier. One O(cells)-keyed partial-agg count
+    // over the partition column + O(cells) metadata; same cached
+    // index as s09, so Bench prices the pure report.
+    "s18_index_stats" -> { (s, dir) =>
+      val emb = TableCatalog(s, dir).embeddings
+      val idx = cachedIndex(s, dir, "ivf") { p =>
+        Similarity.ivfBuild(emb, "vec_id", "embedding", p)
+      }
+      Similarity.indexStats(s, idx)
+    },
+
     // Persisted-PQ serving path (rows-only; ≡ inline spec-asserted):
     // the s07 counterpart — pqSearch scans the m-ints codes table of
     // a prebuilt index instead of re-training and re-encoding.

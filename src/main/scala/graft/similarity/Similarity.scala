@@ -425,6 +425,68 @@ object Similarity {
       Seq("n_id"), "left_anti")
   }
 
+  /** Index-health report — the ops number an operator reads BEFORE
+    * trusting a served index's latency profile: a collapsed coarse
+    * quantizer (one mega-cell) makes every probe scan half the
+    * corpus while recall still looks fine, and nothing else in the
+    * serving path surfaces that. One row per index:
+    * declared/occupied/empty cells, physical vector rows, max cell
+    * size, mean cell size over DECLARED cells (the uniform-probe
+    * cost expectation) and the imbalance factor max/mean (1.0 =
+    * balanced; otherwise the probe-cost multiplier a hot cell
+    * carries), plus live tombstones (rows still physically present
+    * until the next compaction — n_vectors counts them). Flat-PQ
+    * layouts have no cells to balance and report size + tombstones.
+    *
+    * Cost: one O(cells) centroid count + ONE partial-agg count over
+    * the data table keyed by its PARTITION column (column pruning
+    * reaches the scan — the reader materializes nothing but the
+    * directory key) + an O(deletes) tombstone count. */
+  def indexStats(spark: org.apache.spark.sql.SparkSession,
+                 indexPath: String): DataFrame = {
+    import graft.operators.StoreFs
+    recoverIndex(spark, indexPath)
+    val hasCells = StoreFs.exists(spark, s"$indexPath/cells")
+    val hasCodes = StoreFs.exists(spark, s"$indexPath/codes")
+    val hasCents = StoreFs.exists(spark, s"$indexPath/centroids")
+    require(hasCells || hasCodes,
+      s"$indexPath has no codes/ or cells/ table — not a persisted ANN index")
+    val layout = if (hasCells) "ivf" else if (hasCents) "ivfpq" else "pq"
+    val dataPath = if (hasCells) s"$indexPath/cells" else s"$indexPath/codes"
+    val nTomb =
+      if (StoreFs.exists(spark, s"$indexPath/tombstones"))
+        spark.read.parquet(s"$indexPath/tombstones")
+          .select(col("n_id")).distinct().count()
+      else 0L
+    val base = layout match {
+      case "pq" =>
+        spark.read.parquet(dataPath).agg(count(lit(1)).as("n_vectors"))
+          .select(lit(layout).as("layout"),
+            lit(null).cast("long").as("n_cells_declared"),
+            lit(null).cast("long").as("n_cells_occupied"),
+            lit(null).cast("long").as("n_cells_empty"),
+            col("n_vectors"),
+            lit(null).cast("long").as("max_cell"),
+            lit(null).cast("double").as("mean_cell"),
+            lit(null).cast("double").as("imbalance"))
+      case _ =>
+        val declared = spark.read.parquet(s"$indexPath/centroids").count()
+        spark.read.parquet(dataPath)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("occ"), sum(col("n")).as("n_vectors"),
+            max(col("n")).as("max_cell"))
+          .select(lit(layout).as("layout"),
+            lit(declared).as("n_cells_declared"),
+            col("occ").as("n_cells_occupied"),
+            (lit(declared) - col("occ")).as("n_cells_empty"),
+            col("n_vectors"), col("max_cell"),
+            // both IEEE divisions of exact longs — deterministic
+            (col("n_vectors") / lit(declared)).as("mean_cell"),
+            (col("max_cell") * lit(declared) / col("n_vectors")).as("imbalance"))
+    }
+    base.withColumn("n_tombstones", lit(nTomb))
+  }
+
   /** DELETE vectors from a persisted ANN index — the lifecycle op the
     * add/compact pair was missing (a crawl loop drops revoked or
     * re-crawled docs as routinely as it adds new ones). Deletion is a

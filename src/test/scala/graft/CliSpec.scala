@@ -397,6 +397,13 @@ class CliSpec extends SparkSpec {
     val annInfo = info(s"$base/idx")
     assert(annInfo.contains("layout=ivfpq") && annInfo.contains("codebooks: m="))
     assert(annInfo.contains(s"rows: ${emb.count()}"))
+    // --stats true appends the cell-balance health report
+    val statsOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(statsOut)) {
+      Cli.run(spark, Seq("index-info", "--index", s"$base/idx", "--stats", "true"))
+    }
+    assert(statsOut.toString.contains("health: layout=ivfpq") &&
+      statsOut.toString.contains("imbalance="))
     val exactInfo = info(s"$base/didx")
     assert(exactInfo.contains("layout=exact") && exactInfo.contains("rows: 2"))
 

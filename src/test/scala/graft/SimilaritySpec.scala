@@ -686,4 +686,41 @@ class SimilaritySpec extends SparkSpec {
         Seq(1L).toDF("vec_id"))
     }
   }
+
+  test("indexStats: cell balance exact, tombstone ids counted as a set, pq size-only") {
+    import graft.SparkSpec.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_stats").toString
+    Similarity.ivfBuild(emb, "vec_id", "embedding", s"$dir/ivf", nCells = 8)
+    val st = Similarity.indexStats(spark, s"$dir/ivf").head
+    // ground truth recomputed independently from the index directory
+    val cells = spark.read.parquet(s"$dir/ivf/cells")
+      .groupBy(col("cell")).count().collect().map(_.getLong(1))
+    val (occ, total, mx) = (cells.length.toLong, cells.sum, cells.max)
+    assert(st.getAs[String]("layout") === "ivf")
+    assert(st.getAs[Long]("n_cells_declared") === 8L)
+    assert(st.getAs[Long]("n_cells_occupied") === occ)
+    assert(st.getAs[Long]("n_cells_empty") === 8L - occ)
+    assert(st.getAs[Long]("n_vectors") === total)
+    assert(st.getAs[Long]("max_cell") === mx)
+    assert(st.getAs[Double]("mean_cell") === total.toDouble / 8L)
+    assert(st.getAs[Double]("imbalance") === (mx * 8L).toDouble / total)
+    assert(st.getAs[Long]("n_tombstones") === 0L)
+    // tombstones report the live id SET (duplicate deletes collapse);
+    // physical rows stay counted until the next compaction
+    Similarity.annDelete(spark, s"$dir/ivf", Seq(1L, 2L, 1L).toDF("vec_id"))
+    val st2 = Similarity.indexStats(spark, s"$dir/ivf").head
+    assert(st2.getAs[Long]("n_tombstones") === 2L)
+    assert(st2.getAs[Long]("n_vectors") === total)
+    // flat PQ has no cells to balance: size + tombstones only
+    Similarity.pqBuild(emb, "vec_id", "embedding", s"$dir/pq")
+    val stP = Similarity.indexStats(spark, s"$dir/pq").head
+    assert(stP.getAs[String]("layout") === "pq")
+    assert(stP.getAs[Long]("n_vectors") > 0L)
+    assert(stP.isNullAt(stP.fieldIndex("imbalance")))
+    assert(stP.isNullAt(stP.fieldIndex("n_cells_declared")))
+    intercept[IllegalArgumentException] {
+      Similarity.indexStats(spark,
+        java.nio.file.Files.createTempDirectory("graft_not_idx2").toString)
+    }
+  }
 }
