@@ -184,6 +184,35 @@ object AttributeStore {
           .as("mean_held_seconds"),
         max(col("held_seconds")).as("max_held_seconds"))
 
+  /** Value TRANSITION MATRIX — which config moves actually happen:
+    * over [[timeline]]'s real changes (the first, provisioning row per
+    * entity is excluded), per (from_value → to_value) edge: the
+    * transition count, how many distinct entities made the move, the
+    * mean seconds the NEW value then held (NULL when no hold has
+    * completed), and each edge's share of all transitions. An edge
+    * that dominates the matrix is the fleet's standard upgrade path;
+    * a heavy symmetric pair (X→Y and Y→X) is a flapping config.
+    *
+    * Shape: timeline's one entity-keyed window family → ONE
+    * combine-friendly groupBy over O(values²) edge keys; the share
+    * total rides a window over the EDGE table (O(values²) rows),
+    * never a history re-scan. Share and mean are unrounded IEEE
+    * divisions of exact longs — bit-identical on any engine. */
+  def transitions(attrs: DataFrame, entity: Column, ts: Column, tie: Column,
+                  value: Column): DataFrame = {
+    val edges = timeline(attrs, entity, ts, tie, value)
+      .filter(col("change_kind") === "change")
+      .groupBy(col("prev_value").as("from_value"),
+        col("new_value").as("to_value"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("entity_id")).as("n_entities"),
+        (sum(col("held_seconds")) / count(col("held_seconds")))
+          .as("mean_held_seconds"))
+    edges
+      .withColumn("share",
+        col("n_transitions") / sum(col("n_transitions")).over(Window.partitionBy()))
+  }
+
   def timeline(attrs: DataFrame, entity: Column, ts: Column, tie: Column,
                value: Column): DataFrame = {
     val w = Window.partitionBy(col("entity_id")).orderBy(ts.asc, tie.asc)

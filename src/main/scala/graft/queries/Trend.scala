@@ -723,6 +723,18 @@ object Trend {
       AttributeStore.valueDwell(ev, col("user_id"), col("ts"), col("event_id"),
           col("event_type"))
         .orderBy(col("value"))
+    },
+
+    // Value TRANSITION MATRIX — which config moves actually happen
+    // (a10 lists per-entity changes; this is the fleet's from→to
+    // edge table: the standard upgrade path vs the flapping pair).
+    // One groupBy over O(values²) edges on a10's window family;
+    // share/mean are IEEE divisions of exact longs.
+    "a12_attr_transitions" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      AttributeStore.transitions(ev, col("user_id"), col("ts"),
+          col("event_id"), col("event_type"))
+        .orderBy(col("from_value"), col("to_value"))
     }
   )
 
@@ -1369,6 +1381,30 @@ object Trend {
         |  count(*) - count(held) AS n_open,
         |  CAST(sum(held) AS BIGINT) / count(held) AS mean_held_seconds,
         |  max(held) AS max_held_seconds
-        |FROM tl GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM tl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a12_attr_transitions" ->
+      // a10's timeline CTEs verbatim; the matrix keeps only rn > 1
+      // rows (real changes — provisioning has no from_value). Share
+      // and mean are IEEE divisions of exact BIGINTs, unrounded.
+      """WITH h AS (SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT * FROM h WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |t AS (SELECT user_id AS entity_id, ts, rn, prev, event_type,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |  FROM c),
+        |tr AS (SELECT entity_id, prev AS from_value, event_type AS to_value,
+        |    date_diff('second', ts, next_ts) AS held
+        |  FROM t WHERE rn > 1),
+        |edges AS (SELECT from_value, to_value, count(*) AS n_transitions,
+        |    count(DISTINCT entity_id) AS n_entities,
+        |    CAST(sum(held) AS BIGINT) / count(held) AS mean_held_seconds
+        |  FROM tr GROUP BY 1, 2)
+        |SELECT from_value, to_value, n_transitions, n_entities,
+        |  mean_held_seconds,
+        |  n_transitions / CAST(sum(n_transitions) OVER () AS BIGINT) AS share
+        |FROM edges ORDER BY from_value, to_value""".stripMargin
   )
 }
