@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fx
 
@@ -387,6 +388,67 @@ object TrendStore {
     * O(entities × 24) result keys — then a rank window over ≤ 24
     * rows per entity sharing the entity key. Nothing re-reads the
     * hourly store. */
+  /** SEASONALITY STRENGTH per entity — "does this KPI have a daily
+    * shape at all, and how deep is it": over the hourly store's
+    * hour-of-day profile (the same season table [[busyHour]] ranks),
+    * the grand mean, the peak/trough hour-of-day means, the
+    * peak-to-mean ratio, and the relative seasonal AMPLITUDE — the
+    * bucket-weighted mean absolute deviation of the 24 hourly means
+    * around the grand mean, relative to the grand mean. Amplitude 0 =
+    * flat profile (gap-fill freely, alert on level); amplitude ≫ 0 =
+    * strong diurnal shape (baseline per season, dimension for the
+    * peak). Entities with a non-positive value mass report NULL
+    * ratios rather than sign-flipped nonsense.
+    *
+    * Determinism: the amplitude is computed with denominators CLEARED
+    * —  Σ_h n_h·|m_h − G|  =  Σ_h |N·s_h − n_h·S1| / N  — so every
+    * sum/difference/product stays in exact DECIMAL arithmetic
+    * (associative, order-free) and the only floating-point ops are
+    * final single IEEE divisions of exact operands, bit-identical on
+    * any engine. Per-hour means are single IEEE divisions of exact
+    * operands, so peak/trough SELECTION (ties → earliest hour)
+    * agrees cross-engine too.
+    *
+    * Shape: one (entity, hour-of-day) map-side-combinable groupBy →
+    * O(entities × 24) season rows; the N/S1 totals ride entity
+    * windows over THAT table and the final per-entity fold groups the
+    * same ≤ 24 rows — one shuffle family on the entity key, nothing
+    * re-reads the hourly store. */
+  def seasonalityStrength(rolledUp: DataFrame): DataFrame = {
+    val season = rolledUp
+      .groupBy(col("entity_id"), hour(col("bucket")).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("sd")).cast("decimal(18,4)").as("s_h"))
+    val we = Window.partitionBy(col("entity_id"))
+    val w = season
+      .withColumn("N", sum(col("n_h")).over(we))
+      .withColumn("S1", sum(col("s_h")).over(we).cast("decimal(18,4)"))
+      .withColumn("m_h", col("s_h").cast("double") / col("n_h"))
+      .withColumn("num_h", abs(col("N").cast("decimal(12,0)") * col("s_h") -
+        col("n_h").cast("decimal(12,0)") * col("S1")))
+      .withColumn("__rp", row_number().over(
+        Window.partitionBy(col("entity_id")).orderBy(col("m_h").desc, col("h"))))
+      .withColumn("__rt", row_number().over(
+        Window.partitionBy(col("entity_id")).orderBy(col("m_h").asc, col("h"))))
+    w.groupBy(col("entity_id"))
+      .agg(max(col("N")).as("n_buckets"),
+        max(col("S1")).as("__S1"),
+        sum(col("num_h")).as("__dev"),
+        max(when(col("__rp") === 1, col("h"))).as("peak_hour"),
+        max(when(col("__rp") === 1, col("m_h"))).as("peak_mean"),
+        max(when(col("__rt") === 1, col("h"))).as("trough_hour"),
+        max(when(col("__rt") === 1, col("m_h"))).as("trough_mean"))
+      .withColumn("grand_mean", col("__S1").cast("double") / col("n_buckets"))
+      .withColumn("pmr",
+        when(col("__S1") > 0, col("peak_mean") / col("grand_mean")))
+      .withColumn("amplitude",
+        when(col("__S1") > 0, col("__dev").cast("double") /
+          (col("n_buckets").cast("decimal(12,0)") * col("__S1")).cast("double")))
+      .select(col("entity_id"), col("n_buckets"), col("grand_mean"),
+        col("peak_hour"), col("peak_mean"), col("trough_hour"),
+        col("trough_mean"), col("pmr"), col("amplitude"))
+  }
+
   def busyHour(rolledUp: DataFrame): DataFrame = {
     val profile = rolledUp
       .groupBy(col("entity_id"), hour(col("bucket")).cast("long").as("busy_hour"))

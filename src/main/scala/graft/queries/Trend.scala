@@ -528,6 +528,23 @@ object Trend {
         .orderBy(col("entity_id"))
     },
 
+    // Seasonality strength per entity — "does this KPI have a daily
+    // shape at all, and how deep": grand mean, peak/trough hour
+    // means, peak-to-mean ratio, and the relative seasonal amplitude
+    // (bucket-weighted MAD of hourly means around the grand mean,
+    // over the grand mean). Denominator-cleared exact-DECIMAL
+    // arithmetic; only final IEEE divisions touch doubles. One
+    // (entity, hour-of-day) combine-friendly groupBy → an entity
+    // window family over O(entities × 24) rows.
+    "t39_seasonality" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val hourly = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "hour")
+        .select(col("entity_id"), col("bucket"),
+          col("sum_dec").cast("decimal(18,4)").as("sd"))
+      TrendStore.seasonalityStrength(hourly)
+        .orderBy(col("entity_id"))
+    },
+
     // Attribute staleness report — days since each entity's last
     // attribute write, relative to the corpus end (the "which configs
     // has nobody touched" ops question; e09 asks who went silent in
@@ -1205,6 +1222,40 @@ object Trend {
         |  CASE WHEN n_breach_days > CAST(0.05 AS DOUBLE) * n_days THEN 'exhausted'
         |       ELSE 'within_budget' END AS status
         |FROM agg ORDER BY entity_id""".stripMargin,
+
+    "t39_seasonality" ->
+      // Denominator-cleared discipline: Σ_h n_h·|m_h − G| =
+      // Σ_h |N·s_h − n_h·S1| / N, so everything up to the final
+      // divisions is exact DECIMAL (order-free); m_h and the ratios
+      // are single IEEE divisions of exact operands, bit-identical
+      // cross-engine (peak/trough tie-breaks then agree too).
+      """WITH d AS (SELECT user_id AS entity_id, date_trunc('hour', ts) AS bucket,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sd
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT entity_id, hour(bucket) AS h, count(*) AS n_h,
+        |    CAST(sum(sd) AS DECIMAL(18,4)) AS s_h
+        |  FROM d GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(sum(n_h) OVER (PARTITION BY entity_id) AS BIGINT) AS N,
+        |    CAST(sum(s_h) OVER (PARTITION BY entity_id) AS DECIMAL(18,4)) AS S1
+        |  FROM g),
+        |m AS (SELECT *, CAST(s_h AS DOUBLE) / n_h AS m_h,
+        |    abs(CAST(N AS DECIMAL(12,0)) * s_h - CAST(n_h AS DECIMAL(12,0)) * S1) AS num_h
+        |  FROM w),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY entity_id ORDER BY m_h DESC, h) AS rp,
+        |    row_number() OVER (PARTITION BY entity_id ORDER BY m_h ASC, h) AS rt
+        |  FROM m)
+        |SELECT entity_id, max(N) AS n_buckets,
+        |  CAST(max(S1) AS DOUBLE) / max(N) AS grand_mean,
+        |  max(CASE WHEN rp = 1 THEN h END) AS peak_hour,
+        |  max(CASE WHEN rp = 1 THEN m_h END) AS peak_mean,
+        |  max(CASE WHEN rt = 1 THEN h END) AS trough_hour,
+        |  max(CASE WHEN rt = 1 THEN m_h END) AS trough_mean,
+        |  CASE WHEN max(S1) > 0 THEN max(CASE WHEN rp = 1 THEN m_h END)
+        |    / (CAST(max(S1) AS DOUBLE) / max(N)) END AS pmr,
+        |  CASE WHEN max(S1) > 0 THEN CAST(sum(num_h) AS DOUBLE)
+        |    / CAST(CAST(max(N) AS DECIMAL(12,0)) * max(S1) AS DOUBLE) END AS amplitude
+        |FROM r GROUP BY entity_id ORDER BY entity_id""".stripMargin,
 
     "a08_attr_staleness" ->
       """WITH mx AS (SELECT max(date_trunc('day', ts)) AS m FROM events),
