@@ -335,6 +335,50 @@ object TextSim {
         .orderBy(col("source"))
     },
 
+    // Zipf-fit corpus-health audit — per source, the log-log
+    // least-squares slope of the token frequency-vs-rank curve.
+    // Natural language sits near slope ≈ −1 (Zipf's law); template
+    // spam, boilerplate feeds, and synthetic filler bend the curve
+    // (flat head = everything equally common; cliff = a few tokens
+    // repeated). The number a curation pass reads NEXT TO d48's
+    // entropy: entropy says how concentrated the unigram mass is,
+    // the Zipf slope says whether the SHAPE of the distribution
+    // looks like language. Determinism: ranks are integer
+    // row_numbers on (count desc, token) — exact; x/y = ln(rank)/
+    // ln(count) round to 6dp IN DECIMAL (d48's recipe), all four
+    // regression sums are exact DECIMAL, and slope/intercept are
+    // t29's fixed-op-order double closed forms, rounded at 6dp.
+    // Plan: explode → (source, token) partial agg (the d30/d33 Zipf
+    // posture) → ONE per-source rank window over the O(vocab) count
+    // table → per-source fold; nothing re-reads the corpus.
+    "d52_zipf_fit" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("c").desc, col("token"))
+      val d6 = (c: org.apache.spark.sql.Column) =>
+        round(log(c), 6).cast("decimal(18,6)")
+      val g = TableCatalog(s, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("x6", d6(col("rank"))).withColumn("y6", d6(col("c")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_distinct"), sum(col("c")).as("n_tokens"),
+          sum(col("x6")).cast("double").as("sx"),
+          sum(col("y6")).cast("double").as("sy"),
+          sum(col("x6") * col("y6")).cast("double").as("sxy"),
+          sum(col("x6") * col("x6")).cast("double").as("sxx"))
+        .filter(col("n_distinct") >= 3)
+      g.withColumn("__slope",
+          (col("n_distinct") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_distinct") * col("sxx") - col("sx") * col("sx")))
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          round(col("__slope"), 6).as("zipf_slope"),
+          round((col("sy") - col("__slope") * col("sx")) / col("n_distinct"), 6)
+            .as("intercept"))
+        .orderBy(col("source"))
+    },
+
     "d02_shingle_jaccard" -> { (s, dir) =>
       Dedup.shingleJaccard(TableCatalog(s, dir).documents, "doc_id", "text",
           k = 3, threshold = 0.5)
@@ -1708,6 +1752,30 @@ object TextSim {
         |SELECT source, n_tokens, n_distinct,
         |  round(ln(n_tokens), 6) - CAST(sdec AS DOUBLE) / n_tokens AS entropy
         |FROM s ORDER BY source""".stripMargin,
+
+    "d52_zipf_fit" ->
+      // d48's count CTEs + integer ranks; x/y round6(ln) IN DECIMAL,
+      // exact decimal regression sums, t29's fixed-op-order closed
+      // forms in double — bit-identical before the 6dp rounding.
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT source, token, count(*) AS c FROM t WHERE token <> '' GROUP BY 1, 2),
+        |r AS (SELECT source, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, token) AS rank
+        |  FROM c),
+        |p AS (SELECT source, c,
+        |    CAST(round(ln(rank), 6) AS DECIMAL(18,6)) AS x6,
+        |    CAST(round(ln(c), 6) AS DECIMAL(18,6)) AS y6
+        |  FROM r),
+        |g AS (SELECT source, count(*) AS n_distinct, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(x6) AS DOUBLE) AS sx, CAST(sum(y6) AS DOUBLE) AS sy,
+        |    CAST(sum(x6 * y6) AS DOUBLE) AS sxy, CAST(sum(x6 * x6) AS DOUBLE) AS sxx
+        |  FROM p GROUP BY 1 HAVING count(*) >= 3),
+        |f AS (SELECT *, (n_distinct * sxy - sx * sy) / (n_distinct * sxx - sx * sx) AS slope
+        |  FROM g)
+        |SELECT source, n_tokens, n_distinct,
+        |  round(slope, 6) AS zipf_slope,
+        |  round((sy - slope * sx) / n_distinct, 6) AS intercept
+        |FROM f ORDER BY source""".stripMargin,
 
     "d03_minhash_lsh" ->
       // The LSH band config is effectively exact at J ≥ 0.7 (see the
