@@ -150,13 +150,23 @@ object Cli {
         case None =>
           // source:fn:alias, optionally :where — the 4th part is a SQL
           // boolean filtering the metric's rows (split limit 4 keeps
-          // colons inside the predicate intact)
+          // colons inside the predicate intact). The weighted mean
+          // names its weight inside the fn part: `wavg@weightcol`
+          // (config files pass a "weight" field instead).
+          def splitFn(fn: String): (String, Option[String]) =
+            fn.split("@", 2) match {
+              case Array(f0, w) => (f0, Some(w))
+              case _            => (fn, None)
+            }
           val ms = f.getOrElse("metric",
             throw new IllegalArgumentException("at least one --metric source:fn:alias required"))
             .map(_.split(":", 4) match {
-              case Array(src, fn, as) => Aggregation.MetricAgg(src, fn, as)
+              case Array(src, fn, as) =>
+                val (f0, w) = splitFn(fn)
+                Aggregation.MetricAgg(src, f0, as, None, w)
               case Array(src, fn, as, where) =>
-                Aggregation.MetricAgg(src, fn, as, Some(where))
+                val (f0, w) = splitFn(fn)
+                Aggregation.MetricAgg(src, f0, as, Some(where), w)
               case other => throw new IllegalArgumentException(
                 s"--metric must be source:fn:alias[:where], got: ${other.mkString(":")}")
             })

@@ -25,8 +25,14 @@ object Aggregation {
     * END)` inside the SAME single groupBy — one shuffle regardless of
     * how many differently-filtered metrics a definition carries,
     * never one scan per filter. */
+  /** `weight` names the weight column/expression for the `wavg` fn
+    * (ignored by every other fn): wavg = Σ(source·weight) / Σ(weight)
+    * over rows where BOTH are non-null (a weighted mean must drop a
+    * row from numerator and denominator together, or a null source
+    * silently drags the mean toward zero). */
   final case class MetricAgg(source: String, fn: String, as: String,
-                             where: Option[String] = None)
+                             where: Option[String] = None,
+                             weight: Option[String] = None)
 
   /** A DERIVED metric: a SQL expression over the definition's metric
     * ALIASES (and any earlier derived alias), evaluated after the
@@ -139,8 +145,31 @@ object Aggregation {
     // Unlike count_distinct this fn also CASCADES (sketches merge
     // exactly across granularities — see cascade()).
     case "approx_distinct" => hll_sketch_estimate(hll_sketch_agg(g(col(m.source))))
+    // WEIGHTED mean — Σ(source·weight)/Σ(weight), the
+    // traffic-weighted KPI form ("avg price weighted by quantity",
+    // "drop rate weighted by attempts"): a plain avg over per-entity
+    // cells lets an idle entity count as much as a loaded one. Rows
+    // where source OR weight is NULL drop from BOTH sums; exact
+    // decimal products/sums (the stddev moment discipline) and ONE
+    // IEEE division — deterministic and oracle-gradeable.
+    // division guarded on the weight mass: an empty-or-zero-weight
+    // group is NULL (undefined), never an ANSI divide-by-zero abort
+    case "wavg" =>
+      val (wx, ww) = wavgTerms(m)
+      when(sum(ww) =!= 0,
+        Fx.prodSumDouble(sum(wx * ww)) / sum(ww).cast("double"))
     case f       => throw new IllegalArgumentException(s"unknown aggregation fn: $f")
     }).as(m.as)
+  }
+
+  /** The gated decimal (source, weight) term pair for a wavg metric:
+    * the row passes the metric's `where` AND both sides non-null. */
+  private def wavgTerms(m: MetricAgg): (Column, Column) = {
+    val w = m.weight.getOrElse(throw new IllegalArgumentException(
+      s"metric ${m.as}: fn 'wavg' requires a weight column/expression"))
+    val pass = m.where.map(expr).getOrElse(lit(true)) &&
+      col(m.source).isNotNull && expr(w).isNotNull
+    (Fx.dec(when(pass, col(m.source))), Fx.dec(when(pass, expr(w))))
   }
 
   private val PctFn = "^p(\\d{2,3})$".r
@@ -211,12 +240,12 @@ object Aggregation {
     // exact (max-based), so union-of-hourly-sketches ≡
     // sketch-of-the-day, bit-identically, and the distinct count
     // cascades without ever re-touching raw rows.
-    val pairs = metrics.map(m => (m.source, m.where)).distinct
-    def idx(m: MetricAgg): Int = pairs.indexOf((m.source, m.where))
+    val pairs = metrics.map(m => (m.source, m.where, m.weight)).distinct
+    def idx(m: MetricAgg): Int = pairs.indexOf((m.source, m.where, m.weight))
     val fnsAt: Map[Int, Set[String]] = metrics.groupBy(idx)
       .map { case (i, ms) => i -> ms.map(_.fn.toLowerCase).toSet }
     def needS(f: Set[String]) = f.exists(Set("sum", "avg", "stddev"))
-    val partials: Seq[Column] = pairs.zipWithIndex.flatMap { case ((s, w), i) =>
+    val partials: Seq[Column] = pairs.zipWithIndex.flatMap { case ((s, w, wt), i) =>
       val g: Column => Column = c => w.fold(c)(ww => when(expr(ww), c))
       val fns = fnsAt(i)
       Seq(w.fold(count(lit(1)))(ww => count(when(expr(ww), lit(1)))).as(s"__n_$i")) ++
@@ -226,7 +255,13 @@ object Aggregation {
         (if (fns("max")) Seq(max(g(col(s))).as(s"__mx_$i")) else Nil) ++
         (if (fns("min")) Seq(min(g(col(s))).as(s"__mn_$i")) else Nil) ++
         (if (fns("approx_distinct"))
-          Seq(hll_sketch_agg(g(col(s))).as(s"__h_$i")) else Nil)
+          Seq(hll_sketch_agg(g(col(s))).as(s"__h_$i")) else Nil) ++
+        // wavg's partials — Σ(x·w) and Σ(w) — are plain decimal sums,
+        // so the weighted mean re-aggregates exactly across levels
+        (if (fns("wavg")) {
+          val (wx, ww) = wavgTerms(MetricAgg(s, "wavg", s"__wavg_$i", w, wt))
+          Seq(sum(wx * ww).as(s"__sw_$i"), sum(ww).as(s"__w_$i"))
+        } else Nil)
     }
     def present(df: DataFrame, g: String): DataFrame =
       df.select(lit(g).as("granularity") +: col("entity_id") +: col("bucket") +:
@@ -248,6 +283,11 @@ object Aggregation {
               when(n < 2, lit(null).cast("double"))
                 .otherwise(sqrt((s2 - s1 * s1 / n) / (n - lit(1))))
             case "approx_distinct" => hll_sketch_estimate(col(s"__h_$i"))
+            // identical final division to compileMetric's wavg — a
+            // cascade level hash-matches the direct definition
+            case "wavg" =>
+              when(col(s"__w_$i") =!= 0,
+                Fx.prodSumDouble(col(s"__sw_$i")) / col(s"__w_$i").cast("double"))
             case f => throw new IllegalArgumentException(s"unknown aggregation fn: $f")
           }).as(m.as)
         }: _*)
@@ -264,7 +304,10 @@ object Aggregation {
           (if (fns("max")) Seq(max(col(s"__mx_$i")).as(s"__mx_$i")) else Nil) ++
           (if (fns("min")) Seq(min(col(s"__mn_$i")).as(s"__mn_$i")) else Nil) ++
           (if (fns("approx_distinct"))
-            Seq(hll_union_agg(col(s"__h_$i")).as(s"__h_$i")) else Nil)
+            Seq(hll_union_agg(col(s"__h_$i")).as(s"__h_$i")) else Nil) ++
+          (if (fns("wavg"))
+            Seq(sum(col(s"__sw_$i")).as(s"__sw_$i"),
+              sum(col(s"__w_$i")).as(s"__w_$i")) else Nil)
       }
       cur = cur.groupBy(col("entity_id"), date_trunc(g, col("bucket")).as("bucket"))
         .agg(reAggs.head, reAggs.tail: _*)

@@ -832,6 +832,29 @@ object Store {
           date_format(col("bucket"), TS).as("bucket"),
           col("cnt"), col("sum_value"), col("avg_value"), col("max_value"))
         .orderBy(col("granularity"), col("entity_id"), col("bucket"))
+    },
+
+    // WEIGHTED-mean metrics in the aggregation vocabulary — the
+    // traffic-weighted KPI form ("avg price weighted by quantity",
+    // "drop rate weighted by attempts"): a plain avg lets a 1-unit
+    // line count as much as a 50-unit one. Each wavg names a weight
+    // column next to its source and composes with the row filter;
+    // rows with a NULL source OR weight drop from BOTH sums. Exact
+    // decimal Σ(x·w)/Σ(w) partials (they cascade, too) + ONE IEEE
+    // division — same single-shuffle groupBy as every other metric.
+    "g06_agg_weighted" -> { (s, dir) =>
+      val li = TableCatalog(s, dir).lineitem
+      val defn = Aggregation.AggregationDef("month", Seq(
+        Aggregation.MetricAgg("l_extendedprice", "count", "cnt"),
+        Aggregation.MetricAgg("l_extendedprice", "avg", "avg_price"),
+        Aggregation.MetricAgg("l_extendedprice", "wavg", "wavg_price",
+          None, Some("l_quantity")),
+        Aggregation.MetricAgg("l_extendedprice", "wavg", "wavg_price_ret",
+          Some("l_returnflag = 'R'"), Some("l_quantity"))))
+      Aggregation.compile(defn)(li, col("l_suppkey"), col("l_shipdate"))
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("cnt"), col("avg_price"), col("wavg_price"), col("wavg_price_ret"))
+        .orderBy(col("entity_id"), col("bucket"))
     }
   )
 
@@ -1144,6 +1167,21 @@ object Store {
            |FROM events GROUP BY 1, 2, 3""".stripMargin
       Seq("hour", "day", "month").map(level).mkString("", "\nUNION ALL\n",
         "\nORDER BY granularity, entity_id, bucket")
-    }
+    },
+
+    "g06_agg_weighted" ->
+      // wavg twin: exact decimal Σ(x·w) rescaled to (38,4) before the
+      // double cast (Fx.prodSumDouble's discipline), Σ(w) decimal →
+      // double, ONE IEEE division; the filtered variant gates BOTH
+      // sums with the same CASE.
+      """SELECT l_suppkey AS entity_id,
+        |  strftime(date_trunc('month', l_shipdate), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
+        |    / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS wavg_price,
+        |  CAST(CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE)
+        |    / CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS wavg_price_ret
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -63,6 +63,16 @@ class CliSpec extends SparkSpec {
     assert(agg.count() === 2)
     assert(agg.filter(col("entity_id") === 1L).head.getAs[Double]("sum_v") === 3.0)
 
+    // wavg@weight in the fn slot parses into a weighted-mean metric
+    // (self-weighted here: Σv²/Σv = (1+4)/3)
+    Cli.run(spark, Seq("aggregate",
+      "--source", s"$base/src", "--entity", "entity_id", "--ts", "ts",
+      "--granularity", "day",
+      "--metric", "value:wavg@value:wv",
+      "--out", s"$base/agg_w"))
+    assert(spark.read.parquet(s"$base/agg_w")
+      .filter(col("entity_id") === 1L).head.getAs[Double]("wv") === 5.0 / 3.0)
+
     // repeated --granularity flags run the cascade; --derived formulas
     // project over the metric aliases at every cascade level
     Cli.run(spark, Seq("aggregate",

@@ -231,6 +231,48 @@ class TrendSpec extends SparkSpec {
     }
   }
 
+  test("wavg: weighted mean semantics, null/filter gating, cascade parity") {
+    import graft.SparkSpec.spark.implicits._
+    import graft.operators.Aggregation
+    import graft.operators.Aggregation.MetricAgg
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", Some(10.0), Some(1.0), "a"),
+      (1L, "2024-01-01 11:00:00", Some(20.0), Some(3.0), "a"),
+      (1L, "2024-01-01 12:00:00", None, Some(5.0), "a"),      // null source drops BOTH sums
+      (1L, "2024-01-01 13:00:00", Some(30.0), None, "a"),     // null weight drops BOTH sums
+      (1L, "2024-01-01 14:00:00", Some(100.0), Some(2.0), "b"))
+      .toDF("e", "ts_s", "x", "w", "kind")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Aggregation.compile(Aggregation.AggregationDef("day", Seq(
+        MetricAgg("x", "wavg", "wx", None, Some("w")),
+        MetricAgg("x", "wavg", "wx_a", Some("kind = 'a'"), Some("w")))))(
+        rows, col("e"), col("ts")).head()
+    // all rows: (10·1 + 20·3 + 100·2) / (1 + 3 + 2); kind=a: 70/4
+    assert(got.getAs[Double]("wx") === 270.0 / 6.0)
+    assert(got.getAs[Double]("wx_a") === 17.5)
+    // wavg without a weight refuses loudly
+    intercept[IllegalArgumentException] {
+      Aggregation.compile(Aggregation.AggregationDef("day",
+        Seq(MetricAgg("x", "wavg", "bad"))))(rows, col("e"), col("ts")).head()
+    }
+    // cascade levels bit-match the direct definition (Σxw / Σw
+    // partials re-aggregate exactly), composing with a row filter
+    val metrics = Seq(
+      MetricAgg("value", "count", "n_all"),
+      MetricAgg("value", "wavg", "wv", None, Some("event_id")),
+      MetricAgg("value", "wavg", "wv_err", Some("event_type = 'error'"),
+        Some("event_id")))
+    val casc = Aggregation.cascade(metrics, Seq("hour", "day"))(
+      ev, col("user_id"), col("ts"))
+    for (g <- Seq("hour", "day")) {
+      val level = casc.filter(col("granularity") === g).drop("granularity")
+      val direct = Aggregation.compile(Aggregation.AggregationDef(g, metrics))(
+        ev, col("user_id"), col("ts"))
+      assert(level.exceptAll(direct).isEmpty && direct.exceptAll(level).isEmpty,
+        s"wavg cascade level $g diverges from the direct definition")
+    }
+  }
+
   test("entityRollup metric-set overload matches the legacy cnt/sum and direct min/max/avg") {
     import graft.SparkSpec.spark.implicits._
     import graft.operators.Aggregation.MetricAgg
