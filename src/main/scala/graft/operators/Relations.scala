@@ -66,6 +66,30 @@ object Relations {
     acc.withColumn("relation_type", lit("closure"))
   }
 
+  /** CYCLE audit — the directory-integrity check a rollup deployment
+    * runs before trusting ANY hierarchy walk: an entity hierarchy
+    * must be a DAG (a cycle makes [[closure]]-based rollups visit
+    * value mass more than once and entity aggregation double-count),
+    * and a cycle usually means a re-parenting script wrote an edge
+    * backwards. Output: one row per entity ON a cycle with its
+    * mutual-reachability peer count (the rest of its strongly
+    * connected component, self excluded) — an empty result is the
+    * healthy answer. Self-loop edges (child = parent in the input)
+    * are excluded by closure's contract; 2-cycles and longer are
+    * exactly what this surfaces.
+    *
+    * Shape: [[closure]]'s ⌈log₂ d⌉ broadcast-join rounds on the
+    * registry-sized edge set, then ONE intersect of the closure with
+    * its own reverse (mutual pairs) + an O(cycle nodes) groupBy —
+    * nothing fact-sized moves. */
+  def cycles(rel: DataFrame): DataFrame = {
+    val c = closure(rel)
+      .select(col("child_dn").as("dn"), col("parent_dn").as("peer"))
+    val mutual = c.intersect(c.select(col("peer").as("dn"), col("dn").as("peer")))
+    mutual.groupBy(col("dn"))
+      .agg(countDistinct(col("peer")).as("n_peers"))
+  }
+
   /** Topology-drift report between two relation snapshots — the
     * directory audit behind network re-parenting ("which cells were
     * re-homed to a different site since last week"). Per child dn

@@ -449,6 +449,29 @@ object Store {
     // count, distinct parents, max/mean children-per-parent (a parent
     // with a million children is a skew hazard and usually a modeling
     // bug). Two stacked combine-friendly aggs; O(types) output.
+    // Directory CYCLE audit — the DAG check behind every rollup: a
+    // cycle makes closure-based entity aggregation double-count, and
+    // usually means a re-parenting script wrote an edge backwards.
+    // The healthy answer is empty, so the key PLANTS one reversed
+    // edge (Region←Nation=1) and must surface exactly that 2-node
+    // strongly connected component. closure's log-round broadcast
+    // joins + ONE intersect with its own reverse; registry-sized.
+    "e13_cycle_audit" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val custNation = Relations.of(c.customer,
+        concat(lit("Customer="), col("c_custkey")),
+        concat(lit("Nation="), col("c_nationkey")), "customer->nation")
+      val nationRegion = Relations.of(c.nation,
+        concat(lit("Nation="), col("n_nationkey")),
+        concat(lit("Region="), col("n_regionkey")), "nation->region")
+      val planted = nationRegion.filter(col("child_dn") === "Nation=1")
+        .select(col("parent_dn").as("child_dn"), col("child_dn").as("parent_dn"),
+          lit("planted-back-edge").as("relation_type"))
+      Relations.cycles(
+          custNation.unionByName(nationRegion).unionByName(planted))
+        .orderBy(col("dn"))
+    },
+
     "e12_fanout_stats" -> { (s, dir) =>
       val c = TableCatalog(s, dir)
       val custNation = Relations.of(c.customer,
@@ -1013,6 +1036,26 @@ object Store {
         |  count(*) AS n_parents, CAST(max(c) AS BIGINT) AS max_fanout,
         |  CAST(sum(c) AS BIGINT) / count(*) AS avg_fanout
         |FROM pp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e13_cycle_audit" ->
+      // recursive-CTE reachability (UNION dedup terminates on the
+      // planted cycle); mutual pairs = nodes on a common cycle
+      """WITH RECURSIVE edges(child, parent) AS (
+        |  SELECT 'Customer=' || c_custkey, 'Nation=' || c_nationkey FROM customer
+        |  UNION ALL
+        |  SELECT 'Nation=' || n_nationkey, 'Region=' || n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT 'Region=' || n_regionkey, 'Nation=' || n_nationkey
+        |  FROM nation WHERE n_nationkey = 1),
+        |walk(start, node) AS (
+        |  SELECT child, parent FROM edges WHERE child <> parent
+        |  UNION
+        |  SELECT w.start, e.parent FROM walk w JOIN edges e ON w.node = e.child),
+        |m AS (SELECT a.start AS dn, a.node AS peer
+        |  FROM walk a JOIN walk b ON a.start = b.node AND a.node = b.start
+        |  WHERE a.start <> a.node)
+        |SELECT dn, count(DISTINCT peer) AS n_peers
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e11_rollup_audit" ->
       """WITH d AS (SELECT user_id AS entity_id, date_trunc('day', ts) AS bucket,
