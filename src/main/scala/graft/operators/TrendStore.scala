@@ -388,6 +388,38 @@ object TrendStore {
     * O(entities × 24) result keys — then a rank window over ≤ 24
     * rows per entity sharing the entity key. Nothing re-reads the
     * hourly store. */
+  /** TOP MOVERS — the fleet triage query behind every morning review:
+    * for each day, the k entities whose KPI moved MOST (by absolute
+    * day-over-day change), with the before/after values and the
+    * signed delta. Rank order is (|Δ| desc, entity asc) on EXACT
+    * decimals, bit-identical to the oracle's row_number.
+    *
+    * Shape: the lag rides one entity-keyed window (per-entity day
+    * lists are bounded), then graft's CollectMinK bounds the per-day
+    * rank at O(k) agg state with map-side partials — no per-day
+    * window sorting the whole fleet on one reducer (the e08
+    * discipline: a day partition holds EVERY entity, which is
+    * exactly the skewed-window shape that dies at 100 TB). */
+  def topMovers(daily: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, s"topMovers: k must be positive, got $k")
+    import graft.functions.CollectMinK.collectMinK
+    val we = Window.partitionBy(col("entity_id")).orderBy(col("bucket"))
+    val d = daily
+      .withColumn("__prev", lag(col("sd"), 1).over(we))
+      .filter(col("__prev").isNotNull)
+      .withColumn("__delta", col("sd") - col("__prev"))
+    d.groupBy(col("bucket"))
+      .agg(collectMinK(struct((-abs(col("__delta"))).as("nega"),
+        col("entity_id").as("e"), col("sd").as("v"),
+        col("__prev").as("p"), col("__delta").as("dl")), k).as("arr"))
+      .select(col("bucket"), posexplode(col("arr")).as(Seq("pos", "m")))
+      .select(col("bucket"), (col("pos") + 1).cast("long").as("rank"),
+        col("m.e").as("entity_id"),
+        col("m.v").cast("double").as("value"),
+        col("m.p").cast("double").as("prev_value"),
+        col("m.dl").cast("double").as("delta"))
+  }
+
   /** SEASONALITY STRENGTH per entity — "does this KPI have a daily
     * shape at all, and how deep is it": over the hourly store's
     * hour-of-day profile (the same season table [[busyHour]] ranks),

@@ -545,6 +545,23 @@ object Trend {
         .orderBy(col("entity_id"))
     },
 
+    // Top movers — the fleet triage query behind every morning
+    // review: per day, the 3 entities whose KPI moved most (|Δ|
+    // day-over-day), with before/after values and the signed delta.
+    // One entity-keyed lag window + CollectMinK's O(k) per-day rank
+    // state (map-side partials — no fleet-wide window sort on one
+    // reducer); rank order on exact decimals.
+    "t40_top_movers" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      val daily = TrendStore.rollup(ev, col("user_id"), col("ts"), col("value"), "day")
+        .select(col("entity_id"), col("bucket"),
+          col("sum_dec").cast("decimal(18,4)").as("sd"))
+      TrendStore.topMovers(daily, k = 3)
+        .select(date_format(col("bucket"), TS).as("bucket"), col("rank"),
+          col("entity_id"), col("value"), col("prev_value"), col("delta"))
+        .orderBy(col("bucket"), col("rank"))
+    },
+
     // Attribute staleness report — days since each entity's last
     // attribute write, relative to the corpus end (the "which configs
     // has nobody touched" ops question; e09 asks who went silent in
@@ -1256,6 +1273,25 @@ object Trend {
         |  CASE WHEN max(S1) > 0 THEN CAST(sum(num_h) AS DOUBLE)
         |    / CAST(CAST(max(N) AS DECIMAL(12,0)) * max(S1) AS DOUBLE) END AS amplitude
         |FROM r GROUP BY entity_id ORDER BY entity_id""".stripMargin,
+
+    "t40_top_movers" ->
+      // rank = row_number on (|Δ| desc, entity) over EXACT decimals —
+      // agrees bit-identically with CollectMinK's struct ordering
+      """WITH d AS (SELECT user_id AS entity_id, date_trunc('day', ts) AS bucket,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sd
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT *, lag(sd) OVER (PARTITION BY entity_id ORDER BY bucket) AS prev
+        |  FROM d),
+        |x AS (SELECT entity_id, bucket, sd, prev, sd - prev AS delta
+        |  FROM l WHERE prev IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY bucket ORDER BY abs(delta) DESC, entity_id) AS rank
+        |  FROM x)
+        |SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(rank AS BIGINT) AS rank, entity_id,
+        |  CAST(sd AS DOUBLE) AS value, CAST(prev AS DOUBLE) AS prev_value,
+        |  CAST(delta AS DOUBLE) AS delta
+        |FROM r WHERE rank <= 3 ORDER BY bucket, rank""".stripMargin,
 
     "a08_attr_staleness" ->
       """WITH mx AS (SELECT max(date_trunc('day', ts)) AS m FROM events),
