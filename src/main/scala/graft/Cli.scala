@@ -645,11 +645,16 @@ object Cli {
         case _ =>
           println(s"  rows: ${spark.read.parquet(path).count()}")
       }
-      // --stats: the cell-balance health report (Similarity.indexStats)
-      // for the ANN layouts — declared/occupied/empty cells, max/mean
-      // cell size, the imbalance probe-cost factor, live tombstones
-      if (opt(f, "stats", "false").toBoolean && Set("ivf", "pq", "ivfpq")(layout)) {
-        val st = graft.similarity.Similarity.indexStats(spark, path).head
+      // --stats: the balance health report — cell balance for the ANN
+      // layouts (Similarity.indexStats), posting-list balance for the
+      // text layout (TextIndex.health): occupied/empty cells or
+      // term/posting counts, max/mean sizes, the imbalance probe-cost
+      // factor, live tombstones
+      if (opt(f, "stats", "false").toBoolean &&
+          Set("ivf", "pq", "ivfpq", "text")(layout)) {
+        val st =
+          if (layout == "text") graft.operators.TextIndex.health(spark, path).head
+          else graft.similarity.Similarity.indexStats(spark, path).head
         println(s"  health: " + st.schema.fieldNames.zipWithIndex
           .map { case (n, i) => s"$n=${st.get(i)}" }.mkString(" "))
       }

@@ -147,6 +147,45 @@ object TextIndex {
       spark.read.parquet(s"$path/doclen")
         .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
 
+  /** Index-health report — the text twin of Similarity.indexStats:
+    * a posting list's length IS its probe cost (every query touching
+    * that token scans it), so the imbalance factor max/mean over
+    * terms is the hot-token cost multiplier the serving path never
+    * surfaces on its own. One row: document/term/posting counts, the
+    * longest and mean posting list, the imbalance factor, and live
+    * tombstones (postings stay physically present until the next
+    * compaction — the counts here include them, mirroring the ANN
+    * report's physical view). Replayed crash-window duplicates ARE
+    * collapsed ((token, doc_id) max-tf — the reader's own dedup), so
+    * the report reflects what retrieval actually scans.
+    *
+    * Cost: one partial-agg pass over the postings table keyed by its
+    * PARTITION column + an O(terms) fold + an O(docs) doclen count +
+    * an O(deletes) tombstone distinct; divisions are IEEE over exact
+    * longs — deterministic. */
+  def health(spark: SparkSession, path: String): DataFrame = {
+    require(StoreFs.exists(spark, s"$path/postings"),
+      s"$path has no postings/ table — not a text index")
+    val nDocs = spark.read.parquet(s"$path/doclen")
+      .select(col("doc_id")).distinct().count()
+    val nTomb =
+      if (StoreFs.exists(spark, s"$path/tombstones"))
+        spark.read.parquet(s"$path/tombstones")
+          .select(col("doc_id")).distinct().count()
+      else 0L
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("__dup"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("n")).as("n_postings"),
+        max(col("n")).as("max_postings"))
+      .select(lit("text").as("layout"), lit(nDocs).as("n_docs"),
+        col("n_terms"), col("n_postings"), col("max_postings"),
+        (col("n_postings") / col("n_terms")).as("mean_postings"),
+        (col("max_postings") * col("n_terms") / col("n_postings"))
+          .as("imbalance"))
+      .withColumn("n_tombstones", lit(nTomb))
+  }
+
   /** Corpus stats from the sidecar: (n_docs, sum_dl). */
   def stats(spark: SparkSession, path: String): (Long, Long) = {
     val txt = StoreFs.readText(spark, s"$path/stats.json")

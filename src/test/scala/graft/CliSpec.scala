@@ -466,6 +466,14 @@ class CliSpec extends SparkSpec {
       Seq("spark", "stream")).collect().toSeq === before)
 
     Cli.run(spark, Seq("index-info", "--index", s"$base/idx"))
+
+    // --stats true appends the posting-balance health report
+    val statsOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(statsOut)) {
+      Cli.run(spark, Seq("index-info", "--index", s"$base/idx", "--stats", "true"))
+    }
+    assert(statsOut.toString.contains("health: layout=text") &&
+      statsOut.toString.contains("imbalance="))
   }
 
   test("compact --value with a comma list compacts on the full attribute set") {

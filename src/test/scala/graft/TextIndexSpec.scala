@@ -284,4 +284,46 @@ class TextIndexSpec extends SparkSpec {
         Seq(1L).toDF("doc_id"))
     }
   }
+
+  test("health: exact posting-list balance, replay dups collapsed, tombstones counted as a set") {
+    import graft.operators.TextIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti_health")
+      .toString + "/idx"
+    // spark: 3 postings, stream: 2, vector: 1, pad: 1 → 4 terms,
+    // 7 postings, max 3, imbalance 3·4/7
+    TextIndex.build(Seq(
+      (1L, "spark stream"), (2L, "spark stream vector"), (3L, "spark pad"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir)
+    val h = TextIndex.health(spark, dir).head
+    assert(h.getAs[String]("layout") === "text")
+    assert(h.getAs[Long]("n_docs") === 3L)
+    assert(h.getAs[Long]("n_terms") === 4L)
+    assert(h.getAs[Long]("n_postings") === 7L)
+    assert(h.getAs[Long]("max_postings") === 3L)
+    assert(h.getAs[Double]("mean_postings") === 7.0 / 4.0)
+    assert(h.getAs[Double]("imbalance") === 12.0 / 7.0)
+    assert(h.getAs[Long]("n_tombstones") === 0L)
+    // a crash-window replay double-appends a batch: the health report
+    // collapses (token, doc_id) duplicates like the reader does
+    TextIndex.addBatch(Seq((4L, "spark again")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b1")
+    val (fs, marker) = graft.operators.StoreFs.fs(spark, s"$dir/batches/b1")
+    assert(fs.delete(marker, false))
+    TextIndex.addBatch(Seq((4L, "spark again")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b1")
+    val h2 = TextIndex.health(spark, dir).head
+    assert(h2.getAs[Long]("n_postings") === 9L,
+      "replayed postings must collapse to the reader's view")
+    assert(h2.getAs[Long]("n_docs") === 4L)
+    // duplicate deletes collapse to the live tombstone SET; physical
+    // counts stay until the next compaction
+    TextIndex.deleteDocs(spark, dir, Seq(1L, 1L, 2L).toDF("doc_id"))
+    val h3 = TextIndex.health(spark, dir).head
+    assert(h3.getAs[Long]("n_tombstones") === 2L)
+    assert(h3.getAs[Long]("n_postings") === 9L)
+    intercept[IllegalArgumentException] {
+      TextIndex.health(spark,
+        java.nio.file.Files.createTempDirectory("graft_not_ti2").toString)
+    }
+  }
 }
