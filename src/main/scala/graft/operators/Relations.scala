@@ -83,7 +83,32 @@ object Relations {
     * its own reverse (mutual pairs) + an O(cycle nodes) groupBy —
     * nothing fact-sized moves. */
   def cycles(rel: DataFrame): DataFrame = {
-    val c = closure(rel)
+    // TRIM the acyclic fringe first: an edge can only lie on a cycle
+    // if its child has an incoming edge AND its parent has an
+    // outgoing edge (a cycle through (a,b) needs a path b→a).
+    // Iterating to the fixpoint peels chains too, leaving just the
+    // cyclic core — at a customer-shaped registry that drops ~99% of
+    // edges (every leaf entity) before the closure touches anything,
+    // and a healthy DAG trims to EMPTY, making the audit's common
+    // case O(registry) with no closure rounds at all.
+    var edges = rel.select(col("child_dn"), col("parent_dn"))
+      .filter(col("child_dn") =!= col("parent_dn"))
+      .distinct().localCheckpoint()
+    var n = edges.count()
+    var shrunk = n > 0
+    while (shrunk) {
+      val heads = edges.select(col("parent_dn").as("child_dn")).distinct()
+      val tails = edges.select(col("child_dn").as("parent_dn")).distinct()
+      val trimmed = edges
+        .join(broadcast(heads), Seq("child_dn"), "left_semi")
+        .join(broadcast(tails), Seq("parent_dn"), "left_semi")
+        .localCheckpoint()
+      val m = trimmed.count()
+      shrunk = m < n && m > 0
+      n = m
+      edges = trimmed
+    }
+    val c = closure(edges.withColumn("relation_type", lit("core")))
       .select(col("child_dn").as("dn"), col("parent_dn").as("peer"))
     val mutual = c.intersect(c.select(col("peer").as("dn"), col("dn").as("peer")))
     mutual.groupBy(col("dn"))

@@ -124,6 +124,28 @@ class StoreSpec extends SparkSpec {
     assert(closedCyc.filter(col("child_dn") === col("parent_dn")).isEmpty)
   }
 
+  test("Relations.cycles: healthy DAG empty; fringe chains trim away; disjoint SCCs sized right") {
+    def cyclesOf(edges: Seq[(String, String)]) =
+      Relations.cycles(Relations.of(edges.toDF("c", "p"), col("c"), col("p"), "t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a healthy DAG (diamond + chain) reports NOTHING — and trims to
+    // an empty core before any closure round runs
+    assert(cyclesOf(Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"))).isEmpty)
+    // a long acyclic tail INTO a 3-cycle and OUT of it: the cascading
+    // trim peels the tails, exactly the cycle's nodes remain (2 peers
+    // each), tail nodes never appear
+    val tailIn = (0 until 5).map(i => (s"in$i", s"in${i + 1}")) :+ ("in5", "x")
+    val tailOut = Seq(("z", "out0"), ("out0", "out1"))
+    val m = cyclesOf(tailIn ++ Seq(("x", "y"), ("y", "z"), ("z", "x")) ++ tailOut)
+    assert(m === Map("x" -> 2L, "y" -> 2L, "z" -> 2L))
+    // two DISJOINT cycles (sizes 2 and 3) report independent SCCs;
+    // a self-loop edge is excluded by contract
+    val m2 = cyclesOf(Seq(("p", "q"), ("q", "p"),
+      ("u", "v"), ("v", "w"), ("w", "u"), ("solo", "solo")))
+    assert(m2 === Map("p" -> 1L, "q" -> 1L, "u" -> 2L, "v" -> 2L, "w" -> 2L))
+  }
+
   test("attribute store persistence: append history, materialize current") {
     val base = Files.createTempDirectory("graft_attr").toString
     def batch(rows: Seq[(Long, String, Long, String)]) =
