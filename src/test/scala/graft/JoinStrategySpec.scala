@@ -12,7 +12,14 @@ package graft
   * trigger: a dim that grows past the broadcast threshold, or a lost
   * size estimate after a schema change.)
   */
-class JoinStrategySpec extends SparkSpec {
+class JoinStrategySpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
+
+  // plan-shape gate: judge the real reader, not another suite's
+  // leftover cached fragment (see PushdownSpec)
+  override protected def beforeEach(): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    super.beforeEach()
+  }
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf)

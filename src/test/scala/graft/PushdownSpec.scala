@@ -22,7 +22,18 @@ import org.apache.spark.sql.functions._
   * runtime), SkewSpec (AQE skew split), AqeSpec (runtime broadcast +
   * coalesce), LayoutSpec/ClusteredWriteSpec (footer-stat pruning).
   */
-class PushdownSpec extends SparkSpec {
+class PushdownSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
+
+  // Other suites lazily .cache() catalog tables (DedupSpec/TrendSpec);
+  // the shared cache manager then substitutes InMemoryRelation into
+  // ANY later plan with a matching fragment, replacing the
+  // FileSourceScanExec these assertions inspect. Scan hygiene must be
+  // judged on the real reader, so drop cached entries first (later
+  // suites that still hold the cached DataFrames just recompute).
+  override protected def beforeEach(): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    super.beforeEach()
+  }
 
   /** The final physical plan (descending through AQE's wrapper). */
   private def finalPlan(df: DataFrame): SparkPlan =

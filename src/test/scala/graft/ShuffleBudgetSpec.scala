@@ -22,7 +22,15 @@ package graft
   * learns to use FEWER shuffles should have its budget lowered (the
   * failure message says so).
   */
-class ShuffleBudgetSpec extends SparkSpec {
+class ShuffleBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
+
+  // plan-shape gate: judge the real reader, not another suite's
+  // leftover cached fragment (see PushdownSpec — cached stats can
+  // also flip join strategies and shift the declared exchange count)
+  override protected def beforeEach(): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    super.beforeEach()
+  }
 
   // shuffle exchanges by physical node name: hash / range / single
   // partitioning (rebalance/repartition hints also print this way);
