@@ -198,6 +198,51 @@ object Trigger {
     parts.reduce(_ unionByName _)
   }
 
+  /** ESCALATION policy over the firing stream — severity steps UP as
+    * a breach run lengthens (the paging ladder every on-call rotation
+    * runs: first breach notifies, a third consecutive one elevates, a
+    * sixth pages): each firing carries its position within its
+    * consecutive-bucket run and the escalation LEVEL that position
+    * has reached. `levels` maps run-length cutoffs to level names,
+    * ascending and starting at 1 so every firing has a level;
+    * [[evaluateSustained]] suppresses the early buckets entirely —
+    * this keeps them visible but ranked, which is what an alert
+    * console actually renders.
+    *
+    * Shape: [[evaluate]]'s firing stream → the same all-integer
+    * runid/position windows as sustained detection (two windows on
+    * one (entity, rule) shuffle family) → a codegen'd CASE ladder;
+    * nothing new shuffles by data volume. */
+  def escalations(rules: Seq[Rule], levels: Seq[(Int, String)])(
+      trend: DataFrame, entity: Column, ts: Column): DataFrame = {
+    require(levels.nonEmpty && levels.head._1 == 1,
+      "escalation levels must start at run length 1 so every firing has a level")
+    require(levels.map(_._1) == levels.map(_._1).sorted &&
+      levels.map(_._1).distinct.size == levels.size,
+      s"escalation cutoffs must be strictly ascending, got: ${levels.map(_._1)}")
+    val parts = rules.groupBy(_.granularity).toSeq.sortBy(_._1).map { case (gran, rs) =>
+      val step = TrendStore.stepSeconds(gran).getOrElse(throw new IllegalArgumentException(
+        s"escalations need a fixed-width granularity grid, got: $gran"))
+      val byRule = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("entity_id"), col("rule")).orderBy(col("bucket"))
+      val fired = evaluate(rs)(trend, entity, ts)
+        .withColumn("__runid",
+          floor(unix_timestamp(col("bucket")) / lit(step)) - row_number().over(byRule))
+      val byRun = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("entity_id"), col("rule"), col("__runid"))
+        .orderBy(col("bucket"))
+      val desc = levels.sortBy(-_._1)
+      val level = desc.tail.foldLeft(
+        when(col("run_pos") >= desc.head._1, lit(desc.head._2))) {
+          case (acc, (m, n)) => acc.when(col("run_pos") >= m, lit(n))
+        }
+      fired.withColumn("run_pos", row_number().over(byRun).cast("long"))
+        .withColumn("level", level)
+        .drop("__runid")
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** Flap report: per (rule, entity) EPISODE structure of the firing
     * stream — [[evaluateSustained]] suppresses flapping pages; this
     * MEASURES flapping so the rule owner can fix the threshold. An

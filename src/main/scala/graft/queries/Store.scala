@@ -174,6 +174,37 @@ object Store {
 
   /** n10's generated twin: the flap oracle's episode derivation,
     * rolled to rule level with durations (len × the rule's step). */
+  /** n13's escalation ladder — cutoffs shared by the Spark key and
+    * the generated oracle so the two sides cannot drift. */
+  private val escalationLevels = Seq(1 -> "notify", 3 -> "elevated", 6 -> "page")
+
+  /** n13's generated twin: the flap oracle's runid derivation, a
+    * per-run position, and the same descending CASE ladder. */
+  private def triggerEscalationOracleSql(rules: Seq[Trigger.Rule],
+      levels: Seq[(Int, String)]): String = {
+    val stepOf = Map("hour" -> 3600L, "day" -> 86400L)
+    val fired = rules.map { r =>
+      val having = r.thresholds
+        .map(t => s"${Trigger.aggSql(t)} ${t.op} ${t.value}").mkString(" AND ")
+      s"""SELECT user_id AS entity_id, date_trunc('${r.granularity}', ts) AS bucket,
+         |  '${r.name}' AS rule, '${r.severity}' AS severity,
+         |  ${stepOf(r.granularity)} AS step
+         |FROM events GROUP BY 1, 2 HAVING $having""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val ladder = levels.sortBy(-_._1)
+      .map { case (m, n) => s"WHEN run_pos >= $m THEN '$n'" }.mkString(" ")
+    s"""WITH fired AS ($fired),
+       |r AS (SELECT *, CAST(floor(epoch(bucket) / step) AS BIGINT)
+       |    - row_number() OVER (PARTITION BY entity_id, rule ORDER BY bucket) AS runid
+       |  FROM fired),
+       |p AS (SELECT entity_id, bucket, rule, severity,
+       |    row_number() OVER (PARTITION BY entity_id, rule, runid ORDER BY bucket) AS run_pos
+       |  FROM r)
+       |SELECT entity_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       |  rule, severity, run_pos, CASE $ladder END AS level
+       |FROM p ORDER BY rule, entity_id, bucket""".stripMargin
+  }
+
   private def triggerMttrOracleSql(rules: Seq[Trigger.Rule]): String = {
     val stepOf = Map("hour" -> 3600L, "day" -> 86400L)
     val fired = rules.map { r =>
@@ -711,6 +742,22 @@ object Store {
         .orderBy(col("rule"), col("entity_id"), col("bucket"))
     },
 
+    // Escalation ladder — severity steps UP as a breach run
+    // lengthens (first breach notifies, the 3rd consecutive one
+    // elevates, the 6th pages): each firing carries its run position
+    // and the level reached. n06 suppresses early buckets; this
+    // keeps them visible but ranked — what an alert console renders.
+    // Same all-integer runid/position windows as n06, one (entity,
+    // rule) shuffle family + a codegen'd CASE ladder.
+    "n13_escalations" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      Trigger.escalations(triggerRules, escalationLevels)(
+          ev, col("user_id"), col("ts"))
+        .select(col("entity_id"), date_format(col("bucket"), TS).as("bucket"),
+          col("rule"), col("severity"), col("run_pos"), col("level"))
+        .orderBy(col("rule"), col("entity_id"), col("bucket"))
+    },
+
     // Flap suppression: rules page only after holding for 3
     // CONSECUTIVE buckets of their grid (Trigger.evaluateSustained) —
     // the sustained-threshold semantics that keep an oscillating KPI
@@ -1147,6 +1194,8 @@ object Store {
     "n05_trigger_sets" -> triggerSetsOracleSql(triggerRules),
 
     "n06_sustained_triggers" -> triggerSustainedOracleSql(triggerRules, 3),
+    "n13_escalations" ->
+      triggerEscalationOracleSql(triggerRules, escalationLevels),
 
     "g01_agg_def" ->
       // sd_value mirrors the Spark side's fixed-op-order moment
