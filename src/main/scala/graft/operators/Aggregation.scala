@@ -80,7 +80,17 @@ object Aggregation {
 
   // shared with TrendStore's entity aggregation — the reference uses
   // the same metric-set vocabulary for time AND entity aggregation
+  /** A weight on any fn but `wavg` would be silently ignored —
+    * `avg@l_quantity` would emit the UNWEIGHTED mean labeled as if it
+    * were weighted. Refused loudly, matching every other malformed
+    * metric. */
+  private def requireWeightSanity(m: MetricAgg): Unit =
+    require(m.weight.isEmpty || m.fn.toLowerCase == "wavg",
+      s"metric ${m.as}: fn '${m.fn}' does not take a weight " +
+        s"(${m.weight.get}) — only 'wavg' does")
+
   private[operators] def compileMetric(m: MetricAgg): Column = {
+    requireWeightSanity(m)
     // the metric's row filter: source gated to NULL (every aggregate
     // skips NULLs) and counts over the gated marker — inside the one
     // shared groupBy, so a filter never costs a scan or a shuffle
@@ -213,6 +223,7 @@ object Aggregation {
   def cascade(metrics: Seq[MetricAgg], granularitiesIn: Seq[String])(
       trend: DataFrame, entity: Column, ts: Column): DataFrame = {
     require(metrics.nonEmpty && granularitiesIn.nonEmpty)
+    metrics.foreach(requireWeightSanity)
     val granularities = orderedGranularities(granularitiesIn)
     require(metrics.map(_.as).distinct.size == metrics.size,
       s"duplicate metric aliases: ${metrics.map(_.as).diff(metrics.map(_.as).distinct).distinct.mkString(", ")}")

@@ -91,12 +91,22 @@ object Relations {
     // edges (every leaf entity) before the closure touches anything,
     // and a healthy DAG trims to EMPTY, making the audit's common
     // case O(registry) with no closure rounds at all.
+    // each round peels ONE fringe layer, so a depth-D acyclic chain
+    // would take D rounds of blocking driver actions — the cap keeps
+    // the pre-trim O(1) rounds and hands whatever acyclic residue
+    // survives to closure(), which is correct (just less pre-shrunk)
+    // and closes in ⌈log₂ d⌉ doubling rounds regardless. Real entity
+    // hierarchies are shallow (cell→site→region→country); 16 layers
+    // of fringe is far past any directory Minerva models.
+    val maxTrimRounds = 16
+    var trimRound = 0
     var edges = rel.select(col("child_dn"), col("parent_dn"))
       .filter(col("child_dn") =!= col("parent_dn"))
       .distinct().localCheckpoint()
     var n = edges.count()
     var shrunk = n > 0
-    while (shrunk) {
+    while (shrunk && trimRound < maxTrimRounds) {
+      trimRound += 1
       val heads = edges.select(col("parent_dn").as("child_dn")).distinct()
       val tails = edges.select(col("child_dn").as("parent_dn")).distinct()
       val trimmed = edges

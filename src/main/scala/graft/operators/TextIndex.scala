@@ -174,7 +174,7 @@ object TextIndex {
           .select(col("doc_id")).distinct().count()
       else 0L
     spark.read.parquet(s"$path/postings")
-      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("__dup"))
+      .select(col("token"), col("doc_id")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_terms"), sum(col("n")).as("n_postings"),
         max(col("n")).as("max_postings"))

@@ -174,28 +174,48 @@ object Trigger {
     * nothing new shuffles by data volume. Fixed-width grid
     * granularities only (a calendar month has no constant stride);
     * [[TrendStore.stepSeconds]] decides. */
+  /** Per granularity group of `rules`: the firing stream with its
+    * all-integer consecutive-run id (`__runid` = grid index −
+    * row_number over (entity, rule)) — the SHARED core of sustained
+    * suppression, escalation ladders, flap and MTTR reporting, so
+    * the runid formula and its grid-offset subtlety live in exactly
+    * one place. floor(epoch/step) is an integer grid index even when
+    * the grid has a constant non-zero offset (the week grid starts
+    * Monday, epoch 0 was a Thursday) — adjacent buckets always
+    * differ by exactly 1. Fixed-width grids only (a calendar month
+    * has no constant stride); [[TrendStore.stepSeconds]] decides and
+    * `what` names the caller in the refusal. Returns (stepSeconds,
+    * firings + __runid) per granularity group. */
+  private def firingRuns(rules: Seq[Rule], what: String)(
+      trend: DataFrame, entity: Column, ts: Column): Seq[(Long, DataFrame)] =
+    rules.groupBy(_.granularity).toSeq.sortBy(_._1).map { case (gran, rs) =>
+      val step = TrendStore.stepSeconds(gran).getOrElse(throw new IllegalArgumentException(
+        s"$what: a fixed-width granularity grid is required, got: $gran"))
+      val byRule = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("entity_id"), col("rule")).orderBy(col("bucket"))
+      (step, evaluate(rs)(trend, entity, ts)
+        .withColumn("__runid",
+          floor(unix_timestamp(col("bucket")) / lit(step)) - row_number().over(byRule)))
+    }
+
+  /** Position of each firing within its consecutive run — the second
+    * window of the run family, on the same (entity, rule) shuffle. */
+  private def withRunPos(fired: DataFrame): DataFrame = {
+    val byRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("entity_id"), col("rule"), col("__runid"))
+      .orderBy(col("bucket"))
+    fired.withColumn("__pos", row_number().over(byRun))
+  }
+
   def evaluateSustained(rules: Seq[Rule], minConsecutive: Int)(
       trend: DataFrame, entity: Column, ts: Column): DataFrame = {
     require(minConsecutive >= 1, s"minConsecutive must be >= 1, got $minConsecutive")
-    val parts = rules.groupBy(_.granularity).toSeq.sortBy(_._1).map { case (gran, rs) =>
-      val step = TrendStore.stepSeconds(gran).getOrElse(throw new IllegalArgumentException(
-        s"sustained triggers need a fixed-width granularity grid, got: $gran"))
-      val byRule = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("entity_id"), col("rule")).orderBy(col("bucket"))
-      // floor(epoch/step): integer grid index even when the grid has a
-      // constant non-zero offset (the week grid starts Monday, epoch 0
-      // was a Thursday) — adjacent buckets always differ by exactly 1.
-      val fired = evaluate(rs)(trend, entity, ts)
-        .withColumn("__runid",
-          floor(unix_timestamp(col("bucket")) / lit(step)) - row_number().over(byRule))
-      val byRun = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("entity_id"), col("rule"), col("__runid"))
-        .orderBy(col("bucket"))
-      fired.withColumn("__pos", row_number().over(byRun))
-        .filter(col("__pos") >= minConsecutive)
-        .drop("__runid", "__pos")
-    }
-    parts.reduce(_ unionByName _)
+    firingRuns(rules, "sustained triggers")(trend, entity, ts).map {
+      case (_, fired) =>
+        withRunPos(fired)
+          .filter(col("__pos") >= minConsecutive)
+          .drop("__runid", "__pos")
+    }.reduce(_ unionByName _)
   }
 
   /** ESCALATION policy over the firing stream — severity steps UP as
@@ -220,27 +240,18 @@ object Trigger {
     require(levels.map(_._1) == levels.map(_._1).sorted &&
       levels.map(_._1).distinct.size == levels.size,
       s"escalation cutoffs must be strictly ascending, got: ${levels.map(_._1)}")
-    val parts = rules.groupBy(_.granularity).toSeq.sortBy(_._1).map { case (gran, rs) =>
-      val step = TrendStore.stepSeconds(gran).getOrElse(throw new IllegalArgumentException(
-        s"escalations need a fixed-width granularity grid, got: $gran"))
-      val byRule = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("entity_id"), col("rule")).orderBy(col("bucket"))
-      val fired = evaluate(rs)(trend, entity, ts)
-        .withColumn("__runid",
-          floor(unix_timestamp(col("bucket")) / lit(step)) - row_number().over(byRule))
-      val byRun = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("entity_id"), col("rule"), col("__runid"))
-        .orderBy(col("bucket"))
-      val desc = levels.sortBy(-_._1)
-      val level = desc.tail.foldLeft(
-        when(col("run_pos") >= desc.head._1, lit(desc.head._2))) {
-          case (acc, (m, n)) => acc.when(col("run_pos") >= m, lit(n))
-        }
-      fired.withColumn("run_pos", row_number().over(byRun).cast("long"))
-        .withColumn("level", level)
-        .drop("__runid")
-    }
-    parts.reduce(_ unionByName _)
+    val desc = levels.sortBy(-_._1)
+    val level = desc.tail.foldLeft(
+      when(col("run_pos") >= desc.head._1, lit(desc.head._2))) {
+        case (acc, (m, n)) => acc.when(col("run_pos") >= m, lit(n))
+      }
+    firingRuns(rules, "escalations")(trend, entity, ts).map {
+      case (_, fired) =>
+        withRunPos(fired)
+          .withColumn("run_pos", col("__pos").cast("long"))
+          .withColumn("level", level)
+          .drop("__runid", "__pos")
+    }.reduce(_ unionByName _)
   }
 
   /** Flap report: per (rule, entity) EPISODE structure of the firing
@@ -257,24 +268,17 @@ object Trigger {
     * per-entity) — every step keyed on the same (entity, rule)
     * family, output O(entities × rules). */
   def flapReport(rules: Seq[Rule])(
-      trend: DataFrame, entity: Column, ts: Column): DataFrame = {
-    val parts = rules.groupBy(_.granularity).toSeq.sortBy(_._1).map { case (gran, rs) =>
-      val step = TrendStore.stepSeconds(gran).getOrElse(throw new IllegalArgumentException(
-        s"flap report needs a fixed-width granularity grid, got: $gran"))
-      val byRule = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("entity_id"), col("rule")).orderBy(col("bucket"))
-      evaluate(rs)(trend, entity, ts)
-        .withColumn("__runid",
-          floor(unix_timestamp(col("bucket")) / lit(step)) - row_number().over(byRule))
-        .groupBy(col("rule"), col("entity_id"), col("severity"), col("__runid"))
-        .agg(count(lit(1)).as("__len"))
-        .groupBy(col("rule"), col("entity_id"), col("severity"))
-        .agg(sum(col("__len")).as("n_firings"),
-          count(lit(1)).as("n_episodes"),
-          max(col("__len")).as("longest_run"))
-    }
-    parts.reduce(_ unionByName _)
-  }
+      trend: DataFrame, entity: Column, ts: Column): DataFrame =
+    firingRuns(rules, "flap report")(trend, entity, ts).map {
+      case (_, fired) =>
+        fired
+          .groupBy(col("rule"), col("entity_id"), col("severity"), col("__runid"))
+          .agg(count(lit(1)).as("__len"))
+          .groupBy(col("rule"), col("entity_id"), col("severity"))
+          .agg(sum(col("__len")).as("n_firings"),
+            count(lit(1)).as("n_episodes"),
+            max(col("__len")).as("longest_run"))
+    }.reduce(_ unionByName _)
 
   /** MTTR report — the rule-level resolution-time summary on-call
     * management reads: per (rule, severity), the episode count, mean
@@ -291,14 +295,9 @@ object Trigger {
     * step / episodes) — bit-identical on any engine. */
   def mttrReport(rules: Seq[Rule])(
       trend: DataFrame, entity: Column, ts: Column): DataFrame = {
-    val parts = rules.groupBy(_.granularity).toSeq.sortBy(_._1).map { case (gran, rs) =>
-      val step = TrendStore.stepSeconds(gran).getOrElse(throw new IllegalArgumentException(
-        s"MTTR report needs a fixed-width granularity grid, got: $gran"))
-      val byRule = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("entity_id"), col("rule")).orderBy(col("bucket"))
-      evaluate(rs)(trend, entity, ts)
-        .withColumn("__runid",
-          floor(unix_timestamp(col("bucket")) / lit(step)) - row_number().over(byRule))
+    val parts = firingRuns(rules, "MTTR report")(trend, entity, ts).map {
+      case (step, fired) =>
+      fired
         .groupBy(col("rule"), col("severity"), col("entity_id"), col("__runid"))
         .agg(count(lit(1)).as("__len"))
         .groupBy(col("rule"), col("severity"))

@@ -172,8 +172,6 @@ object Store {
        |FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
   }
 
-  /** n10's generated twin: the flap oracle's episode derivation,
-    * rolled to rule level with durations (len × the rule's step). */
   /** n13's escalation ladder — cutoffs shared by the Spark key and
     * the generated oracle so the two sides cannot drift. */
   private val escalationLevels = Seq(1 -> "notify", 3 -> "elevated", 6 -> "page")
@@ -205,6 +203,8 @@ object Store {
        |FROM p ORDER BY rule, entity_id, bucket""".stripMargin
   }
 
+  /** n10's generated twin: the flap oracle's episode derivation,
+    * rolled to rule level with durations (len × the rule's step). */
   private def triggerMttrOracleSql(rules: Seq[Trigger.Rule]): String = {
     val stepOf = Map("hour" -> 3600L, "day" -> 86400L)
     val fired = rules.map { r =>
@@ -469,17 +469,6 @@ object Store {
         .orderBy(col("parent"), col("bucket"), col("rank"))
     },
 
-    // Entity aggregation through a TEMPORAL relation — entities
-    // migrate parents mid-month (even customers move to 'MIGRATED'
-    // at the Jan-15 cutover) and each daily bucket rolls up to the
-    // parent valid AT that bucket. Equi-join on the entity + interval
-    // post-filter — the directory-versioned rollup the reference's
-    // attribute-tracked hierarchies imply.
-    // Directory fan-out health — the relation-shape audit an operator
-    // reads before trusting an entity rollup: per relation type, edge
-    // count, distinct parents, max/mean children-per-parent (a parent
-    // with a million children is a skew hazard and usually a modeling
-    // bug). Two stacked combine-friendly aggs; O(types) output.
     // Directory CYCLE audit — the DAG check behind every rollup: a
     // cycle makes closure-based entity aggregation double-count, and
     // usually means a re-parenting script wrote an edge backwards.
@@ -503,6 +492,11 @@ object Store {
         .orderBy(col("dn"))
     },
 
+    // Directory fan-out health — the relation-shape audit an operator
+    // reads before trusting an entity rollup: per relation type, edge
+    // count, distinct parents, max/mean children-per-parent (a parent
+    // with a million children is a skew hazard and usually a modeling
+    // bug). Two stacked combine-friendly aggs; O(types) output.
     "e12_fanout_stats" -> { (s, dir) =>
       val c = TableCatalog(s, dir)
       val custNation = Relations.of(c.customer,
@@ -541,6 +535,12 @@ object Store {
         .orderBy(col("entity_id"))
     },
 
+    // Entity aggregation through a TEMPORAL relation — entities
+    // migrate parents mid-month (even customers move to 'MIGRATED'
+    // at the Jan-15 cutover) and each daily bucket rolls up to the
+    // parent valid AT that bucket. Equi-join on the entity + interval
+    // post-filter — the directory-versioned rollup the reference's
+    // attribute-tracked hierarchies imply.
     "e06_entity_rollup_temporal" -> { (s, dir) =>
       val c = TableCatalog(s, dir)
       val daily = TrendStore.rollup(c.events, col("user_id"), col("ts"),

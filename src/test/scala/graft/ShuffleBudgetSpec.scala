@@ -36,7 +36,8 @@ class ShuffleBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach 
   // partitioning (rebalance/repartition hints also print this way);
   // BroadcastExchange intentionally excluded
   private val shuffleNode =
-    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+    ("Exchange (hashpartitioning|rangepartitioning|SinglePartition|" +
+      "RoundRobinPartitioning)").r
 
   private def shuffles(name: String): Int = {
     val plan = SparkEntry.queries(name)(spark, sf)
