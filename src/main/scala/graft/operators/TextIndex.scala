@@ -121,7 +121,8 @@ object TextIndex {
     require(StoreFs.exists(spark, s"$path/postings") &&
       StoreFs.exists(spark, s"$path/stats.json"),
       s"deleteDocs: $path is not a text index")
-    batchId.foreach(b => require(!b.contains("/"), s"bad batchId: $b"))
+    batchId.foreach(b => require(!b.contains("/") && !b.contains(".."),
+      s"bad batchId: $b"))
     val marker = batchId.map(b => s"$path/deletes/$b")
     if (marker.exists(m => StoreFs.exists(spark, m))) return false
     ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()

@@ -185,6 +185,19 @@ object TrendStoreWriter {
     * semantics, which were only ever correct for bucket-within-day
     * granularities.
     *
+    * KNOWN LIMITATION — late data for an already-absorbed day: the
+    * absorbed-set guard cannot distinguish a crash replay (the same
+    * fine partials delivered twice — must be a no-op) from genuinely
+    * NEW fine rows for a day whose p_date was already absorbed (a
+    * re-harvest landing after that day expired). Both look like "day
+    * already in the set", so a late re-harvested delta expires into
+    * nothing on its second drop. Operationally: re-harvests must land
+    * BEFORE the day crosses the retention horizon, or the coarse tier
+    * must be rebuilt for that window (delete the coarse buckets, then
+    * re-run a one-shot downsample from a raw backfill). Detecting the
+    * case inline would require keeping the absorbed days' partials —
+    * exactly the storage the tier exists to drop.
+    *
     * Only expired-day partitions of the fine store are ever read
     * (p_date pruning), and the coarse read prunes to the affected
     * bucket window; the drop side is [[retain]]'s O(partitions)

@@ -508,6 +508,11 @@ object Similarity {
     require(StoreFs.exists(spark, s"$indexPath/codes") ||
       StoreFs.exists(spark, s"$indexPath/cells"),
       s"$indexPath has no codes/ or cells/ table — not a persisted ANN index")
+    // mirror TextIndex.deleteDocs: a '/' (or '..') in the batch id
+    // would nest or escape the _deletes/ marker namespace, making the
+    // same CLI --batch input behave differently on the two families
+    batchId.foreach(b => require(!b.contains("/") && !b.contains(".."),
+      s"bad batchId: $b"))
     val marker = batchId.map(b => s"$indexPath/_deletes/$b")
     if (marker.exists(m => StoreFs.exists(spark, m))) return false
     recoverIndex(spark, indexPath)
@@ -596,7 +601,11 @@ object Similarity {
       .select(col("n_id"), col("__codes"))
     val vectors = corpus.select(col(cId).as("n_id"), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
-    pqScore(codes, vectors, queries, qId, vecCol, books, k, rerank)
+    // the inline path builds codes and vectors fresh from the corpus
+    // this call — replayed-add duplicates structurally cannot exist,
+    // so the re-rank skips the two replay-dedup passes
+    pqScore(codes, vectors, queries, qId, vecCol, books, k, rerank,
+      expectReplays = false)
   }
 
   /** ADC candidate generation + exact re-rank shared by the inline
@@ -610,7 +619,8 @@ object Similarity {
                       qId: String, vecCol: String,
                       books: Array[Array[Array[Double]]],
                       k: Int, rerank: Int,
-                      rot: Option[Array[Array[Double]]] = None): DataFrame = {
+                      rot: Option[Array[Array[Double]]] = None,
+                      expectReplays: Boolean = true): DataFrame = {
     // A rotated index compares Rq against R-coded vectors: (Rq)·(Rv̂)
     // = q·v̂ exactly, so ONLY the LUT side rotates — the exact re-rank
     // stays on the raw queries and vectors.
@@ -619,7 +629,7 @@ object Similarity {
     val approx = codes.crossJoin(broadcast(pqLuts(qLut, qId, vecCol, books)))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), adcScore(books.length).as("__adc"))
-    pqRerank(vectors, queries, qId, vecCol, approx, k, rerank)
+    pqRerank(vectors, queries, qId, vecCol, approx, k, rerank, expectReplays)
   }
 
   /** Per-query ADC lookup tables: m arrays of nCodes EXACT subspace
@@ -647,17 +657,24 @@ object Similarity {
 
   /** Top rerank·k ADC candidates per query → exact-cosine re-rank →
     * final top-k. Candidates are |queries|·rerank·k rows, so both
-    * re-rank joins broadcast; the corpus never shuffles. */
+    * re-rank joins broadcast; the corpus never shuffles.
+    *
+    * `expectReplays` gates the two replay-dedup passes: a replayed
+    * ivfpqAdd can leave the same n_id in a PERSISTED index's codes
+    * and vectors tables twice, and without the dedupes the same
+    * neighbor would occupy multiple final ranks, silently shrinking
+    * effective top-k — so every persisted-index caller passes true.
+    * The inline paths (pqTopK) build codes and vectors fresh from the
+    * corpus each call and pass false, skipping two shuffles of the
+    * candidate set that structurally cannot do anything there. */
   private def pqRerank(vectors: DataFrame, queries: DataFrame, qId: String,
                        vecCol: String, approx: DataFrame, k: Int,
-                       rerank: Int): DataFrame = {
-    // dropDuplicates mirrors ivfScore: a replayed ivfpqAdd can leave
-    // the same n_id in the codes table twice, and without the dedupe
-    // the same neighbor would occupy multiple final ranks, silently
-    // shrinking effective top-k. The set is |queries|·rerank·k rows.
-    val cands = rankTopK(approx, rerank * k, simCol = "__adc")
+                       rerank: Int, expectReplays: Boolean = true): DataFrame = {
+    // dropDuplicates mirrors ivfScore: the candidate set is
+    // |queries|·rerank·k rows, so the dedupe never touches the corpus
+    val cands0 = rankTopK(approx, rerank * k, simCol = "__adc")
       .select(col("q_id"), col("n_id"))
-      .dropDuplicates("q_id", "n_id")
+    val cands = if (expectReplays) cands0.dropDuplicates("q_id", "n_id") else cands0
     val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
     // a replayed add duplicates the VECTORS table too, and the n_id
@@ -666,10 +683,10 @@ object Similarity {
     // again AFTER scoring, still on the bounded candidate set (never
     // a corpus-wide shuffle); duplicate rows are bit-identical
     // replays, so which one survives is immaterial.
-    val scored = vectors.join(broadcast(cands), "n_id").join(broadcast(q), "q_id")
+    val scored0 = vectors.join(broadcast(cands), "n_id").join(broadcast(q), "q_id")
       .select(col("q_id"), col("n_id"),
         (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
-      .dropDuplicates("q_id", "n_id")
+    val scored = if (expectReplays) scored0.dropDuplicates("q_id", "n_id") else scored0
     rankTopK(scored, k)
   }
 

@@ -40,7 +40,14 @@ object TriggerStream {
     * assumes). NULL entity windows are refused like the batch side. */
   def withMaintenance(fired: DataFrame, windows: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val rows = windows.select(col("entity_id"), col("from_ts"), col("to_ts"))
+    // cast to the FIRING stream's entity type (and plain timestamps)
+    // BEFORE collecting, so the window table stays type-generic like
+    // the batch twin Trigger.applyMaintenance — an int- or string-
+    // keyed window table works instead of throwing ClassCastException
+    // at stream build
+    val entityType = fired.schema("entity_id").dataType
+    val rows = windows.select(col("entity_id").cast(entityType),
+        col("from_ts").cast("timestamp"), col("to_ts").cast("timestamp"))
       .collect()
     require(rows.forall(!_.isNullAt(0)),
       "maintenance window with NULL entity_id: declare fleet-wide " +
@@ -48,7 +55,7 @@ object TriggerStream {
     if (rows.isEmpty) fired.withColumn("muted", lit(0L))
     else {
       val arr = array(rows.map { r =>
-        struct(lit(r.getLong(0)).as("e"),
+        struct(lit(r.get(0)).as("e"),
           lit(r.getTimestamp(1)).as("f"), lit(r.getTimestamp(2)).as("t"))
       }.toIndexedSeq: _*)
       fired.withColumn("muted",

@@ -109,10 +109,13 @@ class PushdownSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     df.collect()
     val scans = scansOf(df, "events")
     assert(scans.nonEmpty, s"no events scan:\n${finalPlan(df)}")
-    // the `ts <= at` range reaches the reader on at least one scan
-    // form (nanos-encoded images push on the raw long instead)
+    // the `ts <= at` RANGE filter itself must reach the reader — an
+    // IsNotNull-only match is vacuous (almost any filter pushes one).
+    // The prefix match covers both physical encodings: instant/NTZ
+    // images push LessThanOrEqual(ts,…); a nanos-encoded image pushes
+    // the bound on the raw long column (ts before the ts_ns rename).
     val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString(" ")
-    assert(pushed.contains("ts") || pushed.contains("IsNotNull"),
-      s"as-of bound vanished before the reader: $pushed")
+    assert(pushed.contains("LessThanOrEqual(ts"),
+      s"as-of range bound vanished before the reader: $pushed")
   }
 }

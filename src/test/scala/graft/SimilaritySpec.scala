@@ -645,6 +645,12 @@ class SimilaritySpec extends SparkSpec {
       Seq(victim).toDF("vec_id"), Some("b1")))
     assert(!Similarity.annDelete(spark, s"$dir/ivfpq",
       Seq(victim).toDF("vec_id"), Some("b1")))
+    // a path-shaped batch id would nest/escape the _deletes/ marker
+    // namespace — refused, mirroring TextIndex.deleteDocs
+    for (bad <- Seq("a/b", "..", "x/../y")) assertThrows[Exception] {
+      Similarity.annDelete(spark, s"$dir/ivfpq",
+        Seq(victim).toDF("vec_id"), Some(bad))
+    }
     val postDel = search()
     assert(!postDel.exists(_._3 == victim), "deleted id still returned")
     assert(postDel.groupBy(_._1).forall(_._2.length == 5), "k not filled after delete")

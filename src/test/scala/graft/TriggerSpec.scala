@@ -372,4 +372,39 @@ class TriggerSpec extends SparkSpec {
     assert(TriggerStream.withMaintenance(fired, win.limit(0))
       .filter(col("muted") =!= 0L).isEmpty)
   }
+
+  test("stream maintenance muting is type-generic over the entity key") {
+    // a dn-keyed (string) firing stream and an INT-typed window table
+    // against a LONG-keyed stream both must work — the literal-array
+    // build casts windows to the firing stream's entity type instead
+    // of assuming getLong (which threw ClassCastException)
+    val firedStr = Seq(("cell-1", "2024-01-01 10:00:00", "surge"),
+        ("cell-2", "2024-01-01 10:00:00", "surge"))
+      .toDF("entity_id", "bucket", "rule")
+      .select(col("entity_id"), col("bucket").cast("timestamp").as("bucket"),
+        col("rule"))
+    val winStr = Seq(("cell-1", "2024-01-01 09:00:00", "2024-01-01 12:00:00"))
+      .toDF("entity_id", "from_ts", "to_ts")
+      .select(col("entity_id"), col("from_ts").cast("timestamp").as("from_ts"),
+        col("to_ts").cast("timestamp").as("to_ts"))
+    val gotStr = TriggerStream.withMaintenance(firedStr, winStr).collect()
+      .map(r => r.getAs[String]("entity_id") -> r.getAs[Long]("muted")).toMap
+    assert(gotStr("cell-1") === 1L && gotStr("cell-2") === 0L)
+    // matches the (already type-generic) batch twin on the same input
+    assert(TriggerStream.withMaintenance(firedStr, winStr)
+      .exceptAll(Trigger.applyMaintenance(firedStr, winStr)).isEmpty)
+
+    // int-typed window table against a long-keyed stream: the window
+    // side casts to the stream's key type before the literal build
+    val firedLong = firedStr.select(
+      when(col("entity_id") === "cell-1", lit(1L)).otherwise(lit(2L)).as("entity_id"),
+      col("bucket"), col("rule"))
+    val winInt = Seq((1, "2024-01-01 09:00:00", "2024-01-01 12:00:00"))
+      .toDF("entity_id", "from_ts", "to_ts")
+      .select(col("entity_id"), col("from_ts").cast("timestamp").as("from_ts"),
+        col("to_ts").cast("timestamp").as("to_ts"))
+    val gotLong = TriggerStream.withMaintenance(firedLong, winInt).collect()
+      .map(r => r.getAs[Long]("entity_id") -> r.getAs[Long]("muted")).toMap
+    assert(gotLong(1L) === 1L && gotLong(2L) === 0L)
+  }
 }
