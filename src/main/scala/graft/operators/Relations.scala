@@ -28,6 +28,34 @@ object Relations {
         concat(col("l.relation_type"), lit("|"), col("u.relation_type")).as("relation_type"))
       .distinct()
 
+  /** Compose two VERSIONED relations — both hops carry [from_ts,
+    * to_ts) validity (cell→site and site→region each re-parent on
+    * their own schedule), and the composed child→grandparent edge is
+    * valid exactly where the two validities INTERSECT. [[compose]] is
+    * the interval-blind special case; a directory where BOTH levels
+    * can re-home mid-month (a real telecom event) needs this.
+    *
+    * Inputs carry (child_dn, parent_dn, from_ts, to_ts,
+    * relation_type); output has the same shape with the intersected
+    * [greatest(from), least(to)) validity — empty intersections drop.
+    * Shape: the interval test rides the broadcast EQUI-join on the
+    * dn key as a post-filter (e06's temporal-rollup discipline —
+    * never a range-only nested loop); relations are registry-sized,
+    * so nothing fact-sized moves and the output stays O(|lower| ×
+    * versions-per-upper-dn). */
+  def composeTemporal(lower: DataFrame, upper: DataFrame): DataFrame =
+    lower.alias("l")
+      .join(broadcast(upper.alias("u")),
+        col("l.parent_dn") === col("u.child_dn") &&
+          col("l.from_ts") < col("u.to_ts") &&
+          col("u.from_ts") < col("l.to_ts"))
+      .select(col("l.child_dn").as("child_dn"),
+        col("u.parent_dn").as("parent_dn"),
+        greatest(col("l.from_ts"), col("u.from_ts")).as("from_ts"),
+        least(col("l.to_ts"), col("u.to_ts")).as("to_ts"),
+        concat(col("l.relation_type"), lit("|"), col("u.relation_type")).as("relation_type"))
+      .distinct()
+
   /** Reverse view (parent → children). */
   def reverse(rel: DataFrame): DataFrame =
     rel.select(col("parent_dn").as("child_dn"), col("child_dn").as("parent_dn"),

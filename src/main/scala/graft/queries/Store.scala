@@ -559,6 +559,48 @@ object Store {
         .orderBy(col("parent"))
     },
 
+    // TWO-hop TEMPORAL rollup — e03's materialized walk where BOTH
+    // hops carry [from, to) validity and each re-parents on its own
+    // schedule: customers migrate segment at Jan-15 (hop 1, e06's
+    // cutover) and the BUILDING segment re-homes from group G1 to G2
+    // at Jan-20 (hop 2) — the mid-month double re-parent a versioned
+    // telecom directory actually produces. Relations.composeTemporal
+    // interval-intersects the two registry-sized hops on the dn
+    // equi-key (broadcast; the interval is a post-filter, never a
+    // range-only nested loop), then the standard temporal rollup
+    // carries each daily bucket to the grandparent valid AT it.
+    "e14_temporal_2hop" -> { (s, dir) =>
+      val c = TableCatalog(s, dir)
+      val daily = TrendStore.rollup(c.events, col("user_id"), col("ts"),
+        col("value"), "day")
+      val lo = lit("2024-01-01 00:00:00").cast("timestamp")
+      val cut1 = lit("2024-01-15 00:00:00").cast("timestamp")
+      val cut2 = lit("2024-01-20 00:00:00").cast("timestamp")
+      val hi = lit("2024-12-31 00:00:00").cast("timestamp")
+      val hop1 = c.customer.select(col("c_custkey").as("child_dn"),
+          col("c_mktsegment").as("parent_dn"),
+          lo.as("from_ts"), cut1.as("to_ts"), lit("cust->seg").as("relation_type"))
+        .unionByName(c.customer.select(col("c_custkey").as("child_dn"),
+          when(col("c_custkey") % 2 === 0, lit("MIGRATED"))
+            .otherwise(col("c_mktsegment")).as("parent_dn"),
+          cut1.as("from_ts"), hi.as("to_ts"), lit("cust->seg").as("relation_type")))
+      val segs = c.customer.select(col("c_mktsegment").as("seg")).distinct()
+        .unionByName(s.range(1).select(lit("MIGRATED").as("seg")))
+      def grp(rehomed: Boolean) =
+        when(col("seg") === "MIGRATED", lit("GM"))
+          .when(col("seg") === "AUTOMOBILE" ||
+            (if (rehomed) lit(false) else col("seg") === "BUILDING"), lit("G1"))
+          .otherwise(lit("G2"))
+      val hop2 = segs.select(col("seg").as("child_dn"), grp(rehomed = false).as("parent_dn"),
+          lo.as("from_ts"), cut2.as("to_ts"), lit("seg->grp").as("relation_type"))
+        .unionByName(segs.select(col("seg").as("child_dn"), grp(rehomed = true).as("parent_dn"),
+          cut2.as("from_ts"), hi.as("to_ts"), lit("seg->grp").as("relation_type")))
+      val rel = Relations.composeTemporal(hop1, hop2)
+      TrendStore.entityRollupTemporal(daily, rel,
+          "child_dn", "parent_dn", "from_ts", "to_ts", col("sum_dec"))
+        .orderBy(col("parent"))
+    },
+
     // Multi-hop entity aggregation — the reference's signature rollup
     // up a materialized transitive relation (cell→site→region): a
     // METRIC (order totals) carried from the leaf entity through
@@ -1134,6 +1176,48 @@ object Store {
         |    CASE WHEN c_custkey % 2 = 0 THEN 'MIGRATED' ELSE c_mktsegment END,
         |    TIMESTAMP '2024-01-15 00:00:00',
         |    TIMESTAMP '2024-12-31 00:00:00' FROM customer)
+        |SELECT parent, count(*) AS cnt,
+        |  CAST(sum(CAST(sum_dec AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM d JOIN rel ON d.entity_id = rel.child
+        |  AND d.bucket >= rel.vfrom AND d.bucket < rel.vto
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e14_temporal_2hop" ->
+      // e06's hop-1 cutover composed with a Jan-20 re-home at hop 2:
+      // the interval-intersect join is composeTemporal's twin.
+      """WITH d AS (SELECT user_id AS entity_id, date_trunc('day', ts) AS bucket,
+        |  sum(CAST(value AS DECIMAL(18,4))) AS sum_dec
+        |  FROM events GROUP BY 1, 2),
+        |h1 AS (
+        |  SELECT c_custkey AS child, c_mktsegment AS parent,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS vfrom,
+        |    TIMESTAMP '2024-01-15 00:00:00' AS vto FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'MIGRATED' ELSE c_mktsegment END,
+        |    TIMESTAMP '2024-01-15 00:00:00',
+        |    TIMESTAMP '2024-12-31 00:00:00' FROM customer),
+        |segs AS (SELECT DISTINCT c_mktsegment AS seg FROM customer
+        |         UNION SELECT 'MIGRATED'),
+        |h2 AS (
+        |  SELECT seg AS child,
+        |    CASE WHEN seg = 'MIGRATED' THEN 'GM'
+        |         WHEN seg IN ('AUTOMOBILE', 'BUILDING') THEN 'G1'
+        |         ELSE 'G2' END AS parent,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS vfrom,
+        |    TIMESTAMP '2024-01-20 00:00:00' AS vto FROM segs
+        |  UNION ALL
+        |  SELECT seg,
+        |    CASE WHEN seg = 'MIGRATED' THEN 'GM'
+        |         WHEN seg = 'AUTOMOBILE' THEN 'G1'
+        |         ELSE 'G2' END,
+        |    TIMESTAMP '2024-01-20 00:00:00',
+        |    TIMESTAMP '2024-12-31 00:00:00' FROM segs),
+        |rel AS (
+        |  SELECT h1.child AS child, h2.parent AS parent,
+        |    greatest(h1.vfrom, h2.vfrom) AS vfrom, least(h1.vto, h2.vto) AS vto
+        |  FROM h1 JOIN h2 ON h1.parent = h2.child
+        |    AND h1.vfrom < h2.vto AND h2.vfrom < h1.vto)
         |SELECT parent, count(*) AS cnt,
         |  CAST(sum(CAST(sum_dec AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM d JOIN rel ON d.entity_id = rel.child

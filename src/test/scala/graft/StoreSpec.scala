@@ -107,6 +107,56 @@ class StoreSpec extends SparkSpec {
     assert(twice.exceptAll(rel.select("child_dn", "parent_dn")).isEmpty)
   }
 
+  test("Relations.composeTemporal intersects both hops' validity; empty intersections drop") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // cell X: site A for Jan-01..15, site B after (hop-1 re-parent);
+    // site A: region R1 until Jan-10 then R2 (hop-2 re-parent);
+    // site B: region R2 always
+    val hop1 = Seq(
+      ("X", "A", "2024-01-01 00:00:00", "2024-01-15 00:00:00"),
+      ("X", "B", "2024-01-15 00:00:00", "2024-02-01 00:00:00"))
+      .toDF("child_dn", "parent_dn", "f", "t")
+      .select(col("child_dn"), col("parent_dn"),
+        col("f").cast("timestamp").as("from_ts"),
+        col("t").cast("timestamp").as("to_ts"),
+        lit("cell->site").as("relation_type"))
+    val hop2 = Seq(
+      ("A", "R1", "2024-01-01 00:00:00", "2024-01-10 00:00:00"),
+      ("A", "R2", "2024-01-10 00:00:00", "2024-02-01 00:00:00"),
+      ("B", "R2", "2024-01-01 00:00:00", "2024-02-01 00:00:00"))
+      .toDF("child_dn", "parent_dn", "f", "t")
+      .select(col("child_dn"), col("parent_dn"),
+        col("f").cast("timestamp").as("from_ts"),
+        col("t").cast("timestamp").as("to_ts"),
+        lit("site->region").as("relation_type"))
+    val got = Relations.composeTemporal(hop1, hop2)
+      .orderBy("from_ts", "parent_dn").collect()
+      .map(r => (r.getAs[String]("child_dn"), r.getAs[String]("parent_dn"),
+        r.getAs[java.sql.Timestamp]("from_ts"), r.getAs[java.sql.Timestamp]("to_ts"),
+        r.getAs[String]("relation_type")))
+    // X: R1 for [01, 10), R2 for [10, 15) via A, R2 for [15, Feb) via
+    // B — the A→R2 window [10, Feb) clips to X's stay at A, and the
+    // B hop's [Jan, Feb) clips to X's arrival. No [15, 10) empties.
+    assert(got.toSeq === Seq(
+      ("X", "R1", ts("2024-01-01 00:00:00"), ts("2024-01-10 00:00:00"), "cell->site|site->region"),
+      ("X", "R2", ts("2024-01-10 00:00:00"), ts("2024-01-15 00:00:00"), "cell->site|site->region"),
+      ("X", "R2", ts("2024-01-15 00:00:00"), ts("2024-02-01 00:00:00"), "cell->site|site->region")))
+    // validity never inverts (empty intersections dropped, not kept)
+    assert(got.forall { case (_, _, f, t, _) => f.before(t) })
+    // with identical full-span validity on both hops, the temporal
+    // composition carries exactly the interval-blind compose's pairs
+    val full = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumn("from_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("to_ts", lit("2024-02-01 00:00:00").cast("timestamp"))
+    val blind = Relations.compose(hop1.drop("from_ts", "to_ts").distinct(),
+      hop2.drop("from_ts", "to_ts").distinct())
+      .select("child_dn", "parent_dn")
+    val temporal = Relations.composeTemporal(full(hop1.drop("from_ts", "to_ts").distinct()),
+      full(hop2.drop("from_ts", "to_ts").distinct()))
+      .select("child_dn", "parent_dn").distinct()
+    assert(temporal.exceptAll(blind).isEmpty && blind.exceptAll(temporal).isEmpty)
+  }
+
   test("Relations.closure walks any depth in O(log d) rounds and survives cycles") {
     // a 21-node chain n0 → n1 → … → n20: closure = all ordered
     // ancestor pairs, 21·20/2 = 210 of them
