@@ -217,9 +217,16 @@ object Aggregation {
     *
     * Cascade vocabulary: sum/avg/min/max/count/stddev (decimal-exact
     * moments re-aggregate) + approx_distinct (the HLL sketch IS the
-    * partial; hll_union_agg merges are exact) — all with optional
-    * `where` filters, gated once at the finest level. count_distinct
-    * and pNN percentiles have no mergeable partial and are refused. */
+    * partial; hll_union_agg merges are exact) + pNN percentiles (the
+    * serialized GK quantile sketch is the partial — gk_sketch_agg at
+    * the finest level, gk_sketch_merge at coarser ones, so a
+    * monitoring cascade gets its hour→day→month p95 without
+    * re-scanning raw rows; merged answers stay within the GK rank
+    * bound, spec-asserted, but merge ORDER is partition-dependent, so
+    * like approx_distinct the pNN levels are rows-only/spec-graded,
+    * never hash-compared) — all with optional `where` filters, gated
+    * once at the finest level. count_distinct and pNN_exact have no
+    * mergeable partial and are refused. */
   def cascade(metrics: Seq[MetricAgg], granularitiesIn: Seq[String])(
       trend: DataFrame, entity: Column, ts: Column): DataFrame = {
     require(metrics.nonEmpty && granularitiesIn.nonEmpty)
@@ -227,21 +234,22 @@ object Aggregation {
     val granularities = orderedGranularities(granularitiesIn)
     require(metrics.map(_.as).distinct.size == metrics.size,
       s"duplicate metric aliases: ${metrics.map(_.as).diff(metrics.map(_.as).distinct).distinct.mkString(", ")}")
-    // exact distinct counts and percentiles have NO re-aggregable
-    // partial — a cascade would have to re-scan raw rows per level,
-    // which is exactly what cascade exists to avoid. Refused loudly
-    // instead of silently recomputing (or worse, summing counts).
+    // exact distinct counts and EXACT percentiles have NO
+    // re-aggregable partial — a cascade would have to re-scan raw
+    // rows per level, which is exactly what cascade exists to avoid.
+    // Refused loudly instead of silently recomputing (or worse,
+    // summing counts). Sketch forms (approx_distinct, pNN) cascade.
     val noCascade = metrics.filter(m => m.fn.toLowerCase match {
-      case "count_distinct"         => true
-      case PctFn(_) | ExactPctFn(_) => true
-      case _                        => false
+      case "count_distinct" => true
+      case ExactPctFn(_)    => true
+      case _                => false
     })
     require(noCascade.isEmpty,
       "metrics with no re-aggregable partial cannot cascade: " +
         noCascade.map(m => s"${m.as} (${m.fn})").mkString(", ") +
-        " — exact distinct counts and percentiles do not merge across " +
-        "buckets; use approx_distinct (HLL sketch partials merge " +
-        "exactly) or one single-granularity AggregationDef per level")
+        " — exact distinct counts and exact percentiles do not merge " +
+        "across buckets; use approx_distinct / pNN (HLL and GK sketch " +
+        "partials merge) or one single-granularity AggregationDef per level")
     // Partials are keyed per distinct (source, where) pair: a metric
     // filter applies ONCE, at the finest level, and the gated partials
     // re-aggregate exactly like unfiltered ones. Only the partial
@@ -256,6 +264,11 @@ object Aggregation {
     val fnsAt: Map[Int, Set[String]] = metrics.groupBy(idx)
       .map { case (i, ms) => i -> ms.map(_.fn.toLowerCase).toSet }
     def needS(f: Set[String]) = f.exists(Set("sum", "avg", "stddev"))
+    // all pNN metrics on a pair share ONE GK sketch partial
+    def needQ(f: Set[String]) = f.exists {
+      case PctFn(_) => true
+      case _        => false
+    }
     val partials: Seq[Column] = pairs.zipWithIndex.flatMap { case ((s, w, wt), i) =>
       val g: Column => Column = c => w.fold(c)(ww => when(expr(ww), c))
       val fns = fnsAt(i)
@@ -267,6 +280,8 @@ object Aggregation {
         (if (fns("min")) Seq(min(g(col(s))).as(s"__mn_$i")) else Nil) ++
         (if (fns("approx_distinct"))
           Seq(hll_sketch_agg(g(col(s))).as(s"__h_$i")) else Nil) ++
+        (if (needQ(fns))
+          Seq(graft.functions.QuantileSketch.gkAgg(g(col(s))).as(s"__q_$i")) else Nil) ++
         // wavg's partials — Σ(x·w) and Σ(w) — are plain decimal sums,
         // so the weighted mean re-aggregates exactly across levels
         (if (fns("wavg")) {
@@ -294,6 +309,10 @@ object Aggregation {
               when(n < 2, lit(null).cast("double"))
                 .otherwise(sqrt((s2 - s1 * s1 / n) / (n - lit(1))))
             case "approx_distinct" => hll_sketch_estimate(col(s"__h_$i"))
+            // the p-quantile read off the level's (merged) GK sketch
+            case PctFn(ds) =>
+              graft.functions.QuantileSketch.gkQuantile(col(s"__q_$i"),
+                ds.toDouble / math.pow(10, ds.length))
             // identical final division to compileMetric's wavg — a
             // cascade level hash-matches the direct definition
             case "wavg" =>
@@ -316,6 +335,8 @@ object Aggregation {
           (if (fns("min")) Seq(min(col(s"__mn_$i")).as(s"__mn_$i")) else Nil) ++
           (if (fns("approx_distinct"))
             Seq(hll_union_agg(col(s"__h_$i")).as(s"__h_$i")) else Nil) ++
+          (if (needQ(fns))
+            Seq(graft.functions.QuantileSketch.gkMerge(col(s"__q_$i")).as(s"__q_$i")) else Nil) ++
           (if (fns("wavg"))
             Seq(sum(col(s"__sw_$i")).as(s"__sw_$i"),
               sum(col(s"__w_$i")).as(s"__w_$i")) else Nil)

@@ -946,6 +946,28 @@ object Store {
         .orderBy(col("granularity"), col("entity_id"), col("bucket"))
     },
 
+    // PERCENTILE metrics in the cascade (rows-only — GK sketch merges
+    // are partition-order-dependent, t20's posture; the rank-error
+    // bound of merged-hourly vs direct-daily and the exact/sketch
+    // refusal split are spec-asserted in QuantileSketchSpec): the
+    // monitoring cascade's p50/p95 at hour→day→month from ONE raw
+    // scan — the finest level sketches each (entity, hour) cell
+    // (gk_sketch_agg, a few-KB mergeable partial), coarser levels
+    // merge sketches (gk_sketch_merge) without re-touching raw rows,
+    // exactly like g02's decimal partials and g05's HLL registers.
+    "g07_agg_pctl_cascade" -> { (s, dir) =>
+      val ev = TableCatalog(s, dir).events
+      Aggregation.cascade(
+          Seq(Aggregation.MetricAgg("value", "count", "cnt"),
+            Aggregation.MetricAgg("value", "p50", "p50_value"),
+            Aggregation.MetricAgg("value", "p95", "p95_value")),
+          Seq("hour", "day", "month"))(ev, col("user_id"), col("ts"))
+        .select(col("granularity"), col("entity_id"),
+          date_format(col("bucket"), TS).as("bucket"),
+          col("cnt"), col("p50_value"), col("p95_value"))
+        .orderBy(col("granularity"), col("entity_id"), col("bucket"))
+    },
+
     // WEIGHTED-mean metrics in the aggregation vocabulary — the
     // traffic-weighted KPI form ("avg price weighted by quantity",
     // "drop rate weighted by attempts"): a plain avg lets a 1-unit

@@ -220,13 +220,14 @@ class TrendSpec extends SparkSpec {
       assert(level.exceptAll(direct).isEmpty && direct.exceptAll(level).isEmpty,
         s"cascade level $g diverges from the direct definition")
     }
-    // exact distinct and percentiles have no mergeable partial — refused
+    // exact distinct and EXACT percentiles have no mergeable partial —
+    // refused (sketch pNN cascades since r13; see QuantileSketchSpec)
     intercept[IllegalArgumentException] {
       Aggregation.cascade(Seq(MetricAgg("event_type", "count_distinct", "n")),
         Seq("hour", "day"))(ev, col("user_id"), col("ts"))
     }
     intercept[IllegalArgumentException] {
-      Aggregation.cascade(Seq(MetricAgg("value", "p95", "p")),
+      Aggregation.cascade(Seq(MetricAgg("value", "p95_exact", "p")),
         Seq("hour", "day"))(ev, col("user_id"), col("ts"))
     }
   }
