@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, to_json}
 import graft.operators.{Aggregation, AttributeStoreWriter, Dedup, Materialize, TrendStoreWriter, Trigger}
 import graft.sources.HarvestJob
 
@@ -53,6 +53,10 @@ import graft.sources.HarvestJob
   *   (deterministic training-order shuffle-and-shard)
   * graft.Cli explain --key q01_pricing_summary --sf-dir DIR
   *   [--mode formatted|simple|extended|cost]   (plan audit, no execution)
+  * graft.Cli dump --store S --out DIR [--format csv|jsonl] \
+  *   [--from YYYY-MM-DD] [--to YYYY-MM-DD] [--columns a,b,c] [--files N]
+  *   (export a store back out for non-Spark consumers; date range
+  *   prunes p_date partitions, --columns prunes the read schema)
   * graft.Cli store-info --store S [--counts true]   (schema + partition range)
   * graft.Cli audit --store S [--granularity hour] [--top 5]
   *   (health report: grid coverage + the longest outage windows)
@@ -603,6 +607,58 @@ object Cli {
           println(s"    entity=${r.get(0)} ${r.get(1)} .. ${r.get(2)} (${r.get(3)} buckets)"))
       } finally outages.unpersist()
 
+    case "dump" :: rest =>
+      // EXPORT a store back out as CSV (with header) or JSONL — the
+      // round trip the reference's Postgres tables give for free (any
+      // SQL client reads them); graft stores are parquet directories,
+      // so a downstream consumer WITHOUT Spark needs a dump verb.
+      // --from/--to prune p_date partitions (the scan never reads
+      // out-of-range days) and --columns prunes the read schema; CSV
+      // cannot hold arrays/structs/maps, so complex columns export as
+      // JSON text in place. --files 0 keeps the scan's partitioning
+      // (one output file per task — the 100 TB shape); the default 1
+      // writes a single consumer-friendly file.
+      val f = parseFlags(rest)
+      val store = one(f, "store")
+      val out = one(f, "out")
+      val fmt = opt(f, "format", "csv").toLowerCase
+      require(Set("csv", "jsonl")(fmt), s"dump: unknown format $fmt (csv|jsonl)")
+      val raw = spark.read.option("mergeSchema", "true").parquet(store)
+      val (from, to) = (f.get("from").map(_.last), f.get("to").map(_.last))
+      require((from.isEmpty && to.isEmpty) || raw.columns.contains("p_date"),
+        "dump: --from/--to prune p_date partitions, but this store has " +
+          "no p_date column — dump it whole or filter downstream")
+      val pruned =
+        if (raw.columns.contains("p_date"))
+          TrendStoreWriter.read(spark, store, from, to)
+        else raw
+      val selected = f.get("columns").map(_.last) match {
+        case Some(cs) => pruned.select(cs.split(",").map(c => col(c.trim)): _*)
+        case None     => pruned
+      }
+      val writable = fmt match {
+        case "csv" =>
+          import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+          selected.select(selected.schema.fields.map { fd =>
+            fd.dataType match {
+              case _: ArrayType | _: MapType | _: StructType =>
+                to_json(col(fd.name)).as(fd.name)
+              case _ => col(fd.name)
+            }
+          }.toIndexedSeq: _*)
+        case _ => selected
+      }
+      val files = opt(f, "files", "1").toInt
+      val shaped = if (files > 0) writable.coalesce(files) else writable
+      val writer = shaped.write.mode("overwrite")
+      if (fmt == "csv")
+        writer.option("header", "true")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(out)
+      else writer.json(out)
+      println(s"dump: store=$store out=$out format=$fmt" +
+        from.map(d => s" from=$d").getOrElse("") +
+        to.map(d => s" to=$d").getOrElse(""))
+
     case "index-info" :: rest =>
       // Introspection twin of compact-index: detect the persisted
       // layout (exact / near / ivf / pq / ivfpq) from the directory
@@ -677,7 +733,7 @@ object Cli {
           "trigger|retain|delete-ts|compact|cluster|explain|shard|audit|dedup|" +
           "dedup-incremental|decontaminate|index-build|index-search|index-delete|" +
           "text-search|" +
-          "gapfill|compact-index|store-info|index-info)")
+          "gapfill|compact-index|dump|store-info|index-info)")
   }
 
   def main(args: Array[String]): Unit = {

@@ -24,6 +24,51 @@ class CliSpec extends SparkSpec {
     assert(TrendStoreWriter.read(spark, s"$base/store").count() === 2)
   }
 
+  test("dump exports a store; harvest(dump(store)) reproduces it; date range prunes") {
+    val src = Files.createTempDirectory("graft_dump_src").toString
+    val base = Files.createTempDirectory("graft_dump").toString
+    Files.writeString(Path.of(src, "a.csv"),
+      "dn,timestamp,v\nCell=1,2024-01-01 10:00:00,5.0\nCell=2,2024-01-01 10:05:00,6.0\n" +
+        "Cell=1,2024-01-02 11:00:00,7.5\n")
+    Cli.run(spark, Seq("harvest",
+      "--source", src, "--format", "csv",
+      "--dn-col", "dn", "--entity-component", "Cell",
+      "--ts-col", "timestamp", "--ts-format", "yyyy-MM-dd HH:mm:ss",
+      "--granularity", "15m",
+      "--store", s"$base/store", "--state", s"$base/state",
+      "--pattern", ".*\\.csv"))
+    // ROUND TRIP: dump → re-harvest ≡ original store. The dump keeps
+    // entity_dn, so the re-harvest derives the SAME stable entity_id.
+    Cli.run(spark, Seq("dump",
+      "--store", s"$base/store", "--out", s"$base/dump",
+      "--format", "csv", "--columns", "entity_dn,bucket,v"))
+    Cli.run(spark, Seq("harvest",
+      "--source", s"$base/dump", "--format", "csv",
+      "--dn-col", "entity_dn", "--entity-component", "Cell",
+      "--ts-col", "bucket", "--ts-format", "yyyy-MM-dd HH:mm:ss",
+      "--granularity", "15m",
+      "--store", s"$base/store2", "--state", s"$base/state2",
+      "--pattern", ".*\\.csv"))
+    val cols = Seq("entity_id", "bucket", "v")
+    val a = TrendStoreWriter.read(spark, s"$base/store").select(cols.map(col): _*)
+    val b = TrendStoreWriter.read(spark, s"$base/store2").select(cols.map(col): _*)
+    assert(a.count() === 3)
+    assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+      "round trip diverged from the original store")
+    // date range prunes partitions BEFORE the scan
+    Cli.run(spark, Seq("dump",
+      "--store", s"$base/store", "--out", s"$base/dump_day1",
+      "--format", "jsonl", "--from", "2024-01-01", "--to", "2024-01-01"))
+    assert(spark.read.json(s"$base/dump_day1").count() === 2)
+    // a store without p_date refuses a date range instead of silently
+    // dumping everything
+    Seq((1L, "x")).toDF("id", "s").write.parquet(s"$base/flat")
+    assertThrows[Exception] {
+      Cli.run(spark, Seq("dump", "--store", s"$base/flat",
+        "--out", s"$base/nope", "--from", "2024-01-01"))
+    }
+  }
+
   test("harvest --target attribute loads history and refreshes the current view") {
     val src = Files.createTempDirectory("graft_cli_attr_src").toString
     val base = Files.createTempDirectory("graft_cli_attr").toString
