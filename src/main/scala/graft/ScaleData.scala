@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
+
+/** Synthesizes larger scale factors from sf0.1 by unioning id-shifted
+  * copies of every table — the round-14 scale-rehearsal recipe
+  * (VERDICT r13 item #1). `sf1` = 10 copies, `sf3` = 30 copies.
+  *
+  * Copy k (k = 0 … n-1; copy 0 is bit-identical to the source):
+  *   - every entity/fact id column is shifted by k·10,000,000 so keys
+  *     never collide across copies and every FK relationship
+  *     (orders→customer, lineitem→orders/part/supplier, events→user)
+  *     stays intact WITHIN its copy;
+  *   - dimension tables `region`/`nation` are NOT replicated (they are
+  *     genuinely fixed-cardinality dims; nationkey/regionkey refs stay
+  *     valid from all copies);
+  *   - `documents.text` has every whitespace-separated token prefixed
+  *     with a copy salt (`z<k>q`) so shingles/minhashes/fingerprints are
+  *     fully distinct ACROSS copies while the per-copy near-dup
+  *     structure is preserved — naive replication would instead create
+  *     n² cross-copy candidate pairs in every LSH bucket, which is not
+  *     what a genuinely larger corpus looks like. Token COUNT per doc is
+  *     unchanged; `n_chars` is recomputed (= length(text), the source
+  *     invariant, verified);
+  *   - `embeddings.embedding` is rotated by k positions (dim 64 > max
+  *     copies 30, so all rotations are distinct); norms are preserved,
+  *     cross-copy vectors decorrelate, per-copy geometry is identical;
+  *   - timestamps are NOT shifted: a larger sf at a fixed time range
+  *     means more entities per time bucket, which is exactly the 100 TB
+  *     shape the trend rollups must absorb.
+  *
+  * Usage: graft.ScaleData <srcSfDir> <outDir> <copies>
+  */
+object ScaleData {
+
+  val Stride = 10000000L // > 66x the largest sf0.1 id (149,999)
+
+  private def withCopies(df: DataFrame, n: Int): DataFrame =
+    df.crossJoin(F.broadcast(
+      df.sparkSession.range(n.toLong).toDF("copy_k")))
+
+  private def shifted(c: String): Column =
+    (F.col(c) + F.col("copy_k") * Stride).as(c)
+
+  /** Prefix every token with the copy salt; copy 0 keeps the text
+    * verbatim. `(^| )` keeps the separator in group 1, so token count
+    * and whitespace structure are unchanged. */
+  private def saltedText(c: String): Column =
+    F.when(F.col("copy_k") === 0, F.col(c)).otherwise(
+      F.regexp_replace(F.col(c), F.lit("(^| )"),
+        F.concat(F.lit("$1z"), F.col("copy_k").cast("string"), F.lit("q")))).as(c)
+
+  /** Rotate a 64-dim float array left by copy_k positions (identity for
+    * copy 0). element_at is 1-based; the lambda variable is int, copy_k
+    * bigint — cast the index back to int. */
+  private def rotated(c: String): Column =
+    F.when(F.col("copy_k") === 0, F.col(c)).otherwise(
+      F.expr(s"transform(sequence(0, size($c) - 1), " +
+        s"i -> element_at($c, CAST((i + copy_k) % size($c) AS INT) + 1))")
+        .cast("array<float>")).as(c)
+
+  def scaleTables(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    // Fixed dims: copied verbatim, never replicated.
+    wr(rd("region"), "region", 1)
+    wr(rd("nation"), "nation", 1)
+
+    wr(withCopies(rd("supplier"), n)
+      .select(shifted("s_suppkey"), F.col("s_name"), F.col("s_nationkey"), F.col("s_acctbal")),
+      "supplier", 2)
+    wr(withCopies(rd("part"), n)
+      .select(shifted("p_partkey"), F.col("p_name"), F.col("p_brand"), F.col("p_type"),
+        F.col("p_size"), F.col("p_retailprice")),
+      "part", 4)
+    wr(withCopies(rd("customer"), n)
+      .select(shifted("c_custkey"), F.col("c_name"), F.col("c_nationkey"),
+        F.col("c_acctbal"), F.col("c_mktsegment")),
+      "customer", 4)
+    wr(withCopies(rd("orders"), n)
+      .select(shifted("o_orderkey"), shifted("o_custkey"), F.col("o_orderstatus"),
+        F.col("o_totalprice"), F.col("o_orderdate"), F.col("o_orderpriority")),
+      "orders", 16)
+    wr(withCopies(rd("lineitem"), n)
+      .select(shifted("l_orderkey"), shifted("l_partkey"), shifted("l_suppkey"),
+        F.col("l_linenumber"), F.col("l_quantity"), F.col("l_extendedprice"),
+        F.col("l_discount"), F.col("l_tax"), F.col("l_returnflag"),
+        F.col("l_linestatus"), F.col("l_shipdate")),
+      "lineitem", 32)
+    wr(withCopies(rd("events"), n)
+      .select(shifted("event_id"), F.col("ts"), shifted("user_id"),
+        F.col("event_type"), F.col("value"), F.col("props")),
+      "events", 16)
+    wr(withCopies(rd("documents"), n)
+      .select(shifted("doc_id"), saltedText("text"), F.col("lang"), F.col("source"))
+      .withColumn("n_chars", F.length(F.col("text")).cast("long")),
+      "documents", 8)
+    wr(withCopies(rd("embeddings"), n)
+      .select(shifted("vec_id"), rotated("embedding"), F.col("label")),
+      "embeddings", 4)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: graft.ScaleData <srcSfDir> <outDir> <copies>")
+    val Array(src, out, copiesS) = args
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    scaleTables(spark, src, out, copiesS.toInt)
+    spark.stop()
+  }
+}

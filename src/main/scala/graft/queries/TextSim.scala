@@ -30,9 +30,15 @@ object TextSim {
   /** Fixed export root for the s18 index-stats oracle: the DuckDB
     * twin's SQL is static text, so it cannot reference the per-JVM
     * temp index path — s18 exports the (tiny) index tables here, one
-    * subdirectory per corpus size, and the oracle picks its scale's
-    * rows by matching the corpus count. */
-  private val s18ExportRoot = "/tmp/graft_s18_export"
+    * subdirectory per (corpus count, vec_id sum) dataset key, and the
+    * oracle picks its dataset's rows by matching BOTH. `_v2` because
+    * the r13 layout (count only, no vec_sum column) may linger on
+    * disk and a mixed-schema glob would break the oracle's filter.
+    * The export runs once per JVM per dataset ([[s18ExportOnce]]), so
+    * it stays out of the min-of-2 timed window. */
+  private val s18ExportRoot = "/tmp/graft_s18_export_v2"
+  private val s18ExportOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def cachedIndex(s: SparkSession, dir: String, kind: String)
                          (build: String => Unit): String =
     indexCache.computeIfAbsent(s"$dir#$kind", { _ =>
@@ -1035,35 +1041,49 @@ object TextSim {
     // while every probe scans half the corpus; the imbalance factor
     // (max cell / mean cell over declared cells) is that probe-cost
     // multiplier. One O(cells)-keyed partial-agg count over the
-    // partition column + O(cells) metadata; same cached index as s09,
-    // so Bench prices the pure report. The report is pure counts over
-    // the index parquet, so DuckDB can compute the same board: the
-    // oracle cannot know the per-JVM temp index path, so the query
-    // EXPORTS the index tables (n_id/cell rows, centroid cells,
-    // tombstone ids — KBs, never vectors) to a fixed location, each
-    // row tagged with the corpus count, and the oracle selects its
-    // scale's rows by matching count(*) over embeddings.
+    // partition column + O(cells) metadata; same cached index as s09.
+    // The report is pure counts over the index parquet, so DuckDB can
+    // compute the same board: the oracle cannot know the per-JVM temp
+    // index path, so the query EXPORTS the index tables (n_id/cell
+    // rows, centroid cells, tombstone ids — KBs, never vectors) to a
+    // fixed location. Since r14 the export is (a) ONCE per JVM per
+    // dataset — a guard map, so min-of-2 bench prices the pure
+    // O(cells) report, not three side-writes (r13 `weak` flag); (b)
+    // keyed AND row-tagged by BOTH count(*) and sum(vec_id) over the
+    // corpus, so a stale export from a different same-sized dataset
+    // can't contaminate the oracle; (c) taken AFTER indexStats has
+    // run recoverIndex, so a pending add/delete batch can't make the
+    // export diverge from the report (ADVICE r13).
     "s18_index_stats" -> { (s, dir) =>
       val emb = TableCatalog(s, dir).embeddings
       val idx = cachedIndex(s, dir, "ivf") { p =>
         Similarity.ivfBuild(emb, "vec_id", "embedding", p)
       }
-      val nc = emb.count()
-      val ex = s"$s18ExportRoot/nc=$nc"
-      s.read.parquet(s"$idx/cells")
-        .select(col("n_id"), col("cell").cast("long").as("cell"),
-          lit(nc).as("n_corpus"))
-        .write.mode("overwrite").parquet(s"$ex/cells")
-      s.read.parquet(s"$idx/centroids")
-        .select(col("cell").cast("long").as("cell"), lit(nc).as("n_corpus"))
-        .write.mode("overwrite").parquet(s"$ex/centroids")
-      val tomb =
-        if (graft.operators.StoreFs.exists(s, s"$idx/tombstones"))
-          s.read.parquet(s"$idx/tombstones").select(col("n_id"))
-        else s.range(0).select(col("id").as("n_id"))
-      tomb.withColumn("n_corpus", lit(nc))
-        .write.mode("overwrite").parquet(s"$ex/tombstones")
-      Similarity.indexStats(s, idx)
+      // indexStats folds pending batches (recoverIndex) eagerly in its
+      // body — the export below therefore reads the recovered tables.
+      val stats = Similarity.indexStats(s, idx)
+      s18ExportOnce.computeIfAbsent(s"$dir#$idx", { _ =>
+        val key = emb.agg(count(lit(1)).as("nc"),
+          sum(col("vec_id")).as("sv")).head()
+        val (nc, sv) = (key.getLong(0), key.getLong(1))
+        val ex = s"$s18ExportRoot/k=${nc}_$sv"
+        s.read.parquet(s"$idx/cells")
+          .select(col("n_id"), col("cell").cast("long").as("cell"),
+            lit(nc).as("n_corpus"), lit(sv).as("vec_sum"))
+          .write.mode("overwrite").parquet(s"$ex/cells")
+        s.read.parquet(s"$idx/centroids")
+          .select(col("cell").cast("long").as("cell"),
+            lit(nc).as("n_corpus"), lit(sv).as("vec_sum"))
+          .write.mode("overwrite").parquet(s"$ex/centroids")
+        val tomb =
+          if (graft.operators.StoreFs.exists(s, s"$idx/tombstones"))
+            s.read.parquet(s"$idx/tombstones").select(col("n_id"))
+          else s.range(0).select(col("id").as("n_id"))
+        tomb.withColumn("n_corpus", lit(nc)).withColumn("vec_sum", lit(sv))
+          .write.mode("overwrite").parquet(s"$ex/tombstones")
+        java.lang.Boolean.TRUE
+      })
+      stats
     },
 
     // Persisted-PQ serving path (rows-only; ≡ inline spec-asserted):
@@ -2283,23 +2303,28 @@ object TextSim {
 
     "s18_index_stats" ->
       // The same index-health board recomputed from the EXPORTED index
-      // tables (see the s18 query: /tmp/graft_s18_export/nc=<corpus>/,
-      // rows tagged with the corpus count so each scale's export is
-      // disjoint). Both divisions are IEEE doubles of exact BIGINTs —
-      // bit-identical to the Spark side. sum(n) casts to BIGINT
-      // (DuckDB sums BIGINT into HUGEINT).
-      """WITH nc AS (SELECT count(*) AS n FROM embeddings),
+      // tables (see the s18 query: /tmp/graft_s18_export_v2/k=<n>_<sum>/,
+      // rows tagged with the corpus count AND the vec_id sum so each
+      // dataset's export is disjoint — same-sized different datasets
+      // cannot collide). Both divisions are IEEE doubles of exact
+      // BIGINTs — bit-identical to the Spark side. sum(n) casts to
+      // BIGINT (DuckDB sums BIGINT into HUGEINT).
+      """WITH nc AS (SELECT count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS sv
+        |            FROM embeddings),
         |cl AS (SELECT cell, count(*) AS n
-        |       FROM read_parquet('/tmp/graft_s18_export/*/cells/*.parquet')
-        |       WHERE n_corpus = (SELECT n FROM nc) GROUP BY cell),
+        |       FROM read_parquet('/tmp/graft_s18_export_v2/*/cells/*.parquet')
+        |       WHERE n_corpus = (SELECT n FROM nc)
+        |         AND vec_sum = (SELECT sv FROM nc) GROUP BY cell),
         |agg AS (SELECT count(*) AS occ, CAST(sum(n) AS BIGINT) AS nv,
         |          max(n) AS mx FROM cl),
         |d AS (SELECT count(*) AS n_dec
-        |      FROM read_parquet('/tmp/graft_s18_export/*/centroids/*.parquet')
-        |      WHERE n_corpus = (SELECT n FROM nc)),
+        |      FROM read_parquet('/tmp/graft_s18_export_v2/*/centroids/*.parquet')
+        |      WHERE n_corpus = (SELECT n FROM nc)
+        |        AND vec_sum = (SELECT sv FROM nc)),
         |t AS (SELECT count(DISTINCT n_id) AS nt
-        |      FROM read_parquet('/tmp/graft_s18_export/*/tombstones/*.parquet')
-        |      WHERE n_corpus = (SELECT n FROM nc))
+        |      FROM read_parquet('/tmp/graft_s18_export_v2/*/tombstones/*.parquet')
+        |      WHERE n_corpus = (SELECT n FROM nc)
+        |        AND vec_sum = (SELECT sv FROM nc))
         |SELECT 'ivf' AS layout, d.n_dec AS n_cells_declared,
         |  agg.occ AS n_cells_occupied, d.n_dec - agg.occ AS n_cells_empty,
         |  agg.nv AS n_vectors, agg.mx AS max_cell,
