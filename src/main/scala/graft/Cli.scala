@@ -21,7 +21,8 @@ import graft.sources.HarvestJob
   *   --granularity hour --store S --state ST
   * graft.Cli aggregate --source PARQUET --entity C --ts C \
   *   --granularity day [--granularity month …] \
-  *   --metric value:sum:sum_v [--metric …] --out OUT   (or --config FILE)
+  *   --metric value:sum:sum_v [--metric value:p95@0.001:p95_v …] \
+  *   --out OUT   (or --config FILE)
   * graft.Cli trigger --source PARQUET --entity C --ts C \
   *   --rule name:gran:metric:fn:op:value:severity [--rule …] --out OUT
   *   (or --config FILE — multi-threshold rules)
@@ -154,23 +155,32 @@ object Cli {
         case None =>
           // source:fn:alias, optionally :where — the 4th part is a SQL
           // boolean filtering the metric's rows (split limit 4 keeps
-          // colons inside the predicate intact). The weighted mean
-          // names its weight inside the fn part: `wavg@weightcol`
-          // (config files pass a "weight" field instead).
-          def splitFn(fn: String): (String, Option[String]) =
+          // colons inside the predicate intact). The fn part takes an
+          // @suffix whose meaning follows the fn: `wavg@weightcol`
+          // names the weighted mean's weight; `p95@0.001` sets a
+          // sketch percentile's rank-error eps (config files pass
+          // "weight" / "eps" fields instead).
+          def splitFn(fn: String): (String, Option[String], Option[Double]) =
             fn.split("@", 2) match {
-              case Array(f0, w) => (f0, Some(w))
-              case _            => (fn, None)
+              case Array(f0, s) if Aggregation.isPctFn(f0) =>
+                val e = try s.toDouble catch { case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"--metric: $f0@$s — a sketch percentile's @suffix is " +
+                      "its eps and must be a number (e.g. p95@0.001)")
+                }
+                (f0, None, Some(e))
+              case Array(f0, w) => (f0, Some(w), None)
+              case _            => (fn, None, None)
             }
           val ms = f.getOrElse("metric",
             throw new IllegalArgumentException("at least one --metric source:fn:alias required"))
             .map(_.split(":", 4) match {
               case Array(src, fn, as) =>
-                val (f0, w) = splitFn(fn)
-                Aggregation.MetricAgg(src, f0, as, None, w)
+                val (f0, w, e) = splitFn(fn)
+                Aggregation.MetricAgg(src, f0, as, None, w, e)
               case Array(src, fn, as, where) =>
-                val (f0, w) = splitFn(fn)
-                Aggregation.MetricAgg(src, f0, as, Some(where), w)
+                val (f0, w, e) = splitFn(fn)
+                Aggregation.MetricAgg(src, f0, as, Some(where), w, e)
               case other => throw new IllegalArgumentException(
                 s"--metric must be source:fn:alias[:where], got: ${other.mkString(":")}")
             })
@@ -651,9 +661,14 @@ object Cli {
       val files = opt(f, "files", "1").toInt
       val shaped = if (files > 0) writable.coalesce(files) else writable
       val writer = shaped.write.mode("overwrite")
+      // full microsecond precision: dump accepts ANY parquet store,
+      // not just granularity-truncated trend buckets, so a
+      // seconds-only format would silently lose sub-second timestamps
+      // (ADVICE r13). Whole-second values print a .000000 tail —
+      // noisier but lossless, and one consistent column format.
       if (fmt == "csv")
         writer.option("header", "true")
-          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(out)
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(out)
       else writer.json(out)
       println(s"dump: store=$store out=$out format=$fmt" +
         from.map(d => s" from=$d").getOrElse("") +

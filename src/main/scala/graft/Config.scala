@@ -17,7 +17,8 @@ import graft.sources.HarvestJob
   * {{{
   * aggregate:   {"source": P, "entity": C, "ts": C, "out": P,
   *               "granularities": ["hour", ...],
-  *               "metrics": [{"source": C, "fn": "sum", "as": C}, ...],
+  *               "metrics": [{"source": C, "fn": "sum", "as": C,
+  *                 "where": SQL?, "weight": C?, "eps": 0.001?}, ...],
   *               "derived": [{"as": C, "sql": "n_errors / n_all"}, ...]?}
   * trigger:     {"source": P, "entity": C, "ts": C, "out": P,
   *               "rules": [{"name": N, "granularity": G, "severity": S,

@@ -30,9 +30,18 @@ object Aggregation {
     * over rows where BOTH are non-null (a weighted mean must drop a
     * row from numerator and denominator together, or a null source
     * silently drags the mean toward zero). */
+  /** `eps` tunes the SKETCH percentile fns (pNN only): the GK
+    * relative rank-error bound — answers land within eps·n ranks of
+    * exact (2·eps·n after cross-level merges), and the sketch buffer
+    * grows as O(1/eps · log(eps·n)). The default 1e-4 prices ~KBs per
+    * (entity, bucket) cell; a 100 TB deployment whose dashboards only
+    * need ~p95±0.1% can declare eps=1e-3 and carry sketches an order
+    * of magnitude smaller through the cascade shuffle. CLI form:
+    * `value:p95@0.001:p95_v`; config form: a "eps" field. */
   final case class MetricAgg(source: String, fn: String, as: String,
                              where: Option[String] = None,
-                             weight: Option[String] = None)
+                             weight: Option[String] = None,
+                             eps: Option[Double] = None)
 
   /** A DERIVED metric: a SQL expression over the definition's metric
     * ALIASES (and any earlier derived alias), evaluated after the
@@ -84,10 +93,27 @@ object Aggregation {
     * `avg@l_quantity` would emit the UNWEIGHTED mean labeled as if it
     * were weighted. Refused loudly, matching every other malformed
     * metric. */
-  private def requireWeightSanity(m: MetricAgg): Unit =
+  private def requireWeightSanity(m: MetricAgg): Unit = {
     require(m.weight.isEmpty || m.fn.toLowerCase == "wavg",
       s"metric ${m.as}: fn '${m.fn}' does not take a weight " +
         s"(${m.weight.get}) — only 'wavg' does")
+    // eps on a non-sketch fn would be silently ignored — `sum@0.01`
+    // or an eps on p95_exact (which is exact by definition) is a
+    // config mistake, refused loudly like a stray weight
+    require(m.eps.isEmpty || isPctFn(m.fn),
+      s"metric ${m.as}: fn '${m.fn}' does not take an eps " +
+        s"(${m.eps.get}) — only sketch percentiles (pNN) do")
+    m.eps.foreach(e => require(e > 0 && e <= 0.1,
+      s"metric ${m.as}: eps $e out of range (0, 0.1] — the GK rank " +
+        "bound is eps·n, so eps above 0.1 no longer orders percentiles"))
+  }
+
+  /** Is `fn` a SKETCH percentile (p50/p95/p999 — the mergeable GK
+    * form that takes an `eps`)? The `_exact` variants are not. */
+  def isPctFn(fn: String): Boolean = fn.toLowerCase match {
+    case PctFn(_) => true
+    case _        => false
+  }
 
   private[operators] def compileMetric(m: MetricAgg): Column = {
     requireWeightSanity(m)
@@ -124,9 +150,12 @@ object Aggregation {
     // aggregation definition declares. Sketch merges are partition-
     // order-dependent, so percentile metrics belong in rows-only /
     // spec-checked outputs, not hash-compared oracles (see t20).
+    // accuracy ≈ 1/eps (percentile_approx's contract); the default
+    // 10000 IS eps 1e-4, so an eps-less definition is bit-unchanged
     case PctFn(ds) =>
       percentile_approx(g(col(m.source)),
-        lit(ds.toDouble / math.pow(10, ds.length)), lit(10000))
+        lit(ds.toDouble / math.pow(10, ds.length)),
+        lit(m.eps.fold(10000)(e => math.ceil(1.0 / e).toInt)))
     // pNN_exact / pNNN_exact — EXACT interpolated percentiles (the
     // t26 `percentile` typed aggregate: one group-bounded buffer per
     // (parent, bucket) cell, same single shuffle as every other
@@ -259,8 +288,18 @@ object Aggregation {
     // exact (max-based), so union-of-hourly-sketches ≡
     // sketch-of-the-day, bit-identically, and the distinct count
     // cascades without ever re-touching raw rows.
-    val pairs = metrics.map(m => (m.source, m.where, m.weight)).distinct
-    def idx(m: MetricAgg): Int = pairs.indexOf((m.source, m.where, m.weight))
+    // the pair key carries the EFFECTIVE sketch eps (pNN fns only, so
+    // a sum and a p95 on the same source still share their count
+    // partial key-space but a p95@1e-2 and a p95@1e-4 carry separate
+    // sketches — mixing them in one buffer would silently degrade the
+    // tighter metric's bound to the looser eps)
+    def pctEps(m: MetricAgg): Option[Double] =
+      if (isPctFn(m.fn))
+        Some(m.eps.getOrElse(graft.functions.QuantileSketch.DefaultEps))
+      else None
+    val pairs = metrics.map(m => (m.source, m.where, m.weight, pctEps(m))).distinct
+    def idx(m: MetricAgg): Int =
+      pairs.indexOf((m.source, m.where, m.weight, pctEps(m)))
     val fnsAt: Map[Int, Set[String]] = metrics.groupBy(idx)
       .map { case (i, ms) => i -> ms.map(_.fn.toLowerCase).toSet }
     def needS(f: Set[String]) = f.exists(Set("sum", "avg", "stddev"))
@@ -269,7 +308,7 @@ object Aggregation {
       case PctFn(_) => true
       case _        => false
     }
-    val partials: Seq[Column] = pairs.zipWithIndex.flatMap { case ((s, w, wt), i) =>
+    val partials: Seq[Column] = pairs.zipWithIndex.flatMap { case ((s, w, wt, qe), i) =>
       val g: Column => Column = c => w.fold(c)(ww => when(expr(ww), c))
       val fns = fnsAt(i)
       Seq(w.fold(count(lit(1)))(ww => count(when(expr(ww), lit(1)))).as(s"__n_$i")) ++
@@ -281,7 +320,9 @@ object Aggregation {
         (if (fns("approx_distinct"))
           Seq(hll_sketch_agg(g(col(s))).as(s"__h_$i")) else Nil) ++
         (if (needQ(fns))
-          Seq(graft.functions.QuantileSketch.gkAgg(g(col(s))).as(s"__q_$i")) else Nil) ++
+          Seq(graft.functions.QuantileSketch.gkAgg(g(col(s)),
+            qe.getOrElse(graft.functions.QuantileSketch.DefaultEps))
+            .as(s"__q_$i")) else Nil) ++
         // wavg's partials — Σ(x·w) and Σ(w) — are plain decimal sums,
         // so the weighted mean re-aggregates exactly across levels
         (if (fns("wavg")) {

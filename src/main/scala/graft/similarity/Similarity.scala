@@ -590,7 +590,15 @@ object Similarity {
     * `rerank · k` ADC candidates are re-ranked with exact cosine
     * (vectors fetched by a broadcast semi-join of the tiny candidate
     * set against the corpus), which repairs quantization error the
-    * same way IVF's exact re-rank repairs cell truncation. */
+    * same way IVF's exact re-rank repairs cell truncation.
+    *
+    * CONTRACT (whole inline family — cosineTopK/ivfTopK/pqTopK):
+    * corpus ids must be UNIQUE. None of the inline paths dedup ids —
+    * a corpus that carries the same id twice occupies two final
+    * ranks, exactly as it would in the exact brute-force baseline.
+    * Only the PERSISTED-index paths dedup (expectReplays=true),
+    * because a replayed add batch can legitimately duplicate rows
+    * there; dedup ids upstream (d01/d45) if the source is dirty. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, qId: String,
              cId: String, vecCol: String, k: Int,
              m: Int = 8, nCodes: Int = 16, rerank: Int = 4,

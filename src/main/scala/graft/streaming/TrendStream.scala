@@ -37,6 +37,48 @@ object TrendStream {
       .select(col("entity_id"), col("bucket.start").as("bucket"),
         col("cnt"), col("sum_dec"), col("max_value"))
 
+  /** Streaming PERCENTILE rollup — the monitoring cascade's p50/p95
+    * computed continuously (the streaming twin of the batch g07
+    * cascade). The GK sketch partial ([[graft.functions.QuantileSketch]])
+    * is mergeable, so the streaming aggregation state carries one
+    * few-KB serialized summary per open (entity, window) cell —
+    * bounded exactly like cnt/sum_dec partials, NOT a growing value
+    * buffer — and each micro-batch's map-side partials merge into it.
+    * Update mode re-emits a bucket whenever late data lands, and the
+    * emitted row carries BOTH the quantile estimates (one column per
+    * requested p) and the serialized sketch itself (`q_sketch`), so a
+    * downstream day/month cascade can keep merging sketches without
+    * re-touching raw rows. Estimates obey the GK merge bound vs exact
+    * ranks (spec-asserted); like every sketch surface they are
+    * rows-only, never hash-oracle material (t20's posture).
+    *
+    * @param ps   quantiles to project, e.g. Seq(0.5, 0.95) → p50, p95
+    * @param eps  GK rank-error budget (see MetricAgg.eps)
+    */
+  def pctlRollup(events: DataFrame, entityCol: String, tsCol: String,
+                 valueCol: String, windowLen: String, lateness: String,
+                 ps: Seq[Double] = Seq(0.5, 0.95),
+                 eps: Double = graft.functions.QuantileSketch.DefaultEps): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      s"pctlRollup: quantiles must lie in (0, 1), got ${ps.mkString(", ")}")
+    def pName(p: Double): String = {
+      val m = math.rint(p * 1000).toInt
+      if (m % 10 == 0) s"p${m / 10}" else s"p$m"
+    }
+    require(ps.map(pName).distinct.size == ps.size,
+      s"pctlRollup: quantiles collide after naming: ${ps.mkString(", ")}")
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(col(entityCol).as("entity_id"),
+        window(col(tsCol), windowLen).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.QuantileSketch.gkAgg(col(valueCol), eps).as("q_sketch"))
+      .select(col("entity_id") +: col("bucket.start").as("bucket") +:
+        col("cnt") +: col("q_sketch") +:
+        ps.map(p => graft.functions.QuantileSketch
+          .gkQuantile(col("q_sketch"), p).as(pName(p))): _*)
+  }
+
   /** Continuous loading: sink a windowed rollup stream into a trend
     * store — the reference's continuous harvest → store loop closed
     * end-to-end. Update output mode re-emits a bucket whenever late

@@ -42,10 +42,13 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, Seq("dump",
       "--store", s"$base/store", "--out", s"$base/dump",
       "--format", "csv", "--columns", "entity_dn,bucket,v"))
+    // dump CSVs carry full microsecond precision (r14 — a
+    // seconds-only format silently truncated sub-second stores), so
+    // the re-harvest names the fractional format
     Cli.run(spark, Seq("harvest",
       "--source", s"$base/dump", "--format", "csv",
       "--dn-col", "entity_dn", "--entity-component", "Cell",
-      "--ts-col", "bucket", "--ts-format", "yyyy-MM-dd HH:mm:ss",
+      "--ts-col", "bucket", "--ts-format", "yyyy-MM-dd HH:mm:ss.SSSSSS",
       "--granularity", "15m",
       "--store", s"$base/store2", "--state", s"$base/state2",
       "--pattern", ".*\\.csv"))
@@ -167,6 +170,49 @@ class CliSpec extends SparkSpec {
 
     intercept[IllegalArgumentException] {
       Cli.run(spark, Seq("nonsense"))
+    }
+
+    // sketch-percentile eps round-trips through BOTH declaration
+    // forms: the flag form's @suffix (p95@0.02) and the config file's
+    // "eps" field — and a cascade run with it emits sane estimates
+    // (the rank-error contract itself is QuantileSketchSpec's job)
+    Cli.run(spark, Seq("aggregate",
+      "--source", s"$base/src", "--entity", "entity_id", "--ts", "ts",
+      "--granularity", "hour", "--granularity", "day",
+      "--metric", "value:count:cnt", "--metric", "value:p95@0.02:p95_v",
+      "--out", s"$base/agg_eps"))
+    val ae = spark.read.parquet(s"$base/agg_eps")
+      .filter(col("granularity") === "day" && col("entity_id") === 1L).head
+    // entity 1's two values are 1.0 and 2.0 — any GK p95 answer is one
+    // of them; at 2 samples the sketch is exact: p95 → the max
+    assert(ae.getAs[Double]("p95_v") === 2.0)
+    val cfgEps = Files.createTempFile("graft_aggcfg_eps", ".json")
+    Files.writeString(cfgEps,
+      s"""{"source": "$base/src", "entity": "entity_id", "ts": "ts",
+         |"out": "$base/agg_eps_cfg", "granularities": ["day"],
+         |"metrics": [{"source": "value", "fn": "p95", "as": "p95_v",
+         |             "eps": 0.02}]}""".stripMargin)
+    val parsed = Config.parseAggregate(Files.readString(cfgEps))
+    assert(parsed.metrics.head.eps === Some(0.02))
+    Cli.run(spark, Seq("aggregate", "--config", cfgEps.toString))
+    assert(spark.read.parquet(s"$base/agg_eps_cfg")
+      .filter(col("entity_id") === 1L).head.getAs[Double]("p95_v") === 2.0)
+    // an eps on a non-sketch fn, a malformed eps, and an out-of-range
+    // eps all refuse loudly instead of silently ignoring the knob
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("aggregate",
+        "--source", s"$base/src", "--entity", "entity_id", "--ts", "ts",
+        "--granularity", "day", "--metric", "value:p95@x:p", "--out", s"$base/bad1"))
+    }
+    intercept[IllegalArgumentException] {
+      operators.Aggregation.compile(operators.Aggregation.AggregationDef("day",
+        Seq(operators.Aggregation.MetricAgg("value", "sum", "v", None, None, Some(0.01)))))(
+        spark.read.parquet(s"$base/src"), col("entity_id"), col("ts"))
+    }
+    intercept[IllegalArgumentException] {
+      operators.Aggregation.compile(operators.Aggregation.AggregationDef("day",
+        Seq(operators.Aggregation.MetricAgg("value", "p95", "p", None, None, Some(0.5)))))(
+        spark.read.parquet(s"$base/src"), col("entity_id"), col("ts"))
     }
   }
 

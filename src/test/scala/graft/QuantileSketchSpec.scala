@@ -71,6 +71,58 @@ class QuantileSketchSpec extends SparkSpec {
     assert(got === 95.0 || got === 96.0, s"small-cell p95: got $got")
   }
 
+  test("declared eps flows through the sketch and the bounds scale with it") {
+    val vals = permuted
+    val df = vals.toDF("v").repartition(8)
+    val coarse = 0.02
+    // (a) the wire format records the DECLARED eps (header double) —
+    // the knob actually reaches the summary, it isn't re-pinned
+    val bytes = df.agg(QuantileSketch.gkAgg(col("v"), coarse).as("q"))
+      .head.getAs[Array[Byte]](0)
+    assert(java.nio.ByteBuffer.wrap(bytes).getDouble === coarse)
+    // (b) a coarser eps buys a SMALLER sketch — the size/accuracy
+    // trade a 100 TB cascade declares eps for in the first place
+    val bytesFine = df.agg(QuantileSketch.gkAgg(col("v"),
+      QuantileSketch.DefaultEps).as("q")).head.getAs[Array[Byte]](0)
+    assert(bytes.length < bytesFine.length,
+      s"eps $coarse sketch (${bytes.length} B) should be smaller than " +
+        s"eps ${QuantileSketch.DefaultEps} (${bytesFine.length} B)")
+    // (c) answers stay within the DECLARED (coarser) bound — the
+    // 2·eps·n partition-merge form, since a distributed gkAgg always
+    // merges per-partition partials (at eps 0.02 compression is real,
+    // unlike the near-exact DefaultEps sketches above)
+    val sk = df.agg(QuantileSketch.gkAgg(col("v"), coarse).as("q"))
+    for (p <- Seq(0.5, 0.95)) {
+      val got = sk.select(QuantileSketch.gkQuantile(col("q"), p)).head.getDouble(0)
+      assert(math.abs(got - p * vals.size) <= 2 * coarse * vals.size + 1,
+        s"p$p at eps $coarse: got $got, want ~${p * vals.size}")
+    }
+    // (d) MetricAgg.eps rides the cascade: merged day-level answers
+    // stay within the declared eps's merge bound (2·eps·n)
+    val rows = for {
+      e <- 1 to 2; h <- 0 until 24; i <- 0 until 10
+    } yield (e.toLong, f"2024-01-01 $h%02d:15:00",
+      ((h * 10 + i) * 48271L % 241L).toDouble)
+    val ev = rows.toDF("user_id", "ts_s", "value")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"), col("value"))
+      .repartition(8)
+    val day = Aggregation.cascade(
+        Seq(MetricAgg("value", "p95", "p95_v", None, None, Some(coarse))),
+        Seq("hour", "day"))(ev, col("user_id"), col("ts"))
+      .filter(col("granularity") === "day")
+    val exact = ev.groupBy(col("user_id").as("entity_id"),
+        date_trunc("day", col("ts")).as("bucket"))
+      .agg(expr("percentile(value, 0.95)").as("ex"))
+    day.join(exact, Seq("entity_id", "bucket")).collect().foreach { r =>
+      // 240 values ≈ dense in [0, 241): rank error ⇒ value error; the
+      // 2·eps·240 ≈ 9.6-rank merge bound plus interpolation slack
+      assert(math.abs(r.getAs[Double]("p95_v") - r.getAs[Double]("ex")) <=
+        2 * coarse * 240 + 3,
+        s"day p95 at eps $coarse diverged: ${r.getAs[Double]("p95_v")} " +
+          s"vs exact ${r.getAs[Double]("ex")}")
+    }
+  }
+
   test("empty and all-null inputs yield NULL, never a crash") {
     val empty = Seq.empty[Long].toDF("v")
       .agg(QuantileSketch.gkAgg(col("v")).as("q"))

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The scale-rehearsal synthesis recipe's invariants (SURVEY §6) —
+  * bench_scale.json is only evidence if the synthesized sf1/sf3
+  * actually scale the WORKLOAD SHAPE, so the recipe itself is tested:
+  *  - row counts multiply by the copy count; fixed dims do not;
+  *  - FK relationships hold WITHIN every copy (no orphaned facts);
+  *  - copy 0 is bit-identical to the source (sfN ⊇ sf0.1 semantics);
+  *  - document texts: token count preserved per doc, n_chars
+  *    invariant maintained, and all copies of a doc are pairwise
+  *    DISTINCT (the salt defeats cross-copy exact/near dups — naive
+  *    replication would drive n² LSH candidate pairs);
+  *  - embeddings: rotation preserves the norm, copies differ.
+  */
+class ScaleDataSpec extends SparkSpec {
+
+  test("id-shifted union synthesis preserves shape invariants") {
+    val out = Files.createTempDirectory("graft_scale_spec").toString
+    ScaleData.scaleTables(spark, sf, out, 3)
+    val S = ScaleData.Stride
+
+    val li0 = spark.read.parquet(s"$sf/lineitem.parquet")
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    assert(li.count() === 3 * li0.count())
+    assert(spark.read.parquet(s"$out/nation.parquet").count() ===
+      spark.read.parquet(s"$sf/nation.parquet").count(),
+      "fixed dims must not replicate")
+
+    // FK integrity within each copy: every fact key resolves
+    val o = spark.read.parquet(s"$out/orders.parquet")
+    assert(li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+      .isEmpty, "orphaned lineitem order keys")
+    val c = spark.read.parquet(s"$out/customer.parquet")
+    assert(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .isEmpty, "orphaned order customer keys")
+
+    // copy 0 ≡ source, bit-for-bit
+    val c0 = li.filter(col("l_orderkey") < S)
+    assert(c0.exceptAll(li0).isEmpty && li0.exceptAll(c0).isEmpty,
+      "copy 0 must be identical to the source")
+
+    // documents: n_chars invariant, token counts preserved, copies distinct
+    val d0 = spark.read.parquet(s"$sf/documents.parquet")
+    val d = spark.read.parquet(s"$out/documents.parquet")
+    assert(d.count() === 3 * d0.count())
+    assert(d.filter(length(col("text")) =!= col("n_chars")).isEmpty,
+      "n_chars must equal length(text) (the source invariant)")
+    val tok = d.select((col("doc_id") % S).as("src_id"),
+        size(split(col("text"), " ")).as("ntok"))
+      .join(d0.select(col("doc_id").as("src_id"),
+        size(split(col("text"), " ")).as("ntok0")), "src_id")
+    assert(tok.filter(col("ntok") =!= col("ntok0")).isEmpty,
+      "per-copy salting must preserve each doc's token count")
+    assert(d.groupBy((col("doc_id") % S).as("src_id"))
+      .agg(count_distinct(col("text")).as("k"))
+      .filter(col("k") =!= 3).isEmpty,
+      "all 3 copies of a doc must carry pairwise-distinct text")
+
+    // embeddings: rotation preserves norms (copies reorder the same
+    // elements — fold order shifts, so compare with float tolerance),
+    // and copies of a vector differ
+    val sq = (cName: String) =>
+      expr(s"aggregate($cName, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * x)")
+    val e0 = spark.read.parquet(s"$sf/embeddings.parquet")
+    val e = spark.read.parquet(s"$out/embeddings.parquet")
+    assert(e.count() === 3 * e0.count())
+    val norms = e.select((col("vec_id") % S).as("src_id"), sq("embedding").as("n2"))
+      .join(e0.select(col("vec_id").as("src_id"), sq("embedding").as("n20")), "src_id")
+    assert(norms.filter(abs(col("n2") - col("n20")) > 1e-3).isEmpty,
+      "rotation must preserve vector norms")
+    assert(e.groupBy((col("vec_id") % S).as("src_id"))
+      .agg(count_distinct(to_json(struct(col("embedding")))).as("k"))
+      .filter(col("k") =!= 3).isEmpty,
+      "all 3 copies of a vector must be pairwise distinct")
+  }
+}

@@ -70,6 +70,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming percentile rollup: sketch state merges across micro-batches; store converges") {
+    import graft.SparkSpec.spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_pctl_src").toString
+    val store = Files.createTempDirectory("graft_pctl").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_pctl_ckpt").toString
+    def write(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("user_id", "ts", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .write.mode("append").parquet(srcDir)
+    // first micro-batch: one entity, hour 10, values 0..100 — small
+    // enough that the GK sketch is exact (QuantileSketchSpec's
+    // small-cell contract), so the p95 answer is pinned, not bounded
+    write((0 to 100).map(i => (1L, f"2024-01-01 10:${i % 60}%02d:00", i.toDouble)))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val rolled = TrendStream.pctlRollup(stream, "user_id", "ts", "value",
+      "1 hour", "24 hours")
+    val q = TrendStream.toStore(rolled, store, ckpt)
+    try {
+      q.processAllAvailable()
+      val r1 = spark.read.parquet(store).head
+      assert(r1.getAs[Long]("cnt") === 101L)
+      val p95a = r1.getAs[Double]("p95")
+      assert(p95a === 95.0 || p95a === 96.0, s"first-batch p95: $p95a")
+      // a LATE second batch extends the SAME bucket (values 101..200):
+      // the streaming state must MERGE the stored sketch with the new
+      // partial — a restarted-per-batch sketch would answer ~95 again
+      write((101 to 200).map(i => (1L, f"2024-01-01 10:${i % 60}%02d:30", i.toDouble)))
+      q.processAllAvailable()
+      val r2 = spark.read.parquet(store)
+      assert(r2.count() === 1, "late data must update the bucket, not add a row")
+      val row2 = r2.head
+      assert(row2.getAs[Long]("cnt") === 201L)
+      val p95b = row2.getAs[Double]("p95")
+      assert(p95b >= 189.0 && p95b <= 191.0,
+        s"merged p95 over 0..200 should be a rank-~191 neighbor, got $p95b")
+      val p50b = row2.getAs[Double]("p50")
+      assert(p50b >= 99.0 && p50b <= 101.0, s"merged p50: $p50b")
+      // the emitted row carries the serialized sketch so a coarser
+      // cascade level can keep merging without re-scanning raw rows
+      val sk = row2.getAs[Array[Byte]]("q_sketch")
+      assert(sk != null && sk.nonEmpty)
+      val viaSketch = spark.read.parquet(store)
+        .select(graft.functions.QuantileSketch
+          .gkQuantile(col("q_sketch"), 0.95).as("p"))
+        .head.getDouble(0)
+      assert(viaSketch === p95b, "stored sketch must reproduce the emitted p95")
+      // replay drill: an idle pass changes nothing (upsert idempotent)
+      q.processAllAvailable()
+      assert(spark.read.parquet(store).count() === 1)
+      assert(spark.read.parquet(store).head.getAs[Double]("p95") === p95b)
+    } finally q.stop()
+  }
+
   test("stateful sessionization: batch twin agrees on closed sessions") {
     import graft.SparkSpec.spark.implicits._
     val evs = TableCatalog(spark, sf).events

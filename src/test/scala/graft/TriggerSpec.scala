@@ -406,5 +406,25 @@ class TriggerSpec extends SparkSpec {
     val gotLong = TriggerStream.withMaintenance(firedLong, winInt).collect()
       .map(r => r.getAs[Long]("entity_id") -> r.getAs[Long]("muted")).toMap
     assert(gotLong(1L) === 1L && gotLong(2L) === 0L)
+
+    // an UNCASTABLE window id (string 'cell-1' vs a long-keyed stream)
+    // fails as the type mismatch it is — naming both types — not as
+    // the unrelated NULL-entity error its cast-produced null used to
+    // trip (ADVICE r13); a lossy-but-castable id ('07' → 7) is also
+    // refused instead of silently matching entity 7
+    val eUncast = intercept[IllegalArgumentException] {
+      TriggerStream.withMaintenance(firedLong, winStr)
+    }
+    assert(eUncast.getMessage.contains("not castable") &&
+      eUncast.getMessage.contains("cell-1"))
+    val winLossy = Seq(("07", "2024-01-01 09:00:00", "2024-01-01 12:00:00"))
+      .toDF("entity_id", "from_ts", "to_ts")
+      .select(col("entity_id"), col("from_ts").cast("timestamp").as("from_ts"),
+        col("to_ts").cast("timestamp").as("to_ts"))
+    val eLossy = intercept[IllegalArgumentException] {
+      TriggerStream.withMaintenance(firedLong, winLossy)
+    }
+    assert(eLossy.getMessage.contains("round-trip") &&
+      eLossy.getMessage.contains("07"))
   }
 }
