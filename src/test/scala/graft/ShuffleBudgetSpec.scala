@@ -67,7 +67,44 @@ class ShuffleBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach 
     "e10_contribution_share"     -> 4, // cell agg + parent window + sort
     "t15_counter_rate"           -> 3, // rollup agg + lag window + sort
     "n01_notifications"          -> 1, // rule rollup only — firings project in place
-    "d01_dedup_exact"            -> 2  // one hash groupBy + sort
+    "d01_dedup_exact"            -> 2, // one hash groupBy + sort
+    // round-14 widening (VERDICT r13 item #3): every §2 row whose
+    // prose claims a shuffle family is now equality-pinned. Budgets
+    // are the measured declared counts of the audited-by-design plans
+    // — the point is that NONE of these ~40 keys can silently gain or
+    // lose a pass anymore.
+    "a06_attr_churn"             -> 3, // as-of window family, churn agg, sort
+    "a07_attr_snapshots"         -> 2, // timeline window family + grid sort
+    "a08_attr_staleness"         -> 2, // current-view window + sort
+    "a10_attr_timeline"          -> 2, // one timeline window family + sort
+    "n07_alert_digest"           -> 5, // rule rollup, firing agg, digest windows, sort
+    "n08_flap_report"            -> 5, // rollup, run-id window family, episode agg, sort
+    "n09_slo_triggers"           -> 2, // percentile rollup + sort (rules project in place)
+    "n10_time_to_clear"          -> 7, // rollup, clear-pairing window family, MTTR aggs, sort
+    "n11_alert_correlation"      -> 16, // per-rule firing grids × pair compose + co-rate aggs (rule-pair fan-out, each O(cells))
+    "n12_maintenance_mute"       -> 3, // rollup, mute window, sort
+    "n13_escalations"            -> 5, // rollup, severity-run window family, escalation agg, sort
+    "t27_week_over_week"         -> 3, // day rollup, lag-7 window, sort
+    "t28_seasonal_baseline"      -> 4, // hour rollup, season profile agg, deviation join, sort
+    "t29_trend_forecast"         -> 3, // day rollup, regression agg, sort
+    "t30_availability"           -> 4, // grid rollup, gap windows, availability agg, sort
+    "t31_outage_windows"         -> 3, // rollup, gaps-and-islands window family, sort
+    "t32_change_points"          -> 3, // rollup, split-scan window family, sort
+    "t33_rolling_day"            -> 3, // hour rollup, trailing range frame, sort
+    "t35_active_entities"        -> 6, // rollup, first/last windows, day agg + churn joins, sort
+    "t36_asof_tolerance"         -> 2, // as-of union window + sort
+    "t37_capacity_horizon"       -> 3, // day rollup, regression agg, sort
+    "t38_error_budget"           -> 4, // grid rollup, breach agg, budget window, sort
+    "t40_top_movers"             -> 4, // day rollup, wow window, rank window, sort
+    "e11_rollup_audit"           -> 3, // child agg, rollup compare join family, sort
+    "e12_fanout_stats"           -> 9, // closure compose + per-level fanout aggs + distribution sort
+    "e13_cycle_audit"            -> 5, // bounded closure iterations' joins + cycle agg
+    "e14_temporal_2hop"          -> 6, // two temporal composes + interval agg + rollup + sort
+    "d46_token_yield"            -> 3, // token agg, source fold, sort
+    "d47_label_audit"            -> 3, // (source, lang) agg, source window, sort
+    "d49_dedup_sweep"            -> 10, // ONE shingle/LSH pass + 7-threshold literal fan-out aggs + sort
+    "d50_gopher_rules"           -> 2, // one doc-stats agg + sort
+    "d51_split_leakage"          -> 5  // d02 pair derivation ⋈ d14 split assignment + leak agg + sort
   )
 
   budgets.toSeq.sortBy(_._1).foreach { case (name, budget) =>
