@@ -328,6 +328,16 @@ object Trigger {
     * IEEE divisions of exact longs. */
   def coFiringReport(rules: Seq[Rule])(
       trend: DataFrame, entity: Column, ts: Column): DataFrame = {
+    // the cells base feeds THREE consumers (totals + both sides of
+    // the pair self-join) and so appears 3× in the DAG — deliberately
+    // WITHOUT a localCheckpoint: the three instantiations canonicalize
+    // identically, so AQE's runtime stage cache reuses one executed
+    // rollup for all three (measured r14: 1.7 s lazy vs 2.6 s with a
+    // forced checkpoint at sf0.1 — the materialization costs more
+    // than the reuse already saves, at any scale the reused stage is
+    // computed once either way). The DECLARED exchange count (16 in
+    // ShuffleBudgetSpec) is therefore the canonical-plan shape, not
+    // the executed data movement.
     val cells = evaluate(rules)(trend, entity, ts)
       .select(col("entity_id"), date_trunc("day", col("bucket")).as("day"),
         col("rule"))
