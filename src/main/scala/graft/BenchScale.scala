@@ -11,9 +11,10 @@ package graft
   * Interpretation caveat baked into the fit: the sf0.1 point carries
   * a fixed per-query floor (session/scan setup of ~0.3-0.6 s that
   * does NOT grow with data), which biases the fitted alpha DOWN, so
-  * the JSON also reports alpha13 — the sf1→sf3 two-point exponent,
-  * where the floor has mostly amortized. alpha13 is the number to
-  * read for "would this survive another 10×".
+  * the JSON also reports alpha_tail — the exponent fitted over the
+  * scales ≥ sf1 only, where the floor has mostly amortized.
+  * alpha_tail is the number to read for "would this survive another
+  * 10×".
   *
   * Each (key, scale) measurement forks ONE child JVM (graft.Bench
   * --one, same min-of-2 / warmup discipline as the headline bench) so
@@ -40,7 +41,8 @@ object BenchScale {
   val DefaultScales: Seq[(Double, String)] = Seq(
     0.1 -> "/root/testdata/sf0.1",
     1.0 -> "/tmp/graft_scale/sf1",
-    3.0 -> "/tmp/graft_scale/sf3")
+    3.0 -> "/tmp/graft_scale/sf3",
+    10.0 -> "/tmp/graft_scale/sf10")
 
   private def forkOne(name: String, sfDir: String): (Double, Boolean) = {
     import scala.jdk.CollectionConverters._
@@ -105,16 +107,11 @@ object BenchScale {
     val keyJson = rows.map { case (k, ts) =>
       val okPts = ts.collect { case (s, sec, true) => (s, sec) }
       val alpha = if (okPts.size >= 2) fitExponent(okPts) else Double.NaN
-      val a13 = {
-        val m = okPts.toMap
-        (m.get(1.0), m.get(3.0)) match {
-          case (Some(t1), Some(t3)) => math.log(t3 / t1) / math.log(3.0)
-          case _ => Double.NaN
-        }
-      }
+      val tailPts = okPts.filter(_._1 >= 1.0)
+      val aTail = if (tailPts.size >= 2) fitExponent(tailPts) else Double.NaN
       val per = ts.map { case (s, sec, ok) =>
         s""""sf$s":${if (ok) fmt(sec) else "null"}""" }.mkString(",")
-      s""""$k":{$per,"alpha":${fmt(alpha)},"alpha13":${fmt(a13)}}"""
+      s""""$k":{$per,"alpha":${fmt(alpha)},"alpha_tail":${fmt(aTail)}}"""
     }.mkString("{", ",", "}")
     val totals = scales.map { case (s, _) =>
       val tot = rows.flatMap(_._2.collect { case (`s`, sec, true) => sec }).sum

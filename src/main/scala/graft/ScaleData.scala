@@ -51,13 +51,19 @@ object ScaleData {
         F.concat(F.lit("$1z"), F.col("copy_k").cast("string"), F.lit("q")))).as(c)
 
   /** Rotate a 64-dim float array left by copy_k positions (identity for
-    * copy 0). element_at is 1-based; the lambda variable is int, copy_k
-    * bigint — cast the index back to int. */
-  private def rotated(c: String): Column =
-    F.when(F.col("copy_k") === 0, F.col(c)).otherwise(
-      F.expr(s"transform(sequence(0, size($c) - 1), " +
-        s"i -> element_at($c, CAST((i + copy_k) % size($c) AS INT) + 1))")
-        .cast("array<float>")).as(c)
+    * copy 0), NEGATING every element once the rotation cycle wraps
+    * (copy_k ≥ dim would otherwise repeat copy_k−dim's vector exactly,
+    * planting bogus cross-copy duplicates at n > 64) — 2·dim distinct
+    * norm-preserving transforms, enough for the sf10 synthesis (100
+    * copies). element_at is 1-based; the lambda variable is int,
+    * copy_k bigint — cast the index back to int. */
+  private def rotated(c: String): Column = {
+    val rot = F.expr(s"transform(sequence(0, size($c) - 1), " +
+      s"i -> element_at($c, CAST((i + copy_k) % size($c) AS INT) + 1) * " +
+      s"CASE WHEN copy_k >= size($c) THEN -1 ELSE 1 END)")
+      .cast("array<float>")
+    F.when(F.col("copy_k") === 0, F.col(c)).otherwise(rot).as(c)
+  }
 
   def scaleTables(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")

@@ -77,4 +77,25 @@ class ScaleDataSpec extends SparkSpec {
       .filter(col("k") =!= 3).isEmpty,
       "all 3 copies of a vector must be pairwise distinct")
   }
+
+  test("embedding rotation stays distinct past the dim-64 wrap (sf10 recipe)") {
+    // Plain rotation repeats with period dim (copy 64 ≡ copy 0) — the
+    // sign flip for copy_k ≥ dim extends the family to 2·dim distinct
+    // norm-preserving transforms. n=100 is exactly the sf10 synthesis.
+    val out = Files.createTempDirectory("graft_scale_wrap").toString
+    ScaleData.scaleTables(spark, sf, out, 100)
+    val S = ScaleData.Stride
+    val e0 = spark.read.parquet(s"$sf/embeddings.parquet")
+    val e = spark.read.parquet(s"$out/embeddings.parquet")
+    assert(e.count() === 100 * e0.count())
+    assert(e.groupBy((col("vec_id") % S).as("src_id"))
+      .agg(count_distinct(to_json(struct(col("embedding")))).as("k"))
+      .filter(col("k") =!= 100).isEmpty,
+      "all 100 copies of a vector must be pairwise distinct")
+    val sq = expr("aggregate(embedding, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * x)")
+    val norms = e.select((col("vec_id") % S).as("src_id"), sq.as("n2"))
+      .join(e0.select(col("vec_id").as("src_id"), sq.as("n20")), "src_id")
+    assert(norms.filter(abs(col("n2") - col("n20")) > 1e-3).isEmpty,
+      "sign flip + rotation must preserve vector norms")
+  }
 }
