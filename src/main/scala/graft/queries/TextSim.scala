@@ -1571,17 +1571,23 @@ object TextSim {
         .select(col("doc_id"), col("source").as("actual"),
           explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "")
-      val tf = toks.groupBy(col("doc_id"), col("actual"), col("token"))
-        .agg(count(lit(1)).as("tf"))
       val classTot = toks.groupBy(col("actual").as("clazz"))
         .agg(count(lit(1)).as("total"))
       val weights = toks.groupBy(col("actual").as("clazz"), col("token"))
         .agg(count(lit(1)).as("cnt"))
         .join(broadcast(classTot), "clazz")
         .withColumn("w", expr("cnt * 1000000000L div total"))
-      tf.join(weights, "token")
+      // Σ_distinct-tokens tf·w ≡ Σ_token-instances w (exact longs), so
+      // token instances join the broadcast model directly — no per-doc
+      // tf pre-aggregation. That shuffle's output was tiny in BYTES
+      // (sketch-sized partials) but carried the whole ×classes join
+      // fan-out behind it, so AQE's byte-based coalescing collapsed
+      // the fan-out + 10⁶-group partial agg onto ONE task (measured:
+      // a 19.6 s single-task stage at sf1); keyed off the scan, the
+      // fan-out parallelizes by file splits at every scale.
+      toks.join(broadcast(weights), "token")
         .groupBy(col("doc_id"), col("actual"), col("clazz"))
-        .agg(sum(col("tf") * col("w")).as("score"))
+        .agg(sum(col("w")).as("score"))
         .groupBy(col("doc_id"), col("actual"))
         .agg(min(struct((-col("score")).as("neg"), col("clazz").as("clazz"))).as("best"))
         .groupBy(col("actual"), col("best.clazz").as("predicted"))
