@@ -67,12 +67,22 @@ object ScaleData {
 
   def scaleTables(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def wr(df: DataFrame, t: String, parts: Int): Unit =
-      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    // File counts scale with the copy count (sf1 keeps the base), the
+    // way any real writer's output grows with its input. A fixed count
+    // caps SCAN parallelism at larger sfs — each file here is one
+    // parquet row group, so splits = files, and the sf10 event logs
+    // showed document-heavy keys running 8 tasks on 32 cores (the
+    // other 24 splits land past the row-group boundary and read
+    // nothing): a synthesis artifact understating the engine, not a
+    // plan property.
+    val fileScale = math.max(1, n / 10)
+    def wr(df: DataFrame, t: String, baseParts: Int): Unit =
+      df.repartition(baseParts * fileScale)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
-    // Fixed dims: copied verbatim, never replicated.
-    wr(rd("region"), "region", 1)
-    wr(rd("nation"), "nation", 1)
+    // Fixed dims: copied verbatim, never replicated (nor re-split).
+    rd("region").repartition(1).write.mode("overwrite").parquet(s"$out/region.parquet")
+    rd("nation").repartition(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
 
     wr(withCopies(rd("supplier"), n)
       .select(shifted("s_suppkey"), F.col("s_name"), F.col("s_nationkey"), F.col("s_acctbal")),
