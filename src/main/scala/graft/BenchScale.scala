@@ -30,13 +30,19 @@ object BenchScale {
 
   private val Marker = "GRAFT_BENCH_ONE "
 
-  /** The 12 heaviest r13 board keys + the cascade chain, per VERDICT. */
+  /** The 12 heaviest r13 board keys + the cascade chain, per VERDICT,
+    * + one representative per remaining family (notifications'
+    * widest-shuffle plan, the sketch percentile rollup, attribute
+    * transitions, the two-hop relation rollup) so the scaling
+    * evidence spans every §2 family, not just the document keys. */
   val DefaultKeys: Seq[String] = Seq(
     "d45_canonical_dedup", "d22_dup_clusters", "s17_ann_tuning",
     "d39_source_classifier", "d51_split_leakage", "s08_ann_ivfpq",
     "d49_dedup_sweep", "s15_hybrid_filtered", "e08_top_contributors",
     "d13_curation", "d02_shingle_jaccard", "t18_gapfill_interp",
-    "t01_rollup_hour", "g02_agg_cascade", "g07_agg_pctl_cascade")
+    "t01_rollup_hour", "g02_agg_cascade", "g07_agg_pctl_cascade",
+    "n11_alert_correlation", "t26_percentile_rollup",
+    "a12_attr_transitions", "e03_entity_rollup_2hop")
 
   val DefaultScales: Seq[(Double, String)] = Seq(
     0.1 -> "/root/testdata/sf0.1",
