@@ -104,7 +104,8 @@ class ShuffleBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach 
     "d47_label_audit"            -> 3, // (source, lang) agg, source window, sort
     "d49_dedup_sweep"            -> 10, // ONE shingle/LSH pass + 7-threshold literal fan-out aggs + sort
     "d50_gopher_rules"           -> 2, // one doc-stats agg + sort
-    "d51_split_leakage"          -> 5  // d02 pair derivation ⋈ d14 split assignment + leak agg + sort
+    "d51_split_leakage"          -> 5, // d02 pair derivation ⋈ d14 split assignment + leak agg + sort
+    "d39_source_classifier"      -> 6  // weights/classTot aggs (model broadcasts), doc-score agg, argmax family, confusion agg, sort — r14 removed the tf pre-agg; this pin keeps it out
   )
 
   budgets.toSeq.sortBy(_._1).foreach { case (name, budget) =>
