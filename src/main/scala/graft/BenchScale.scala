@@ -95,7 +95,12 @@ object BenchScale {
     val out = args.headOption.getOrElse("bench_scale.json")
     val scales = sys.env.get("SPARK_GRAFT_SCALE_DIRS")
       .map(_.split(",").toSeq.map { kv =>
-        val Array(s, d) = kv.split("=", 2); (s.toDouble, d) })
+        kv.split("=", 2) match {
+          case Array(s, d) => (s.toDouble, d)
+          case _ => sys.error(
+            s"SPARK_GRAFT_SCALE_DIRS entry '$kv' is not <scale>=<dir> " +
+              "(e.g. 0.1=/root/testdata/sf0.1,1=/tmp/graft_scale/sf1)")
+        } })
       .getOrElse(DefaultScales)
     val keys = sys.env.get("SPARK_GRAFT_SCALE_KEYS")
       .map(_.split(",").toSeq).getOrElse(DefaultKeys)
@@ -109,7 +114,10 @@ object BenchScale {
       (k, times)
     }
 
-    def fmt(d: Double) = if (d.isNaN) "null" else f"$d%.4f"
+    // Locale.ROOT: the default-locale f-interpolator renders 0.3336
+    // as "0,3336" on comma-decimal JVMs — invalid JSON
+    def fmt(d: Double) = if (d.isNaN) "null"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val keyJson = rows.map { case (k, ts) =>
       val okPts = ts.collect { case (s, sec, true) => (s, sec) }
       val alpha = if (okPts.size >= 2) fitExponent(okPts) else Double.NaN
@@ -129,5 +137,15 @@ object BenchScale {
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // a failed fork leaves its cell null in the JSON; exit non-zero so
+    // a script consuming the board can't read a partial rehearsal
+    // (whose per-scale totals sum DIFFERENT key sets) as a pass
+    val failed = rows.flatMap { case (k, ts) =>
+      ts.collect { case (s, _, false) => s"$k@sf$s" } }
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[bench-scale] ${failed.size} measurement(s) failed: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -43,12 +43,16 @@ object ScaleData {
     (F.col(c) + F.col("copy_k") * Stride).as(c)
 
   /** Prefix every token with the copy salt; copy 0 keeps the text
-    * verbatim. `(^| )` keeps the separator in group 1, so token count
-    * and whitespace structure are unchanged. */
-  private def saltedText(c: String): Column =
+    * verbatim. Matching the TOKENS (`[^ ]+`) rather than the
+    * separators leaves whitespace untouched byte-for-byte: a
+    * separator-anchored `(^| )` pattern missed the token after a
+    * leading space (Java resumes past a zero-width `^` match) and
+    * minted standalone salt tokens between doubled spaces — silent on
+    * clean data, wrong on any corpus with irregular whitespace. */
+  private[graft] def saltedText(c: String): Column =
     F.when(F.col("copy_k") === 0, F.col(c)).otherwise(
-      F.regexp_replace(F.col(c), F.lit("(^| )"),
-        F.concat(F.lit("$1z"), F.col("copy_k").cast("string"), F.lit("q")))).as(c)
+      F.regexp_replace(F.col(c), F.lit("[^ ]+"),
+        F.concat(F.lit("z"), F.col("copy_k").cast("string"), F.lit("q$0")))).as(c)
 
   /** Rotate a 64-dim float array left by copy_k positions (identity for
     * copy 0), NEGATING every element once the rotation cycle wraps

@@ -103,9 +103,12 @@ object Aggregation {
     require(m.eps.isEmpty || isPctFn(m.fn),
       s"metric ${m.as}: fn '${m.fn}' does not take an eps " +
         s"(${m.eps.get}) — only sketch percentiles (pNN) do")
-    m.eps.foreach(e => require(e > 0 && e <= 0.1,
-      s"metric ${m.as}: eps $e out of range (0, 0.1] — the GK rank " +
-        "bound is eps·n, so eps above 0.1 no longer orders percentiles"))
+    m.eps.foreach(e => require(e >= 1e-6 && e <= 0.1,
+      s"metric ${m.as}: eps $e out of range [1e-6, 0.1] — the GK rank " +
+        "bound is eps·n, so eps above 0.1 no longer orders percentiles, " +
+        "and the sketch buffer is O(1/eps·log(eps·n)) PER GROUP, so eps " +
+        "below 1e-6 is an executor-OOM foot-gun, not a tighter bound; " +
+        "use pNN_exact if the estimate must be exact"))
   }
 
   /** Is `fn` a SKETCH percentile (p50/p95/p999 — the mergeable GK
@@ -288,27 +291,27 @@ object Aggregation {
     // exact (max-based), so union-of-hourly-sketches ≡
     // sketch-of-the-day, bit-identically, and the distinct count
     // cascades without ever re-touching raw rows.
-    // the pair key carries the EFFECTIVE sketch eps (pNN fns only, so
-    // a sum and a p95 on the same source still share their count
-    // partial key-space but a p95@1e-2 and a p95@1e-4 carry separate
-    // sketches — mixing them in one buffer would silently degrade the
-    // tighter metric's bound to the looser eps)
-    def pctEps(m: MetricAgg): Option[Double] =
-      if (isPctFn(m.fn))
-        Some(m.eps.getOrElse(graft.functions.QuantileSketch.DefaultEps))
-      else None
-    val pairs = metrics.map(m => (m.source, m.where, m.weight, pctEps(m))).distinct
+    // pairs key by (source, where, weight) ONLY — a sum, a count and
+    // a p95 on the same source share one pair and thus ONE __n count
+    // partial. Sketch eps lives INSIDE the pair: each distinct
+    // declared eps among the pair's pNN metrics carries its own GK
+    // partial (__q_<pair>_<epsIdx>), because merging a p95@1e-2 and a
+    // p95@1e-4 into one buffer would silently degrade the tighter
+    // metric's bound to the looser eps.
+    val pairs = metrics.map(m => (m.source, m.where, m.weight)).distinct
     def idx(m: MetricAgg): Int =
-      pairs.indexOf((m.source, m.where, m.weight, pctEps(m)))
+      pairs.indexOf((m.source, m.where, m.weight))
+    def effEps(m: MetricAgg): Double =
+      m.eps.getOrElse(graft.functions.QuantileSketch.DefaultEps)
     val fnsAt: Map[Int, Set[String]] = metrics.groupBy(idx)
       .map { case (i, ms) => i -> ms.map(_.fn.toLowerCase).toSet }
+    val epsAt: Map[Int, Seq[Double]] = metrics.filter(m => isPctFn(m.fn))
+      .groupBy(idx)
+      .map { case (i, ms) => i -> ms.map(effEps).distinct.sorted }
+      .withDefaultValue(Seq.empty)
+    def qName(i: Int, e: Double): String = s"__q_${i}_${epsAt(i).indexOf(e)}"
     def needS(f: Set[String]) = f.exists(Set("sum", "avg", "stddev"))
-    // all pNN metrics on a pair share ONE GK sketch partial
-    def needQ(f: Set[String]) = f.exists {
-      case PctFn(_) => true
-      case _        => false
-    }
-    val partials: Seq[Column] = pairs.zipWithIndex.flatMap { case ((s, w, wt, qe), i) =>
+    val partials: Seq[Column] = pairs.zipWithIndex.flatMap { case ((s, w, wt), i) =>
       val g: Column => Column = c => w.fold(c)(ww => when(expr(ww), c))
       val fns = fnsAt(i)
       Seq(w.fold(count(lit(1)))(ww => count(when(expr(ww), lit(1)))).as(s"__n_$i")) ++
@@ -319,10 +322,8 @@ object Aggregation {
         (if (fns("min")) Seq(min(g(col(s))).as(s"__mn_$i")) else Nil) ++
         (if (fns("approx_distinct"))
           Seq(hll_sketch_agg(g(col(s))).as(s"__h_$i")) else Nil) ++
-        (if (needQ(fns))
-          Seq(graft.functions.QuantileSketch.gkAgg(g(col(s)),
-            qe.getOrElse(graft.functions.QuantileSketch.DefaultEps))
-            .as(s"__q_$i")) else Nil) ++
+        epsAt(i).map(e =>
+          graft.functions.QuantileSketch.gkAgg(g(col(s)), e).as(qName(i, e))) ++
         // wavg's partials — Σ(x·w) and Σ(w) — are plain decimal sums,
         // so the weighted mean re-aggregates exactly across levels
         (if (fns("wavg")) {
@@ -351,8 +352,10 @@ object Aggregation {
                 .otherwise(sqrt((s2 - s1 * s1 / n) / (n - lit(1))))
             case "approx_distinct" => hll_sketch_estimate(col(s"__h_$i"))
             // the p-quantile read off the level's (merged) GK sketch
+            // for THIS metric's declared eps
             case PctFn(ds) =>
-              graft.functions.QuantileSketch.gkQuantile(col(s"__q_$i"),
+              graft.functions.QuantileSketch.gkQuantile(
+                col(qName(i, effEps(m))),
                 ds.toDouble / math.pow(10, ds.length))
             // identical final division to compileMetric's wavg — a
             // cascade level hash-matches the direct definition
@@ -376,8 +379,8 @@ object Aggregation {
           (if (fns("min")) Seq(min(col(s"__mn_$i")).as(s"__mn_$i")) else Nil) ++
           (if (fns("approx_distinct"))
             Seq(hll_union_agg(col(s"__h_$i")).as(s"__h_$i")) else Nil) ++
-          (if (needQ(fns))
-            Seq(graft.functions.QuantileSketch.gkMerge(col(s"__q_$i")).as(s"__q_$i")) else Nil) ++
+          epsAt(i).map(e =>
+            graft.functions.QuantileSketch.gkMerge(col(qName(i, e))).as(qName(i, e))) ++
           (if (fns("wavg"))
             Seq(sum(col(s"__sw_$i")).as(s"__sw_$i"),
               sum(col(s"__w_$i")).as(s"__w_$i")) else Nil)

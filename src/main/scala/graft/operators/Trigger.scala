@@ -380,13 +380,63 @@ object Trigger {
     * then one groupBy on the firing's own key collapses multi-window
     * matches. Firings are O(entities × buckets) at worst; nothing
     * data-sized shuffles beyond them. */
-  def applyMaintenance(firings: DataFrame, windows: DataFrame): DataFrame = {
-    val w = windows.select(
-      when(col("entity_id").isNull, raise_error(lit(
+  /** Validate a DECLARED maintenance-window table against the firing
+    * side's entity type and return its rows with `entity_id` cast to
+    * that type. Shared by the batch join ([[applyMaintenance]]) and
+    * the streaming literal-array twin
+    * (`TriggerStream.withMaintenance`) so the two sides refuse the
+    * SAME inputs: NULL ids (fleet-wide mutes must be exploded onto
+    * the entity list), uncastable ids (named as the type mismatch
+    * they are), and lossy-but-castable ids ('07' against a long key
+    * would silently mute entity 7 — ADVICE r13, previously fixed only
+    * on the stream side). try_cast instead of ANSI cast: an
+    * uncastable id must fail with THIS message, not an opaque
+    * NumberFormatException mid-collect. Binary keys round-trip by
+    * VALUE (deepEquals — Row.get hands back arrays, whose == is
+    * reference identity). Windows are declared metadata, O(windows)
+    * rows by contract — both consumers already materialize them
+    * driver-side (literal array) or broadcast them (batch join). */
+  def checkedWindows(entityType: org.apache.spark.sql.types.DataType,
+                     windows: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val windowType = windows.schema("entity_id").dataType
+    val checked = windows.select(col("entity_id").as("__orig"),
+        expr(s"try_cast(entity_id AS ${entityType.sql})").as("entity_id"),
+        expr(s"try_cast(try_cast(entity_id AS ${entityType.sql}) " +
+          s"AS ${windowType.sql})").as("__rt"),
+        col("from_ts").cast("timestamp"), col("to_ts").cast("timestamp"))
+      .collect()
+    checked.foreach { r =>
+      require(!r.isNullAt(0),
         "maintenance window with NULL entity_id: declare fleet-wide " +
-          "maintenance by exploding the window onto the entity list")))
-        .otherwise(col("entity_id")).as("__we"),
-      col("from_ts").as("__wf"), col("to_ts").as("__wt"))
+          "maintenance by exploding the window onto the entity list")
+      require(!r.isNullAt(1),
+        s"maintenance window entity_id '${r.get(0)}' ($windowType) is not " +
+          s"castable to the firing side's entity type ($entityType) — " +
+          "declare windows in the firing key type")
+      require(java.util.Objects.deepEquals(r.get(0), r.get(2)),
+        s"maintenance window entity_id '${r.get(0)}' ($windowType) does not " +
+          s"round-trip through the firing side's entity type ($entityType) " +
+          s"(becomes '${r.get(1)}') — the match would be lossy")
+    }
+    checked.map(r => org.apache.spark.sql.Row(r.get(1), r.get(3), r.get(4)))
+  }
+
+  def applyMaintenance(firings: DataFrame, windows: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val entityType = firings.schema("entity_id").dataType
+    val spark = firings.sparkSession
+    // validated + pre-cast to the firing key type, so the join key
+    // compares same-typed values — an implicit join cast would let a
+    // lossy window id ('07' vs a long key) silently match entity 7,
+    // the exact hole the stream twin closed in r13
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__we", entityType),
+      org.apache.spark.sql.types.StructField("__wf",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("__wt",
+        org.apache.spark.sql.types.TimestampType)))
+    val w = spark.createDataFrame(
+      checkedWindows(entityType, windows).toSeq.asJava, schema)
     val keyCols = firings.columns.map(firings(_))
     firings.join(broadcast(w),
         firings("entity_id") === col("__we") &&

@@ -1585,6 +1585,13 @@ object TextSim {
       // the fan-out + 10⁶-group partial agg onto ONE task (measured:
       // a 19.6 s single-task stage at sf1); keyed off the scan, the
       // fan-out parallelizes by file splits at every scale.
+      // Broadcast ceiling: the model is vocab×classes rows — Heaps'
+      // law keeps natural-language vocabulary sublinear in corpus
+      // size (≈10⁶ terms per language even at web scale, a few MB of
+      // (token, class, w) rows); a deployment whose vocabulary
+      // genuinely outgrows a broadcast must prune the model (min-df /
+      // top-k per class — standard for NB/fastText-style filters)
+      // before classifying, not shuffle the corpus by token.
       toks.join(broadcast(weights), "token")
         .groupBy(col("doc_id"), col("actual"), col("clazz"))
         .agg(sum(col("w")).as("score"))

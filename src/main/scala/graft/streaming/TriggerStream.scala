@@ -40,39 +40,13 @@ object TriggerStream {
     * assumes). NULL entity windows are refused like the batch side. */
   def withMaintenance(fired: DataFrame, windows: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    // cast to the FIRING stream's entity type (and plain timestamps)
-    // BEFORE collecting, so the window table stays type-generic like
-    // the batch twin Trigger.applyMaintenance — an int- or string-
-    // keyed window table works instead of throwing ClassCastException
-    // at stream build
-    val entityType = fired.schema("entity_id").dataType
-    val windowType = windows.schema("entity_id").dataType
-    // carry the PRE-cast id and a round-trip recast next to a
-    // TRY_CAST (ANSI casts would throw an opaque NumberFormatException
-    // mid-collect): an uncastable window id ('cell-1' vs a long-keyed
-    // stream) must fail as the TYPE mismatch it is, not trip the
-    // NULL-entity message below; a lossy-but-castable id ('07' → 7)
-    // must fail too, not silently match entity 7 (ADVICE r13)
-    val checked = windows.select(col("entity_id").as("__orig"),
-        expr(s"try_cast(entity_id AS ${entityType.sql})").as("entity_id"),
-        expr(s"try_cast(try_cast(entity_id AS ${entityType.sql}) " +
-          s"AS ${windowType.sql})").as("__rt"),
-        col("from_ts").cast("timestamp"), col("to_ts").cast("timestamp"))
-      .collect()
-    checked.foreach { r =>
-      require(r.isNullAt(0) || !r.isNullAt(1),
-        s"maintenance window entity_id '${r.get(0)}' ($windowType) is not " +
-          s"castable to the firing stream's entity type ($entityType) — " +
-          "declare windows in the stream's key type")
-      require(r.isNullAt(0) || r.get(0) == r.get(2),
-        s"maintenance window entity_id '${r.get(0)}' ($windowType) does not " +
-          s"round-trip through the firing stream's entity type ($entityType) " +
-          s"(becomes '${r.get(1)}') — the match would be lossy")
-    }
-    val rows = checked.map(r => org.apache.spark.sql.Row(r.get(1), r.get(3), r.get(4)))
-    require(rows.forall(!_.isNullAt(0)),
-      "maintenance window with NULL entity_id: declare fleet-wide " +
-        "maintenance by exploding the window onto the entity list")
+    // the SHARED validator (Trigger.checkedWindows) casts the window
+    // table to the firing stream's entity type and refuses NULL /
+    // uncastable / lossy ids — one contract, enforced identically on
+    // the batch and streaming twins (the r13 lossy-id fix landed only
+    // here until r14)
+    val rows = graft.operators.Trigger.checkedWindows(
+      fired.schema("entity_id").dataType, windows)
     if (rows.isEmpty) fired.withColumn("muted", lit(0L))
     else {
       val arr = array(rows.map { r =>

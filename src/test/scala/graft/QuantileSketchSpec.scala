@@ -179,4 +179,36 @@ class QuantileSketchSpec extends SparkSpec {
         Seq("hour", "day"))(ev, col("user_id"), col("ts"))
     }
   }
+
+  test("count and pNN metrics on one source share a pair: one count partial, one sketch per distinct eps") {
+    // a monitoring definition's usual mix — cnt + p50 + p95 (shared
+    // eps) + p95@1e-2 on the SAME source. The pair key must not split
+    // on eps (that would shuffle the count partial twice per level);
+    // the two DISTINCT eps values must carry two sketch partials (one
+    // buffer would degrade the tighter bound to the looser eps).
+    val rows = for { e <- 1 to 2; h <- 0 until 24; i <- 0 until 10 }
+      yield (e.toLong, f"2024-01-01 $h%02d:15:00", (h * 10 + i).toDouble)
+    val ev = rows.toDF("user_id", "ts_s", "value")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"), col("value"))
+    val casc = Aggregation.cascade(
+      Seq(MetricAgg("value", "count", "cnt"),
+        MetricAgg("value", "p50", "p50_v"),
+        MetricAgg("value", "p95", "p95_v"),
+        MetricAgg("value", "p95", "p95_loose", eps = Some(1e-2))),
+      Seq("hour", "day"))(ev, col("user_id"), col("ts"))
+    val plan = casc.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__n_1"),
+      "count partial duplicated — the pair key split on eps")
+    assert(plan.contains("__q_0_0") && plan.contains("__q_0_1"),
+      "two distinct eps values must carry two sketch partials")
+    // and the mixed definition still answers: counts exact, both p95
+    // forms close to the exact nearest-rank value at these sizes
+    val day = casc.filter(col("granularity") === "day").collect()
+    assert(day.length === 2)
+    day.foreach { r =>
+      assert(r.getAs[Long]("cnt") === 240L)
+      assert(math.abs(r.getAs[Double]("p95_v") - 228.0) <= 6.0)
+      assert(math.abs(r.getAs[Double]("p95_loose") - 228.0) <= 12.0)
+    }
+  }
 }

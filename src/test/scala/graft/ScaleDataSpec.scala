@@ -78,6 +78,21 @@ class ScaleDataSpec extends SparkSpec {
       "all 3 copies of a vector must be pairwise distinct")
   }
 
+  test("token salting survives irregular whitespace (leading/doubled spaces)") {
+    // the separator-anchored regex it replaces left the token after a
+    // leading space UNSALTED (a cross-copy exact-dup artifact) and
+    // minted standalone 'z<k>q' tokens between doubled spaces
+    import graft.SparkSpec.spark.implicits._
+    val got = Seq((" foo bar", 1L), ("a  b", 2L), ("", 3L), ("solo", 0L))
+      .toDF("text", "copy_k")
+      .select(ScaleData.saltedText("text"), col("copy_k"))
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    assert(got(1L) === " z1qfoo z1qbar", "leading space: every token salted")
+    assert(got(2L) === "z2qa  z2qb", "doubled space: no minted salt token")
+    assert(got(3L) === "", "empty text untouched")
+    assert(got(0L) === "solo", "copy 0 verbatim")
+  }
+
   test("embedding rotation stays distinct past the dim-64 wrap (sf10 recipe)") {
     // Plain rotation repeats with period dim (copy 64 ≡ copy 0) — the
     // sign flip for copy_k ≥ dim extends the family to 2·dim distinct

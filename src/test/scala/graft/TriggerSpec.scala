@@ -426,5 +426,23 @@ class TriggerSpec extends SparkSpec {
     }
     assert(eLossy.getMessage.contains("round-trip") &&
       eLossy.getMessage.contains("07"))
+
+    // the BATCH twin refuses the same inputs through the same shared
+    // validator (until r14 the lossy id slipped through the batch
+    // join's implicit cast and silently muted entity 7 — exactly the
+    // hole the stream side had closed)
+    val eBatchLossy = intercept[IllegalArgumentException] {
+      Trigger.applyMaintenance(firedLong, winLossy)
+    }
+    assert(eBatchLossy.getMessage.contains("round-trip") &&
+      eBatchLossy.getMessage.contains("07"))
+    val eBatchUncast = intercept[IllegalArgumentException] {
+      Trigger.applyMaintenance(firedLong, winStr)
+    }
+    assert(eBatchUncast.getMessage.contains("not castable") &&
+      eBatchUncast.getMessage.contains("cell-1"))
+    // and the castable int-keyed window table still mutes batch-side
+    assert(Trigger.applyMaintenance(firedLong, winInt)
+      .exceptAll(TriggerStream.withMaintenance(firedLong, winInt)).isEmpty)
   }
 }

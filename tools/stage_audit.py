@@ -80,15 +80,17 @@ def audit(d, flag_par):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flag_par = 8.0
-    if "--flag-par" in sys.argv:
-        flag_par = float(sys.argv[sys.argv.index("--flag-par") + 1])
-        args = [a for a in args if a != str(flag_par)]
-    if not args:
-        sys.exit(__doc__)
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="Parallelism audit of Spark event logs")
+    ap.add_argument("dirs", nargs="+",
+                    help="eventlog_v2_local-* directories")
+    ap.add_argument("--flag-par", type=float, default=8.0,
+                    help="flag heavy stages below this effective "
+                         "parallelism (default 8)")
+    ns = ap.parse_args()
     total = 0
-    for d in args:
+    for d in ns.dirs:
         print(f"== {d}")
-        total += audit(d, flag_par)
+        total += audit(d, ns.flag_par)
     sys.exit(1 if total else 0)
