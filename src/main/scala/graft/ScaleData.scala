@@ -49,6 +49,22 @@ object ScaleData {
     * leading space (Java resumes past a zero-width `^` match) and
     * minted standalone salt tokens between doubled spaces — silent on
     * clean data, wrong on any corpus with irregular whitespace. */
+  /** The salt only guarantees token-level cross-copy disjointness if
+    * the SOURCE has no token already shaped like a salted one: a
+    * source token 'z1qx' survives verbatim in copy 0 while copy 1
+    * salts 'x' into the same 'z1qx', recreating exactly the
+    * cross-copy shingle/minhash collisions the salt exists to prevent
+    * (ADVICE r14). Assert the precondition on the source corpus
+    * rather than trusting it — one cheap scan in a synthesis tool
+    * that already reads the table in full. */
+  private[graft] def assertSaltable(docs: DataFrame): Unit = {
+    val salted = docs.filter(F.col("text").rlike("(^| )z[0-9]+q")).count()
+    require(salted == 0,
+      s"ScaleData: $salted source document(s) contain tokens matching the " +
+        "salt pattern (^z\\d+q) — salted copies would collide with copy 0; " +
+        "pick a different salt prefix for this corpus")
+  }
+
   private[graft] def saltedText(c: String): Column =
     F.when(F.col("copy_k") === 0, F.col(c)).otherwise(
       F.regexp_replace(F.col(c), F.lit("[^ ]+"),
@@ -113,7 +129,9 @@ object ScaleData {
       .select(shifted("event_id"), F.col("ts"), shifted("user_id"),
         F.col("event_type"), F.col("value"), F.col("props")),
       "events", 16)
-    wr(withCopies(rd("documents"), n)
+    val docs = rd("documents")
+    assertSaltable(docs)
+    wr(withCopies(docs, n)
       .select(shifted("doc_id"), saltedText("text"), F.col("lang"), F.col("source"))
       .withColumn("n_chars", F.length(F.col("text")).cast("long")),
       "documents", 8)

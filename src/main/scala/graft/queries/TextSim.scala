@@ -39,6 +39,30 @@ object TextSim {
   private val s18ExportRoot = "/tmp/graft_s18_export_v2"
   private val s18ExportOnce =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Filesystem fingerprint of an index directory: (file count, Σ size,
+    * Σ mtime) over the tree — pure driver-side metadata, no Spark job.
+    * Folded into [[s18ExportOnce]]'s guard key so the once-per-JVM
+    * export re-runs if the shared cached index were ever MUTATED
+    * in-JVM (tombstones/adds change the tree): no graft query mutates
+    * a [[cachedIndex]] path today (mutation APIs run on their own
+    * temp dirs in specs), but the guard should not silently assume
+    * that — a stale export would keep the oracle matching pre-mutation
+    * state while Spark reports post-mutation stats (ADVICE r14). */
+  private def indexFingerprint(idx: String): String = {
+    val root = java.nio.file.Paths.get(idx)
+    if (!java.nio.file.Files.exists(root)) return "absent"
+    var n = 0L; var bytes = 0L; var mt = 0L
+    val it = java.nio.file.Files.walk(root)
+    try it.forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        n += 1
+        bytes += java.nio.file.Files.size(p)
+        mt += java.nio.file.Files.getLastModifiedTime(p).toMillis
+      }
+    } finally it.close()
+    s"$n-$bytes-$mt"
+  }
   private def cachedIndex(s: SparkSession, dir: String, kind: String)
                          (build: String => Unit): String =
     indexCache.computeIfAbsent(s"$dir#$kind", { _ =>
@@ -1047,8 +1071,11 @@ object TextSim {
     // index path, so the query EXPORTS the index tables (n_id/cell
     // rows, centroid cells, tombstone ids — KBs, never vectors) to a
     // fixed location. Since r14 the export is (a) ONCE per JVM per
-    // dataset — a guard map, so min-of-2 bench prices the pure
-    // O(cells) report, not three side-writes (r13 `weak` flag); (b)
+    // dataset AND index state — the guard key folds an FS fingerprint
+    // of the index tree, so an in-JVM index mutation re-exports
+    // rather than leaving the oracle on stale state (ADVICE r14) —
+    // keeping min-of-2 bench pricing the pure O(cells) report, not
+    // three side-writes (r13 `weak` flag); (b)
     // keyed AND row-tagged by BOTH count(*) and sum(vec_id) over the
     // corpus, so a stale export from a different same-sized dataset
     // can't contaminate the oracle; (c) taken AFTER indexStats has
@@ -1062,7 +1089,7 @@ object TextSim {
       // indexStats folds pending batches (recoverIndex) eagerly in its
       // body — the export below therefore reads the recovered tables.
       val stats = Similarity.indexStats(s, idx)
-      s18ExportOnce.computeIfAbsent(s"$dir#$idx", { _ =>
+      s18ExportOnce.computeIfAbsent(s"$dir#$idx#${indexFingerprint(idx)}", { _ =>
         val key = emb.agg(count(lit(1)).as("nc"),
           sum(col("vec_id")).as("sv")).head()
         val (nc, sv) = (key.getLong(0), key.getLong(1))

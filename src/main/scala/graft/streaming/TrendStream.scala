@@ -61,9 +61,18 @@ object TrendStream {
                  eps: Double = graft.functions.QuantileSketch.DefaultEps): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
       s"pctlRollup: quantiles must lie in (0, 1), got ${ps.mkString(", ")}")
+    // Column naming shares the batch PctFn convention: pNN = the
+    // NNth PERCENTILE (p50 = 0.50). Per-mille quantiles get a
+    // 3-digit zero-padded name (p=0.045 → "p045", p=0.125 → "p125"),
+    // never the bare 2-digit form — "p45" from 0.045 would read back
+    // as 0.45 under the shared convention and a downstream cascade
+    // matching by name would cascade the wrong quantile (ADVICE r14).
+    // Every emitted name parses back to exactly one p: 1-2 digits =
+    // percent, 3 digits = per-mille (values ≥ 100 can't be percents;
+    // values < 100 carry the leading zero).
     def pName(p: Double): String = {
       val m = math.rint(p * 1000).toInt
-      if (m % 10 == 0) s"p${m / 10}" else s"p$m"
+      if (m % 10 == 0) s"p${m / 10}" else f"p$m%03d"
     }
     require(ps.map(pName).distinct.size == ps.size,
       s"pctlRollup: quantiles collide after naming: ${ps.mkString(", ")}")

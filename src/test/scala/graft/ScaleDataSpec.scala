@@ -93,6 +93,21 @@ class ScaleDataSpec extends SparkSpec {
     assert(got(0L) === "solo", "copy 0 verbatim")
   }
 
+  test("salt precondition: a source token shaped like a salted one refuses to synthesize") {
+    // copy 0 keeps 'z1qx' verbatim while copy 1 would salt 'x' into
+    // the same 'z1qx' — a cross-copy exact-duplicate token, exactly
+    // the collision class the salt exists to prevent (ADVICE r14).
+    import graft.SparkSpec.spark.implicits._
+    ScaleData.assertSaltable(Seq("plain words here", "az1qb embeds but not at token start")
+      .toDF("text")) // clean corpus: salt-shaped prefixes only count at token start
+    val ex = intercept[IllegalArgumentException] {
+      ScaleData.assertSaltable(Seq("fine text", "hides z1qx inside").toDF("text"))
+    }
+    assert(ex.getMessage.contains("salt pattern"))
+    // the real source corpus satisfies the precondition
+    ScaleData.assertSaltable(spark.read.parquet(s"$sf/documents.parquet"))
+  }
+
   test("embedding rotation stays distinct past the dim-64 wrap (sf10 recipe)") {
     // Plain rotation repeats with period dim (copy 64 ≡ copy 0) — the
     // sign flip for copy_k ≥ dim extends the family to 2·dim distinct

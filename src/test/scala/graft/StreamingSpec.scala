@@ -124,6 +124,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pctlRollup names per-mille quantiles distinctly from percents (p045, not p45)") {
+    // pNN is the batch PctFn PERCENT namespace (p45 = 0.45). A
+    // sub-percent quantile must never mint a bare 2-digit name a
+    // downstream cascade would parse back as the wrong p (ADVICE
+    // r14): 0.045 → p045 (3-digit = per-mille), so 0.45 and 0.045
+    // can coexist in one rollup.
+    val stream = spark.readStream.format("rate").load()
+      .selectExpr("CAST(1 AS BIGINT) AS user_id", "timestamp AS ts",
+        "CAST(value AS DOUBLE) AS value")
+    val cols = TrendStream.pctlRollup(stream, "user_id", "ts", "value",
+      "1 hour", "1 hour", ps = Seq(0.5, 0.45, 0.045, 0.125))
+      .schema.fieldNames.toSeq
+    assert(cols.contains("p50") && cols.contains("p45") &&
+      cols.contains("p045") && cols.contains("p125"),
+      s"expected p50/p45/p045/p125 among $cols")
+    assert(cols.count(_ == "p45") === 1, "0.045 must not alias 0.45's name")
+    // quantiles that truly collapse to one name still refuse loudly
+    val ex = intercept[IllegalArgumentException] {
+      TrendStream.pctlRollup(stream, "user_id", "ts", "value",
+        "1 hour", "1 hour", ps = Seq(0.45, 0.4504))
+    }
+    assert(ex.getMessage.contains("collide"))
+  }
+
   test("stateful sessionization: batch twin agrees on closed sessions") {
     import graft.SparkSpec.spark.implicits._
     val evs = TableCatalog(spark, sf).events

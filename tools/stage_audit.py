@@ -47,8 +47,12 @@ def audit(d, flag_par):
         ev = e.get("Event")
         if ev == "SparkListenerStageCompleted":
             si = e["Stage Info"]
-            wall = (si.get("Completion Time", 0) -
-                    si.get("Submission Time", 0)) / 1000
+            # Resubmitted/skipped stages can lack a Submission Time;
+            # defaulting it to 0 would compute wall = epoch-millis/1000
+            # and guarantee a spurious LOW-PAR flag — skip such stages.
+            if "Submission Time" not in si or "Completion Time" not in si:
+                continue
+            wall = (si["Completion Time"] - si["Submission Time"]) / 1000
             stages[si["Stage ID"]] = (wall, si["Number of Tasks"])
         elif ev == "SparkListenerTaskEnd":
             m = e.get("Task Metrics") or {}
