@@ -71,17 +71,36 @@ object Bench {
   }
 
   /** Fork a child JVM for `name` with this JVM's flags + classpath and
-    * parse its marker line. Returns (seconds, ok). */
-  private def forkOne(name: String): (Double, Boolean) = {
+    * parse its marker line. Returns (seconds, ok). The ONE home of the
+    * marker protocol — [[BenchScale]] calls this too (r14's declared
+    * debt was a drifting copy there).
+    *
+    * @param env        extra child environment (e.g. SPARK_GRAFT_SF_DIR
+    *                   to point the child at a synthesized scale dir)
+    * @param timeoutMin child kill-and-fail ceiling; larger data needs
+    *                   more headroom than the sf0.1 headline board
+    * @param tag        stderr prefix so diagnostics name their board
+    *
+    * `SPARK_GRAFT_CHILD_XMX` (e.g. "4g"), when set on the PARENT,
+    * replaces the inherited -Xmx in the child's flags — the
+    * memory-bounded rehearsal caps children at a realistic per-task
+    * executor share without re-plumbing the run scripts. */
+  private[graft] def forkOne(name: String, env: Map[String, String] = Map.empty,
+                             timeoutMin: Long = 15,
+                             tag: String = "bench"): (Double, Boolean) = {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
+    val jvmArgs = sys.env.get("SPARK_GRAFT_CHILD_XMX") match {
+      case Some(x) => inherited.filterNot(_.startsWith("-Xmx")) :+ s"-Xmx$x"
+      case None    => inherited
+    }
     val cmd = Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", System.getProperty("java.class.path"), "graft.Bench", "--one", name)
     val pb = new ProcessBuilder(cmd.asJava)
-    pb.redirectErrorStream(false)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
     // Drain stdout on a thread so a hung child can still be killed by
@@ -90,7 +109,7 @@ object Bench {
     val reader = new Thread(() => proc.getInputStream.transferTo(buf))
     reader.setDaemon(true)
     reader.start()
-    val exited = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+    val exited = proc.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
     if (!exited) { proc.destroyForcibly(); proc.waitFor() }
     reader.join(10000)
     val out = buf.toString(java.nio.charset.StandardCharsets.UTF_8)
@@ -102,7 +121,7 @@ object Bench {
         val ok = body.contains("\"ok\":true")
         (sec.getOrElse(Double.NaN), ok && sec.isDefined)
       case None =>
-        System.err.println(s"[bench] $name child produced no marker (exit=${proc.exitValue()})")
+        System.err.println(s"[$tag] $name child produced no marker (exit=${proc.exitValue()})")
         (Double.NaN, false)
     }
   }

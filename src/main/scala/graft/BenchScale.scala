@@ -28,8 +28,6 @@ package graft
   */
 object BenchScale {
 
-  private val Marker = "GRAFT_BENCH_ONE "
-
   /** The 12 heaviest r13 board keys + the cascade chain, per VERDICT,
     * + one representative per remaining family (notifications'
     * widest-shuffle plan, the sketch percentile rollup, attribute
@@ -50,36 +48,12 @@ object BenchScale {
     3.0 -> "/tmp/graft_scale/sf3",
     10.0 -> "/tmp/graft_scale/sf10")
 
-  private def forkOne(name: String, sfDir: String): (Double, Boolean) = {
-    import scala.jdk.CollectionConverters._
-    val javaBin = java.nio.file.Paths.get(
-      System.getProperty("java.home"), "bin", "java").toString
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toSeq
-    val cmd = Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench", "--one", name)
-    val pb = new ProcessBuilder(cmd.asJava)
-    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val proc = pb.start()
-    val buf = new java.io.ByteArrayOutputStream()
-    val reader = new Thread(() => proc.getInputStream.transferTo(buf))
-    reader.setDaemon(true)
-    reader.start()
-    val exited = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
-    if (!exited) { proc.destroyForcibly(); proc.waitFor() }
-    reader.join(10000)
-    val out = buf.toString(java.nio.charset.StandardCharsets.UTF_8)
-    out.linesIterator.find(_.startsWith(Marker)) match {
-      case Some(line) =>
-        val body = line.stripPrefix(Marker)
-        val sec = "\"sec\":([0-9.eE+-]+)".r.findFirstMatchIn(body).map(_.group(1).toDouble)
-        (sec.getOrElse(Double.NaN), body.contains("\"ok\":true") && sec.isDefined)
-      case None =>
-        System.err.println(s"[bench-scale] $name@$sfDir: no marker (exit=${proc.exitValue()})")
-        (Double.NaN, false)
-    }
-  }
+  /** One forked (key, scale) measurement — [[Bench.forkOne]] owns the
+    * child protocol; this only supplies the scale dir and the wider
+    * 20-minute ceiling sf10 children need. */
+  private def forkOne(name: String, sfDir: String): (Double, Boolean) =
+    Bench.forkOne(name, env = Map("SPARK_GRAFT_SF_DIR" -> sfDir),
+      timeoutMin = 20, tag = s"bench-scale $sfDir")
 
   /** Least-squares slope of log(t) vs log(s) over the given points. */
   def fitExponent(pts: Seq[(Double, Double)]): Double = {
