@@ -29,7 +29,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
   *     means more entities per time bucket, which is exactly the 100 TB
   *     shape the trend rollups must absorb.
   *
-  * Usage: graft.ScaleData <srcSfDir> <outDir> <copies>
+  * Usage: graft.ScaleData <srcSfDir> <outDir> <copies> [--hot <frac>]
+  * (--hot remaps ~frac of rows onto one hot key per skew-sensitive
+  * family — see [[scaleTables]].)
   */
 object ScaleData {
 
@@ -85,8 +87,46 @@ object ScaleData {
     F.when(F.col("copy_k") === 0, F.col(c)).otherwise(rot).as(c)
   }
 
-  def scaleTables(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+  /** Hot-key synthesis (VERDICT r14 item #2): the uniform id-shifted
+    * copies never exercise a SKEWED shuffle — every key family stays
+    * ~uniform at every scale, so the sf10 board proved time scaling
+    * but said nothing about one fat reduce task. With `hot` ∈ (0, 1),
+    * ~that fraction of rows (selected by xxhash64 of the row's unique
+    * id, so heat is deterministic and spans ALL copies) is remapped
+    * onto ONE key per skew-sensitive family:
+    *   - `events.user_id` → the source's min user id (t13's session
+    *     window, t40/e-family entity rollups land on one entity);
+    *   - `orders.o_custkey` → the source's min custkey — a copy-0 key,
+    *     so FK integrity to customer holds (e08's join + window);
+    *   - `documents.source` → literal "hot_source" (d32/d38/d39 group
+    *     and sample by source);
+    *   - `documents.text`'s FIRST token → literal "qhotzz" applied
+    *     AFTER salting so the hot token spans copies (token
+    *     explode/join keys in d30/d33/d34; token count per doc is
+    *     unchanged, so the token-count invariant still holds; docs
+    *     starting with whitespace keep their text — heat ≈ hot, not
+    *     exactly hot). "qhotzz" cannot collide with a salted token
+    *     (salt shape is `z<digits>q…`) and the q prefix keeps it out
+    *     of the source corpus by the same assertSaltable reasoning —
+    *     it is asserted absent from the source.
+    * Everything else (row counts, FKs, salting, rotation) is the
+    * uniform recipe unchanged; hot = 0.0 is bit-identical to it. Note
+    * heat spans copy 0 too — hot rows there also remap — so the
+    * copy-0-verbatim invariant holds only for hot = 0 (hot dirs are
+    * skew-rehearsal data, never oracle-parity data). */
+  def scaleTables(spark: SparkSession, src: String, out: String, n: Int,
+                  hot: Double = 0.0): Unit = {
+    require(hot >= 0 && hot < 1, s"hot fraction must be in [0, 1), got $hot")
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // Selector: pmod(xxhash64(id), k) == 0 picks ~1/k of all rows.
+    val hotK = if (hot > 0) math.max(2L, math.round(1.0 / hot)) else 0L
+    def isHot(idCol: String): Column =
+      F.pmod(F.xxhash64(F.col(idCol), F.col("copy_k")), F.lit(hotK)) === 0
+    def heatTo(idCol: String, keyCol: Column, hotVal: Column, as: String): Column =
+      if (hot == 0) keyCol
+      else F.when(isHot(idCol), hotVal).otherwise(keyCol).as(as)
+    lazy val hotUser = rd("events").agg(F.min("user_id")).head().getLong(0)
+    lazy val hotCust = rd("customer").agg(F.min("c_custkey")).head().getLong(0)
     // File counts scale with the copy count (sf1 keeps the base), the
     // way any real writer's output grows with its input. A fixed count
     // caps SCAN parallelism at larger sfs — each file here is one
@@ -116,7 +156,9 @@ object ScaleData {
         F.col("c_acctbal"), F.col("c_mktsegment")),
       "customer", 4)
     wr(withCopies(rd("orders"), n)
-      .select(shifted("o_orderkey"), shifted("o_custkey"), F.col("o_orderstatus"),
+      .select(shifted("o_orderkey"),
+        heatTo("o_orderkey", shifted("o_custkey"), F.lit(hotCust), "o_custkey"),
+        F.col("o_orderstatus"),
         F.col("o_totalprice"), F.col("o_orderdate"), F.col("o_orderpriority")),
       "orders", 16)
     wr(withCopies(rd("lineitem"), n)
@@ -126,13 +168,23 @@ object ScaleData {
         F.col("l_linestatus"), F.col("l_shipdate")),
       "lineitem", 32)
     wr(withCopies(rd("events"), n)
-      .select(shifted("event_id"), F.col("ts"), shifted("user_id"),
+      .select(shifted("event_id"), F.col("ts"),
+        heatTo("event_id", shifted("user_id"), F.lit(hotUser), "user_id"),
         F.col("event_type"), F.col("value"), F.col("props")),
       "events", 16)
     val docs = rd("documents")
     assertSaltable(docs)
+    if (hot > 0) require(
+      docs.filter(F.col("text").rlike("(^| )qhotzz( |$)")).isEmpty,
+      "ScaleData: source corpus already contains the hot token 'qhotzz'")
+    val hotText =
+      if (hot == 0) saltedText("text")
+      else F.when(isHot("doc_id"),
+          F.regexp_replace(saltedText("text"), F.lit("^[^ ]+"), F.lit("qhotzz")))
+        .otherwise(saltedText("text")).as("text")
     wr(withCopies(docs, n)
-      .select(shifted("doc_id"), saltedText("text"), F.col("lang"), F.col("source"))
+      .select(shifted("doc_id"), hotText, F.col("lang"),
+        heatTo("doc_id", F.col("source"), F.lit("hot_source"), "source"))
       .withColumn("n_chars", F.length(F.col("text")).cast("long")),
       "documents", 8)
     wr(withCopies(rd("embeddings"), n)
@@ -141,8 +193,10 @@ object ScaleData {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: graft.ScaleData <srcSfDir> <outDir> <copies>")
-    val Array(src, out, copiesS) = args
+    require(args.length == 3 || args.length == 5 && args(3) == "--hot",
+      "usage: graft.ScaleData <srcSfDir> <outDir> <copies> [--hot <frac>]")
+    val Array(src, out, copiesS) = args.take(3)
+    val hot = if (args.length == 5) args(4).toDouble else 0.0
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -151,7 +205,7 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scaleTables(spark, src, out, copiesS.toInt)
+    scaleTables(spark, src, out, copiesS.toInt, hot)
     spark.stop()
   }
 }

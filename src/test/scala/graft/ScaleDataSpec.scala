@@ -93,6 +93,53 @@ class ScaleDataSpec extends SparkSpec {
     assert(got(0L) === "solo", "copy 0 verbatim")
   }
 
+  test("hot-key synthesis plants ~10% heat per skew family; FKs and counts hold") {
+    val out = Files.createTempDirectory("graft_scale_hot").toString
+    ScaleData.scaleTables(spark, sf, out, 3, hot = 0.1)
+
+    // row counts still multiply
+    val o0 = spark.read.parquet(s"$sf/orders.parquet")
+    val o = spark.read.parquet(s"$out/orders.parquet")
+    assert(o.count() === 3 * o0.count())
+
+    // one customer key carries ~10% of ALL orders (xxhash64 selection:
+    // binomial around 0.1 — accept [6%, 14%], far above uniform share)
+    val hotCust = o0.sparkSession.read.parquet(s"$sf/customer.parquet")
+      .agg(min("c_custkey")).head.getLong(0)
+    val hotShare = o.filter(col("o_custkey") === hotCust).count().toDouble / o.count()
+    assert(hotShare > 0.06 && hotShare < 0.14, s"hot customer share: $hotShare")
+
+    // FK integrity survives the remap (hot key is a real copy-0 customer)
+    val c = spark.read.parquet(s"$out/customer.parquet")
+    assert(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").isEmpty,
+      "heated orders must still resolve to a customer")
+
+    // events: one user carries ~10%
+    val e = spark.read.parquet(s"$out/events.parquet")
+    val hotUser = spark.read.parquet(s"$sf/events.parquet")
+      .agg(min("user_id")).head.getLong(0)
+    val uShare = e.filter(col("user_id") === hotUser).count().toDouble / e.count()
+    assert(uShare > 0.06 && uShare < 0.14, s"hot user share: $uShare")
+
+    // documents: hot_source ~10%; hot first token ~10%; token counts preserved
+    val d = spark.read.parquet(s"$out/documents.parquet")
+    val sShare = d.filter(col("source") === "hot_source").count().toDouble / d.count()
+    assert(sShare > 0.06 && sShare < 0.14, s"hot source share: $sShare")
+    val tShare = d.filter(col("text").startsWith("qhotzz ") ||
+      col("text") === "qhotzz").count().toDouble / d.count()
+    assert(tShare > 0.05 && tShare < 0.14, s"hot token share: $tShare")
+    assert(d.filter(length(col("text")) =!= col("n_chars")).isEmpty,
+      "n_chars must be recomputed after the hot-token replacement")
+    val S = ScaleData.Stride
+    val d0 = spark.read.parquet(s"$sf/documents.parquet")
+    val tok = d.select((col("doc_id") % S).as("src_id"),
+        size(split(col("text"), " ")).as("ntok"))
+      .join(d0.select(col("doc_id").as("src_id"),
+        size(split(col("text"), " ")).as("ntok0")), "src_id")
+    assert(tok.filter(col("ntok") =!= col("ntok0")).isEmpty,
+      "hot token replaces the first token — token counts must not change")
+  }
+
   test("salt precondition: a source token shaped like a salted one refuses to synthesize") {
     // copy 0 keeps 'z1qx' verbatim while copy 1 would salt 'x' into
     // the same 'z1qx' — a cross-copy exact-duplicate token, exactly

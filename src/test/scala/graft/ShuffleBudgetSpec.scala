@@ -81,7 +81,7 @@ class ShuffleBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach 
     "n08_flap_report"            -> 5, // rollup, run-id window family, episode agg, sort
     "n09_slo_triggers"           -> 2, // percentile rollup + sort (rules project in place)
     "n10_time_to_clear"          -> 7, // rollup, clear-pairing window family, MTTR aggs, sort
-    "n11_alert_correlation"      -> 16, // cells base declared 3× (totals + both self-join sides); AQE stage cache reuses ONE executed rollup (measured r14 — a forced checkpoint is 1.5× slower), so 16 is canonical shape, not movement
+    "n11_alert_correlation"      -> 16, // cells base declared 3× (totals + both self-join sides); AQE stage cache reuses ONE executed rollup (machine-checked at runtime by StageReuseSpec since r15; a forced checkpoint is 1.5× slower), so 16 is canonical shape, not movement
     "n12_maintenance_mute"       -> 3, // rollup, mute window, sort
     "n13_escalations"            -> 5, // rollup, severity-run window family, escalation agg, sort
     "t27_week_over_week"         -> 3, // day rollup, lag-7 window, sort
