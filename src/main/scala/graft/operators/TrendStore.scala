@@ -241,8 +241,19 @@ object TrendStore {
     val W = org.apache.spark.sql.expressions.Window
     val back = W.partitionBy(col("entity_id")).orderBy(col("bucket"))
       .rowsBetween(W.unboundedPreceding, 0)
-    val fwd = W.partitionBy(col("entity_id")).orderBy(col("bucket"))
-      .rowsBetween(0, W.unboundedFollowing)
+    // The next-observed neighbor is a RUNNING frame over the bucket
+    // ordered DESC, not a (current, unboundedFollowing) frame over
+    // asc: the shrinking frame has no incremental executor —
+    // UnboundedFollowingWindowFunctionFrame rescans the partition
+    // remainder for EVERY row, O(rows²) per entity — while the desc
+    // running frame is O(rows). last(ignoreNulls) scanning desc down
+    // to the current row picks the non-null with the smallest
+    // bucket ≥ current, exactly first(ignoreNulls) over the asc
+    // forward frame (buckets are unique per entity after the grid
+    // join). Costs a second sort order under the SAME entity
+    // exchange; shuffle count is unchanged.
+    val fwd = W.partitionBy(col("entity_id")).orderBy(col("bucket").desc)
+      .rowsBetween(W.unboundedPreceding, 0)
     val joined = grid
       .join(rolledUp.withColumn("__obs", lit(true)), Seq("entity_id", "bucket"), "left")
       .withColumn("filled", col("__obs").isNull)
@@ -254,8 +265,8 @@ object TrendStore {
       Seq(
         last(col(m), ignoreNulls = true).over(back).as(s"__pv_$m"),
         last(obsBucket, ignoreNulls = true).over(back).as(s"__pb_$m"),
-        first(col(m), ignoreNulls = true).over(fwd).as(s"__nv_$m"),
-        first(obsBucket, ignoreNulls = true).over(fwd).as(s"__nb_$m"))
+        last(col(m), ignoreNulls = true).over(fwd).as(s"__nv_$m"),
+        last(obsBucket, ignoreNulls = true).over(fwd).as(s"__nb_$m"))
     }
     val withNbrs = joined.select(col("*") +: nbrCols: _*)
     metricCols.foldLeft(withNbrs) { (df, m) =>

@@ -23,8 +23,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     return df.reset_index(drop=True)
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
+    # At synthesized sf1+ DuckDB's default memory_limit (80% of RAM)
+    # lets the buffer pool collide with the pandas frames this script
+    # also holds — cap it and give it a spill dir instead. Fewer
+    # threads too: the string-heavy oracles (150 stopword replace()
+    # copies per doc in d05/d13) scale their transient memory with
+    # thread count, and the checker grades correctness, not speed.
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET threads TO 12")
+    con.execute("SET temp_directory='/tmp/duckdb_check_spill'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         # driver testdata ships single-file tables; synthesized scale
@@ -33,6 +42,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         pdir = f"{out_dir}/{name}"
@@ -79,4 +90,5 @@ def main(sf_dir: str, out_dir: str) -> int:
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
-    sys.exit(main(sf, out))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sf, out, only))
