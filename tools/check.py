@@ -23,6 +23,28 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     return df.reset_index(drop=True)
 
+def oracle_df(con, sf_dir: str, name: str, sql: str) -> pd.DataFrame:
+    """DuckDB result, cached on disk keyed by (sf_dir, name, md5(sql)).
+
+    The oracle side depends only on the data dir and the SQL text —
+    never on the Scala binaries under test — so re-grading a fresh
+    Spark build at a big sf (the DuckDB pass at sf1 runs for an hour)
+    should not re-execute DuckDB. Set GRAFT_ORACLE_CACHE=0 to disable.
+    """
+    import hashlib
+    if os.environ.get("GRAFT_ORACLE_CACHE", "1") == "0":
+        return con.execute(sql).fetchdf()
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}\n{sql}".encode()).hexdigest()
+    cdir = os.environ.get("GRAFT_ORACLE_CACHE_DIR", "/tmp/graft_oracle_cache")
+    os.makedirs(cdir, exist_ok=True)
+    path = f"{cdir}/{name}_{key}.parquet"
+    if os.path.exists(path):
+        return pd.read_parquet(path)
+    df = con.execute(sql).fetchdf()
+    df.to_parquet(path, index=False)
+    return df
+
+
 def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
     # At synthesized sf1+ DuckDB's default memory_limit (80% of RAM)
@@ -52,7 +74,7 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
         files = glob.glob(f"{pdir}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
         try:
-            exp = con.execute(oracle[name]).fetchdf()
+            exp = oracle_df(con, sf_dir, name, oracle[name])
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
         g, e = canon(got), canon(exp)
