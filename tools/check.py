@@ -67,21 +67,38 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
+    # Optional driver-format artifact (GRAFT_CHECK_JSON=<path>):
+    # {key: {rows_match, schema_match, hash_match, spark_rows,
+    #        oracle_rows, err}} — what CORRECTNESS_r{N}.json carries,
+    # so a committed correctness_sf1.json reads the same way.
+    report = {}
     for name in sorted(oracle):
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        report[name] = rec
         pdir = f"{out_dir}/{name}"
         if not os.path.isdir(pdir):
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1
+            rec["err"] = "no spark output"; continue
         files = glob.glob(f"{pdir}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        rec["spark_rows"] = len(got)
         try:
             exp = oracle_df(con, sf_dir, name, oracle[name])
         except Exception as e:
-            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1
+            rec["err"] = f"oracle error {e}"; continue
+        rec["oracle_rows"] = len(exp)
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); n_fail += 1; continue
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); n_fail += 1
+            rec["err"] = "schema mismatch"; continue
+        rec["schema_match"] = True
         if len(g) != len(e):
-            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1
+            rec["err"] = "row count mismatch"; continue
+        rec["rows_match"] = True
         # row-order-insensitive compare (sort by all columns), like a hash of sorted values
         g2 = g.sort_values(list(g.columns), kind="mergesort").reset_index(drop=True)
         e2 = e.sort_values(list(e.columns), kind="mergesort").reset_index(drop=True)
@@ -96,17 +113,24 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
                 if not exact.all():
                     mx = np.nanmax(np.abs(np.where(both_nan, 0, gq - eq)))
                     print(f"FAIL {name}: float col {c} max_abs_diff={mx}")
+                    rec["err"] = f"float col {c} max_abs_diff={mx}"
                     ok = False; break
             else:
                 if not (gv == ev).all():
                     i = int(np.argmax(gv != ev))
                     print(f"FAIL {name}: col {c} first diff row {i}: {gv[i]!r} vs {ev[i]!r}")
+                    rec["err"] = f"col {c} first diff row {i}"
                     ok = False; break
         if ok:
             print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+            rec["hash_match"] = True
         else:
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    jout = os.environ.get("GRAFT_CHECK_JSON")
+    if jout:
+        with open(jout, "w") as f:
+            json.dump(report, f, indent=0, sort_keys=True)
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
