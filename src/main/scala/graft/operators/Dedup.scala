@@ -125,12 +125,22 @@ object Dedup {
       .groupBy(col("s"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
-    val pairs = posting.select(explode(expr(
-      """flatten(transform(ds, (a, i) ->
-        |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
-        |    named_struct('a_id', a.doc_id, 'na', a.n, 'b_id', b.doc_id, 'nb', b.n))))"""
-        .stripMargin)).as("p"))
-      .select(col("p.a_id"), col("p.na"), col("p.b_id"), col("p.nb"))
+    // Pair fan-out as TWO pipelined generates, not one flatten(
+    // transform(transform(...))): the single-expression form
+    // materializes all |ds|²/2 pair structs of a posting list in ONE
+    // row evaluation — with no maxDf (d02's exact-all-pairs contract)
+    // a df=1000 shingle is a ~16 MB single-row allocation, and the
+    // memory-bounded sf10 rehearsal (4 GB heap / 32 task threads =
+    // 128 MB per task) OOMed exactly there. posexplode streams the
+    // anchor element; the inner explode then materializes only the
+    // O(|ds|) tail slice per eval. Same pairs, same single
+    // corpus-sized shuffle, peak per-eval memory df² → df.
+    val pairs = posting
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a.doc_id").as("a_id"), col("a.n").as("na"),
+        explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("b"))
+      .select(col("a_id"), col("na"),
+        col("b.doc_id").as("b_id"), col("b.n").as("nb"))
     pairs.groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("c"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
