@@ -695,11 +695,19 @@ class QualitySpec extends SparkSpec {
     val e1 = sortedRows(w.filter(col("entity_id") === 1L), "entity_id", "bucket", "a", "b")
     assert(e1.map(_.getAs[Double]("a")) === Seq(10.0, 20.0, 30.0, 40.0, 0.0))
     assert(e1.map(_.getAs[Double]("b")) === Seq(100.0, 130.0, 140.0, 150.0, 160.0))
-    // both frames share (partition, order), so WindowExec hosts them
-    // in ONE node — a single sort+shuffle for all 4·N neighbor cols
-    val nWindows = w.queryExecution.executedPlan.toString
-      .linesIterator.count(_.contains("Window ["))
-    assert(nWindows === 1, s"expected 1 Window node, got $nWindows")
+    // the back (asc) and next (DESC running — r15 replaced the
+    // O(rows²) shrinking frame) specs differ only in sort order, so
+    // they cost two Window nodes and two sorts under ONE entity
+    // exchange — all 4·N neighbor cols still ride a single shuffle
+    val plan = w.queryExecution.executedPlan.toString
+    val nWindows = plan.linesIterator.count(_.contains("Window ["))
+    assert(nWindows === 2, s"expected 2 Window nodes (asc + desc), got $nWindows")
+    assert(!plan.contains("unboundedfollowing$()"),
+      s"no shrinking (unbounded-following) frame may survive:\n$plan")
+    val nExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(entity_id"))
+    assert(nExchanges === 1,
+      s"both window sorts must share ONE entity exchange, got $nExchanges")
   }
 
   test("wide anomalies == per-metric narrow melts, one window node") {

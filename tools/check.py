@@ -53,8 +53,11 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
     # threads too: the string-heavy oracles (150 stopword replace()
     # copies per doc in d05/d13) scale their transient memory with
     # thread count, and the checker grades correctness, not speed.
-    con.execute("SET memory_limit='48GB'")
-    con.execute("SET threads TO 12")
+    # Env overrides: d13's 150-replace oracle sits at the memory edge
+    # at sf1 even under these caps — re-run stragglers with
+    # GRAFT_DUCKDB_THREADS=4 (transient memory scales with threads).
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
+    con.execute(f"SET threads TO {int(os.environ.get('GRAFT_DUCKDB_THREADS', '12'))}")
     con.execute("SET temp_directory='/tmp/duckdb_check_spill'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
