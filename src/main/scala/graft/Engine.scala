@@ -15,7 +15,15 @@ object Engine {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", "32")
+      // Shuffle parallelism is a DEPLOYMENT number: 32 matches this
+      // machine; a 1000-executor cluster sets it to O(cluster cores)
+      // (and a memory-tight executor raises it further so per-task
+      // shuffle shares fit — the memory-bounded sf10 rehearsal drives
+      // exactly that via this env knob; raising it globally here was
+      // measured at +0.4-4.5 s/key on the sf0.1 board from 8x map-side
+      // shuffle buckets, so the default stays machine-sized).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions._
 import graft.functions.{MinHashFromShinglesExpr, MinMd5Expr, ShinglesExpr, SimHashMd5Expr}
 import graft.functions.HammingDistance.hamming
@@ -227,11 +228,15 @@ object Dedup {
     val rows = numPerm / bands
     // The shingled base feeds three consumers — the signature pass and
     // both sides of the candidate verification. localCheckpoint
-    // materializes it ONCE (MEMORY_AND_DISK, spills instead of OOM);
-    // without it the full tokenize+shingle pipeline re-runs per
-    // consumer — three sketch passes over the corpus at 100 TB where
-    // one suffices.
-    val base = shingled(docs, idCol, textCol, k).localCheckpoint()
+    // materializes it ONCE; without it the full tokenize+shingle
+    // pipeline re-runs per consumer — three sketch passes over the
+    // corpus at 100 TB where one suffices. DISK_ONLY: the block set
+    // is corpus-sized (every doc's shingle array), and parking it in
+    // the unified pool as protected storage starves the downstream
+    // band join / verification joins of execution memory — the
+    // corpus-sized-checkpoints-go-to-disk policy (see ccStars).
+    val base = shingled(docs, idCol, textCol, k)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val sigs = base.select(col("doc_id"),
       MinHashFromShinglesExpr.minhash(col("__sh"), numPerm).as("__sig"))
     // Band keys relationally (codegen'd xxhash64 over the band's
@@ -395,12 +400,24 @@ object Dedup {
     * minimum id. Every step is a set operation (distinct / groupBy
     * min), so the result is deterministic under any partitioning.
     * Returns ((id, label) with label = component min, rounds run) —
-    * rounds exposed for the convergence-bound spec. */
+    * rounds exposed for the convergence-bound spec.
+    *
+    * Per-round edge sets checkpoint at DISK_ONLY, never in the
+    * unified pool: the edge set is pair-graph-sized (potentially a
+    * large fraction of the corpus at 100 TB), each round's blocks
+    * are read back exactly twice (next round's plan + the fixpoint
+    * compare) and then dead, and MEMORY_AND_DISK residency for them
+    * is protected storage that starves the upstream pair
+    * aggregation's execution memory — the memory-bounded sf10
+    * rehearsal (4 GB heap / 32 task threads = 128 MB per task) OOMed
+    * d22/d45 exactly on that competition. Disk blocks cost a
+    * serialize+write per round; the loop's cost is scheduling-bound
+    * at small scale and the blocks are OS-page-cache-warm anyway. */
   private[graft] def ccStars(pairs: DataFrame): (DataFrame, Int) = {
     var edges = pairs.select(col("a_id").cast("long").as("u"),
         col("b_id").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(true, StorageLevel.DISK_ONLY)
     var rounds = 0
     var done = edges.isEmpty
     while (!done) {
@@ -424,7 +441,7 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(smins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(true, StorageLevel.DISK_ONLY)
       rounds += 1
       // fixpoint = identical edge set (both sides are distinct sets)
       done = small.count() == edges.count() && small.except(edges).isEmpty
@@ -477,7 +494,8 @@ object Dedup {
     val fresh =
       if (!StoreFs.exists(spark, indexPath)) firsts
       else firsts.join(spark.read.parquet(indexPath), Seq("__h"), "left_anti")
-    val survivors = fresh.localCheckpoint()
+    // batch-sized WITH text — disk, not the unified pool (ccStars policy)
+    val survivors = fresh.localCheckpoint(true, StorageLevel.DISK_ONLY)
     IncrementalDedup(survivors.drop("__h"),
       () => survivors.select(col("__h")).write.mode("append").parquet(indexPath))
   }
@@ -549,9 +567,10 @@ object Dedup {
           col("__o_id") === col("__o_id2"))
         .select(col("doc_id"), col("__o_sig"))
     val dropped = verified(withinCands.unionByName(crossCands))
+    // batch-sized WITH text — disk, not the unified pool (ccStars policy)
     val survivors = newDocs.join(
         dropped.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     IncrementalDedup(survivors, () => {
       // Sidecar first: a torn commit still records the params the
       // partial index was built with.
@@ -574,9 +593,11 @@ object Dedup {
                          k: Int, numPerm: Int, bands: Int): (DataFrame, DataFrame) = {
     val rows = numPerm / bands
     val base = shingled(docs, idCol, textCol, k)
+    // corpus-cardinality signature rows — disk, not the unified
+    // pool (ccStars policy)
     val sigs = base.select(col("doc_id"),
         MinHashFromShinglesExpr.minhash(col("__sh"), numPerm).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val bandCols = (0 until bands).map { bIdx =>
       xxhash64((lit(bIdx) +: (0 until rows).map(r =>
         element_at(col("sig"), bIdx * rows + r + 1))): _*)
@@ -789,7 +810,9 @@ object Dedup {
                 window: Int = 16, stride: Int = 8): DataFrame = {
     require(window >= 2 && stride >= 1,
       s"spanScrub: window >= 2 and stride >= 1 required, got ($window, $stride)")
-    val spans = spanify(docs, idCol, textCol, window, stride).localCheckpoint()
+    // corpus-sized span rows — disk, not the unified pool (ccStars policy)
+    val spans = spanify(docs, idCol, textCol, window, stride)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val flags = spans.groupBy(col("h")).agg(
       (min(col("doc_id")) =!= max(col("doc_id"))).as("dup"),
       min(struct(col("doc_id"), col("pos"))).as("k"))
@@ -858,7 +881,9 @@ object Dedup {
       s"spanScrubIncremental: window >= 2 and stride >= 1 required, got ($window, $stride)")
     require(batchId.nonEmpty, "spanScrubIncremental: batchId required (exactly-once tag)")
     StoreFs.recover(spark, indexPath)
-    val spans = spanify(newDocs, idCol, textCol, window, stride).localCheckpoint()
+    // batch-sized span rows — disk, not the unified pool (ccStars policy)
+    val spans = spanify(newDocs, idCol, textCol, window, stride)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val indexed: Option[DataFrame] =
       if (!StoreFs.exists(spark, indexPath)) None
       else Some(spark.read.parquet(indexPath)
@@ -880,7 +905,9 @@ object Dedup {
         !(col("doc_id") === col("k.doc_id") && col("pos") === col("k.pos"))))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("__drops"))
-    val cleaned = applyDrops(newDocs, idCol, textCol, drops, window).localCheckpoint()
+    // batch-sized WITH text — disk, not the unified pool (ccStars policy)
+    val cleaned = applyDrops(newDocs, idCol, textCol, drops, window)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     IncrementalDedup(cleaned, () => {
       val alreadyCommitted = StoreFs.exists(spark, indexPath) &&
         !spark.read.parquet(indexPath).filter(col("batch") === batchId).isEmpty

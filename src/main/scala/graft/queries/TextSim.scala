@@ -773,7 +773,7 @@ object TextSim {
             expr("transform(sequence(1, size(split(text, ' ')) - 15, 8), " +
               "i -> md5(array_join(slice(split(text, ' '), i, 16), ' ')))"))
             .otherwise(array().cast("array<string>"))).as("h"))
-        .localCheckpoint()
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val flags = spans.filter(col("h").isNotNull)
         .groupBy(col("h"))
         .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("dup"))
