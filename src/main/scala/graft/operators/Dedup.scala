@@ -419,7 +419,12 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint(true, StorageLevel.DISK_ONLY)
     var rounds = 0
-    var done = edges.isEmpty
+    // one count job per round, not two: the previous round's count is
+    // this round's comparison baseline (the edge sets are checkpointed,
+    // but a count is still a scheduler round-trip, and the CC loop's
+    // sf0.1 cost is round-latency-bound)
+    var edgeCount = edges.count()
+    var done = edgeCount == 0
     while (!done) {
       require(rounds < 200, "ccStars failed to converge in 200 rounds")
       // large-star over the symmetric view
@@ -444,8 +449,10 @@ object Dedup {
         .distinct().localCheckpoint(true, StorageLevel.DISK_ONLY)
       rounds += 1
       // fixpoint = identical edge set (both sides are distinct sets)
-      done = small.count() == edges.count() && small.except(edges).isEmpty
+      val smallCount = small.count()
+      done = smallCount == edgeCount && small.except(edges).isEmpty
       edges = small
+      edgeCount = smallCount
     }
     val labels = edges.select(col("u").as("id"), col("v").as("label"))
       .union(edges.select(col("v").as("id"), col("v").as("label")))

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Assemble bench_scale_mem4g.json from paired graft.Bench runs.
+
+Inputs are two JSONL files where each line is one single-key
+graft.Bench output: the unconstrained sweep (inherited 24g heap) and
+the stress sweep (SPARK_GRAFT_CHILD_XMX=4g, 32 task threads), both at
+the synthesized sf10 dir. Cells for a key are measured back-to-back
+(pairing bounds machine drift inside the ratio — the sweeps showed
+±50% swings under sustained load when the two configs ran as two
+separate 19-key passes).
+
+Usage: assemble_mem_board.py <uncon.jsonl> <stress.jsonl> [out]
+"""
+import json, sys
+
+def load(path):
+    qs, errs = {}, set()
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            d = json.loads(line)
+            qs.update(d.get("queries", {}))
+            errs.update(json.loads(json.dumps(d.get("errors", []))))
+    return qs, errs
+
+def main():
+    uncon, u_err = load(sys.argv[1])
+    stress, s_err = load(sys.argv[2])
+    out = sys.argv[3] if len(sys.argv) > 3 else "bench_scale_mem4g.json"
+    keys, ooms = {}, []
+    for k, base in uncon.items():
+        rec = {"sf10_24g_32thr": round(base, 4)}
+        if k in s_err or k not in stress:
+            rec["sf10_4g_32thr"] = None
+            rec["ratio_4g_over_24g"] = None
+            ooms.append(k)
+        else:
+            sv = stress[k]
+            rec["sf10_4g_32thr"] = round(sv, 4)
+            rec["ratio_4g_over_24g"] = round(sv / base, 2) if base else None
+        keys[k] = rec
+    board = {
+        "metric": "memory_bounded_rehearsal",
+        "unit": "sec",
+        "sf": "sf10 (~2GB)",
+        "child_heap": "4g (vs 24g unconstrained)",
+        "configs": {
+            "stress": "4g heap / 32 task threads = 128MB per task "
+                      "(8-30x below a real executor's per-task share)",
+        },
+        "n_keys": len(keys),
+        "pass_at_stress": len(keys) - len(ooms),
+        "oom_at_stress": sorted(ooms),
+        "note": "re-run on final round-15 binaries after the "
+                "corpus-sized-checkpoints-to-DISK_ONLY change: the three "
+                "former stress-point OOMs (d02 spill-merge fan-in, "
+                "d22/d45 CC-loop checkpoint blocks) all pass. d02 remains "
+                "the boundary case (spill-merge fan-in is executor-sizing "
+                "physics) with SPARK_GRAFT_SHUFFLE_PARTITIONS=256 as the "
+                "deterministic sizing escape (measured: pass, 43.8s). "
+                "Cells per key measured back-to-back (uncon then stress); "
+                "absolute numbers are not comparable to bench_scale.json "
+                "(different session, ~1.4x slower machine on heavy keys).",
+        "keys": keys,
+    }
+    with open(out, "w") as f:
+        json.dump(board, f, indent=1)
+    print(f"wrote {out}: {board['pass_at_stress']}/{board['n_keys']} "
+          f"pass at stress; OOM: {board['oom_at_stress']}")
+
+if __name__ == "__main__":
+    main()
