@@ -24,18 +24,25 @@ object Bench {
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val threads =
+      if (cpus == "*") Runtime.getRuntime.availableProcessors() else cpus.toInt
+    val base = Engine.shufflePartitionsOverride.getOrElse(32)
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      // Deployment knob (see Engine.session): the memory-bounded
-      // rehearsal raises this for its stress cells so per-task shuffle
-      // shares fit a 128 MB budget; the bench contract default is 32.
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      // Deployment knob (see Engine.session): manual override wins;
+      // otherwise a heap-starved child (SPARK_GRAFT_CHILD_XMX) derives
+      // a wider AQE starting point so per-task shuffle shares fit —
+      // the memory-bounded sf10 rehearsal runs at default config now.
+      .config("spark.sql.shuffle.partitions", base.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (Engine.shufflePartitionsOverride.isEmpty) {
+      builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Engine.initialShufflePartitions(threads, base).toString)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -11,26 +11,76 @@ import org.apache.spark.sql.SparkSession
   * parallelism matched to the machine instead of the 200 default.
   */
 object Engine {
+  /** Resolved shuffle parallelism: the validated manual override, or
+    * None for "derive it". A bad knob value must fail at session
+    * build with a message naming the knob — not deep inside Spark at
+    * the first shuffle. */
+  private[graft] def shufflePartitionsOverride: Option[Int] =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map { v =>
+      val n =
+        try v.trim.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got '$v'")
+        }
+      require(n > 0, s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be > 0, got '$v'")
+      n
+    }
+
+  /** Heap-aware AQE initial shuffle parallelism.
+    *
+    * Shuffle parallelism is a DEPLOYMENT number: 32 matches this
+    * machine's comfortable heap-per-task; a memory-tight executor
+    * needs MORE partitions so each task's shuffle share fits its
+    * heap slice. The memory-bounded sf10 rehearsal (4 GB heap / 32
+    * task threads = 128 MB per task) showed exactly that: the d45
+    * pair+keeper aggregations flap 1-in-5 at 32 partitions and pass
+    * deterministically at 256. Rather than a manual env escape, the
+    * engine derives the AQE starting point from heap/task at session
+    * build: below a 512 MB-per-task comfort line, the initial
+    * partition count scales as ~1 GB / (heap per task), rounded to a
+    * power of two (4 GB/32 threads -> 256; untouched at 24 GB/32).
+    * Only `initialPartitionNum` moves — AQE coalescing folds small
+    * boards back to target-size partitions, so the fixed-256
+    * objection (+0.4-4.5 s/key on sf0.1 from 8x map-side buckets on
+    * EVERY shuffle, coalesced or not) applies far more weakly here,
+    * and the sf0.1 board was re-measured inside the ambient band. */
+  private[graft] def initialShufflePartitions(taskThreads: Int, base: Int): Int =
+    initialShufflePartitions(taskThreads, base, Runtime.getRuntime.maxMemory())
+
+  private[graft] def initialShufflePartitions(taskThreads: Int, base: Int,
+      heapBytes: Long): Int = {
+    val perTask = heapBytes.toDouble / math.max(1, taskThreads)
+    val comfort = (512L << 20).toDouble
+    if (perTask >= comfort) base
+    else {
+      val exp = math.max(1L, math.round(math.log((1024L << 20) / perTask) / math.log(2))).toInt
+      math.min(1024, base << math.min(exp, 5))
+    }
+  }
+
   def session(appName: String = "graft", cores: String = "*"): SparkSession = {
-    val spark = SparkSession.builder()
+    val threads =
+      if (cores == "*") Runtime.getRuntime.availableProcessors() else cores.toInt
+    val base = shufflePartitionsOverride.getOrElse(32)
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      // Shuffle parallelism is a DEPLOYMENT number: 32 matches this
-      // machine; a 1000-executor cluster sets it to O(cluster cores)
-      // (and a memory-tight executor raises it further so per-task
-      // shuffle shares fit — the memory-bounded sf10 rehearsal drives
-      // exactly that via this env knob; raising it globally here was
-      // measured at +0.4-4.5 s/key on the sf0.1 board from 8x map-side
-      // shuffle buckets, so the default stays machine-sized).
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.shuffle.partitions", base.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Manual override wins outright (the documented sizing escape);
+    // otherwise a heap-starved JVM starts its shuffles wider and lets
+    // AQE coalesce back down.
+    if (shufflePartitionsOverride.isEmpty) {
+      builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialShufflePartitions(threads, base).toString)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

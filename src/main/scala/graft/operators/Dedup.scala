@@ -451,6 +451,11 @@ object Dedup {
       // fixpoint = identical edge set (both sides are distinct sets)
       val smallCount = small.count()
       done = smallCount == edgeCount && small.except(edges).isEmpty
+      // the previous round's DISK_ONLY blocks are dead after that
+      // compare — release them now (safe: `small` is independently
+      // checkpointed) instead of accumulating up to 200 rounds of
+      // pair-graph-sized blocks on local disk for the loop's lifetime
+      edges.unpersist()
       edges = small
       edgeCount = smallCount
     }

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the heap-aware shuffle-parallelism posture: a memory-starved
+  * JVM must start its shuffles wider WITHOUT a manual knob (the round-15
+  * memory board's d45 boundary), and a comfortable heap must leave the
+  * machine-sized default untouched (the fixed-256 sf0.1 objection). */
+class EngineSpec extends AnyFunSuite {
+
+  private val GB = 1L << 30
+
+  test("comfortable heap (24g/32thr = 768MB/task) keeps the base") {
+    assert(Engine.initialShufflePartitions(32, 32, 24 * GB) === 32)
+  }
+
+  test("test-shaped session (8g/4thr = 2GB/task) keeps the base") {
+    assert(Engine.initialShufflePartitions(4, 32, 8 * GB) === 32)
+  }
+
+  test("stress cell (4g/32thr = 128MB/task) derives the measured 256 escape") {
+    assert(Engine.initialShufflePartitions(32, 32, 4 * GB) === 256)
+    // JVM maxMemory() under -Xmx4g reports slightly under 4 GiB; the
+    // power-of-two rounding must absorb that, not overshoot to 512
+    assert(Engine.initialShufflePartitions(32, 32, (3.8 * GB).toLong) === 256)
+  }
+
+  test("intermediate starvation scales monotonically, capped") {
+    assert(Engine.initialShufflePartitions(32, 32, 8 * GB) === 128)
+    assert(Engine.initialShufflePartitions(32, 32, 12 * GB) === 64)
+    // pathological floor: never beyond base << 5 (or 1024)
+    assert(Engine.initialShufflePartitions(32, 32, 1 * GB) === 1024)
+    assert(Engine.initialShufflePartitions(32, 32, GB / 2) === 1024)
+  }
+
+  test("derivation never shrinks below the configured base") {
+    for (heap <- Seq(GB, 4 * GB, 16 * GB, 64 * GB); thr <- Seq(1, 4, 32))
+      assert(Engine.initialShufflePartitions(thr, 32, heap) >= 32)
+  }
+}

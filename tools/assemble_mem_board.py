@@ -14,6 +14,8 @@ Usage: assemble_mem_board.py <uncon.jsonl> <stress.jsonl> [out]
 import json, sys
 
 def load(path):
+    """Per-key min over all JSONL lines (reruns are min-of-N, matching
+    the board's stated discipline), plus the error-key set."""
     qs, errs = {}, set()
     with open(path) as f:
         for line in f:
@@ -21,21 +23,34 @@ def load(path):
             if not line.startswith("{"):
                 continue
             d = json.loads(line)
-            qs.update(d.get("queries", {}))
-            errs.update(json.loads(json.dumps(d.get("errors", []))))
+            for k, v in d.get("queries", {}).items():
+                qs[k] = min(qs[k], v) if k in qs else v
+            errs.update(d.get("errors", []))
     return qs, errs
 
 def main():
     uncon, u_err = load(sys.argv[1])
     stress, s_err = load(sys.argv[2])
     out = sys.argv[3] if len(sys.argv) > 3 else "bench_scale_mem4g.json"
-    keys, ooms = {}, []
-    for k, base in uncon.items():
-        rec = {"sf10_24g_32thr": round(base, 4)}
+    keys, ooms, bad_base = {}, [], []
+    all_keys = set(uncon) | set(stress) | u_err | s_err
+    only_one = (set(uncon) | u_err) ^ (set(stress) | s_err)
+    if only_one:
+        print(f"warn: keys present in only one sweep: {sorted(only_one)}",
+              file=sys.stderr)
+    for k in sorted(all_keys):
+        # a key that errored in the UNCONSTRAINED run has no valid
+        # baseline — its timeout-sentinel seconds must not become a
+        # denominator, so the cell reports null and the key is listed
+        base = uncon.get(k) if k not in u_err else None
+        rec = {"sf10_24g_32thr": round(base, 4) if base is not None else None}
+        if base is None:
+            bad_base.append(k)
         if k in s_err or k not in stress:
             rec["sf10_4g_32thr"] = None
             rec["ratio_4g_over_24g"] = None
-            ooms.append(k)
+            if k in s_err or k in uncon or k in u_err:
+                ooms.append(k)
         else:
             sv = stress[k]
             rec["sf10_4g_32thr"] = round(sv, 4)
@@ -53,6 +68,7 @@ def main():
         "n_keys": len(keys),
         "pass_at_stress": len(keys) - len(ooms),
         "oom_at_stress": sorted(ooms),
+        "invalid_baseline": sorted(bad_base),
         "note": "re-run on final round-15 binaries after the "
                 "corpus-sized-checkpoints-to-DISK_ONLY change: the three "
                 "former stress-point OOMs (d02 spill-merge fan-in, "
