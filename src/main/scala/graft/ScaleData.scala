@@ -87,6 +87,35 @@ object ScaleData {
     F.when(F.col("copy_k") === 0, F.col(c)).otherwise(rot).as(c)
   }
 
+  /** Zipfian doc-length heterogeneity (--zipf, VERDICT r15 item #5):
+    * the uniform copies keep the source's near-constant ~300-char doc
+    * lengths, but real corpora have power-law lengths and a few giant
+    * documents — one 6 MB doc is ONE row, and it stresses the
+    * single-row paths (shingle arrays, BPE merge loops, span/paragraph
+    * explodes, per-eval generate buffers) that no amount of uniform
+    * row-count scaling ever touches. With zipf on, each doc's (salted,
+    * possibly hot-remapped) text is repeated m times, where m is a
+    * deterministic per-(doc, copy) draw from a discrete power law:
+    * m = floor(u^(-1/1.5)) capped at 64 (P(m≥2)≈0.35, mean ≈2.6), and
+    * the doc carrying the SOURCE's min doc id in every copy becomes a
+    * planted giant (m = 20,000 ≈ 6 MB, ~1M tokens). Token counts and
+    * shingle structure scale with m; within-doc repetition is exactly
+    * what giant real-world docs look like to a dedup pass. n_chars is
+    * recomputed downstream as always. Zipf dirs are STRESS data —
+    * like --hot, never oracle-parity data (copy 0 is expanded too). */
+  private[graft] val GiantMult = 20000
+
+  private[graft] def zipfExpandedText(minSrcDocId: Long): Column = {
+    val u = (F.pmod(F.xxhash64(F.col("doc_id"), F.lit("zipf")), F.lit(1000000L)) + 1)
+      .cast("double") / F.lit(1000000.0)
+    val mult = F.least(F.lit(64L), F.floor(F.pow(u, F.lit(-1.0 / 1.5)))).cast("int")
+    val m = F.when(F.col("doc_id") % Stride === minSrcDocId, F.lit(GiantMult))
+      .otherwise(mult)
+    F.when(m <= 1, F.col("text"))
+      .otherwise(F.array_join(F.array_repeat(F.col("text"), m), " "))
+      .as("text")
+  }
+
   /** Hot-key synthesis (VERDICT r14 item #2): the uniform id-shifted
     * copies never exercise a SKEWED shuffle — every key family stays
     * ~uniform at every scale, so the sf10 board proved time scaling
@@ -115,7 +144,7 @@ object ScaleData {
     * copy-0-verbatim invariant holds only for hot = 0 (hot dirs are
     * skew-rehearsal data, never oracle-parity data). */
   def scaleTables(spark: SparkSession, src: String, out: String, n: Int,
-                  hot: Double = 0.0): Unit = {
+                  hot: Double = 0.0, zipf: Boolean = false): Unit = {
     require(hot >= 0 && hot < 1, s"hot fraction must be in [0, 1), got $hot")
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
     // Selector: pmod(xxhash64(id), k) == 0 picks ~1/k of all rows.
@@ -182,9 +211,16 @@ object ScaleData {
       else F.when(isHot("doc_id"),
           F.regexp_replace(saltedText("text"), F.lit("^[^ ]+"), F.lit("qhotzz")))
         .otherwise(saltedText("text")).as("text")
-    wr(withCopies(docs, n)
+    val docsScaled = withCopies(docs, n)
       .select(shifted("doc_id"), hotText, F.col("lang"),
         heatTo("doc_id", F.col("source"), F.lit("hot_source"), "source"))
+    val docsZipfed =
+      if (!zipf) docsScaled
+      else {
+        val minSrcDocId = docs.agg(F.min("doc_id")).head().getLong(0)
+        docsScaled.withColumn("text", zipfExpandedText(minSrcDocId))
+      }
+    wr(docsZipfed
       .withColumn("n_chars", F.length(F.col("text")).cast("long")),
       "documents", 8)
     wr(withCopies(rd("embeddings"), n)
@@ -193,10 +229,19 @@ object ScaleData {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3 || args.length == 5 && args(3) == "--hot",
-      "usage: graft.ScaleData <srcSfDir> <outDir> <copies> [--hot <frac>]")
+    val usage = "usage: graft.ScaleData <srcSfDir> <outDir> <copies> [--hot <frac>] [--zipf]"
+    require(args.length >= 3, usage)
     val Array(src, out, copiesS) = args.take(3)
-    val hot = if (args.length == 5) args(4).toDouble else 0.0
+    var hot = 0.0
+    var zipf = false
+    var i = 3
+    while (i < args.length) {
+      args(i) match {
+        case "--hot" => require(i + 1 < args.length, usage); hot = args(i + 1).toDouble; i += 2
+        case "--zipf" => zipf = true; i += 1
+        case other => throw new IllegalArgumentException(s"unknown flag '$other'; $usage")
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -205,7 +250,7 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scaleTables(spark, src, out, copiesS.toInt, hot)
+    scaleTables(spark, src, out, copiesS.toInt, hot, zipf)
     spark.stop()
   }
 }

@@ -175,4 +175,51 @@ class ScaleDataSpec extends SparkSpec {
     assert(norms.filter(abs(col("n2") - col("n20")) > 1e-3).isEmpty,
       "sign flip + rotation must preserve vector norms")
   }
+
+  test("zipf mode: power-law doc lengths, one planted giant per copy, invariants hold") {
+    val out = Files.createTempDirectory("graft_scale_zipf").toString
+    ScaleData.scaleTables(spark, sf, out, 3, zipf = true)
+    val S = ScaleData.Stride
+    val d0 = spark.read.parquet(s"$sf/documents.parquet")
+    val d = spark.read.parquet(s"$out/documents.parquet")
+    // row count and n_chars invariants survive the expansion
+    assert(d.count() === 3 * d0.count(), "zipf must not change row counts")
+    assert(d.filter(length(col("text")) =!= col("n_chars")).isEmpty,
+      "n_chars must equal length(text) after expansion")
+    // exactly one giant per copy: the source-min doc id, expanded ~GiantMult x
+    val minId = d0.agg(min("doc_id")).head().getLong(0)
+    val giants = d.filter(col("n_chars") >
+      lit(ScaleData.GiantMult.toLong) * 50) // far above any m<=64 doc
+    assert(giants.count() === 3, "one planted giant per copy")
+    assert(giants.filter(col("doc_id") % S =!= minId).isEmpty,
+      "the giant must carry the source-min doc id in every copy")
+    // the giant is m repeats of its (salted) base text: token count
+    // scales exactly with GiantMult
+    val baseTok = d0.filter(col("doc_id") === minId)
+      .select(size(split(col("text"), " "))).head().getInt(0)
+    val gTok = giants.filter(col("doc_id") === minId)
+      .select(size(split(col("text"), " "))).head().getInt(0)
+    assert(gTok === baseTok * ScaleData.GiantMult,
+      s"giant token count $gTok != $baseTok * ${ScaleData.GiantMult}")
+    // the length distribution actually has a power tail: a meaningful
+    // fraction expanded (m>=2) and a smaller one expanded further
+    // (m>=8); P(m>=2)=2^-1.5~0.35, P(m>=8)=8^-1.5~0.044
+    val n = d.count().toDouble
+    val p2 = d.join(d0.select(col("doc_id").as("sid"),
+        col("n_chars").as("c0")), d("doc_id") % S === col("sid"))
+      .filter(col("n_chars") >= col("c0") * 2).count() / n
+    val p8 = d.join(d0.select(col("doc_id").as("sid"),
+        col("n_chars").as("c0")), d("doc_id") % S === col("sid"))
+      .filter(col("n_chars") >= col("c0") * 8).count() / n
+    assert(p2 > 0.25 && p2 < 0.45, s"P(m>=2) ~ 0.35, got $p2")
+    assert(p8 > 0.02 && p8 < 0.09, s"P(m>=8) ~ 0.044, got $p8")
+    // expansion happens AFTER salting: cross-copy texts stay distinct
+    assert(d.groupBy((col("doc_id") % S).as("src_id"))
+      .agg(count_distinct(col("text")).as("k"))
+      .filter(col("k") =!= 3).isEmpty,
+      "zipf expansion must preserve cross-copy distinctness")
+    // non-document tables are untouched by zipf (same recipe)
+    assert(spark.read.parquet(s"$out/lineitem.parquet").count() ===
+      3 * spark.read.parquet(s"$sf/lineitem.parquet").count())
+  }
 }
