@@ -14,7 +14,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // partitions default to the thread count; the partition-count
+      // invariance gate overrides them independently (validated knob)
+      .config("spark.sql.shuffle.partitions",
+        Engine.shufflePartitionsOverride.getOrElse(cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
