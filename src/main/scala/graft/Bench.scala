@@ -54,10 +54,27 @@ object Bench {
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
   }
 
+  /** Benchmark action. The default `count` matches every board since
+    * round 1 (comparability), but Catalyst rightly column-prunes under
+    * count(1): for PROJECTION-shaped keys (d10/d11/d17/d35-style
+    * per-row transforms with no aggregate) the expensive expressions
+    * are never evaluated, so count-mode under-measures exactly the
+    * per-row compute those keys exist to exercise.
+    * `SPARK_GRAFT_BENCH_ACTION=noop` instead writes to Spark's noop
+    * sink — every column is materialized, nothing is persisted — for
+    * boards that must force the compute (the zipf single-row stress). */
+  private val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "count")
+
   private def timeOne(spark: SparkSession, sfDir: String, name: String): (Double, Boolean) = {
     val fn = SparkEntry.queries(name)
     val t0 = System.nanoTime()
-    val ok = try { fn(spark, sfDir).count(); true } catch {
+    val ok = try {
+      action match {
+        case "noop" => fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        case _      => fn(spark, sfDir).count()
+      }
+      true
+    } catch {
       case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
         false

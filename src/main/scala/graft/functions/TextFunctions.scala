@@ -102,9 +102,26 @@ object TextFunctions {
     * across engines (the DuckDB oracle replays it string-for-string).
     * Compute `gramHashes` into its own column first — inlining it
     * into `winnowMins` would re-evaluate the hash pass per reference. */
+  /** Winnowing giant-doc cap: fingerprints are computed over the
+    * first `FingerprintMaxChars` characters of a document. Two
+    * reasons, both measured on the zipf stress corpus (10 MB planted
+    * giants): (1) per-row eval memory — the portable md5-string gram
+    * array costs ~100 B/char, so an uncapped 10 MB doc materializes a
+    * ~1 GB array in ONE row evaluation, far past a 128 MB-per-task
+    * executor share; (2) UTF8String.substring is O(offset) (it scans
+    * for codepoint boundaries), so per-gram cost grows with position
+    * and an uncapped giant is quadratic in doc length. At 64 Ki chars
+    * the row costs ~6 MB and ~2e9 byte scans, while still yielding
+    * ~16k fingerprint windows — a giant is fingerprint-saturated long
+    * before the cap (density 2/(w+1)); prefix fingerprinting is the
+    * standard winnowing posture for oversized inputs. The DuckDB twin
+    * applies the same cap, so oracle parity holds at every length. */
+  val FingerprintMaxChars: Int = 65536
+
   def gramHashes(textCol: String, k: Int = 8): Column =
     expr(s"""CASE WHEN length($textCol) >= $k
-      THEN transform(sequence(1, length($textCol) - ${k - 1}), i -> md5(substring($textCol, i, $k)))
+      THEN transform(sequence(1, least(length($textCol), $FingerprintMaxChars) - ${k - 1}),
+        i -> md5(substring($textCol, i, $k)))
       ELSE cast(array() AS array<string>) END""")
 
   def winnowMins(hsCol: String, w: Int = 4): Column =

@@ -51,8 +51,11 @@ object Dedup {
     val spread =
       if (projected.rdd.getNumPartitions < parallelism) projected.repartition(parallelism)
       else projected
+    // streaming tokenizer (ShinglesFromTextExpr): identical output to
+    // split + ShinglesExpr, but a zipf giant costs its distinct set,
+    // not a corpus-row-sized transient token array (128 MB/task cell)
     spread.select(col("doc_id"),
-        ShinglesExpr.shingles(tokens(col("__text")), k).as("__sh"))
+        ShinglesExpr.shinglesFromText(col("__text"), k).as("__sh"))
       .filter(size(col("__sh")) > 0)
   }
 
@@ -837,16 +840,25 @@ object Dedup {
   }
 
   /** `(doc_id, pos, h)` for every `window`-token span at `stride` —
-    * hashed inside the HOF so span text never leaves the row. */
+    * hashed inside the HOF so span text never leaves the row.
+    *
+    * The tokenization is hoisted into its own projection BELOW the
+    * generate: with `split` inlined inside the transform lambda it is
+    * re-evaluated once per SPAN, which is quadratic per document —
+    * invisible on ~300-char docs, a >15-minute single row on a zipf
+    * giant (1.7M tokens -> 212k spans x 1.7M-token re-splits). The
+    * multi-reference guard in CollapseProject keeps the hoist from
+    * being folded back into the lambda (3 consumers, non-cheap). */
   private def spanify(docs: DataFrame, idCol: String, textCol: String,
                       window: Int, stride: Int): DataFrame = {
     val spanArr =
-      s"""transform(sequence(1, size(split(`$textCol`, ' ')) - ${window - 1}, $stride),
+      s"""transform(sequence(1, size(__toks) - ${window - 1}, $stride),
          | i -> named_struct('pos', i,
-         |   'h', md5(array_join(slice(split(`$textCol`, ' '), i, $window), ' '))))"""
+         |   'h', md5(array_join(slice(__toks, i, $window), ' '))))"""
         .stripMargin.replace("\n", " ")
-    docs.select(col(idCol).as("doc_id"),
-        explode(when(size(split(col(textCol), " ")) >= window, expr(spanArr))
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("__toks")) >= window, expr(spanArr))
           .otherwise(expr("cast(array() as array<struct<pos:int,h:string>>)"))).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
   }

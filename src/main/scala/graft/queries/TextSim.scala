@@ -768,10 +768,15 @@ object TextSim {
       // the join's probe side — one tokenize+hash pass instead of two
       // (the d03 discipline; spans are (id, 32-char hash), far
       // narrower than the text they derive from).
-      val spans = docs.select(col("doc_id"),
-          explode_outer(when(size(split(col("text"), " ")) >= 16,
-            expr("transform(sequence(1, size(split(text, ' ')) - 15, 8), " +
-              "i -> md5(array_join(slice(split(text, ' '), i, 16), ' ')))"))
+      // tokens hoisted below the generate (the Dedup.spanify fix):
+      // split inside the lambda re-tokenizes once per SPAN — quadratic
+      // per doc, a >15-min single row on a zipf giant
+      val spans = docs
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+        .select(col("doc_id"),
+          explode_outer(when(size(col("__toks")) >= 16,
+            expr("transform(sequence(1, size(__toks) - 15, 8), " +
+              "i -> md5(array_join(slice(__toks, i, 16), ' ')))"))
             .otherwise(array().cast("array<string>"))).as("h"))
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val flags = spans.filter(col("h").isNotNull)
@@ -1974,9 +1979,9 @@ object TextSim {
         |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d11_winnow" ->
-      """WITH hs AS (SELECT doc_id,
+      s"""WITH hs AS (SELECT doc_id,
         |  CASE WHEN length(text) >= 8
-        |    THEN list_transform(generate_series(1, length(text) - 7), i -> md5(substr(text, i, 8)))
+        |    THEN list_transform(generate_series(1, least(length(text), ${graft.functions.TextFunctions.FingerprintMaxChars}) - 7), i -> md5(substr(text, i, 8)))
         |    ELSE [] END AS hs FROM documents),
         |w AS (SELECT doc_id,
         |  CASE WHEN len(hs) >= 4

@@ -35,6 +35,27 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
   }
 
+  test("streaming-text shingles are bit-identical to split + array shingles") {
+    import graft.SparkSpec.spark.implicits._
+    // edge shapes: normal, doubled spaces (interior empty tokens),
+    // leading/trailing spaces (split keeps trailing empties at
+    // limit=-1), short (< k), empty, single token, unicode multi-byte,
+    // and a repetitive zipf-giant-alike whose distinct set collapses
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a  b c   d", " leading space", "trailing space ", "two  ", "",
+      "one", "ab cd", "héllo wörld émoji é 世界 token",
+      Seq.fill(500)("rep eat me now").mkString(" ")
+    ).toDF("text")
+    for (k <- Seq(2, 3, 5)) {
+      val via = texts.select(
+        graft.functions.ShinglesExpr.shingles(TextFunctions.tokens(col("text")), k).as("a"),
+        graft.functions.ShinglesExpr.shinglesFromText(col("text"), k).as("b"))
+      assert(via.filter(not(col("a") <=> col("b"))).isEmpty,
+        s"streaming shingles diverge from split+shingles at k=$k")
+    }
+  }
+
   test("collect_min_k equals sorted-collect-truncate under any partitioning") {
     import graft.SparkSpec.spark.implicits._
     import graft.functions.CollectMinK.collectMinK
