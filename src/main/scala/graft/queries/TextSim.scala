@@ -543,10 +543,13 @@ object TextSim {
     // Winnowing fingerprints (MOSS rolling hash): char 8-gram hashes,
     // window-4 minima. Reported per doc as count + min/max fingerprint
     // (scalar projections of the set, so the hash-compare applies).
+    // One native O(bytes) pass (WinnowExpr) — bit-identical to the
+    // gramHashes+winnowMins HOF chain, which re-scans the string per
+    // gram (O(offset) substring) and ran minutes/doc-MB interpreted.
     "d11_winnow" -> { (s, dir) =>
       TableCatalog(s, dir).documents
-        .withColumn("__hs", TextFunctions.gramHashes("text", 8))
-        .withColumn("__wins", TextFunctions.winnowMins("__hs", 4))
+        .withColumn("__wins",
+          graft.functions.WinnowExpr.winnow(col("text"), 8, 4))
         .select(col("doc_id"),
           size(array_distinct(col("__wins"))).as("n_fps"),
           array_min(col("__wins")).as("min_fp"),

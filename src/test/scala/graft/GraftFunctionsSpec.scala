@@ -56,6 +56,24 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native winnow is bit-identical to the gramHashes+winnowMins HOF chain") {
+    import graft.SparkSpec.spark.implicits._
+    // shapes: below-k, exactly-k, grams < window, unicode multi-byte
+    // (grams are CHAR-indexed), long repetitive (giant-alike), and a
+    // > FingerprintMaxChars doc exercising the shared cap
+    val big = "abcdefgh " * 9000 // 81000 chars > 65536 cap
+    val texts = Seq(
+      "", "short", "exactly8", "just nine", "the quick brown fox",
+      "héllo wörld 世界 multibyte grams", ("rep " * 400).trim, big
+    ).toDF("text")
+    val via2 = texts
+      .withColumn("__hs", TextFunctions.gramHashes("text", 8))
+      .select(TextFunctions.winnowMins("__hs", 4).as("a"),
+        graft.functions.WinnowExpr.winnow(col("text"), 8, 4).as("b"))
+    assert(via2.filter(not(col("a") <=> col("b"))).isEmpty,
+      "native winnow diverges from the HOF chain")
+  }
+
   test("collect_min_k equals sorted-collect-truncate under any partitioning") {
     import graft.SparkSpec.spark.implicits._
     import graft.functions.CollectMinK.collectMinK
