@@ -296,6 +296,78 @@ object WinnowExpr {
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), k, w))
 }
 
+/** Gopher-style repetition stats in one streaming pass over the TEXT:
+  * (n_tokens, n_uniq, n_grams, n_uniq_grams, top_token_cnt) — the
+  * five integers d18's quality ratios derive from. Equivalent to the
+  * tokens/bigram-array + explode + two-groupBy DataFrame formulation
+  * (spec-asserted), but per-row memory is the DISTINCT token/bigram
+  * sets and a token count map, never the materialized token and
+  * bigram arrays (~300 MB transient on a 10 MB zipf giant — the d18
+  * stress-cell OOM), and the corpus-wide explode shuffle disappears:
+  * the operator becomes a pure projection. Tokenization is the
+  * split-on-space semantics (empties kept) shared with
+  * [[ShinglesFromTextExpr]]. */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RepetitionStatsExpr.schema
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStatsExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+      |  graft.functions.RepetitionStatsExpr$$.MODULE$$.compute($c);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr =
+    copy(child = c)
+}
+
+object RepetitionStatsExpr {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_uniq", IntegerType, nullable = false),
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("n_uniq_grams", IntegerType, nullable = false),
+    StructField("top_token_cnt", LongType, nullable = false)))
+
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val counts = new java.util.HashMap[UTF8String, Long](64)
+    val uniqGrams = new java.util.HashSet[UTF8String](64)
+    var nTokens = 0
+    var prev: UTF8String = null
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        counts.merge(tok, 1L, (a, b) => a + b)
+        if (prev != null) uniqGrams.add(UTF8String.concatWs(Space, prev, tok))
+        prev = tok
+        nTokens += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    var top = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val v = it.next(); if (v > top) top = v }
+    val nGrams = if (nTokens >= 2) nTokens - 1 else 0
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, counts.size(), nGrams, uniqGrams.size(), top))
+  }
+
+  def stats(text: Column): Column =
+    ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(text)))
+}
+
 object ShinglesFromTextExpr {
   private val Space = UTF8String.fromString(" ")
 

@@ -199,36 +199,25 @@ object TextSim {
     * are HOFs computed before the explode and carried through both
     * groupBys as max() (functionally dependent on doc_id): one
     * explode, two combine-friendly shuffles, no corpus re-join. */
-  def repetition(docs: DataFrame): DataFrame = {
-    val base = docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
-      .withColumn("n_tokens", size(col("__t")))
-      .filter(col("n_tokens") > 0)
-      .withColumn("n_uniq", size(array_distinct(col("__t"))))
-      .withColumn("__g", when(col("n_tokens") >= 2, expr(
-        "transform(sequence(1, size(__t) - 1), i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"))
-        .otherwise(array().cast("array<string>")))
-      .withColumn("n_grams", size(col("__g")))
-      .withColumn("n_uniq_grams", size(array_distinct(col("__g"))))
-    base.select(col("doc_id"), col("n_tokens"), col("n_uniq"),
-        col("n_grams"), col("n_uniq_grams"), explode(col("__t")).as("__tok"))
-      .groupBy(col("doc_id"), col("__tok"))
-      .agg(count(lit(1)).as("__c"), max(col("n_tokens")).as("n_tokens"),
-        max(col("n_uniq")).as("n_uniq"), max(col("n_grams")).as("n_grams"),
-        max(col("n_uniq_grams")).as("n_uniq_grams"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("n_tokens")).as("n_tokens"), max(col("n_uniq")).as("n_uniq"),
-        max(col("n_grams")).as("n_grams"),
-        max(col("n_uniq_grams")).as("n_uniq_grams"),
-        max(col("__c")).as("top_token_cnt"))
-      .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
-        col("n_grams"), col("n_uniq_grams"), col("top_token_cnt"),
-        round(col("n_uniq") / col("n_tokens"), 6).as("uniq_token_ratio"),
-        when(col("n_grams") === 0, lit(0.0))
-          .otherwise(round(lit(1.0) - col("n_uniq_grams") / col("n_grams"), 6))
+  def repetition(docs: DataFrame): DataFrame =
+    // one native streaming pass per doc (RepetitionStatsExpr): the
+    // five integers, then the ratios — a pure projection. The former
+    // token/bigram-array + explode + two-groupBy plan materialized
+    // ~300 MB of transient arrays per zipf-giant ROW (the d18 stress
+    // OOM) and shuffled the whole exploded corpus for top_token_cnt.
+    docs.select(col("doc_id"),
+        graft.functions.RepetitionStatsExpr.stats(col("text")).as("__r"))
+      .filter(col("__r.n_tokens") > 0)
+      .select(col("doc_id"),
+        col("__r.n_tokens").as("n_tokens"), col("__r.n_uniq").as("n_uniq"),
+        col("__r.n_grams").as("n_grams"),
+        col("__r.n_uniq_grams").as("n_uniq_grams"),
+        col("__r.top_token_cnt").as("top_token_cnt"),
+        round(col("__r.n_uniq") / col("__r.n_tokens"), 6).as("uniq_token_ratio"),
+        when(col("__r.n_grams") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - col("__r.n_uniq_grams") / col("__r.n_grams"), 6))
           .as("dup_bigram_ratio"),
-        round(col("top_token_cnt") / col("n_tokens"), 6).as("top_token_ratio"))
-  }
+        round(col("__r.top_token_cnt") / col("__r.n_tokens"), 6).as("top_token_ratio"))
 
   /** Corpus-rarity scoring over any (doc_id, text) corpus — the d20
     * plan (integer-exact unigram-LM signal; see the query notes).
