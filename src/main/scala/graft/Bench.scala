@@ -82,19 +82,35 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, ok)
   }
 
-  /** Child mode: measure one query, emit a marker line for the parent.
-    * The query runs twice and the min is reported — the first run still
-    * absorbs residual JIT/page-cache warmup that the generic warmup()
-    * can't reach (query-specific codegen, parquet footer of the tables
-    * the query actually touches). */
+  /** Per-key measurement repetitions inside a child (min-of-N). The
+    * first run absorbs residual JIT/page-cache warmup the generic
+    * warmup() can't reach (query-specific codegen, parquet footers of
+    * the tables the query actually touches); N−1 further runs bound
+    * ambient machine noise — same-binaries headline boards 70 minutes
+    * apart measured ×2.8 per-key swings on this hardware (VERDICT
+    * r16 wart #3), so the committed headline board runs min-of-3
+    * (`SPARK_GRAFT_BENCH_RUNS=3`); 2 stays the default for cheap
+    * iteration and every historical board's comparability. */
+  private[graft] val runsPerKey: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
+
+  /** Child mode: measure one query min-of-[[runsPerKey]], emit a
+    * marker line for the parent. */
   private def runChild(name: String): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session()
     warmup(spark, sfDir)
-    val (s1, ok1) = timeOne(spark, sfDir, name)
-    val (s2, ok2) = if (ok1) timeOne(spark, sfDir, name) else (Double.NaN, false)
-    val (sec, ok) = if (ok1 && ok2) (math.min(s1, s2), true) else (s1, ok1)
-    println(s"""$Marker{"query":"$name","sec":$sec,"ok":$ok}""")
+    var best = Double.NaN
+    var ok = true
+    var i = 0
+    while (i < math.max(1, runsPerKey) && ok) {
+      val (s, o) = timeOne(spark, sfDir, name)
+      ok = o
+      if (o && (best.isNaN || s < best)) best = s
+      if (!o) best = s // report the failing attempt's duration
+      i += 1
+    }
+    println(s"""$Marker{"query":"$name","sec":$best,"ok":$ok}""")
     spark.stop()
   }
 
@@ -205,7 +221,8 @@ object Bench {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
       val stamp = java.time.Instant.now().toString
       val mode = if (inproc) "inproc" else "forked"
-      val full = s"""{"written_at":"$stamp","mode":"$mode","n_queries":${cleaned.size},""" +
+      val full = s"""{"written_at":"$stamp","mode":"$mode","runs_per_key":$runsPerKey,""" +
+        s""""n_queries":${cleaned.size},""" +
         s""""metric":"total","value":$total,"unit":"sec","valid_total":$validTotal,""" +
         s""""queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -12,12 +12,16 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     def keep(name: String) = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // '*' is accepted everywhere the knob is read (Engine.session,
+    // Bench) — resolve it here too instead of crashing on toInt
+    val threads =
+      if (cpus == "*") Runtime.getRuntime.availableProcessors() else cpus.toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // partitions default to the thread count; the partition-count
       // invariance gate overrides them independently (validated knob)
       .config("spark.sql.shuffle.partitions",
-        Engine.shufflePartitionsOverride.getOrElse(cpus.toInt).toString)
+        Engine.shufflePartitionsOverride.getOrElse(threads).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

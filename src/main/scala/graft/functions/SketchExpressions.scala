@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -214,14 +216,25 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any =
-    WinnowExpr.compute(input.asInstanceOf[UTF8String], k, w)
+  // NULL text → EMPTY array, matching the HOF chain it replaces
+  // bit-for-bit: `CASE WHEN length(NULL) >= k …` has a null predicate
+  // and falls to the ELSE array() branch on both engines, so default
+  // null-intolerance here would flip d11's n_fps from 0 to null on
+  // any corpus with a null text row (ADVICE r16).
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
-      |  graft.functions.WinnowExpr$$.MODULE$$.compute($c, $k, $w);
-     """.stripMargin)
+  override def eval(input: InternalRow): Any =
+    WinnowExpr.computeOrEmpty(child.eval(input).asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.WinnowExpr$$.MODULE$$.computeOrEmpty(
+          ${c.isNull} ? null : ${c.value}, $k, $w);
+      """, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(c: Expression): WinnowExpr =
     copy(child = c)
@@ -229,6 +242,11 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
 
 object WinnowExpr {
   private val HexChars = "0123456789abcdef".getBytes
+
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  def computeOrEmpty(text: UTF8String, k: Int, w: Int): ArrayData =
+    if (text == null) Empty else compute(text, k, w)
 
   private def md5Hex(md: java.security.MessageDigest,
                      bytes: Array[Byte], off: Int, len: Int): UTF8String = {

@@ -457,8 +457,11 @@ object Dedup {
       // the previous round's DISK_ONLY blocks are dead after that
       // compare — release them now (safe: `small` is independently
       // checkpointed) instead of accumulating up to 200 rounds of
-      // pair-graph-sized blocks on local disk for the loop's lifetime
-      edges.unpersist()
+      // pair-graph-sized blocks on local disk for the loop's lifetime.
+      // Must target the checkpointed RDD itself: Dataset.unpersist is
+      // plan-keyed (CacheManager) and no-ops on RDD-level checkpoint
+      // persistence (ADVICE r16).
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpointed(edges)
       edges = small
       edgeCount = smallCount
     }

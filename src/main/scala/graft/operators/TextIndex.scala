@@ -31,9 +31,15 @@ import org.apache.spark.sql.functions._
 object TextIndex {
 
   /** Tokenization shared by build and every query path: whitespace
-    * split, empty tokens dropped. */
-  private def toks(textCol: String) =
-    filter(split(col(textCol), " "), t => t =!= "")
+    * split, empty tokens dropped — streamed, never materialized as an
+    * array (a 10 MB zipf-giant doc would cost a ~100 MB token array
+    * per row eval; the lazy generator and the counting pass cost one
+    * text-bytes copy and zero bytes respectively). */
+  private def explodeToks(textCol: String) =
+    graft.functions.TokensGenerator.explodeTokens(col(textCol), skipEmpty = true)
+
+  private def nTokens(textCol: String) =
+    graft.functions.TokenCountExpr.nonEmptyTokenCount(col(textCol))
 
   /** Build the index from a corpus. One explode + one (doc, token)
     * partial-agg shuffle for the postings; the doclen pass is a
@@ -42,10 +48,10 @@ object TextIndex {
             path: String): Unit = {
     val spark = docs.sparkSession
     val dl = docs.select(col(idCol).as("doc_id"),
-      size(toks(textCol)).cast("long").as("dl"))
+      nTokens(textCol).cast("long").as("dl"))
     dl.write.parquet(s"$path/doclen")
     docs.select(col(idCol).as("doc_id"),
-        explode(toks(textCol)).as("token"))
+        explodeToks(textCol).as("token"))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .write.partitionBy("token").parquet(s"$path/postings")
@@ -64,10 +70,10 @@ object TextIndex {
     require(!batchId.contains("/"), s"bad batchId: $batchId")
     if (StoreFs.exists(spark, s"$path/batches/$batchId")) return
     docs.select(col(idCol).as("doc_id"),
-      size(toks(textCol)).cast("long").as("dl"))
+      nTokens(textCol).cast("long").as("dl"))
       .write.mode("append").parquet(s"$path/doclen")
     docs.select(col(idCol).as("doc_id"),
-        explode(toks(textCol)).as("token"))
+        explodeToks(textCol).as("token"))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .write.mode("append").partitionBy("token").parquet(s"$path/postings")

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
+import graft.functions.{BigramsGenerator, RegexTokenStatsExpr, TextFunctions, TokenCountExpr, TokenUniqExpr, TokensGenerator}
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Sampling, TextIndex}
 import graft.similarity.Similarity
@@ -240,7 +240,8 @@ object TextSim {
     *    engages (spec-asserted `skew=true`). */
   def rarity(docs: DataFrame, hotTokens: Int = 0): DataFrame = {
     val toks = docs
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("__tok"))
+      .select(col("doc_id"),
+        TokensGenerator.explodeTokens(col("text"), skipEmpty = false).as("__tok"))
     val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cf"))
     val joined =
       if (hotTokens <= 0) toks.join(freq, "__tok")
@@ -274,7 +275,8 @@ object TextSim {
     * vs old LM) score as unseen: they count toward `n_tokens` only. */
   def rarityScore(docs: DataFrame, freq: DataFrame): DataFrame = {
     val toks = docs
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("__tok"))
+      .select(col("doc_id"),
+        TokensGenerator.explodeTokens(col("text"), skipEmpty = false).as("__tok"))
     toks.join(freq.select(col("token").as("__tok"), col("cf").as("__cf")),
         Seq("__tok"), "left_outer")
       .groupBy(col("doc_id"))
@@ -304,7 +306,7 @@ object TextSim {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(md5(col("text")))
       val flagged = docs.select(col("source"),
-          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+          TokenCountExpr.tokenCount(col("text")).cast("long").as("n_tokens"),
           (col("doc_id") === min(col("doc_id")).over(w)).as("keeper"))
       flagged.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -347,9 +349,11 @@ object TextSim {
     // Plan: explode → (source, token) partial agg → per-source agg;
     // the token-keyed shuffle is the d30/d33 Zipf posture.
     "d48_token_entropy" -> { (s, dir) =>
+      // lazy token generator: the explode-of-split materialized the
+      // giant row's ~100 MB token array per eval (zipf r17 sweep)
       val toks = TableCatalog(s, dir).documents
-        .select(col("source"), explode(split(col("text"), " ")).as("token"))
-        .filter(col("token") =!= "")
+        .select(col("source"),
+          TokensGenerator.explodeTokens(col("text"), skipEmpty = true).as("token"))
       toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
         .groupBy(col("source"))
         .agg(sum(col("c")).as("n_tokens"),
@@ -383,8 +387,8 @@ object TextSim {
       val d6 = (c: org.apache.spark.sql.Column) =>
         round(log(c), 6).cast("decimal(18,6)")
       val g = TableCatalog(s, dir).documents
-        .select(col("source"), explode(split(col("text"), " ")).as("token"))
-        .filter(col("token") =!= "")
+        .select(col("source"),
+          TokensGenerator.explodeTokens(col("text"), skipEmpty = true).as("token"))
         .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
         .withColumn("rank", row_number().over(w))
         .withColumn("x6", d6(col("rank"))).withColumn("y6", d6(col("c")))
@@ -464,7 +468,7 @@ object TextSim {
         .withColumn("__pt", concat(lit(" "), col("text"), lit(" ")))
         .select(col("doc_id"),
           length(col("text")).as("n_chars_m"),
-          size(TextFunctions.tokens(col("text"))).as("n_tokens"),
+          TokenCountExpr.tokenCount(col("text")).as("n_tokens"),
           length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("n_alpha"),
           length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).as("n_punct"),
           (length(col("text")) - length(expr("replace(text, ' ', '')"))).as("n_spaces"),
@@ -477,10 +481,12 @@ object TextSim {
     },
 
     "d07_token_count" -> { (s, dir) =>
+      // one streaming pass: count + distinct set, never the token array
       TableCatalog(s, dir).documents
+        .select(col("doc_id"), TokenUniqExpr.stats(col("text")).as("__t"))
         .select(col("doc_id"),
-          size(TextFunctions.tokens(col("text"))).as("n_tokens"),
-          size(array_distinct(TextFunctions.tokens(col("text")))).as("n_uniq_tokens"))
+          col("__t.n_tokens").as("n_tokens"),
+          col("__t.n_uniq").as("n_uniq_tokens"))
         .orderBy(col("doc_id"))
     },
 
@@ -501,7 +507,7 @@ object TextSim {
       val scored = TableCatalog(s, dir).documents
         .withColumn("__pt", concat(lit(" "), col("text"), lit(" ")))
         .select(col("source"),
-          size(TextFunctions.tokens(col("text"))).as("nt"),
+          TokenCountExpr.tokenCount(col("text")).as("nt"),
           length(col("text")).as("nc"),
           (length(col("text")) - length(expr("replace(text, ' ', '')"))).as("nsp"),
           length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).as("npu"),
@@ -551,12 +557,16 @@ object TextSim {
     // starts from, as one codegen'd regexp per row (same RE2-safe
     // pattern on both engines).
     "d10_bpe_tokens" -> { (s, dir) =>
-      val toks = regexp_extract_all(col("text"),
-        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))
+      // streaming Matcher.find() pass (same java.util.regex engine as
+      // regexp_extract_all, identical matches) — the match ARRAY for a
+      // zipf giant was ~200 MB in one row eval; the distinct set is
+      // the honest payload
       TableCatalog(s, dir).documents
+        .select(col("doc_id"), RegexTokenStatsExpr.stats(col("text"),
+          "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+").as("__t"))
         .select(col("doc_id"),
-          size(toks).as("n_bpe_tokens"),
-          size(array_distinct(toks)).as("n_uniq_bpe"))
+          col("__t.n").as("n_bpe_tokens"),
+          col("__t.n_uniq").as("n_uniq_bpe"))
         .orderBy(col("doc_id"))
     },
 
@@ -599,7 +609,7 @@ object TextSim {
     "d13_curation" -> { (s, dir) =>
       val scored = langScore(TableCatalog(s, dir).documents, keep = Seq("text", "source"))
         .select(col("doc_id"), col("text"), col("source"), col("pred_lang"))
-        .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
+        .withColumn("n_tokens", TokenCountExpr.tokenCount(col("text")))
         .withColumn("alpha_ratio",
           length(regexp_replace(col("text"), "[^a-zA-Z]", "")) / length(col("text")))
         .withColumn("__h", md5(col("text")))
@@ -632,7 +642,7 @@ object TextSim {
     "d15_chunks" -> { (s, dir) =>
       val window = 32; val stride = 24
       TableCatalog(s, dir).documents
-        .withColumn("__n", size(TextFunctions.tokens(col("text"))))
+        .withColumn("__n", TokenCountExpr.tokenCount(col("text")))
         .filter(col("__n") > 0)
         .withColumn("__starts", sequence(lit(1), col("__n"), lit(stride)))
         .withColumn("__lens", transform(col("__starts"),
@@ -661,7 +671,7 @@ object TextSim {
       TableCatalog(s, dir).documents
         .select(col("doc_id"), col("source"),
           floor(col("doc_id") / 2000).as("shard"),
-          size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+          TokenCountExpr.tokenCount(col("text")).as("n_tokens"))
         .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .withColumn("bin", floor(col("__before") / capacity))
         .groupBy(col("source"), col("shard"), col("bin"))
@@ -940,7 +950,7 @@ object TextSim {
     "d30_rarity_scored" -> { (s, dir) =>
       val freqPath = cachedIndex(s, dir, "unigram_lm") { p =>
         TableCatalog(s, dir).documents
-          .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+          .select(TokensGenerator.explodeTokens(col("text"), skipEmpty = false).as("token"))
           .groupBy("token").agg(count(lit(1)).as("cf"))
           .write.parquet(p)
       }
@@ -1194,7 +1204,10 @@ object TextSim {
     "s06_rrf_fusion" -> { (s, dir) =>
       val c = TableCatalog(s, dir)
       val corpus = c.documents
-        .select(col("doc_id"), array_distinct(TextFunctions.tokens(col("text"))).as("toks"))
+        // distinct tokens ≡ 1-shingles: the streaming tokenizer's
+        // distinct set, not a materialized token array (r17)
+        .select(col("doc_id"),
+          graft.functions.ShinglesExpr.shinglesFromText(col("text"), 1).as("toks"))
         .join(c.embeddings.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
       val queries = corpus.filter(col("doc_id") < 5)
         .select(col("doc_id").as("q_id"), col("toks").as("q_toks"),
@@ -1363,13 +1376,11 @@ object TextSim {
     // size guard matters: Spark's sequence(1, 0) DESCENDS, so
     // single-token docs must emit an empty array, not a phantom pair.
     "d44_bpe_pairs" -> { (s, dir) =>
+      // lazy bigram generator (r17): the transform built a pair-struct
+      // array ~2× the giant's token array in ONE row eval
       TableCatalog(s, dir).documents
-        .select(split(col("text"), " ").as("t"))
-        .select(explode(when(size(col("t")) >= 2, expr(
-            "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS tok_a, t[i] AS tok_b))"))
-          .otherwise(array().cast("array<struct<tok_a:string,tok_b:string>>"))).as("p"))
-        .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
-        .filter(col("tok_a") =!= "" && col("tok_b") =!= "")
+        .select(BigramsGenerator.explodeBigrams(col("text"), filtered = false)
+          .as(Seq("tok_a", "tok_b")))
         .groupBy(col("tok_a"), col("tok_b"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok_a"), col("tok_b"))
@@ -1378,8 +1389,8 @@ object TextSim {
 
     "d28_vocab_topk" -> { (s, dir) =>
       TableCatalog(s, dir).documents
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .filter(col("token") =!= "")
+        .select(col("doc_id"),
+          TokensGenerator.explodeTokens(col("text"), skipEmpty = true).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n_occurrences"),
           countDistinct(col("doc_id")).as("n_docs"))
@@ -1428,7 +1439,7 @@ object TextSim {
     "d42_shuffle_shards" -> { (s, dir) =>
       Sampling.shuffleShard(TableCatalog(s, dir).documents, "doc_id", 8)
         .select(col("shard"), col("__h").as("h"),
-          size(filter(split(col("text"), " "), t => t =!= "")).as("n_tok"))
+          TokenCountExpr.nonEmptyTokenCount(col("text")).as("n_tok"))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           min(col("h")).as("min_h"), max(col("h")).as("max_h"))
@@ -1447,7 +1458,7 @@ object TextSim {
     "d32_source_mix" -> { (s, dir) =>
       val per = TableCatalog(s, dir).documents
         .select(col("source"),
-          size(filter(split(col("text"), " "), t => t =!= "")).as("n_tok"))
+          TokenCountExpr.nonEmptyTokenCount(col("text")).as("n_tok"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       val all = org.apache.spark.sql.expressions.Window.partitionBy()
@@ -1472,8 +1483,8 @@ object TextSim {
     // shuffle join.
     "d33_tfidf_topk" -> { (s, dir) =>
       val tf = TableCatalog(s, dir).documents
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .filter(col("token") =!= "")
+        .select(col("doc_id"),
+          TokensGenerator.explodeTokens(col("text"), skipEmpty = true).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
       val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -1500,8 +1511,8 @@ object TextSim {
     "d34_inverted_index" -> { (s, dir) =>
       import graft.functions.CollectMinK.collectMinK
       TableCatalog(s, dir).documents
-        .select(explode(split(col("text"), " ")).as("token"), col("doc_id"))
-        .filter(col("token") =!= "")
+        .select(TokensGenerator.explodeTokens(col("text"), skipEmpty = true).as("token"),
+          col("doc_id"))
         .distinct()
         .groupBy(col("token"))
         .agg(count(lit(1)).as("df"),
@@ -1522,8 +1533,8 @@ object TextSim {
     "d36_bool_retrieval" -> { (s, dir) =>
       val idxPath = cachedIndex(s, dir, "text_postings") { p =>
         TableCatalog(s, dir).documents
-          .select(explode(split(col("text"), " ")).as("token"), col("doc_id"))
-          .filter(col("token") =!= "")
+          .select(TokensGenerator.explodeTokens(col("text"), skipEmpty = true).as("token"),
+            col("doc_id"))
           .distinct()
           .write.partitionBy("token").parquet(p)
       }
@@ -1551,18 +1562,23 @@ object TextSim {
     // d30/d33); V is one O(1) driver-side count — the LM constant,
     // not a per-row subquery.
     "d40_perplexity" -> { (s, dir) =>
+      // lazy generators (r17): the filtered token array `a` plus the
+      // zip_with pair-struct assembly cost ~3× the giant's token
+      // array in one row eval; both stream now
       val docs = TableCatalog(s, dir).documents
-        .select(col("doc_id"),
-          filter(split(col("text"), " "), t => t =!= "").as("a"))
-      val v = docs.select(explode(col("a")).as("t")).agg(countDistinct(col("t")))
-        .head().getLong(0)
-      val bg = docs.select(col("doc_id"), explode(expr(
-          "zip_with(slice(a, 1, greatest(size(a)-1, 0)), " +
-          "slice(a, 2, greatest(size(a)-1, 0)), (x, y) -> struct(x AS w1, y AS w2))"))
-          .as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val v = docs
+        .select(TokensGenerator.explodeTokens(col("text"), skipEmpty = true).as("t"))
+        .agg(countDistinct(col("t"))).head().getLong(0)
+      val bg = docs.select(col("doc_id"),
+          BigramsGenerator.explodeBigrams(col("text"), filtered = true)
+            .as(Seq("w1", "w2")))
       val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      // c(w1 ·) = Σ_w2 c(w1 w2): derive the unigram-context table from
+      // the bigram table instead of a SECOND corpus tokenize pass —
+      // one fewer full scan at any scale, and the two LM tables were
+      // independent AQE stages whose CONCURRENT giant-doc scans were
+      // exactly the 4g-cell reader OOM on the zipf corpus (r17)
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
         .withColumn("lp", round(log((col("c2") + lit(1)) / (col("c1") + lit(v))), 6)
           .cast("decimal(18,6)"))
@@ -1593,12 +1609,15 @@ object TextSim {
     "d39_source_classifier" -> { (s, dir) =>
       val toks = TableCatalog(s, dir).documents
         .select(col("doc_id"), col("source").as("actual"),
-          explode(split(col("text"), " ")).as("token"))
-        .filter(col("token") =!= "")
-      val classTot = toks.groupBy(col("actual").as("clazz"))
-        .agg(count(lit(1)).as("total"))
-      val weights = toks.groupBy(col("actual").as("clazz"), col("token"))
+          TokensGenerator.explodeTokens(col("text"), skipEmpty = true).as("token"))
+      // class totals derive from the per-(class, token) counts —
+      // Σ_token cnt ≡ the token-instance count per class — instead of
+      // a second corpus tokenize pass (the d40 single-scan LM
+      // discipline, r17)
+      val perTok = toks.groupBy(col("actual").as("clazz"), col("token"))
         .agg(count(lit(1)).as("cnt"))
+      val classTot = perTok.groupBy(col("clazz")).agg(sum(col("cnt")).as("total"))
+      val weights = perTok
         .join(broadcast(classTot), "clazz")
         .withColumn("w", expr("cnt * 1000000000L div total"))
       // Σ_distinct-tokens tf·w ≡ Σ_token-instances w (exact longs), so
@@ -1639,7 +1658,7 @@ object TextSim {
     "d38_mix_sample" -> { (s, dir) =>
       val docs = TableCatalog(s, dir).documents
         .select(col("doc_id"), col("source"),
-          size(filter(split(col("text"), " "), t => t =!= "")).as("n_tok"))
+          TokenCountExpr.nonEmptyTokenCount(col("text")).as("n_tok"))
       val all = org.apache.spark.sql.expressions.Window.partitionBy()
       val rates = docs.groupBy(col("source"))
         .agg(sum(col("n_tok")).cast("long").as("n_tokens"))

@@ -23,4 +23,20 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Release the blocks behind a `localCheckpoint`'d Dataset.
+    * `Dataset.unpersist` goes through CacheManager.uncacheQuery,
+    * which keys on cached PLANS — checkpoint persistence lives at
+    * the RDD level behind a LogicalRDD, so uncacheQuery finds
+    * nothing and is a silent no-op (ADVICE r16); the blocks would
+    * otherwise only be freed by ContextCleaner once the RDD is
+    * GC'd. This walks the plan to the LogicalRDD and unpersists the
+    * RDD itself. Only safe once the checkpointed data is dead: a
+    * locally-checkpointed RDD cannot be recomputed. */
+  def unpersistCheckpointed(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

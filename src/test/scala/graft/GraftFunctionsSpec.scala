@@ -47,7 +47,9 @@ class GraftFunctionsSpec extends SparkSpec {
       "one", "ab cd", "héllo wörld émoji é 世界 token",
       Seq.fill(500)("rep eat me now").mkString(" ")
     ).toDF("text")
-    for (k <- Seq(2, 3, 5)) {
+    // k=1 pins the distinct-tokens identity (s06's token-set payload):
+    // 1-shingles ≡ array_distinct(split(text, ' '))
+    for (k <- Seq(1, 2, 3, 5)) {
       val via = texts.select(
         graft.functions.ShinglesExpr.shingles(TextFunctions.tokens(col("text")), k).as("a"),
         graft.functions.ShinglesExpr.shinglesFromText(col("text"), k).as("b"))
@@ -64,7 +66,8 @@ class GraftFunctionsSpec extends SparkSpec {
     val big = "abcdefgh " * 9000 // 81000 chars > 65536 cap
     val texts = Seq(
       "", "short", "exactly8", "just nine", "the quick brown fox",
-      "héllo wörld 世界 multibyte grams", ("rep " * 400).trim, big
+      "héllo wörld 世界 multibyte grams", ("rep " * 400).trim, big,
+      null // NULL text → empty array on BOTH sides (ADVICE r16)
     ).toDF("text")
     val via2 = texts
       .withColumn("__hs", TextFunctions.gramHashes("text", 8))
@@ -113,6 +116,114 @@ class GraftFunctionsSpec extends SparkSpec {
     val viaApi = spark.table("mk_in").groupBy("g")
       .agg(collectMinK(col("v"), 2).as("mk"))
     assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
+
+  // Edge corpus for every tokenizer identity below: normal text,
+  // interior/leading/trailing empties, empty text, single token,
+  // multi-byte UTF-8, a repetitive giant-alike, and NULL text.
+  private def tokenEdgeTexts = {
+    import graft.SparkSpec.spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the quick dog"),
+      (2L, "a  b c   d"), (3L, " leading"), (4L, "trailing "),
+      (5L, "two  "), (6L, ""), (7L, "one"),
+      (8L, "héllo wörld émoji é 世界 token 世界"),
+      (9L, Seq.fill(500)("rep eat me now").mkString(" ")),
+      (10L, null: String)
+    ).toDF("id", "text")
+  }
+
+  test("token count/uniq expressions are bit-identical to the split formulations") {
+    import graft.functions.{TokenCountExpr, TokenUniqExpr}
+    val t = tokenEdgeTexts
+    val via = t.select(
+      TokenCountExpr.tokenCount(col("text")).as("a1"),
+      size(TextFunctions.tokens(col("text"))).as("b1"),
+      TokenCountExpr.nonEmptyTokenCount(col("text")).as("a2"),
+      size(filter(TextFunctions.tokens(col("text")), x => x =!= "")).as("b2"),
+      TokenUniqExpr.stats(col("text")).as("u"),
+      size(array_distinct(TextFunctions.tokens(col("text")))).as("b3"))
+    assert(via.filter(not(col("a1") <=> col("b1"))).isEmpty, "tokenCount diverges")
+    assert(via.filter(not(col("a2") <=> col("b2"))).isEmpty, "nonEmptyTokenCount diverges")
+    assert(via.filter(col("u").isNotNull &&
+      (col("u.n_tokens") =!= col("b1") || col("u.n_uniq") =!= col("b3"))).isEmpty,
+      "TokenUniqExpr diverges")
+    assert(via.filter(col("b1").isNull && col("u").isNotNull).isEmpty,
+      "TokenUniqExpr must be null for null text")
+  }
+
+  test("regex token stats are bit-identical to regexp_extract_all counts") {
+    import graft.functions.RegexTokenStatsExpr
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+    val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
+    val via = tokenEdgeTexts.select(
+      RegexTokenStatsExpr.stats(col("text"), pat).as("u"),
+      size(toks).as("b1"), size(array_distinct(toks)).as("b2"))
+    assert(via.filter(col("u").isNotNull &&
+      (col("u.n") =!= col("b1") || col("u.n_uniq") =!= col("b2"))).isEmpty,
+      "RegexTokenStatsExpr diverges from regexp_extract_all")
+    assert(via.filter(col("b1").isNull && col("u").isNotNull).isEmpty)
+  }
+
+  test("token/bigram generators match explode-of-split row-for-row in order") {
+    import graft.functions.{BigramsGenerator, TokensGenerator}
+    val t = tokenEdgeTexts.coalesce(1)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+
+    // raw tokens (d20's shape: empties kept)
+    assert(rows(t.select(col("id"),
+        TokensGenerator.explodeTokens(col("text"), skipEmpty = false).as("token"))) ===
+      rows(t.select(col("id"), explode(TextFunctions.tokens(col("text"))).as("token"))))
+    // non-empty tokens (the d28/d33/d39/d48/d52 shape)
+    assert(rows(t.select(col("id"),
+        TokensGenerator.explodeTokens(col("text"), skipEmpty = true).as("token"))) ===
+      rows(t.select(col("id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")))
+    // raw adjacent pairs, both-non-empty (the d44 shape)
+    val d44 = t.select(col("id"), split(col("text"), " ").as("t"))
+      .select(col("id"), explode(when(size(col("t")) >= 2, expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("id"), col("p.w1"), col("p.w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    assert(rows(t.select(col("id"),
+        BigramsGenerator.explodeBigrams(col("text"), filtered = false).as(Seq("w1", "w2")))) ===
+      rows(d44))
+    // pairs over the empty-filtered stream (the d40 shape)
+    val d40 = t.select(col("id"),
+        filter(split(col("text"), " "), x => x =!= "").as("a"))
+      .select(col("id"), explode(expr(
+        "zip_with(slice(a, 1, greatest(size(a)-1, 0)), " +
+        "slice(a, 2, greatest(size(a)-1, 0)), (x, y) -> struct(x AS w1, y AS w2))")).as("p"))
+      .select(col("id"), col("p.w1"), col("p.w2"))
+    assert(rows(t.select(col("id"),
+        BigramsGenerator.explodeBigrams(col("text"), filtered = true).as(Seq("w1", "w2")))) ===
+      rows(d40))
+  }
+
+  test("winnow prefix-cap contract: docs sharing the first FingerprintMaxChars " +
+    "chars fingerprint identically BY DESIGN; shorter docs see no cap") {
+    import graft.SparkSpec.spark.implicits._
+    val cap = TextFunctions.FingerprintMaxChars
+    val prefix = "abcdefghij " * ((cap / 11) + 2) // > cap chars
+    // two oversized docs equal through the cap, wildly different tails
+    val over1 = prefix + " tail one entirely different"
+    val over2 = prefix + " ANOTHER TAIL 999 zzz"
+    // a short doc vs the same doc with one char appended: both under
+    // the cap, so the tail MUST change the fingerprint set
+    val short1 = "the quick brown fox jumps over the lazy dog " * 10
+    val short2 = short1 + "!"
+    val fps = Seq(over1, over2, short1, short2).toDF("text")
+      .select(graft.functions.WinnowExpr.winnow(col("text"), 8, 4).as("w"))
+      .collect().map(_.getSeq[String](0))
+    assert(fps(0) === fps(1),
+      "oversized docs with a shared cap-length prefix must fingerprint identically " +
+        "(the documented recall trade of prefix fingerprinting)")
+    assert(fps(2) !== fps(3), "under-cap docs must see their full text")
+    // and the cap constant is the single shared source for the DuckDB
+    // twin (TextFunctions.gramHashes inlines the same value)
+    assert(TextFunctions.gramHashes("text", 8).toString.contains(cap.toString))
   }
 
   test("collect_min_k buffers stay bounded at k in the aggregate plan") {

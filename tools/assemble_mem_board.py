@@ -14,8 +14,12 @@ Usage: assemble_mem_board.py <uncon.jsonl> <stress.jsonl> [out]
 import json, sys
 
 def load(path):
-    """Per-key min over all JSONL lines (reruns are min-of-N, matching
-    the board's stated discipline), plus the error-key set."""
+    """Per-key min over the SUCCESSFUL samples across all JSONL lines
+    (reruns are min-of-N, matching the board's stated discipline).
+    A line's errored keys carry a timeout-sentinel seconds value that
+    must never enter the min, but an error in ONE rerun must not
+    discard a valid measurement from ANOTHER (ADVICE r16): a key is
+    in the error set only if it has no successful sample at all."""
     qs, errs = {}, set()
     with open(path) as f:
         for line in f:
@@ -23,34 +27,44 @@ def load(path):
             if not line.startswith("{"):
                 continue
             d = json.loads(line)
+            line_errs = set(d.get("errors", []))
             for k, v in d.get("queries", {}).items():
+                if k in line_errs:
+                    continue
                 qs[k] = min(qs[k], v) if k in qs else v
-            errs.update(d.get("errors", []))
-    return qs, errs
+            errs.update(line_errs)
+    return qs, errs - set(qs)
 
 def main():
     uncon, u_err = load(sys.argv[1])
     stress, s_err = load(sys.argv[2])
     out = sys.argv[3] if len(sys.argv) > 3 else "bench_scale_mem4g.json"
-    keys, ooms, bad_base = {}, [], []
+    keys, ooms, bad_base, missing = {}, [], [], []
     all_keys = set(uncon) | set(stress) | u_err | s_err
     only_one = (set(uncon) | u_err) ^ (set(stress) | s_err)
     if only_one:
         print(f"warn: keys present in only one sweep: {sorted(only_one)}",
               file=sys.stderr)
     for k in sorted(all_keys):
-        # a key that errored in the UNCONSTRAINED run has no valid
-        # baseline — its timeout-sentinel seconds must not become a
-        # denominator, so the cell reports null and the key is listed
-        base = uncon.get(k) if k not in u_err else None
+        # a key with NO successful unconstrained sample has no valid
+        # baseline — a timeout-sentinel seconds value must not become
+        # a denominator, so the cell reports null and the key is listed
+        base = uncon.get(k)
         rec = {"sf10_24g_32thr": round(base, 4) if base is not None else None}
         if base is None:
             bad_base.append(k)
-        if k in s_err or k not in stress:
+        if k in s_err:
+            # errored (no successful sample) under stress = the OOM row
             rec["sf10_4g_32thr"] = None
             rec["ratio_4g_over_24g"] = None
-            if k in s_err or k in uncon or k in u_err:
-                ooms.append(k)
+            ooms.append(k)
+        elif k not in stress:
+            # never measured under stress: a coverage gap, NOT an OOM
+            # (ADVICE r16 — conflating them made sweep holes read as
+            # memory failures)
+            rec["sf10_4g_32thr"] = None
+            rec["ratio_4g_over_24g"] = None
+            missing.append(k)
         else:
             sv = stress[k]
             rec["sf10_4g_32thr"] = round(sv, 4)
@@ -66,8 +80,9 @@ def main():
                       "(8-30x below a real executor's per-task share)",
         },
         "n_keys": len(keys),
-        "pass_at_stress": len(keys) - len(ooms),
+        "pass_at_stress": len(keys) - len(ooms) - len(missing),
         "oom_at_stress": sorted(ooms),
+        "missing_from_stress": sorted(missing),
         "invalid_baseline": sorted(bad_base),
         "note": "re-run on final round-15 binaries after the "
                 "corpus-sized-checkpoints-to-DISK_ONLY change: the three "
@@ -84,7 +99,8 @@ def main():
     with open(out, "w") as f:
         json.dump(board, f, indent=1)
     print(f"wrote {out}: {board['pass_at_stress']}/{board['n_keys']} "
-          f"pass at stress; OOM: {board['oom_at_stress']}")
+          f"pass at stress; OOM: {board['oom_at_stress']}; "
+          f"missing: {board['missing_from_stress']}")
 
 if __name__ == "__main__":
     main()
