@@ -1990,18 +1990,26 @@ object TextSim {
         |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d11_winnow" ->
+      // The sliding-window minima run as a FRAME window over unnested
+      // grams, not a list-slice inside a lambda: hs[j:j+3] re-copies
+      // the whole gram list per window in DuckDB — quadratic per doc,
+      // >30 min on one 64Ki-capped zipf giant (r17); the window
+      // formulation is linear and value-identical (0<n<4 keeps only
+      // i=1, whose 4-row frame truncates to the whole list).
       s"""WITH hs AS (SELECT doc_id,
         |  CASE WHEN length(text) >= 8
         |    THEN list_transform(generate_series(1, least(length(text), ${graft.functions.TextFunctions.FingerprintMaxChars}) - 7), i -> md5(substr(text, i, 8)))
         |    ELSE [] END AS hs FROM documents),
-        |w AS (SELECT doc_id,
-        |  CASE WHEN len(hs) >= 4
-        |    THEN list_transform(generate_series(1, len(hs) - 3), j -> list_min(hs[j:j+3]))
-        |    WHEN len(hs) > 0 THEN [list_min(hs)]
-        |    ELSE [] END AS wins FROM hs)
-        |SELECT doc_id, len(list_distinct(wins)) AS n_fps,
-        |  list_min(wins) AS min_fp, list_max(wins) AS max_fp
-        |FROM w ORDER BY doc_id""".stripMargin,
+        |g AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h,
+        |             unnest(generate_series(1, len(hs))) AS i FROM hs),
+        |w AS (SELECT doc_id, n, i, min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win FROM g),
+        |agg AS (SELECT doc_id, count(DISTINCT win) AS n_fps,
+        |         min(win) AS min_fp, max(win) AS max_fp
+        |        FROM w WHERE i <= greatest(n - 3, 1) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(agg.n_fps, 0) AS n_fps,
+        |  agg.min_fp, agg.max_fp
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "d10_bpe_tokens" ->
       """SELECT doc_id,
@@ -2136,10 +2144,19 @@ object TextSim {
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d25_span_dedup" ->
+      // span text assembles via a 16-row sliding window over unnested
+      // tokens, not t[i:i+15] on a per-span copy of the token list —
+      // the (doc_id, t, i) unnest replicates the WHOLE list per span
+      // row in DuckDB (a zipf giant: 212K spans × 1.7M elements —
+      // OOM at any memory limit, r17); the window form is linear
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sp AS (SELECT doc_id, md5(array_to_string(t[i:i+15], ' ')) AS h
-        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 15, 8)) AS i
-        |             FROM toks)),
+        |tk0 AS (SELECT doc_id, len(t) AS n, unnest(t) AS tok,
+        |              unnest(generate_series(1, len(t))) AS k FROM toks),
+        |wm AS (SELECT doc_id, n, k, string_agg(tok, ' ') OVER (
+        |        PARTITION BY doc_id ORDER BY k
+        |        ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS span FROM tk0),
+        |sp AS (SELECT doc_id, md5(span) AS h FROM wm
+        |       WHERE k % 8 = 1 AND k <= n - 15),
         |fl AS (SELECT h, min(doc_id) <> max(doc_id) AS dup FROM sp GROUP BY 1),
         |per AS (SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
         |         CAST(sum(CASE WHEN fl.dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
@@ -2154,10 +2171,16 @@ object TextSim {
         |ORDER BY 1""".stripMargin,
 
     "d31_span_scrub" ->
+      // same linear span assembly as the d25 twin (r17): sliding
+      // window over unnested tokens, never a per-span token-list copy
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sp AS (SELECT doc_id, i, md5(array_to_string(t[i:i+15], ' ')) AS h
-        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 15, 8)) AS i
-        |             FROM toks)),
+        |tk0 AS (SELECT doc_id, len(t) AS n, unnest(t) AS tok,
+        |              unnest(generate_series(1, len(t))) AS k FROM toks),
+        |wm AS (SELECT doc_id, n, k, string_agg(tok, ' ') OVER (
+        |        PARTITION BY doc_id ORDER BY k
+        |        ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS span FROM tk0),
+        |sp AS (SELECT doc_id, k AS i, md5(span) AS h FROM wm
+        |       WHERE k % 8 = 1 AND k <= n - 15),
         |fl AS (SELECT h, min(doc_id) <> max(doc_id) AS dup, min(doc_id) AS kdoc
         |       FROM sp GROUP BY 1),
         |kp AS (SELECT sp.h, min(sp.i) AS kpos FROM sp
@@ -2166,19 +2189,22 @@ object TextSim {
         |dr AS (SELECT sp.doc_id, sp.i FROM sp
         |       JOIN fl ON sp.h = fl.h JOIN kp ON sp.h = kp.h
         |       WHERE fl.dup AND NOT (sp.doc_id = fl.kdoc AND sp.i = kp.kpos)),
-        |tk AS (SELECT doc_id, k, t[k] AS tok
-        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS k FROM toks)),
+        |tk AS (SELECT doc_id, k, tok FROM tk0),
         |rem AS (SELECT DISTINCT tk.doc_id, tk.k FROM tk
         |        JOIN dr ON tk.doc_id = dr.doc_id AND tk.k BETWEEN dr.i AND dr.i + 15),
         |kept AS (SELECT tk.doc_id, tk.k, tk.tok FROM tk
         |         LEFT JOIN rem ON tk.doc_id = rem.doc_id AND tk.k = rem.k
-        |         WHERE rem.k IS NULL)
+        |         WHERE rem.k IS NULL),
+        |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |        md5(string_agg(tok, ' ' ORDER BY k)) AS h
+        |       FROM kept GROUP BY doc_id)
         |SELECT d.doc_id,
         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(len(string_split(d.text, ' ')) - count(kept.k) AS BIGINT) AS n_removed,
-        |  md5(coalesce(string_agg(kept.tok, ' ' ORDER BY kept.k), '')) AS clean_hash
-        |FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
-        |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin,
+        |  CAST(len(string_split(d.text, ' ')) - COALESCE(ka.n_kept, 0) AS BIGINT)
+        |    AS n_removed,
+        |  COALESCE(ka.h, md5('')) AS clean_hash
+        |FROM documents d LEFT JOIN ka USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d26_dedup_serve" ->
       // The frozen index's hash set == DISTINCT md5 of the even half
