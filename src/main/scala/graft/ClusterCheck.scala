@@ -133,9 +133,10 @@ object ClusterCheck {
     }
 
     // order/partitioning-insensitive label-set fingerprint: sum and
-    // xor are both commutative-associative over the row hashes
+    // xor are both commutative-associative over the row hashes; the
+    // sum runs in DECIMAL (a long sum of 64-bit hashes overflows ANSI)
     val checksum = labels
-      .agg(F.sum(F.xxhash64(F.col("id"), F.col("label"))).as("s"),
+      .agg(F.sum(F.xxhash64(F.col("id"), F.col("label")).cast("decimal(38,0)")).as("s"),
         F.expr("bit_xor(xxhash64(id, label))").as("x"))
       .head()
     val pass = badEdges == 0 && missingFromLabels == 0 && extraInLabels == 0 &&
@@ -152,7 +153,7 @@ object ClusterCheck {
          |"sampled_member_ids":${memberSet.size},
          |"sampled_subgraph_edges":${subEdges.length},
          |"disconnected_sampled_clusters":[${disconnected.sorted.mkString(",")}],
-         |"label_checksum_sum":${checksum.getLong(0)},
+         |"label_checksum_sum":"${checksum.get(0)}",
          |"label_checksum_xor":${checksum.getLong(1)},
          |"pass":$pass,
          |"note":"pair step (cosinePairs + rounding) is the d09 plan, DuckDB-graded at sf0.01-sf1; this artifact independently grades the CC/cluster step at a scale the quadratic DuckDB twin cannot reach. Connectivity check uses driver-side BFS, not ccStars. Run twice at different local[N]/partition configs and compare label_checksum_* for the determinism leg."}"""
