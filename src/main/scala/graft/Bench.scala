@@ -37,6 +37,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // heap-aware reader batch (Engine.readerBatchRows): a 4 GB
+      // stress child reading giant-document batches dies in the
+      // vectorized reader's contiguous reserve at the default 4096
+      .config("spark.sql.parquet.columnarReaderBatchSize",
+        Engine.readerBatchRows(threads).toString)
+      // and the scan-concurrency floor (Engine.scanMinPartitions):
+      // 32 concurrent giant-bearing readers exhaust a 4 GB heap on
+      // untracked vector memory alone
+      .config("spark.sql.files.minPartitionNum",
+        Engine.scanMinPartitions(threads).toString)
       .config("spark.ui.enabled", "false")
     if (Engine.shufflePartitionsOverride.isEmpty) {
       builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",

@@ -59,6 +59,49 @@ object Engine {
     }
   }
 
+  /** Heap-aware parquet reader batch size (the same deployment
+    * derivation as [[initialShufflePartitions]], applied to the SCAN
+    * side). The vectorized reader grows one contiguous on-heap byte
+    * buffer per string column to hold a whole 4096-row batch; on a
+    * corpus with power-law document lengths, a batch around a 10 MB
+    * giant document reserves 20 MB+ PER READER TASK, and 32
+    * concurrent readers under a 128 MB-per-task heap die exactly
+    * there (the zipf stress board's d20/d40 failure signature:
+    * "Cannot reserve additional contiguous bytes in the vectorized
+    * reader"). Below the 512 MB-per-task comfort line the batch drops
+    * to 512 rows: a giant row still costs its own size — that is the
+    * row's honest payload — but the 4096-row tail of ordinary
+    * documents no longer rides in the same buffer on top of it.
+    * Unchanged (4096, Spark's default) on comfortable heaps. */
+  private[graft] def readerBatchRows(taskThreads: Int,
+      heapBytes: Long = Runtime.getRuntime.maxMemory()): Int = {
+    val perTask = heapBytes.toDouble / math.max(1, taskThreads)
+    if (perTask >= (512L << 20).toDouble) 4096 else 512
+  }
+
+  /** Heap-aware SCAN concurrency floor. Spark sizes file splits as
+    * min(maxPartitionBytes, max(openCost, totalBytes /
+    * minPartitionNum)) with minPartitionNum defaulting to the core
+    * count — so a 600 MB table fans out to 32 concurrent reader
+    * tasks, each holding its own column-vector batch. Fine on
+    * comfortable heaps; under 128 MB/task with multi-MB rows, 32
+    * concurrent readers' untracked vector memory (each batch carries
+    * any giant row it contains IN FULL — that part is irreducible) is
+    * what exhausts the heap even after [[readerBatchRows]] trims the
+    * per-batch tail (measured: d40/d41/d43 on the zipf stress cell
+    * still died with batch=512). Below the comfort line the floor
+    * drops to threads/4: splits grow, concurrent readers drop 4×,
+    * scan-stage wall time stretches correspondingly — the honest
+    * starved-executor trade — and every post-scan stage keeps its
+    * full parallelism (shuffle partitions are derived SEPARATELY, and
+    * wider, by [[initialShufflePartitions]]). */
+  private[graft] def scanMinPartitions(taskThreads: Int,
+      heapBytes: Long = Runtime.getRuntime.maxMemory()): Int = {
+    val perTask = heapBytes.toDouble / math.max(1, taskThreads)
+    if (perTask >= (512L << 20).toDouble) taskThreads
+    else math.max(1, taskThreads / 4)
+  }
+
   def session(appName: String = "graft", cores: String = "*"): SparkSession = {
     val threads =
       if (cores == "*") Runtime.getRuntime.availableProcessors() else cores.toInt
@@ -72,6 +115,10 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize",
+        readerBatchRows(threads).toString)
+      .config("spark.sql.files.minPartitionNum",
+        scanMinPartitions(threads).toString)
       .config("spark.ui.enabled", "false")
     // Manual override wins outright (the documented sizing escape);
     // otherwise a heap-starved JVM starts its shuffles wider and lets

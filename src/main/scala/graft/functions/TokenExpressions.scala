@@ -181,6 +181,84 @@ object RegexTokenStatsExpr {
     ColumnBridge.column(RegexTokenStatsExpr(ColumnBridge.expression(text), pattern))
 }
 
+/** Span-scrub application in ONE streaming pass (the d31/spanScrub
+  * transform): drop every token whose 1-based position is covered by
+  * any `[i, i+window-1]` window for a start `i` in the SORTED drop
+  * list, rebuild the kept tokens joined by single spaces, and report
+  * (n_tokens, n_removed, cleaned). Bit-identical to the
+  * zip_with-structs + filter(exists) + array_join HOF chain
+  * (spec-asserted) — which materialized a ~300 MB transient struct
+  * array for ONE 1.7M-token zipf-giant row (the r17 4g-cell OOM);
+  * here the per-row cost is the text bytes plus the output builder,
+  * and the sorted drop list advances with a two-pointer sweep instead
+  * of an exists() scan per token. */
+case class ScrubSpansExpr(text: Expression, drops: Expression, window: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = drops
+
+  override def dataType: DataType = ScrubSpansExpr.schema
+
+  override def nullSafeEval(t: Any, d: Any): Any =
+    ScrubSpansExpr.compute(t.asInstanceOf[UTF8String],
+      d.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, d) => s"""
+      |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+      |  graft.functions.ScrubSpansExpr$$.MODULE$$.compute($t, $d, $window);
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ScrubSpansExpr =
+    copy(text = l, drops = r)
+}
+
+object ScrubSpansExpr {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_removed", IntegerType, nullable = false),
+    StructField("cleaned", StringType, nullable = false)))
+
+  def compute(text: UTF8String, drops: ArrayData, window: Int): InternalRow = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val nd = drops.numElements()
+    val out = new java.io.ByteArrayOutputStream(math.max(16, n))
+    var di = 0          // first drop window that could still cover p
+    var p = 0           // 1-based token position
+    var nTokens = 0
+    var nRemoved = 0
+    var wroteAny = false
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        p += 1
+        nTokens += 1
+        while (di < nd && drops.getInt(di) + window - 1 < p) di += 1
+        val covered = di < nd && drops.getInt(di) <= p
+        if (covered) nRemoved += 1
+        else {
+          if (wroteAny) out.write(' ')
+          out.write(bytes, start, i - start)
+          wroteAny = true
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nTokens, nRemoved,
+      UTF8String.fromBytes(out.toByteArray)))
+  }
+
+  def scrub(text: Column, drops: Column, window: Int): Column =
+    ColumnBridge.column(ScrubSpansExpr(ColumnBridge.expression(text),
+      ColumnBridge.expression(drops), window))
+}
+
 /** `explode(split(text, ' '))` (skipEmpty=false) or
   * `explode(split(text, ' '))` + `filter(token <> '')`
   * (skipEmpty=true) as a LAZY generator: GenerateExec pulls one token

@@ -866,21 +866,24 @@ object Dedup {
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
   }
 
-  /** Remove every token covered by a drop window; re-join the rest. */
+  /** Remove every token covered by a drop window; re-join the rest.
+    * One streaming pass per row (ScrubSpansExpr) — the former
+    * zip_with-structs + filter(exists) + array_join chain
+    * materialized a ~300 MB transient struct array for ONE zipf-giant
+    * row (the r17 128 MB/task OOM) and rescanned the drop list per
+    * token; the native pass costs the text bytes and a two-pointer
+    * sweep of the sorted drops. */
   private def applyDrops(docs: DataFrame, idCol: String, textCol: String,
                          drops: DataFrame, window: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .join(drops, Seq("doc_id"), "left")
       .withColumn("__drops", coalesce(col("__drops"), expr("cast(array() as array<int>)")))
-      .withColumn("__kept", expr(
-        s"""filter(zip_with(split(__text, ' '), sequence(1, size(split(__text, ' '))),
-           | (t, p) -> named_struct('t', t, 'p', p)),
-           | s -> NOT exists(__drops, i -> i <= s.p AND s.p <= i + ${window - 1}))"""
-          .stripMargin.replace("\n", " ")))
+      .withColumn("__s", graft.functions.ScrubSpansExpr.scrub(
+        col("__text"), col("__drops"), window))
       .select(col("doc_id"),
-        expr("array_join(transform(__kept, s -> s.t), ' ')").as("text"),
-        expr("size(split(__text, ' '))").cast("long").as("n_tokens"),
-        (expr("size(split(__text, ' '))") - size(col("__kept"))).cast("long").as("n_removed"))
+        col("__s.cleaned").as("text"),
+        col("__s.n_tokens").cast("long").as("n_tokens"),
+        col("__s.n_removed").cast("long").as("n_removed"))
 
   /** Incremental [[spanScrub]] against a persisted span index — the
     * crawl-loop form: each batch scrubs (a) every window whose hash

@@ -37,4 +37,21 @@ class EngineSpec extends AnyFunSuite {
     for (heap <- Seq(GB, 4 * GB, 16 * GB, 64 * GB); thr <- Seq(1, 4, 32))
       assert(Engine.initialShufflePartitions(thr, 32, heap) >= 32)
   }
+
+  test("reader batch rows: Spark default on comfortable heaps, 512 under starvation") {
+    // the zipf-giant scan posture (r17): 4g/32thr children died in the
+    // vectorized reader's contiguous reserve at the 4096-row default
+    assert(Engine.readerBatchRows(32, 24 * GB) === 4096)
+    assert(Engine.readerBatchRows(4, 8 * GB) === 4096)
+    assert(Engine.readerBatchRows(32, 4 * GB) === 512)
+    assert(Engine.readerBatchRows(32, 8 * GB) === 512)
+    assert(Engine.readerBatchRows(32, 16 * GB) === 4096)
+  }
+
+  test("scan concurrency floor: core count on comfortable heaps, threads/4 under starvation") {
+    assert(Engine.scanMinPartitions(32, 24 * GB) === 32)
+    assert(Engine.scanMinPartitions(4, 8 * GB) === 4)
+    assert(Engine.scanMinPartitions(32, 4 * GB) === 8)
+    assert(Engine.scanMinPartitions(2, GB / 2) === 1)
+  }
 }

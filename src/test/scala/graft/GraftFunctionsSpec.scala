@@ -202,6 +202,43 @@ class GraftFunctionsSpec extends SparkSpec {
       rows(d40))
   }
 
+  test("span-scrub expression is bit-identical to the zip_with/filter/array_join chain") {
+    import graft.SparkSpec.spark.implicits._
+    val window = 16
+    // (text, sorted drop starts): no drops, one window, overlapping
+    // windows, window past the end, all tokens covered, empty text,
+    // empties from doubled spaces, multi-byte
+    val rnd = new scala.util.Random(7)
+    val base = tokenEdgeTexts.filter(col("text").isNotNull)
+      .collect().map(_.getString(1))
+    val cases = base.flatMap { t =>
+      val n = t.split(" ", -1).length
+      Seq(
+        (t, Seq.empty[Int]),
+        (t, Seq(1)),
+        (t, Seq(1, 5, 9)),
+        (t, Seq(math.max(1, n - 3))),
+        (t, (1 to n by 7).toSeq),
+        (t, Seq.fill(3)(rnd.nextInt(math.max(1, n)) + 1).distinct.sorted))
+    }
+    val df = cases.toSeq.toDF("__text", "__drops")
+    val old = df.withColumn("__kept", expr(
+        s"""filter(zip_with(split(__text, ' '), sequence(1, size(split(__text, ' '))),
+           | (t, p) -> named_struct('t', t, 'p', p)),
+           | s -> NOT exists(__drops, i -> i <= s.p AND s.p <= i + ${window - 1}))"""
+          .stripMargin.replace("\n", " ")))
+      .select(
+        expr("array_join(transform(__kept, s -> s.t), ' ')").as("text"),
+        expr("size(split(__text, ' '))").as("n_tokens"),
+        (expr("size(split(__text, ' '))") - size(col("__kept"))).as("n_removed"))
+    val via = df.withColumn("__s",
+        graft.functions.ScrubSpansExpr.scrub(col("__text"), col("__drops"), window))
+      .select(col("__s.cleaned").as("text"), col("__s.n_tokens").as("n_tokens"),
+        col("__s.n_removed").as("n_removed"))
+    assert(via.exceptAll(old).isEmpty && old.exceptAll(via).isEmpty,
+      "ScrubSpansExpr diverges from the HOF chain")
+  }
+
   test("winnow prefix-cap contract: docs sharing the first FingerprintMaxChars " +
     "chars fingerprint identically BY DESIGN; shorter docs see no cap") {
     import graft.SparkSpec.spark.implicits._
