@@ -105,7 +105,7 @@ class ShuffleBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach 
     "d49_dedup_sweep"            -> 10, // ONE shingle/LSH pass + 7-threshold literal fan-out aggs + sort
     "d50_gopher_rules"           -> 2, // one doc-stats agg + sort
     "d51_split_leakage"          -> 5, // d02 pair derivation ⋈ d14 split assignment + leak agg + sort
-    "d39_source_classifier"      -> 6  // weights/classTot aggs (model broadcasts), doc-score agg, argmax family, confusion agg, sort — r14 removed the tf pre-agg; this pin keeps it out
+    "d39_source_classifier"      -> 7  // perTok agg (the ONE corpus tokenize pass), classTot derived FROM perTok (r17: +1 exchange in the count, but it is vocab×classes-sized and replaced a second full corpus scan — exchange count can't see scans), doc-score agg, argmax family, confusion agg, sort — r14 removed the tf pre-agg; this pin keeps it out
   )
 
   budgets.toSeq.sortBy(_._1).foreach { case (name, budget) =>
