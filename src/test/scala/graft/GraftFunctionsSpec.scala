@@ -263,6 +263,33 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(TextFunctions.gramHashes("text", 8).toString.contains(cap.toString))
   }
 
+  test("CJK posture (SURVEY §2 contract): word shingles degrade to whole-line " +
+    "grains on unsegmented text; the char-gram winnow path still discriminates") {
+    import graft.SparkSpec.spark.implicits._
+    // two CJK documents, no space delimiters: a long shared substring
+    // (a mirrored passage) plus distinct tails
+    val shared = "深度学习模型的训练数据需要大规模的去重处理以提升模型质量和泛化能力" * 6
+    val doc1 = shared + "第一篇文档的独特结尾内容包含不同的表述方式"
+    val doc2 = shared + "第二篇文章完全不同的末尾部分讨论другие主题"
+    val df = Seq(doc1, doc2).toDF("text")
+    // word-level: the whole document is ONE token, so 3-shingles are
+    // EMPTY — word-shingle dedup is structurally blind here (the
+    // documented degradation)
+    val sh = df.select(ShinglesExpr.shinglesFromText(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh.forall(_.isEmpty),
+      "unsegmented CJK text must produce zero word-shingles (one token)")
+    // char-gram level: winnowing guarantees a shared fingerprint for
+    // any common substring >= w + k - 1 = 11 chars, script-agnostic —
+    // the shared passage overlaps, the distinct tails differ
+    val fps = df.select(graft.functions.WinnowExpr.winnow(col("text"), 8, 4).as("w"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert((fps(0) & fps(1)).nonEmpty,
+      "shared CJK passage must share winnow fingerprints")
+    assert(fps(0) != fps(1),
+      "documents with distinct tails must not fingerprint identically")
+  }
+
   test("collect_min_k buffers stay bounded at k in the aggregate plan") {
     import graft.SparkSpec.spark.implicits._
     import graft.functions.CollectMinK.collectMinK
