@@ -110,17 +110,25 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session()
     warmup(spark, sfDir)
+    // any-success semantics (the assemble_mem_board discipline, ADVICE
+    // r17): an error in one rerun must not discard a valid measurement
+    // from another — best = min over SUCCESSFUL runs; only when every
+    // attempt failed is the failure reported (with its duration). A
+    // failing attempt still ends the loop: reruns exist to bound
+    // ambient noise, not to retry a broken query.
     var best = Double.NaN
-    var ok = true
+    var anyOk = false
+    var lastFail = Double.NaN
+    var failed = false
     var i = 0
-    while (i < math.max(1, runsPerKey) && ok) {
+    while (i < math.max(1, runsPerKey) && !failed) {
       val (s, o) = timeOne(spark, sfDir, name)
-      ok = o
-      if (o && (best.isNaN || s < best)) best = s
-      if (!o) best = s // report the failing attempt's duration
+      if (o) { anyOk = true; if (best.isNaN || s < best) best = s }
+      else { failed = true; lastFail = s }
       i += 1
     }
-    println(s"""$Marker{"query":"$name","sec":$best,"ok":$ok}""")
+    val (sec, ok) = if (anyOk) (best, true) else (lastFail, false)
+    println(s"""$Marker{"query":"$name","sec":$sec,"ok":$ok}""")
     spark.stop()
   }
 

@@ -93,23 +93,49 @@ object ClusterCheck {
       .agg(F.min(F.col("id")).as("mn"))
       .filter(F.col("label") =!= F.col("mn")).count()
 
-    // 4. sampled connectivity: N largest + N hash-sampled clusters
+    // 4. sampled connectivity: N largest + N hash-sampled clusters.
+    // Two legs, split by a per-cluster budget (ADVICE r17: nSample
+    // bounded the cluster COUNT but nothing bounded member/edge
+    // counts, and a single giant near-dup cluster — exactly what
+    // dedup corpora produce — could OOM the driver or quadratic-blow
+    // the collected subgraph):
+    //   - within budget (≤ MemberCap members AND ≤ EdgeCap restricted
+    //     edges): driver-side BFS on the collected induced subgraph;
+    //   - over budget: DISTRIBUTED multi-source BFS — frontier
+    //     expansion by joins over the giant clusters' restricted edge
+    //     set, O(diameter) rounds (near-dup clusters are dense, so
+    //     the diameter is small) — still an independent algorithm,
+    //     not ccStars grading itself. Nothing cluster-sized ever
+    //     reaches the driver on this leg.
+    val MemberCap = 100000L
+    val EdgeCap = 1000000L
+    val BfsRoundCap = 40
     val sizes = labels.groupBy(F.col("label")).agg(F.count(F.lit(1)).as("n"))
       .localCheckpoint(true)
     val nClusters = sizes.count()
     val top = sizes.orderBy(F.col("n").desc, F.col("label")).limit(nSample)
     val rand = sizes.orderBy(F.xxhash64(F.col("label"), F.lit("cc17"))).limit(nSample)
-    val sampled = top.unionAll(rand).select("label").distinct()
-    val members = labels.join(sampled, "label")
+    val sampled = top.unionAll(rand).distinct()
+    // restricted edge count per sampled cluster (labels ride the
+    // a-side; invariant 1 has already verified both endpoints agree)
+    import spark.implicits._
+    val sampledLabels = sampled.select("label").as[Long].collect().toSet
+    val inSampled = F.col("la").isin(sampledLabels.toSeq: _*)
+    val edgeCounts = pairs.join(la, "a_id").filter(inSampled)
+      .groupBy(F.col("la")).agg(F.count(F.lit(1)).as("e"))
+      .as[(Long, Long)].collect().toMap
+    val sampledSizes = sampled.as[(Long, Long)].collect().toMap
+    val (smallLabels, giantLabels) = sampledLabels.partition { l =>
+      sampledSizes(l) <= MemberCap && edgeCounts.getOrElse(l, 0L) <= EdgeCap
+    }
+
+    // 4a. driver BFS over the within-budget clusters' induced subgraph
+    val members = labels
+      .filter(F.col("label").isin(smallLabels.toSeq: _*))
       .select(F.col("id"), F.col("label")).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     val byCluster = members.groupBy(_._2).map { case (l, m) => l -> m.map(_._1).toSet }
     val memberSet = members.map(_._1).toSet
-    // the full pair set restricted to sampled members (two broadcast
-    // semi-joins — only the bounded member subgraph ever reaches the
-    // driver), then BFS per cluster: an INDEPENDENT connectivity
-    // algorithm, not ccStars grading itself
-    import spark.implicits._
     val memDf = memberSet.toSeq.toDF("id")
     val subEdges = pairs
       .join(F.broadcast(memDf.select(F.col("id").as("a_id"))), "a_id")
@@ -132,6 +158,48 @@ object ClusterCheck {
       if (seen.size != mem.size) disconnected ::= label
     }
 
+    // 4b. distributed BFS over the over-budget clusters (all at once:
+    // clusters are disjoint and — by invariant 1 — edges never cross
+    // them, so one shared reached-set needs no per-label bookkeeping)
+    var giantUnverified = List.empty[Long]
+    if (giantLabels.nonEmpty) {
+      val inGiant = F.col("la").isin(giantLabels.toSeq: _*)
+      val gEdges = pairs.join(la, "a_id").filter(inGiant)
+        .select(F.col("a_id").as("u"), F.col("b_id").as("v"))
+      val gSym = gEdges.unionAll(gEdges.select(F.col("v").as("u"), F.col("u").as("v")))
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      var reached = giantLabels.toSeq.toDF("id")
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      var frontier = reached
+      var round = 0
+      var frontierN = frontier.count()
+      while (frontierN > 0 && round < BfsRoundCap) {
+        val prevReached = reached
+        val prevFrontier = frontier
+        frontier = gSym.join(frontier.select(F.col("id").as("u")), "u")
+          .select(F.col("v").as("id")).distinct()
+          .join(reached, Seq("id"), "left_anti")
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        reached = reached.unionAll(frontier)
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpointed(prevReached)
+        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpointed(prevFrontier)
+        frontierN = frontier.count()
+        round += 1
+      }
+      val reachedPerLabel = reached.join(labels, "id")
+        .groupBy(F.col("label")).agg(F.count(F.lit(1)).as("r"))
+        .as[(Long, Long)].collect().toMap
+      giantLabels.foreach { l =>
+        val r = reachedPerLabel.getOrElse(l, 0L)
+        if (r < sampledSizes(l)) {
+          // round cap hit with growth still possible → unverified
+          // (recorded, not failed); converged short → disconnected
+          if (frontierN > 0) giantUnverified ::= l else disconnected ::= l
+        }
+      }
+    }
+
     // order/partitioning-insensitive label-set fingerprint: sum and
     // xor are both commutative-associative over the row hashes; the
     // sum runs in DECIMAL (a long sum of 64-bit hashes overflows ANSI)
@@ -149,14 +217,17 @@ object ClusterCheck {
          |"coverage_missing_from_labels":$missingFromLabels,
          |"coverage_extra_in_labels":$extraInLabels,
          |"label_not_component_min":$badMin,
-         |"sampled_clusters_checked":${byCluster.size},
+         |"driver_budget":{"member_cap":$MemberCap,"edge_cap":$EdgeCap,"bfs_round_cap":$BfsRoundCap},
+         |"sampled_clusters_checked_driver":${byCluster.size},
          |"sampled_member_ids":${memberSet.size},
          |"sampled_subgraph_edges":${subEdges.length},
+         |"sampled_clusters_checked_distributed":${giantLabels.size},
+         |"distributed_unverified_at_round_cap":[${giantUnverified.sorted.mkString(",")}],
          |"disconnected_sampled_clusters":[${disconnected.sorted.mkString(",")}],
          |"label_checksum_sum":"${checksum.get(0)}",
          |"label_checksum_xor":${checksum.getLong(1)},
          |"pass":$pass,
-         |"note":"pair step (cosinePairs + rounding) is the d09 plan, DuckDB-graded at sf0.01-sf1; this artifact independently grades the CC/cluster step at a scale the quadratic DuckDB twin cannot reach. Connectivity check uses driver-side BFS, not ccStars. Run twice at different local[N]/partition configs and compare label_checksum_* for the determinism leg."}"""
+         |"note":"pair step (cosinePairs + rounding) is the d09 plan, DuckDB-graded at sf0.01-sf1; this artifact independently grades the CC/cluster step at a scale the quadratic DuckDB twin cannot reach. Connectivity: clusters within the driver budget get a driver-side BFS on the collected induced subgraph; over-budget clusters get a distributed multi-source BFS over their restricted edge set (O(diameter) join rounds, round-capped, unverified-at-cap recorded rather than failed) — neither leg re-runs ccStars. Run twice at different local[N]/partition configs and compare label_checksum_* for the determinism leg."}"""
         .stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -102,6 +102,27 @@ object Engine {
     else math.max(1, taskThreads / 4)
   }
 
+  /** Companion to [[scanMinPartitions]]: the split-size CEILING must
+    * rise with the concurrency floor or the floor is a no-op past
+    * small tables. minPartitionNum only floors the partition count —
+    * Spark sizes splits as min(maxPartitionBytes, max(openCost,
+    * totalBytes / minPartitionNum)) — so with the default 128 MB
+    * maxPartitionBytes, any table larger than (threads/4)·128 MB
+    * splits at 128 MB regardless and scan concurrency is right back
+    * at full width (ADVICE r17: the '4× fewer concurrent readers'
+    * protection silently vanished at exactly the larger scales it
+    * targets). Under the starvation branch the ceiling rises 4× to
+    * 512 MB, matching the 4× concurrency trim, so splits can actually
+    * grow at ANY table size; unchanged (128 MB, Spark's default) on
+    * comfortable heaps. A 512 MB split is streamed batch-by-batch by
+    * the parquet reader — split size bounds scheduling granularity,
+    * not resident memory ([[readerBatchRows]] bounds that). */
+  private[graft] def scanMaxPartitionBytes(taskThreads: Int,
+      heapBytes: Long = Runtime.getRuntime.maxMemory()): Long = {
+    val perTask = heapBytes.toDouble / math.max(1, taskThreads)
+    if (perTask >= (512L << 20).toDouble) 128L << 20 else 512L << 20
+  }
+
   def session(appName: String = "graft", cores: String = "*"): SparkSession = {
     val threads =
       if (cores == "*") Runtime.getRuntime.availableProcessors() else cores.toInt
@@ -119,6 +140,8 @@ object Engine {
         readerBatchRows(threads).toString)
       .config("spark.sql.files.minPartitionNum",
         scanMinPartitions(threads).toString)
+      .config("spark.sql.files.maxPartitionBytes",
+        scanMaxPartitionBytes(threads).toString)
       .config("spark.ui.enabled", "false")
     // Manual override wins outright (the documented sizing escape);
     // otherwise a heap-starved JVM starts its shuffles wider and lets

@@ -87,7 +87,12 @@ object TextFunctions {
 
   /** Occurrence count of a literal marker in a text column (by name):
     * the portable length-difference formula (identical semantics in
-    * ANSI SQL). */
+    * ANSI SQL). NOTE: this copies the full string once per marker —
+    * O(markers × bytes) per row — so the query plans now use
+    * [[TextStatsExpr]] (one byte walk for N markers, bit-identical,
+    * spec-asserted); this formulation is retained as the reference
+    * side of that bit-identity spec and as the shape the generated
+    * DuckDB twins still run. */
   def occurrences(textCol: String, marker: String): Column = {
     val esc = marker.replace("'", "''")
     (length(col(textCol)) - length(expr(s"replace($textCol, '$esc', '')"))) / marker.length

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{BigramsGenerator, RegexTokenStatsExpr, TextFunctions, TokenCountExpr, TokenUniqExpr, TokensGenerator}
+import graft.functions.{BigramsGenerator, RegexTokenStatsExpr, TextStatsExpr, TokenCountExpr, TokenUniqExpr, TokensGenerator}
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Sampling, TextIndex}
 import graft.similarity.Similarity
@@ -138,11 +138,27 @@ object TextSim {
     * pipeline stages — d13 — need no join back to the corpus). */
   def langScore(docs: DataFrame,
                 profiles: Seq[(String, Seq[String])] = langProfiles,
-                keep: Seq[String] = Seq.empty): DataFrame = {
-    val padded = docs.withColumn("__pt", concat(lit(" "), col("text"), lit(" ")))
-    val scored = profiles.foldLeft(padded) { case (df, (lang, words)) =>
-      df.withColumn(s"${lang}_score",
-        words.map(w => TextFunctions.occurrences("__pt", s" $w ")).reduce(_ + _))
+                keep: Seq[String] = Seq.empty,
+                keepStats: Boolean = false): DataFrame = {
+    // ONE streaming byte walk for all profiles×words marker counts
+    // (TextStatsExpr) — the occurrences() length-diff formulation
+    // copied the full string per marker, 150 copies/row at this
+    // profile table (r17 zipf board: 40.7 s for d05 alone). Counts
+    // are exact ints; the per-language sum is cast to double so the
+    // score columns keep the length-diff formulation's type (the
+    // DuckDB twins still run the generated length-diff SQL —
+    // value-identical, spec-asserted bit-identity).
+    val allWords = profiles.flatMap(_._2)
+    val offsets = profiles.map(_._2.length).scanLeft(0)(_ + _)
+    val withStats = docs.withColumn("__ts",
+      TextStatsExpr.stats(col("text"), allWords))
+    val scored = profiles.zipWithIndex.foldLeft(withStats) {
+      case (df, ((lang, words), pi)) =>
+        val base = offsets(pi)
+        df.withColumn(s"${lang}_score",
+          words.indices.map(j =>
+              element_at(col("__ts.marker_counts"), lit(base + j + 1)))
+            .reduce(_ + _).cast("double"))
     }
     val scores = profiles.map { case (lang, _) => col(s"${lang}_score") }
     // first language (in declaration order) with the max positive
@@ -155,7 +171,9 @@ object TextSim {
         val cond = (laters :+ (s > lit(0))).reduce(_ && _)
         when(cond, lit(lang)).otherwise(orElse)
     }
-    scored.select((col("doc_id") +: keep.map(col)) ++ scores :+ chain.as("pred_lang"): _*)
+    val statsCols = if (keepStats) Seq(col("__ts").as("__stats")) else Nil
+    scored.select(((col("doc_id") +: keep.map(col)) ++ scores :+
+      chain.as("pred_lang")) ++ statsCols: _*)
   }
 
   /** Generated SQL pieces of the language scorer, shared by the d05
@@ -460,19 +478,26 @@ object TextSim {
     "d06_quality" -> { (s, dir) =>
       // stopword hits reuse the en profile; punct = non-alnum,
       // non-space chars. All ratios are double divisions of int
-      // counts — bit-stable across engines.
-      val stopHits = Seq("the", "and", "with")
-        .map(w => TextFunctions.occurrences("__pt", s" $w "))
-        .reduce(_ + _)
+      // counts — bit-stable across engines. Every count comes out of
+      // ONE TextStatsExpr byte walk (the length()/regexp_replace/
+      // replace formulation ran 7 full-string passes — 2 of them
+      // regex allocating a full-size intermediate — measured 103.6 s
+      // on the r17 zipf cell; the values are bit-identical,
+      // spec-asserted, and the DuckDB twin keeps the old SQL).
       TableCatalog(s, dir).documents
-        .withColumn("__pt", concat(lit(" "), col("text"), lit(" ")))
+        .withColumn("__ts",
+          TextStatsExpr.stats(col("text"), Seq("the", "and", "with")))
         .select(col("doc_id"),
-          length(col("text")).as("n_chars_m"),
-          TokenCountExpr.tokenCount(col("text")).as("n_tokens"),
-          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("n_alpha"),
-          length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).as("n_punct"),
-          (length(col("text")) - length(expr("replace(text, ' ', '')"))).as("n_spaces"),
-          stopHits.as("n_stopwords"))
+          col("__ts.n_chars").as("n_chars_m"),
+          (col("__ts.n_space") + lit(1)).as("n_tokens"),
+          col("__ts.n_alpha").as("n_alpha"),
+          (col("__ts.n_chars") - col("__ts.n_alpha") - col("__ts.n_digit")
+            - col("__ts.n_space")).as("n_punct"),
+          col("__ts.n_space").as("n_spaces"),
+          (element_at(col("__ts.marker_counts"), 1)
+            + element_at(col("__ts.marker_counts"), 2)
+            + element_at(col("__ts.marker_counts"), 3)).cast("double")
+            .as("n_stopwords"))
         .withColumn("alpha_ratio", col("n_alpha") / col("n_chars_m"))
         .withColumn("punct_ratio", col("n_punct") / col("n_chars_m"))
         .withColumn("stopword_ratio", col("n_stopwords") / col("n_tokens"))
@@ -501,17 +526,21 @@ object TextSim {
     // decision is bit-identical cross-engine. One codegen'd map pass
     // + one O(sources) partial agg.
     "d50_gopher_rules" -> { (s, dir) =>
-      val stopHits = Seq("the", "and", "with")
-        .map(w => TextFunctions.occurrences("__pt", s" $w "))
-        .reduce(_ + _)
+      // one TextStatsExpr byte walk per doc (d06's rewrite — the
+      // per-doc stats ARE d06's counts)
       val scored = TableCatalog(s, dir).documents
-        .withColumn("__pt", concat(lit(" "), col("text"), lit(" ")))
+        .withColumn("__ts",
+          TextStatsExpr.stats(col("text"), Seq("the", "and", "with")))
         .select(col("source"),
-          TokenCountExpr.tokenCount(col("text")).as("nt"),
-          length(col("text")).as("nc"),
-          (length(col("text")) - length(expr("replace(text, ' ', '')"))).as("nsp"),
-          length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).as("npu"),
-          stopHits.as("nsw"))
+          (col("__ts.n_space") + lit(1)).as("nt"),
+          col("__ts.n_chars").as("nc"),
+          col("__ts.n_space").as("nsp"),
+          (col("__ts.n_chars") - col("__ts.n_alpha") - col("__ts.n_digit")
+            - col("__ts.n_space")).as("npu"),
+          (element_at(col("__ts.marker_counts"), 1)
+            + element_at(col("__ts.marker_counts"), 2)
+            + element_at(col("__ts.marker_counts"), 3)).cast("double")
+            .as("nsw"))
         .withColumn("v_len", (col("nt") < 25 || col("nt") > 100000).cast("long"))
         .withColumn("v_wordlen",
           ((col("nc") - col("nsp")) / col("nt") < 3.0 ||
@@ -607,19 +636,23 @@ object TextSim {
     // the corpus), dedup is one window on the content hash, stats one
     // groupBy. Every stage is deterministic → full DuckDB oracle.
     "d13_curation" -> { (s, dir) =>
-      val scored = langScore(TableCatalog(s, dir).documents, keep = Seq("text", "source"))
-        .select(col("doc_id"), col("text"), col("source"), col("pred_lang"))
-        .withColumn("n_tokens", TokenCountExpr.tokenCount(col("text")))
-        .withColumn("alpha_ratio",
-          length(regexp_replace(col("text"), "[^a-zA-Z]", "")) / length(col("text")))
+      // keepStats: n_tokens (= n_space+1, the raw whitespace count)
+      // and alpha_ratio ride the scorer's single byte walk instead of
+      // a second TokenCountExpr pass + a regexp_replace pass
+      val scored = langScore(TableCatalog(s, dir).documents,
+          keep = Seq("text", "source"), keepStats = true)
+        .select(col("doc_id"), col("text"), col("source"), col("pred_lang"),
+          (col("__stats.n_space") + lit(1)).as("n_tokens"),
+          (col("__stats.n_alpha") / col("__stats.n_chars")).as("alpha_ratio"))
         .withColumn("__h", md5(col("text")))
       // Dedup BEFORE the quality filter — equivalent (duplicates share
       // text, hence identical pred_lang/quality), and load-bearing for
       // the plan: the Window blocks predicate pushdown, so the filter
       // can't be substituted below the scoring projection. Pushed-down,
-      // the CASE chain would inline every language score O(langs) times
-      // into the filter and re-evaluate the 150 occurrence expressions
-      // per branch — measured 25× slower.
+      // the CASE chain would inline every language score O(langs)
+      // times into the filter — each inlined branch re-running the
+      // TextStatsExpr byte walk (with the pre-r18 length-diff scorer
+      // this was measured 25× slower; the hazard class is the same).
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__h")).orderBy(col("doc_id").asc)
       val deduped = scored.withColumn("__rn", row_number().over(w))

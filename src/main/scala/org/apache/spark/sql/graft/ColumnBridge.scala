@@ -30,13 +30,25 @@ object ColumnBridge {
     * the RDD level behind a LogicalRDD, so uncacheQuery finds
     * nothing and is a silent no-op (ADVICE r16); the blocks would
     * otherwise only be freed by ContextCleaner once the RDD is
-    * GC'd. This walks the plan to the LogicalRDD and unpersists the
-    * RDD itself. Only safe once the checkpointed data is dead: a
-    * locally-checkpointed RDD cannot be recomputed. */
+    * GC'd. Only safe once the checkpointed data is dead: a
+    * locally-checkpointed RDD cannot be recomputed.
+    *
+    * The argument must be the checkpoint ROOT — the Dataset
+    * `localCheckpoint` returned, whose analyzed plan IS the
+    * LogicalRDD — never a dataset merely derived from one. A derived
+    * plan can reference LogicalRDDs that sibling datasets still need
+    * (walking it and unpersisting every LogicalRDD found would
+    * destroy unrecomputable blocks and fail later actions with
+    * lost-block errors — ADVICE r17), so anything else is rejected
+    * loudly rather than half-honored. */
   def unpersistCheckpointed(df: org.apache.spark.sql.Dataset[_]): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
-      case _ => ()
+      case other => throw new IllegalArgumentException(
+        "unpersistCheckpointed requires the checkpoint root (plan root " +
+          s"must be a LogicalRDD); got: ${other.nodeName}. Derived plans " +
+          "may share checkpoint blocks with sibling datasets — unpersist " +
+          "the Dataset localCheckpoint() returned instead.")
     }
 }

@@ -54,4 +54,15 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.scanMinPartitions(32, 4 * GB) === 8)
     assert(Engine.scanMinPartitions(2, GB / 2) === 1)
   }
+
+  test("scan split ceiling rises 4x with the concurrency floor (minPartitionNum alone is a no-op past small tables)") {
+    // ADVICE r17: splits size at min(maxPartitionBytes, ...), so the
+    // threads/4 floor only bites below (threads/4)*128MB unless the
+    // ceiling rises with it — the two knobs flip on the SAME branch
+    assert(Engine.scanMaxPartitionBytes(32, 24 * GB) === (128L << 20))
+    assert(Engine.scanMaxPartitionBytes(4, 8 * GB) === (128L << 20))
+    assert(Engine.scanMaxPartitionBytes(32, 4 * GB) === (512L << 20))
+    assert(Engine.scanMaxPartitionBytes(32, 8 * GB) === (512L << 20))
+    assert(Engine.scanMaxPartitionBytes(32, 16 * GB) === (128L << 20))
+  }
 }

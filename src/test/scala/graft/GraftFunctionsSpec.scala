@@ -290,6 +290,69 @@ class GraftFunctionsSpec extends SparkSpec {
       "documents with distinct tails must not fingerprint identically")
   }
 
+  test("TextStatsExpr is bit-identical to the length-diff/regexp formulations") {
+    import graft.SparkSpec.spark.implicits._
+    import graft.functions.TextStatsExpr
+    // markers: duplicates across "profiles" (de twice), multibyte
+    // (się), plus the en trio; texts stress the non-overlapping
+    // replace semantics (runs of adjacent equal stopwords consume
+    // their shared delimiter space: k adjacent → ceil(k/2) matches)
+    val markers = Seq("the", "and", "with", "się", "de", "de")
+    val texts = Seq(
+      "the quick the the brown the  the fox and with and",
+      "the the", "the the the", "the the the the", "the  the",
+      " the cat", "cat the ", "the", "", "a  b c   d",
+      "się może się się w tym de de de",
+      "digits 123 and punct!!! mixed 世界 é ok with tabs\tand the end",
+      (Seq.fill(300)("the and with rep") :+ "the the the").mkString(" "),
+      null: String
+    ).toDF("text")
+    val padded = texts.withColumn("__pt", concat(lit(" "), col("text"), lit(" ")))
+    val refMarkerCols = markers.zipWithIndex.map { case (w, i) =>
+      TextFunctions.occurrences("__pt", s" $w ").as(s"ref_$i") }
+    def assertIdentical(df: org.apache.spark.sql.DataFrame): Unit = {
+      val via = df.select(Seq(
+        TextStatsExpr.stats(col("text"), markers).as("ts"),
+        length(col("text")).as("r_chars"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("r_alpha"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).as("r_digit"),
+        (length(col("text")) - length(expr("replace(text, ' ', '')"))).as("r_space"),
+        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).as("r_punct")
+      ) ++ refMarkerCols: _*)
+      assert(via.filter(col("r_chars").isNull =!= col("ts").isNull).isEmpty,
+        "null text must yield null stats (and only then)")
+      for ((f, r) <- Seq("n_chars" -> "r_chars", "n_alpha" -> "r_alpha",
+          "n_digit" -> "r_digit", "n_space" -> "r_space")) {
+        assert(via.filter(col(s"ts.$f") =!= col(r)).isEmpty,
+          s"TextStatsExpr.$f diverges from the length/regexp formulation")
+      }
+      assert(via.filter(col("ts.n_chars") - col("ts.n_alpha") - col("ts.n_digit")
+          - col("ts.n_space") =!= col("r_punct")).isEmpty,
+        "derived n_punct diverges from regexp_replace([a-zA-Z0-9 ])")
+      markers.indices.foreach { i =>
+        assert(via.filter(element_at(col("ts.marker_counts"), i + 1)
+            .cast("double") =!= col(s"ref_$i")).isEmpty,
+          s"marker count for '${markers(i)}' diverges from the " +
+            "non-overlapping length-diff replace count")
+      }
+    }
+    assertIdentical(padded)
+    // the real corpus, full 10-language × 15-word profile table
+    val docs = sources.TableCatalog(spark, sf).documents
+      .select(col("text"))
+      .withColumn("__pt", concat(lit(" "), col("text"), lit(" ")))
+    val allWords = queries.TextSim.langProfiles.flatMap(_._2)
+    val refAll = allWords.zipWithIndex.map { case (w, i) =>
+      TextFunctions.occurrences("__pt", s" $w ").as(s"ra_$i") }
+    val corpus = docs.select(
+      TextStatsExpr.stats(col("text"), allWords).as("ts") +: refAll: _*)
+    allWords.indices.foreach { i =>
+      assert(corpus.filter(element_at(col("ts.marker_counts"), i + 1)
+          .cast("double") =!= col(s"ra_$i")).isEmpty,
+        s"corpus marker count diverges for '${allWords(i)}'")
+    }
+  }
+
   test("collect_min_k buffers stay bounded at k in the aggregate plan") {
     import graft.SparkSpec.spark.implicits._
     import graft.functions.CollectMinK.collectMinK

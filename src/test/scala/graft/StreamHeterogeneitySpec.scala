@@ -18,13 +18,30 @@ import graft.streaming.{NearStreamDedup, TextIndexAddStream}
   *     (the giant survives once, its re-sent copy drops; its doclen
   *     is the exact token count) — a quadratic/array-materializing
   *     per-row path would wall or OOM here long before wrongness;
-  *  2. BATCH-TIME RECOVERY: batches after the giant return to the
-  *     pre-giant envelope (generous ×4+2s band for CI noise) — state
-  *     and per-batch cost must not inherit anything giant-sized;
+  *  2. STATE RECOVERY, asserted STRUCTURALLY (ADVICE r17: the
+  *     original ×4+2s wall-clock band was a flake on a shared machine
+  *     whose ambient same-binary swings are documented at ×2.8 — GC
+  *     or page-cache pressure right after the giant batch could trip
+  *     it with no regression): after ingesting multi-MB giants, the
+  *     INDEX state stays sketch-sized — orders of magnitude below one
+  *     giant's text — so no per-batch cost can inherit anything
+  *     giant-sized. Batch wall times are still printed (info-only).
   *  3. state is O(markers) filesystem metadata both sides (asserted
   *     structurally: marker files exist, nothing else grows).
   */
 class StreamHeterogeneitySpec extends SparkSpec {
+
+  /** Total bytes of regular files under a directory tree. */
+  private def treeBytes(path: String): Long = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(root)) return 0L
+    var n = 0L
+    val it = java.nio.file.Files.walk(root)
+    try it.forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) n += java.nio.file.Files.size(p)
+    } finally it.close()
+    n
+  }
 
   // ~6 MB giant: one ~300-char line repeated 20k times, the ScaleData
   // GiantMult shape (distinct shingle/token sets stay tiny — that is
@@ -37,7 +54,7 @@ class StreamHeterogeneitySpec extends SparkSpec {
   private def normalDoc(i: Int): String =
     (1 to 40).map(j => s"w${i}x$j").mkString(" ")
 
-  test("NearStreamDedup absorbs a zipf giant per batch: correct drops, batch time recovers") {
+  test("NearStreamDedup absorbs a zipf giant per batch: correct drops, sketch-sized state") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -74,18 +91,22 @@ class StreamHeterogeneitySpec extends SparkSpec {
       "the re-sent giant must drop against the indexed giant's signature")
     assert((0 until 210).forall(i => survivors.contains(i.toLong)),
       "distinct normal docs must all survive")
-    // batch-time recovery: the post-giant normal batch sits in the
-    // pre-giant envelope (×4 + 2s CI slack)
-    val pre = math.min(batchMs(0), batchMs(1))
-    assert(batchMs(4) <= math.max(4 * pre, pre + 2000),
-      s"post-giant batch ${batchMs(4)}ms never recovered to the " +
-        s"pre-giant envelope (${batchMs.mkString(", ")}ms)")
+    // structural recovery: after TWO ~6 MB giants flowed through, the
+    // index (bands + signatures + markers) must stay sketch-sized —
+    // far below a single giant's text. A path that let the giant leak
+    // into per-doc state would jump past this by the giant's size.
+    val giantBytes = giant.getBytes("UTF-8").length.toLong
+    val idxBytes = treeBytes(idx)
+    assert(idxBytes < giantBytes / 2,
+      s"index state $idxBytes B is not sketch-sized vs one giant " +
+        s"($giantBytes B): giant-sized payload leaked into state")
     // state is marker files only
     assert(new java.io.File(s"$idx/_batches").listFiles().nonEmpty)
-    info(s"batch ms: ${batchMs.mkString(", ")}")
+    info(s"batch ms (info-only): ${batchMs.mkString(", ")}; " +
+      s"index bytes: $idxBytes vs giant $giantBytes")
   }
 
-  test("TextIndexAddStream absorbs a zipf giant per batch: exact doclen, batch time recovers") {
+  test("TextIndexAddStream absorbs a zipf giant per batch: exact doclen, postings-sized state") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -122,10 +143,21 @@ class StreamHeterogeneitySpec extends SparkSpec {
     val hits = graft.operators.TextIndex.bm25(s, idx, Seq("gtok1", "gtok7"))
     assert(hits.filter(col("doc_id") === 5000L).count() === 1,
       "giant must be retrievable through the streamed index")
-    val pre = batchMs(0)
-    assert(batchMs(2) <= math.max(4 * pre, pre + 2000),
-      s"post-giant batch ${batchMs(2)}ms never recovered " +
-        s"(${batchMs.mkString(", ")}ms)")
-    info(s"batch ms: ${batchMs.mkString(", ")}")
+    // structural recovery: the text index holds postings (token,
+    // doc_id, tf) + doclens — the ~6 MB / 600k-token giant must
+    // contribute exactly its 30 DISTINCT tokens as postings rows and
+    // one doclen row, never anything text-sized. (Row counts, not
+    // tree bytes: postings accumulate many small parquet files per
+    // streamed batch — compaction's job — so raw bytes measure file
+    // overhead, not payload.)
+    val giantPostings = s.read.parquet(s"$idx/postings")
+      .filter(col("doc_id") === 5000L)
+    assert(giantPostings.count() === 30L,
+      "giant must contribute exactly its 30 distinct tokens as postings")
+    val giantDoclen = s.read.parquet(s"$idx/doclen")
+      .filter(col("doc_id") === 5000L).count()
+    assert(giantDoclen === 1L, "giant must contribute exactly one doclen row")
+    info(s"batch ms (info-only): ${batchMs.mkString(", ")}; " +
+      s"index bytes (info-only): ${treeBytes(idx)}")
   }
 }
