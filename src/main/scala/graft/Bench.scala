@@ -44,9 +44,13 @@ object Bench {
         Engine.readerBatchRows(threads).toString)
       // and the scan-concurrency floor (Engine.scanMinPartitions):
       // 32 concurrent giant-bearing readers exhaust a 4 GB heap on
-      // untracked vector memory alone
+      // untracked vector memory alone — with its split-size ceiling
+      // companion (Engine.scanMaxPartitionBytes), or the floor is a
+      // no-op past (threads/4)*128MB tables (ADVICE r17)
       .config("spark.sql.files.minPartitionNum",
         Engine.scanMinPartitions(threads).toString)
+      .config("spark.sql.files.maxPartitionBytes",
+        Engine.scanMaxPartitionBytes(threads).toString)
       .config("spark.ui.enabled", "false")
     if (Engine.shufflePartitionsOverride.isEmpty) {
       builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
