@@ -35,6 +35,11 @@ object Bench {
       // the memory-bounded sf10 rehearsal runs at default config now.
       .config("spark.sql.shuffle.partitions", base.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing byte floor (Engine.coalesceMinPartitionSize):
+      // byte-blind coalescing serialized the compute-dense pair
+      // stages onto 4 tasks at sf0.1 — see Engine for the full note
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        Engine.coalesceMinPartitionSize)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // heap-aware reader batch (Engine.readerBatchRows): a 4 GB

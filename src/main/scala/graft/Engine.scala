@@ -123,6 +123,26 @@ object Engine {
     if (perTask >= (512L << 20).toDouble) 128L << 20 else 512L << 20
   }
 
+  /** AQE partition-coalescing byte FLOOR (default 1 MB in Spark).
+    * With parallelismFirst (default on) AQE targets
+    * max(totalShuffleBytes / parallelism, minPartitionSize) per
+    * coalesced partition — so any shuffle stage whose TOTAL bytes sit
+    * under parallelism × 1 MB collapses below full core width even
+    * though Spark explicitly tries to respect parallelism first. That
+    * byte-blind floor starves exactly the compute-DENSE stages whose
+    * work is not proportional to their input bytes: the dedup pair
+    * fan-out reads ~1 MB of posting lists and then does df²-bounded
+    * pair generation + aggregation behind it (measured r18, sf0.1:
+    * the d02/d22/d45/d49/d51 pair stage ran as 4 AQE-coalesced tasks
+    * of ~1.2 s wall where 32 tasks finish in ~0.3 s — stage-level
+    * event-log evidence in OPTIMIZATION_r18.md). 64 KB keeps tiny
+    * boards on full cores; at any real deployment scale
+    * totalBytes/parallelism is far above BOTH floors, so the setting
+    * is inert there — it is a small-shuffle fix, not a local[32]
+    * tuning (and the per-partition scheduling cost it can add is
+    * bounded by parallelism × ~ms). */
+  private[graft] val coalesceMinPartitionSize: String = "64k"
+
   def session(appName: String = "graft", cores: String = "*"): SparkSession = {
     val threads =
       if (cores == "*") Runtime.getRuntime.availableProcessors() else cores.toInt
@@ -133,6 +153,8 @@ object Engine {
       .config("spark.sql.shuffle.partitions", base.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        coalesceMinPartitionSize)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -416,17 +416,39 @@ object Dedup {
     * d22/d45 exactly on that competition. Disk blocks cost a
     * serialize+write per round; the loop's cost is scheduling-bound
     * at small scale and the blocks are OS-page-cache-warm anyway. */
+  /** (row count, content signature) of a (u, v) edge set in ONE job.
+    * The signature is bit_xor over per-row xxhash64 — associative,
+    * commutative, overflow-free (no ANSI sum trap), so it is a pure
+    * function of the SET under any partitioning. Used only as a
+    * may-skip-the-except guard in [[ccStars]]: unequal signatures
+    * prove set inequality; equal signatures prove nothing and the
+    * exact `except` check still runs. bit_xor over zero rows is NULL
+    * → mapped to 0 (the loop never compares an empty round anyway:
+    * edgeCount == 0 exits before the first comparison). */
+  private def countAndSig(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   private[graft] def ccStars(pairs: DataFrame): (DataFrame, Int) = {
     var edges = pairs.select(col("a_id").cast("long").as("u"),
         col("b_id").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint(true, StorageLevel.DISK_ONLY)
+      .distinct().localCheckpoint(false, StorageLevel.DISK_ONLY)
     var rounds = 0
-    // one count job per round, not two: the previous round's count is
-    // this round's comparison baseline (the edge sets are checkpointed,
-    // but a count is still a scheduler round-trip, and the CC loop's
-    // sf0.1 cost is round-latency-bound)
-    var edgeCount = edges.count()
+    // ONE job per round (r18, guide §1/§2: the CC loop's sf0.1 cost is
+    // round-LATENCY-bound — scheduler round-trips, not data): the
+    // checkpoint is LAZY and the (count, bit_xor-of-xxhash64) signature
+    // aggregate is the action that materializes it, replacing the
+    // former eager-checkpoint job + separate count job. The signature
+    // additionally lets the fixpoint check skip the `except` anti-join
+    // job whenever a round's edge set changed but kept its size:
+    // different signature ⇒ definitely a different set (bit_xor of
+    // per-row hashes is order/partitioning-independent) ⇒ not
+    // converged, no except needed. Equal count AND equal signature
+    // still CONFIRMS via except — a hash collision can therefore never
+    // terminate the loop early, so the result is exactly the old one.
+    var (edgeCount, edgeSig) = countAndSig(edges)
     var done = edgeCount == 0
     while (!done) {
       require(rounds < 200, "ccStars failed to converge in 200 rounds")
@@ -449,11 +471,14 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(smins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint(true, StorageLevel.DISK_ONLY)
+        .distinct().localCheckpoint(false, StorageLevel.DISK_ONLY)
       rounds += 1
-      // fixpoint = identical edge set (both sides are distinct sets)
-      val smallCount = small.count()
-      done = smallCount == edgeCount && small.except(edges).isEmpty
+      // fixpoint = identical edge set (both sides are distinct sets);
+      // signature mismatch proves inequality without the except job,
+      // signature match never terminates without except confirming
+      val (smallCount, smallSig) = countAndSig(small)
+      done = smallCount == edgeCount && smallSig == edgeSig &&
+        small.except(edges).isEmpty
       // the previous round's DISK_ONLY blocks are dead after that
       // compare — release them now (safe: `small` is independently
       // checkpointed) instead of accumulating up to 200 rounds of
@@ -464,6 +489,7 @@ object Dedup {
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpointed(edges)
       edges = small
       edgeCount = smallCount
+      edgeSig = smallSig
     }
     val labels = edges.select(col("u").as("id"), col("v").as("label"))
       .union(edges.select(col("v").as("id"), col("v").as("label")))

@@ -74,11 +74,21 @@ object Relations {
     * "closure". Cycles converge (the pair set is finite and
     * monotone); self-pairs are excluded. */
   def closure(rel: DataFrame, maxRounds: Int = 32): DataFrame = {
+    // r18 (guide §1/§2 — the doubling loop is round-LATENCY-bound):
+    // checkpoints are LAZY and the per-round count is the action that
+    // materializes them — one scheduler job per round instead of an
+    // eager-checkpoint job plus a count job — and the superseded
+    // round's blocks are released as soon as the next round is
+    // materialized (they are unreachable afterwards: every consumer
+    // reads the new checkpoint root). The growth test compares the
+    // REMEMBERED previous count, not a recount. Same rounds, same
+    // fixpoint, same result.
     var acc = rel.select(col("child_dn"), col("parent_dn"))
       .filter(col("child_dn") =!= col("parent_dn"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
+    var accCount = acc.count()
     var rounds = 0
-    var grew = true
+    var grew = accCount > 0
     while (grew) {
       require(rounds < maxRounds, s"closure failed to converge in $maxRounds rounds")
       val doubled = acc.alias("l")
@@ -86,9 +96,12 @@ object Relations {
         .select(col("l.child_dn").as("child_dn"), col("u.parent_dn").as("parent_dn"))
         .union(acc)
         .filter(col("child_dn") =!= col("parent_dn"))
-        .distinct().localCheckpoint()
-      grew = doubled.count() > acc.count()
+        .distinct().localCheckpoint(false)
+      val doubledCount = doubled.count()
+      grew = doubledCount > accCount
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpointed(acc)
       acc = doubled
+      accCount = doubledCount
       rounds += 1
     }
     acc.withColumn("relation_type", lit("closure"))
@@ -128,9 +141,12 @@ object Relations {
     // of fringe is far past any directory Minerva models.
     val maxTrimRounds = 16
     var trimRound = 0
+    // lazy checkpoints + count-as-materializer + release of the
+    // superseded round — the closure() discipline (r18), one job per
+    // trim round instead of two
     var edges = rel.select(col("child_dn"), col("parent_dn"))
       .filter(col("child_dn") =!= col("parent_dn"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var n = edges.count()
     var shrunk = n > 0
     while (shrunk && trimRound < maxTrimRounds) {
@@ -140,9 +156,10 @@ object Relations {
       val trimmed = edges
         .join(broadcast(heads), Seq("child_dn"), "left_semi")
         .join(broadcast(tails), Seq("parent_dn"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val m = trimmed.count()
       shrunk = m < n && m > 0
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpointed(edges)
       n = m
       edges = trimmed
     }

@@ -1090,8 +1090,12 @@ object TextSim {
       val idx = cachedIndex(s, dir, "ivf") { p =>
         Similarity.ivfBuild(emb, "vec_id", "embedding", p)
       }
-      Seq(1, 2, 4, 8).map { np =>
-        val served = Similarity.ivfSearch(qs, "vec_id", "embedding", idx, k = 10, nprobe = np)
+      // r18: the sweep probes the index ONCE at max nprobe and derives
+      // every point by probe-rank filtering — bit-identical per point
+      // to the former per-np ivfSearch calls (SimilaritySpec asserts
+      // it), one cells scan instead of four.
+      Similarity.ivfSearchSweep(qs, "vec_id", "embedding", idx, k = 10,
+          nprobes = Seq(1, 2, 4, 8)).map { case (np, served) =>
         Similarity.recallAtK(exact, served)
           .agg(count(lit(1)).as("n_queries"),
             round(avg(col("recall")), 6).as("macro_recall"))

@@ -383,6 +383,66 @@ object Similarity {
     ivfScore(corpusCells, probed, k)
   }
 
+  /** One-pass nprobe SWEEP over a persisted IVF index: per sweep
+    * point np, the result is BIT-IDENTICAL to
+    * `ivfSearch(..., nprobe = np)` (spec-asserted), but the index is
+    * probed/scanned ONCE at max(nprobes) instead of once per point.
+    *
+    * Why identical: [[probeQueries]] at nprobe = np takes the first
+    * np elements of the SAME deterministic sort
+    * (array_sort of (−score, cell) structs — ties break on the cell
+    * index), so "probe rank < np" over the max-nprobe probe list
+    * selects exactly ivfSearch(np)'s probed cells; each corpus
+    * vector lives in exactly one cell, so filtering the scored
+    * candidates by probe rank reproduces exactly ivfSearch(np)'s
+    * candidate set, and the ranking pipeline below is [[ivfScore]]
+    * verbatim. The scored candidate table (O(queries · probed-cell
+    * members) rows, fixed width) is localCheckpoint'd so the per-np
+    * rankings are bounded re-aggregations, not re-scans — a 4-point
+    * tuning sweep (s17) pays one cells read instead of four.
+    *
+    * Tuning sweeps run against a just-built index, between
+    * compactions — tombstones are still dropped (parity with
+    * [[ivfSearch]]) but `allowed` filtering is not offered here;
+    * filtered serving goes through ivfSearch. */
+  def ivfSearchSweep(queries: DataFrame, qId: String, vecCol: String,
+                     indexPath: String, k: Int,
+                     nprobes: Seq[Int]): Seq[(Int, DataFrame)] = {
+    require(nprobes.nonEmpty, "ivfSearchSweep: at least one nprobe point")
+    val spark = queries.sparkSession
+    recoverIndex(spark, indexPath)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val maxNp = nprobes.max
+    val probed = queries
+      .select(col(qId).as("q_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"))
+      .withColumn("__scores", cellScores(cents)(col("__qv")))
+      .select(col("q_id"), col("__qv"), col("__qn"), posexplode(expr(
+        s"slice(array_sort(transform(__scores, (s, i) -> struct(-s AS d, i + 1 AS c))), 1, $maxNp).c"))
+        .as(Seq("__pp", "cell")))
+      .localCheckpoint() // tiny; evaluated twice (cell list + join)
+    val probeCells = probed.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val corpusCells = dropTombstones(spark, indexPath,
+      spark.read.parquet(s"$indexPath/cells")
+        .filter(col("cell").isin(probeCells.toSeq: _*)))
+    val scored = corpusCells
+      .join(broadcast(probed), "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"),
+        col("__pp"))
+      .localCheckpoint() // one probe pass feeds every sweep point
+    nprobes.map { np =>
+      np -> rankTopK(
+        scored.filter(col("__pp") < np)
+          .select(col("q_id"), col("n_id"), col("sim"))
+          .dropDuplicates("q_id", "n_id"), k)
+    }
+  }
+
   /** Metadata-FILTERED search support (the FAISS-IDSelector /
     * filtered-ANN shape every retrieval deployment needs: "top-k
     * among docs with lang = en"): `allowed` carries the permitted

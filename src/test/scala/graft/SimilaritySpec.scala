@@ -143,6 +143,28 @@ class SimilaritySpec extends SparkSpec {
     assert(first === inline, "persisted-index search diverges from the inline path")
   }
 
+  test("ivfSearchSweep: every sweep point is bit-identical to its per-nprobe ivfSearch") {
+    // r18 optimization contract: s17's tuning sweep probes the index
+    // ONCE at max nprobe and derives each point by probe-rank
+    // filtering; this pins that the derived result sets equal the
+    // independent per-nprobe searches EXACTLY (same rows, same ranks),
+    // so the sweep may never drift from the serving path it evaluates.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    val q = emb.filter(col("vec_id") < 10)
+    Similarity.ivfBuild(emb, "vec_id", "embedding", dir)
+    val points = Seq(1, 2, 4, 8)
+    val sweep = Similarity.ivfSearchSweep(q, "vec_id", "embedding", dir,
+      k = 10, nprobes = points).toMap
+    points.foreach { np =>
+      val single = Similarity.ivfSearch(q, "vec_id", "embedding", dir,
+          k = 10, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val swept = sweep(np)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(swept === single, s"sweep point nprobe=$np diverges from ivfSearch")
+    }
+  }
+
   test("persisted IVF search reads only probed cell partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
     Similarity.ivfBuild(emb, "vec_id", "embedding", dir)
