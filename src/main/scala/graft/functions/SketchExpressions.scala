@@ -469,6 +469,57 @@ object MinHashFromShinglesExpr {
   }
 }
 
+/** Count of position-wise EQUAL slots between two MinHash signatures
+  * — the signature-agreement kernel of near-dup verification
+  * (`Dedup.nearDedupIncrementalStaged` / `NearStreamDedup`), replacing
+  * the interpreted `aggregate(zip_with(a, b, …))` HOF chain that
+  * allocated a 64-slot indicator array per CANDIDATE PAIR (r18, guide
+  * §4: candidate volume is band-join-bounded but still
+  * O(pairs)·numPerm — the verify loop is the per-pair workload).
+  * Exactly the HOF's value: zip_with pads the shorter side with
+  * nulls, whose equality test is null → counted 0 by the otherwise
+  * branch — i.e. equal slots over min(len) — and a null ARRAY yields
+  * null overall (BinaryExpression null propagation ≡ the HOF chain's
+  * null flow). Bit-identity spec-asserted incl. the padding edge. */
+case class SigAgreeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreeExpr =
+    copy(left = l, right = r)
+}
+
+object SigAgreeExpr {
+  def sigAgree(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SigAgreeExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
 /** 60-bit SimHash over md5 digests of the shingles, fused into one
   * loop. md5 (not xxhash64) so a DuckDB oracle can replicate the
   * fingerprint bit-for-bit: H = first 15 hex chars of md5(shingle)

@@ -585,9 +585,11 @@ object Dedup {
     // so sigAgree quietly drops) — fail loudly instead.
     checkNearParams(spark, indexPath, k, numPerm, bands)
     val (sigs, bandKeys) = nearSketch(newDocs, idCol, textCol, k, numPerm, bands)
+    // native equal-slot count (SigAgreeExpr, r18) — value-identical to
+    // the former aggregate(zip_with(...)) HOF chain (bit-identity
+    // spec-asserted), minus its per-candidate-pair indicator array
     def sigAgree(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, x) => acc + x).cast("double") / numPerm
+      graft.functions.SigAgreeExpr.sigAgree(a, b).cast("double") / numPerm
     def verified(cands: DataFrame): DataFrame = // (doc_id, other sig join) → dropped ids
       cands.join(sigs.select(col("doc_id").as("__n_id"), col("sig").as("__n_sig")),
           col("doc_id") === col("__n_id"))

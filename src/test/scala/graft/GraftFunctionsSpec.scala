@@ -58,6 +58,42 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("SigAgreeExpr is bit-identical to the aggregate(zip_with(...)) HOF chain") {
+    import graft.SparkSpec.spark.implicits._
+    // edge shapes: identical sigs, disjoint, partial agreement,
+    // LENGTH MISMATCH (zip_with pads the short side with nulls, whose
+    // equality indicator falls to otherwise(0) — the native form must
+    // count over min(len)), empty arrays, and a NULL array (HOF chain
+    // propagates null; BinaryExpression must too)
+    val rows = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L)),
+      (Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L)),
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 9L)),
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 2L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq.empty[Long], Seq.empty[Long])
+    ).toDF("a", "b")
+      .unionByName(Seq((null, Seq(1L, 2L))).asInstanceOf[Seq[(Seq[Long], Seq[Long])]]
+        .toDF("a", "b"))
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+    val via = rows.select(hof.as("h"),
+      graft.functions.SigAgreeExpr.sigAgree(col("a"), col("b")).as("n"))
+    assert(via.filter(not(col("h") <=> col("n"))).isEmpty,
+      "SigAgreeExpr diverges from the HOF agreement count")
+    // and on REAL signatures: every candidate pair of a small corpus
+    val sigs = Seq("aa bb cc dd", "aa bb cc dd", "aa bb cc ee", "zz yy xx ww")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), graft.functions.MinHashFromShinglesExpr.minhash(
+        graft.functions.ShinglesExpr.shinglesFromText(col("text"), 2), 64).as("sig"))
+    val pairs = sigs.as("x").join(sigs.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.sig").as("a"), col("y.sig").as("b"))
+    val real = pairs.select(hof.as("h"),
+      graft.functions.SigAgreeExpr.sigAgree(col("a"), col("b")).as("n"))
+    assert(real.filter(not(col("h") <=> col("n"))).isEmpty,
+      "SigAgreeExpr diverges on real minhash signatures")
+  }
+
   test("native winnow is bit-identical to the gramHashes+winnowMins HOF chain") {
     import graft.SparkSpec.spark.implicits._
     // shapes: below-k, exactly-k, grams < window, unicode multi-byte
