@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked main's stdout through RAW instead of relogging it
+// with an "[info] " prefix: the driver parses Bench's JSON lines from
+// captured sbt output, and a prefixed line is not valid JSON — both
+// r17 and r18 round comparisons came back empty because of it
+// (VERDICT r18 issue 1).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

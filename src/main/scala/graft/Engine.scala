@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** SparkSession factory with the settings every graft job wants.
   *
@@ -142,6 +143,38 @@ object Engine {
     * tuning (and the per-partition scheduling cost it can add is
     * bounded by parallelism × ~ms). */
   private[graft] val coalesceMinPartitionSize: String = "64k"
+
+  /** Per-round checkpoint for the iterative loops (connected
+    * components, transitive closure, fringe trim). Default:
+    * `localCheckpoint` — the cheapest lineage cut, but its blocks
+    * live only on their executor and a LAZY local checkpoint is NOT
+    * recomputable, so an executor loss mid-loop fails the job. On
+    * local[N] that executor is the driver and the trade is free; a
+    * CLUSTER deployment opts into RELIABLE checkpoints by setting
+    * `spark.graft.reliableLoopCheckpoints=true` on the session AND a
+    * `sparkContext.setCheckpointDir` (HDFS/S3): each round then
+    * persists to the checkpoint dir and survives executor loss, at
+    * the documented cost of one extra computation + write per round
+    * (reliable checkpointing recomputes the plan to write it; set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to reap
+    * superseded rounds' files). The loops' release discipline
+    * (ColumnBridge.unpersistCheckpointed) is unaffected: the reliable
+    * root is also a LogicalRDD and the block-level unpersist is a
+    * harmless no-op for file-backed rounds. Wiring pinned by
+    * EngineSpec. */
+  private[graft] def loopCheckpoint(df: DataFrame,
+      storage: Option[StorageLevel] = None): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf
+      .get("spark.graft.reliableLoopCheckpoints", "false").toBoolean
+    if (reliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "spark.graft.reliableLoopCheckpoints=true requires " +
+          "sparkContext.setCheckpointDir(...)")
+      df.checkpoint(false)
+    } else storage.fold(df.localCheckpoint(false))(s =>
+      df.localCheckpoint(false, s))
+  }
 
   def session(appName: String = "graft", cores: String = "*"): SparkSession = {
     val threads =

@@ -486,6 +486,27 @@ case class SigAgreeExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
+  // The kernel reads slots with getLong, so anything but array<bigint>
+  // (e.g. array<int>) would silently return wrong counts — fail at
+  // ANALYSIS time instead (ADVICE r18). Nullability of ELEMENTS is not
+  // restricted: a parquet round trip of the signature tables reports
+  // containsNull=true even though minhash never emits null slots —
+  // null-free elements stay the documented caller contract, exactly as
+  // they were for the zip_with chain this replaced.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sig_agree requires array<bigint> on both sides, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val n = math.min(x.numElements(), y.numElements())

@@ -431,10 +431,11 @@ object Dedup {
   }
 
   private[graft] def ccStars(pairs: DataFrame): (DataFrame, Int) = {
-    var edges = pairs.select(col("a_id").cast("long").as("u"),
-        col("b_id").cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint(false, StorageLevel.DISK_ONLY)
+    var edges = graft.Engine.loopCheckpoint(
+      pairs.select(col("a_id").cast("long").as("u"),
+          col("b_id").cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(), Some(StorageLevel.DISK_ONLY))
     var rounds = 0
     // ONE job per round (r18, guide §1/§2: the CC loop's sf0.1 cost is
     // round-LATENCY-bound — scheduler round-trips, not data): the
@@ -465,13 +466,14 @@ object Dedup {
       val dir = large.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       val smins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = dir.join(smins.select(col("u").as("su"), col("m")),
-          dir("u") === col("su"))
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(smins.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint(false, StorageLevel.DISK_ONLY)
+      val small = graft.Engine.loopCheckpoint(
+        dir.join(smins.select(col("u").as("su"), col("m")),
+            dir("u") === col("su"))
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(smins.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v"))
+          .distinct(), Some(StorageLevel.DISK_ONLY))
       rounds += 1
       // fixpoint = identical edge set (both sides are distinct sets);
       // signature mismatch proves inequality without the except job,
@@ -595,24 +597,43 @@ object Dedup {
           col("doc_id") === col("__n_id"))
         .filter(sigAgree(col("__n_sig"), col("__o_sig")) >= threshold)
         .select(col("doc_id")).distinct()
-    // within-batch: banded sibling pairs, larger id drops
-    val withinCands = bandKeys.as("a").join(bandKeys.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") > col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("__o_id")).distinct()
+    // ONE band join for BOTH candidate classes (r19): the within-batch
+    // self-join and the cross-batch index probe join on the SAME key,
+    // and the r18 event logs show them re-evaluating and re-shuffling
+    // the batch band table separately (self-join left + right + probe
+    // left — three band-scale passes). The "other side" postings union
+    // into one table tagged by origin; the probe side joins it ONCE;
+    // the within-batch `doc_id > other` constraint applies only to
+    // batch-origin rows. Signature verification stays PER-ORIGIN (a
+    // batch id may coincide with an index id — a replayed batch — and
+    // each candidate must verify against ITS side's signature exactly
+    // as before), but now joins the bounded candidate set instead of
+    // re-deriving band-scale inputs. Same candidate pairs, same
+    // verification, same survivors — DedupSpec pins d27's survivor
+    // set.
+    val batchPost = bandKeys.select(col("band"), col("doc_id").as("__o_id"),
+      lit(true).as("__within"))
+    val indexPost =
+      if (!StoreFs.exists(spark, s"$indexPath/bands")) None
+      else Some(spark.read.parquet(s"$indexPath/bands")
+        .select(col("band"), col("doc_id").as("__o_id"),
+          lit(false).as("__within")))
+    val allPost = indexPost.fold(batchPost)(batchPost.unionByName(_))
+    val cands = bandKeys.join(allPost, "band")
+      .filter(!col("__within") || col("doc_id") > col("__o_id"))
+      .select(col("doc_id"), col("__o_id"), col("__within")).distinct()
+    val withinSig = cands.filter(col("__within"))
       .join(sigs.select(col("doc_id").as("__o_id2"), col("sig").as("__o_sig")),
         col("__o_id") === col("__o_id2"))
       .select(col("doc_id"), col("__o_sig"))
-    // cross-batch: banded probe against the index
-    val crossCands =
-      if (!StoreFs.exists(spark, s"$indexPath/bands")) withinCands.limit(0)
-      else bandKeys.join(spark.read.parquet(s"$indexPath/bands")
-          .select(col("band"), col("doc_id").as("__o_id")), "band")
-        .select(col("doc_id"), col("__o_id")).distinct()
+    val crossSig =
+      if (indexPost.isEmpty) withinSig.limit(0)
+      else cands.filter(!col("__within"))
         .join(spark.read.parquet(s"$indexPath/sigs")
           .select(col("doc_id").as("__o_id2"), col("sig").as("__o_sig")),
           col("__o_id") === col("__o_id2"))
         .select(col("doc_id"), col("__o_sig"))
-    val dropped = verified(withinCands.unionByName(crossCands))
+    val dropped = verified(withinSig.unionByName(crossSig))
     // batch-sized WITH text — disk, not the unified pool (ccStars policy)
     val survivors = newDocs.join(
         dropped.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")

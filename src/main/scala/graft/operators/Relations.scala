@@ -83,20 +83,21 @@ object Relations {
     // reads the new checkpoint root). The growth test compares the
     // REMEMBERED previous count, not a recount. Same rounds, same
     // fixpoint, same result.
-    var acc = rel.select(col("child_dn"), col("parent_dn"))
-      .filter(col("child_dn") =!= col("parent_dn"))
-      .distinct().localCheckpoint(false)
+    var acc = graft.Engine.loopCheckpoint(
+      rel.select(col("child_dn"), col("parent_dn"))
+        .filter(col("child_dn") =!= col("parent_dn"))
+        .distinct())
     var accCount = acc.count()
     var rounds = 0
     var grew = accCount > 0
     while (grew) {
       require(rounds < maxRounds, s"closure failed to converge in $maxRounds rounds")
-      val doubled = acc.alias("l")
+      val doubled = graft.Engine.loopCheckpoint(acc.alias("l")
         .join(broadcast(acc.alias("u")), col("l.parent_dn") === col("u.child_dn"))
         .select(col("l.child_dn").as("child_dn"), col("u.parent_dn").as("parent_dn"))
         .union(acc)
         .filter(col("child_dn") =!= col("parent_dn"))
-        .distinct().localCheckpoint(false)
+        .distinct())
       val doubledCount = doubled.count()
       grew = doubledCount > accCount
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpointed(acc)
@@ -144,19 +145,19 @@ object Relations {
     // lazy checkpoints + count-as-materializer + release of the
     // superseded round — the closure() discipline (r18), one job per
     // trim round instead of two
-    var edges = rel.select(col("child_dn"), col("parent_dn"))
-      .filter(col("child_dn") =!= col("parent_dn"))
-      .distinct().localCheckpoint(false)
+    var edges = graft.Engine.loopCheckpoint(
+      rel.select(col("child_dn"), col("parent_dn"))
+        .filter(col("child_dn") =!= col("parent_dn"))
+        .distinct())
     var n = edges.count()
     var shrunk = n > 0
     while (shrunk && trimRound < maxTrimRounds) {
       trimRound += 1
       val heads = edges.select(col("parent_dn").as("child_dn")).distinct()
       val tails = edges.select(col("child_dn").as("parent_dn")).distinct()
-      val trimmed = edges
+      val trimmed = graft.Engine.loopCheckpoint(edges
         .join(broadcast(heads), Seq("child_dn"), "left_semi")
-        .join(broadcast(tails), Seq("parent_dn"), "left_semi")
-        .localCheckpoint(false)
+        .join(broadcast(tails), Seq("parent_dn"), "left_semi"))
       val m = trimmed.count()
       shrunk = m < n && m > 0
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpointed(edges)

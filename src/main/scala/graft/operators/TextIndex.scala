@@ -138,12 +138,58 @@ object TextIndex {
     true
   }
 
+  /** Path-level static partition pruning for a token-partitioned
+    * parquet table (r19): resolve the query tokens' directories
+    * directly — escaped exactly as `partitionBy` wrote them — and
+    * list ONLY those, instead of discovering the full vocabulary's
+    * directory tree on every serve. The full listing costs a driver
+    * walk plus a parallel-listing Spark job once the table has more
+    * than `spark.sql.sources.parallelPartitionDiscovery.threshold`
+    * (32) token directories — paid per query, for a 3-token read.
+    * `basePath` keeps `token` a partition column; the explicit schema
+    * (data schema from one directory's footer + `token` STRING) pins
+    * the partition column's type, which inference over a numeric-only
+    * token subset would otherwise flip to int. Callers keep their
+    * `isin` filter: it remains the correctness guard (an over-listed
+    * directory can never leak rows) and the declared static pruning
+    * in the plan. Absent tokens map to absent directories — the same
+    * empty contribution the pruned full listing gave them; when NO
+    * query token's directory exists the result is an empty frame
+    * with the same schema (or, for a table with no token directory
+    * at all, the old full read's behavior). */
+  def tokenPrunedRead(spark: SparkSession, tableDir: String,
+                      tokens: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val dirs = tokens.distinct
+      .map(t => s"$tableDir/token=" + ExternalCatalogUtils.escapePathName(t))
+      .filter(StoreFs.exists(spark, _))
+    def dataSchemaOf(dir: String) = spark.read.parquet(dir).schema
+    if (dirs.nonEmpty) {
+      val full = dataSchemaOf(dirs.head)
+        .add("token", org.apache.spark.sql.types.StringType)
+      spark.read.option("basePath", tableDir).schema(full).parquet(dirs: _*)
+    } else {
+      // no query token present: an empty frame with the layout's
+      // schema, taken from any existing token directory's footer
+      StoreFs.list(spark, tableDir)
+        .find(_.getName.startsWith("token=")).map(_.toString) match {
+        case Some(sample) =>
+          val full = dataSchemaOf(sample)
+            .add("token", org.apache.spark.sql.types.StringType)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), full)
+        case None => spark.read.parquet(tableDir) // not token-partitioned
+      }
+    }
+  }
+
   /** Deduplicated postings read, restricted to `tokens` — the static
-    * partition filters are the whole point of the layout. */
+    * partition pruning is the whole point of the layout (since r19 at
+    * the PATH level, see [[tokenPrunedRead]]). */
   def postings(spark: SparkSession, path: String,
                tokens: Seq[String]): DataFrame =
     dropDeleted(spark, path,
-      spark.read.parquet(s"$path/postings")
+      tokenPrunedRead(spark, s"$path/postings", tokens)
         .filter(col("token").isin(tokens: _*))
         .groupBy(col("token"), col("doc_id"))
         .agg(max(col("tf")).as("tf")))

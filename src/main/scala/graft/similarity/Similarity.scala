@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorExpressions
 
@@ -30,6 +30,81 @@ object Similarity {
   private def fanOut(df: DataFrame): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+  }
+
+  /** Driver-resident quantizer metadata (centroid rows / codebooks /
+    * rotation), keyed by table path + a filesystem fingerprint (file
+    * count, Σ bytes, Σ mtime) of that table's directory — the serving
+    * posture every ANN deployment runs (FAISS holds its coarse
+    * quantizer in process memory; re-reading nCells rows through a
+    * scheduled single-task job on EVERY query is pure per-query
+    * overhead, r19 event-log evidence in OPTIMIZATION_r19.md). The
+    * fingerprint makes this a pure read-through cache of IMMUTABLE
+    * index metadata, never of results: quantizers are frozen at build
+    * time (adds/deletes/compactions touch codes/cells/tombstones
+    * only), and any rewrite of the metadata table changes its
+    * fingerprint and forces a re-read. Entries are O(nCells·dims)
+    * doubles — bounded by the declared metadata contract. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** (file count, Σ bytes, Σ mtime) over a directory tree — driver
+    * FS metadata only, no Spark job (the TextSim.indexFingerprint
+    * discipline, through the Hadoop FS so non-local stores work). */
+  private def dirFingerprint(spark: SparkSession, path: String): String = {
+    val (f, p) = graft.operators.StoreFs.fs(spark, path)
+    if (!f.exists(p)) return "absent"
+    var n = 0L; var bytes = 0L; var mt = 0L
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next(); n += 1; bytes += s.getLen; mt += s.getModificationTime
+    }
+    s"$n-$bytes-$mt"
+  }
+
+  private def cachedMeta[T <: AnyRef](spark: SparkSession, path: String)
+                                     (load: => T): T =
+    metaCache.computeIfAbsent(s"$path#${dirFingerprint(spark, path)}",
+      _ => load).asInstanceOf[T]
+
+  /** Centroid table rows (cell-ordered), via [[cachedMeta]]. */
+  private def loadCentroidRows(spark: SparkSession,
+                               indexPath: String): Array[org.apache.spark.sql.Row] =
+    cachedMeta(spark, s"$indexPath/centroids") {
+      spark.read.parquet(s"$indexPath/centroids").orderBy(col("cell")).collect()
+    }
+
+  /** PQ codebooks `[m][nCodes][subDim]`, via [[cachedMeta]]. */
+  private def loadCodebooks(spark: SparkSession,
+                            indexPath: String): Array[Array[Array[Double]]] =
+    cachedMeta(spark, s"$indexPath/codebooks") {
+      val rows = spark.read.parquet(s"$indexPath/codebooks")
+        .orderBy(col("sub"), col("code")).collect()
+      val m = rows.map(_.getInt(0)).max + 1
+      val nCodes = rows.map(_.getInt(1)).max + 1
+      Array.tabulate(m, nCodes) { (s, j) =>
+        rows(s * nCodes + j).getSeq[Double](2).toArray
+      }
+    }
+
+  /** Materialize a bounded probe table ONCE: a single collect yields
+    * both the probed rows — re-created as a LocalRelation, so the
+    * broadcast side of the cells join builds straight from driver
+    * memory with no further job and no lingering checkpoint blocks
+    * (ADVICE r18) — and the distinct probed cell list for the static
+    * partition filter. Bounded by the broadcast-small queries
+    * contract: these exact rows were already collected for the
+    * broadcast build; this collect adds no data movement, it removes
+    * an eager localCheckpoint job plus a separate distinct/collect
+    * job per serve. */
+  private def collectProbed(probed: DataFrame): (DataFrame, Array[Long]) = {
+    val spark = probed.sparkSession
+    val rows = probed.collect()
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probed.schema)
+    val ci = probed.schema.fieldIndex("cell")
+    val cells = rows.map(_.getAs[Number](ci).longValue).distinct
+    (local, cells)
   }
 
   /** Sequential-fold dot product in double precision (native). */
@@ -370,13 +445,9 @@ object Similarity {
                 allowed: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     recoverIndex(spark, indexPath) // heal a torn compaction swap
-    val cents = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy(col("cell")).collect()
-      .map(_.getSeq[Double](1).toArray)
-    val probed = probeQueries(queries, qId, vecCol, cents, nprobe)
-      .localCheckpoint() // tiny; evaluated twice (cell list + join)
-    val probeCells = probed.select(col("cell").cast("long")).distinct()
-      .collect().map(_.getLong(0))
+    val cents = loadCentroidRows(spark, indexPath).map(_.getSeq[Double](1).toArray)
+    val (probed, probeCells) = collectProbed(
+      probeQueries(queries, qId, vecCol, cents, nprobe))
     val corpusCells = dropTombstones(spark, indexPath,
       allowedFilter(spark.read.parquet(s"$indexPath/cells")
         .filter(col("cell").isin(probeCells.toSeq: _*)), allowed))
@@ -404,27 +475,38 @@ object Similarity {
     * Tuning sweeps run against a just-built index, between
     * compactions — tombstones are still dropped (parity with
     * [[ivfSearch]]) but `allowed` filtering is not offered here;
-    * filtered serving goes through ivfSearch. */
+    * filtered serving goes through ivfSearch.
+    *
+    * Lifecycle (ADVICE r18): the returned DataFrames all read the one
+    * localCheckpoint'd scored pass, so they hold its blocks alive
+    * until they are garbage-collected — consume the sweep points and
+    * drop the references; a long-lived session that keeps sweep
+    * outputs around keeps their checkpoint too. (The probe table no
+    * longer checkpoints at all — it is collected once and re-created
+    * as a LocalRelation, r19.)
+    *
+    * Precondition (ADVICE r18): bit-identity per point relies on every
+    * n_id living in exactly ONE cell, which a just-built or compacted
+    * index guarantees (ivfBuild assigns each vector one cell; the only
+    * duplicate source is a replayed ivfpqAdd on the OTHER layouts). If
+    * an id ever occupied two probed cells with different vectors, the
+    * dropDuplicates below would pick an arbitrary sim per path and the
+    * per-np results could diverge from per-nprobe [[ivfSearch]]. */
   def ivfSearchSweep(queries: DataFrame, qId: String, vecCol: String,
                      indexPath: String, k: Int,
                      nprobes: Seq[Int]): Seq[(Int, DataFrame)] = {
     require(nprobes.nonEmpty, "ivfSearchSweep: at least one nprobe point")
     val spark = queries.sparkSession
     recoverIndex(spark, indexPath)
-    val cents = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy(col("cell")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val cents = loadCentroidRows(spark, indexPath).map(_.getSeq[Double](1).toArray)
     val maxNp = nprobes.max
-    val probed = queries
+    val (probed, probeCells) = collectProbed(queries
       .select(col(qId).as("q_id"), col(vecCol).as("__qv"),
         norm(col(vecCol)).as("__qn"))
       .withColumn("__scores", cellScores(cents)(col("__qv")))
       .select(col("q_id"), col("__qv"), col("__qn"), posexplode(expr(
         s"slice(array_sort(transform(__scores, (s, i) -> struct(-s AS d, i + 1 AS c))), 1, $maxNp).c"))
-        .as(Seq("__pp", "cell")))
-      .localCheckpoint() // tiny; evaluated twice (cell list + join)
-    val probeCells = probed.select(col("cell").cast("long")).distinct()
-      .collect().map(_.getLong(0))
+        .as(Seq("__pp", "cell"))))
     val corpusCells = dropTombstones(spark, indexPath,
       spark.read.parquet(s"$indexPath/cells")
         .filter(col("cell").isin(probeCells.toSeq: _*)))
@@ -806,13 +888,7 @@ object Similarity {
                allowed: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     recoverIndex(spark, indexPath) // heal a torn compaction swap
-    val rows = spark.read.parquet(s"$indexPath/codebooks")
-      .orderBy(col("sub"), col("code")).collect()
-    val m = rows.map(_.getInt(0)).max + 1
-    val nCodes = rows.map(_.getInt(1)).max + 1
-    val books = Array.tabulate(m, nCodes) { (s, j) =>
-      rows(s * nCodes + j).getSeq[Double](2).toArray
-    }
+    val books = loadCodebooks(spark, indexPath)
     pqScore(dropTombstones(spark, indexPath,
         allowedFilter(spark.read.parquet(s"$indexPath/codes"), allowed)),
       spark.read.parquet(s"$indexPath/vectors"),
@@ -938,18 +1014,11 @@ object Similarity {
     if (marker.exists(m => graft.operators.StoreFs.exists(spark, m))) return false
     recoverIndex(spark, indexPath) // heal a torn compaction swap
 
-    val centRows = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy(col("cell")).collect()
+    val centRows = loadCentroidRows(spark, indexPath)
     val cents = centRows.map(_.getSeq[Double](1).toArray)
     val residual = centRows.head.schema.fieldNames.contains("residual") &&
       centRows.head.getAs[Boolean]("residual")
-    val rows = spark.read.parquet(s"$indexPath/codebooks")
-      .orderBy(col("sub"), col("code")).collect()
-    val m = rows.map(_.getInt(0)).max + 1
-    val nCodes = rows.map(_.getInt(1)).max + 1
-    val books = Array.tabulate(m, nCodes) { (s, j) =>
-      rows(s * nCodes + j).getSeq[Double](2).toArray
-    }
+    val books = loadCodebooks(spark, indexPath)
     val rot = loadRotation(spark, indexPath) // auto-detected, like residual
     val c = fanOut(batch.select(col(cId).as("n_id"), col(vecCol).as("__cv")))
       .withColumn("__cn", norm(col("__cv")))
@@ -1085,18 +1154,11 @@ object Similarity {
                   allowed: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     recoverIndex(spark, indexPath) // heal a torn compaction swap
-    val centRows = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy(col("cell")).collect()
+    val centRows = loadCentroidRows(spark, indexPath)
     val cents = centRows.map(_.getSeq[Double](1).toArray)
     val residual = centRows.head.schema.fieldNames.contains("residual") &&
       centRows.head.getAs[Boolean]("residual")
-    val rows = spark.read.parquet(s"$indexPath/codebooks")
-      .orderBy(col("sub"), col("code")).collect()
-    val m = rows.map(_.getInt(0)).max + 1
-    val nCodes = rows.map(_.getInt(1)).max + 1
-    val books = Array.tabulate(m, nCodes) { (s, j) =>
-      rows(s * nCodes + j).getSeq[Double](2).toArray
-    }
+    val books = loadCodebooks(spark, indexPath)
     // A residual index lives in L2-normalized space: probe, LUTs and
     // the cell-dot term all use q̂ (re-rank stays on the raw queries —
     // cosine is scale-invariant).
@@ -1108,14 +1170,12 @@ object Similarity {
     // residual decomposition q·v̂ = q·c_cell + q·r; zero when codes
     // quantize v̂ directly.
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
-    val probed = probeQueries(qEff, qId, vecCol, cents, nprobe)
-      .withColumn("__celldot",
-        if (residual) dot(col("__qv"), element_at(centsLit, col("cell").cast("int")))
-        else lit(0.0))
-      .select(col("q_id"), col("cell"), col("__celldot"))
-      .localCheckpoint() // tiny; evaluated twice (cell list + join)
-    val probeCells = probed.select(col("cell").cast("long")).distinct()
-      .collect().map(_.getLong(0))
+    val (probed, probeCells) = collectProbed(
+      probeQueries(qEff, qId, vecCol, cents, nprobe)
+        .withColumn("__celldot",
+          if (residual) dot(col("__qv"), element_at(centsLit, col("cell").cast("int")))
+          else lit(0.0))
+        .select(col("q_id"), col("cell"), col("__celldot")))
     val codes = dropTombstones(spark, indexPath,
       allowedFilter(spark.read.parquet(s"$indexPath/codes")
         .filter(col("cell").isin(probeCells.toSeq: _*)), allowed))
@@ -1129,7 +1189,8 @@ object Similarity {
     val probedLuts = probed.join(pqLuts(qLut, qId, vecCol, books), "q_id")
     val approx = codes.join(broadcast(probedLuts), "cell")
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), (col("__celldot") + adcScore(m)).as("__adc"))
+      .select(col("q_id"), col("n_id"),
+        (col("__celldot") + adcScore(books.length)).as("__adc"))
     pqRerank(spark.read.parquet(s"$indexPath/vectors"),
       queries, qId, vecCol, approx, k, rerank)
   }
@@ -1230,10 +1291,12 @@ object Similarity {
 
   private def loadRotation(spark: org.apache.spark.sql.SparkSession,
                            indexPath: String): Option[Array[Array[Double]]] =
-    if (!graft.operators.StoreFs.exists(spark, s"$indexPath/rotation")) None
-    else Some(spark.read.parquet(s"$indexPath/rotation")
-      .orderBy(col("i")).collect()
-      .map(_.getSeq[Double](1).toArray))
+    cachedMeta(spark, s"$indexPath/rotation") {
+      if (!graft.operators.StoreFs.exists(spark, s"$indexPath/rotation")) None
+      else Some(spark.read.parquet(s"$indexPath/rotation")
+        .orderBy(col("i")).collect()
+        .map(_.getSeq[Double](1).toArray))
+    }
 
   /** Encode corpus rows `(n_id, __cv)` → `(n_id, __codes)`: L2-
     * normalize, then per subspace pick the nearest codebook centroid

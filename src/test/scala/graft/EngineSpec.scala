@@ -65,4 +65,32 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.scanMaxPartitionBytes(32, 8 * GB) === (512L << 20))
     assert(Engine.scanMaxPartitionBytes(32, 16 * GB) === (128L << 20))
   }
+
+  test("reliable loop-checkpoint escape hatch wires through (r19, VERDICT r18 #8)") {
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.functions.lit
+    def rootRdd(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+    val df = spark.range(8).toDF("u").withColumn("v", lit(1L))
+    // default posture: LOCAL checkpoint — block-backed, no file
+    val local = Engine.loopCheckpoint(df)
+    assert(local.count() === 8)
+    assert(rootRdd(local).getCheckpointFile.isEmpty)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpointed(local)
+    // opted in: RELIABLE checkpoint under the configured dir, and the
+    // loops' release discipline still accepts the root
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.reliableLoopCheckpoints", "true")
+    try {
+      val rel = Engine.loopCheckpoint(df)
+      assert(rel.count() === 8)
+      val rdd = rootRdd(rel)
+      assert(rdd.isCheckpointed && rdd.getCheckpointFile.isDefined)
+      assert(rdd.getCheckpointFile.get.startsWith("file:" ) ||
+        rdd.getCheckpointFile.get.contains(dir.stripPrefix("file:")))
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpointed(rel)
+    } finally spark.conf.unset("spark.graft.reliableLoopCheckpoints")
+  }
 }

@@ -94,6 +94,26 @@ class GraftFunctionsSpec extends SparkSpec {
       "SigAgreeExpr diverges on real minhash signatures")
   }
 
+  test("SigAgreeExpr rejects non-bigint element arrays at analysis time (ADVICE r18)") {
+    import graft.SparkSpec.spark.implicits._
+    // array<int> would read garbage through getLong — must fail
+    // ANALYSIS, not silently miscount
+    val ints = Seq((Seq(1, 2, 3), Seq(1, 2, 4))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(graft.functions.SigAgreeExpr.sigAgree(col("a"), col("b")))
+        .collect()
+    }
+    // array<bigint> through a parquet round trip (containsNull=true)
+    // must still be accepted — the nullability of elements is the
+    // caller contract, only the element TYPE is enforced
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig").toString + "/t"
+    Seq((Seq(1L, 2L, 3L), Seq(1L, 9L, 3L))).toDF("a", "b")
+      .write.parquet(dir)
+    val back = graft.SparkSpec.spark.read.parquet(dir)
+    assert(back.select(graft.functions.SigAgreeExpr.sigAgree(col("a"), col("b")))
+      .head().getInt(0) === 2)
+  }
+
   test("native winnow is bit-identical to the gramHashes+winnowMins HOF chain") {
     import graft.SparkSpec.spark.implicits._
     // shapes: below-k, exactly-k, grams < window, unicode multi-byte

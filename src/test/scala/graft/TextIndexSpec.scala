@@ -326,4 +326,40 @@ class TextIndexSpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("graft_not_ti2").toString)
     }
   }
+
+  test("tokenPrunedRead lists only the query tokens' directories, bit-equal to the full-listing read (r19)") {
+    import graft.operators.TextIndex
+    val docs = Seq(
+      (1L, "spark 42 a=b"),
+      (2L, "42 q%r spark"),
+      (3L, "niche 42")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tpr").toString + "/post"
+    docs.select(explode(split(col("text"), " ")).as("token"), col("doc_id"))
+      .filter(col("token") =!= "").distinct()
+      .write.partitionBy("token").parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("token")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    def full(tokens: Seq[String]) = spark.read.parquet(dir)
+      .filter(col("token").isin(tokens: _*))
+    def pruned(tokens: Seq[String]) = TextIndex.tokenPrunedRead(spark, dir, tokens)
+      .filter(col("token").isin(tokens: _*))
+    // escaped specials (= and % are path-escaped by partitionBy) and
+    // numeric-only token subsets (type inference over just token=42
+    // would flip the partition column to int — the explicit schema
+    // must pin STRING, or downstream token joins change type)
+    for (ts <- Seq(Seq("spark"), Seq("42"), Seq("a=b", "q%r"),
+        Seq("42", "spark"), Seq("absent"), Seq("absent", "42"))) {
+      val p = pruned(ts)
+      assert(p.schema("token").dataType ===
+        org.apache.spark.sql.types.StringType, s"token type drifted for $ts")
+      assert(rows(p) === rows(full(ts)), s"pruned read diverged for $ts")
+    }
+    // the win itself: only the named directories are listed/read
+    val files = pruned(Seq("spark", "42")).inputFiles
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("token=spark") || f.contains("token=42")),
+      s"pruned read listed beyond its token dirs: ${files.mkString(",")}")
+  }
 }
